@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fleet-report pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the north-star dedup/similarity/text extensions) for the
+DuckDB-oracle correctness gate. The actual registry lives in
+``solar_data_tools_spark.registry``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solar_data_tools_spark.registry import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the fleet report (SURVEY §7.2 minimum end-to-end
+    slice) — ingest events, standardize semantics, daily aggregation core,
+    one row per site with dataset-level metrics."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.canonical import events_as_measurements
+    from solar_data_tools_spark.operators.daily import (
+        daily_statistics,
+        dataset_report,
+    )
+
+    from solar_data_tools_spark.session import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    meas = events_as_measurements(events)
+    daily = daily_statistics(meas, slots_per_day=288)
+    report = dataset_report(daily)
+    return report.select(
+        "site",
+        "num_days",
+        F.round("length_years", 6).alias("length_years"),
+        F.round("capacity", 6).alias("capacity"),
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("avg_daily_energy", 6).alias("avg_daily_energy"),
+        F.round("max_power", 6).alias("max_power"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -1,0 +1,75 @@
+"""Canonical long measurement table.
+
+The reference pivots raw time series into a 2-D ``(slots_per_day, num_days)``
+numpy matrix (reference: solardatatools/matrix_embedding.py:27-69) and runs
+every analysis as axis-wise numpy ops. At 100 TB a materialized matrix per
+site is the wrong representation; we keep one **long table**
+
+    fact_measurement(site, ts, seq, date, slot, hod, value)
+
+where
+  - ``site``  — series key (fleet dimension; partition/bucket key),
+  - ``ts``    — timestamp (tz-naive local, like the reference),
+  - ``seq``   — unique row id carried from ingest so annotations computed on
+                the standardized grid can be joined back to raw rows
+                (reference: data_handler.py:115-121, 1076-1089),
+  - ``date``  — day column ("matrix column j" == ``WHERE date = d``),
+  - ``slot``  — intraday slot index ("matrix row i" == ``WHERE slot = i``),
+  - ``hod``   — fractional hour of day,
+  - ``value`` — the measurement.
+
+"Column-wise" matrix ops become ``groupBy(site, date)``; "row-wise" ops
+become ``groupBy(site, slot)``; element masks become boolean columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_time_columns(
+    df: DataFrame,
+    ts_col: str = "ts",
+    sampling_seconds: int = 300,
+) -> DataFrame:
+    """Add ``date``, ``slot`` and ``hod`` derived columns.
+
+    ``slot = seconds_since_midnight / sampling_seconds`` (integer division)
+    mirrors the reference's row index into the day matrix.
+    """
+    ts = F.col(ts_col)
+    sec_of_day = (
+        F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    ).cast("long")
+    return (
+        df.withColumn("date", F.to_date(ts))
+        .withColumn("slot", (sec_of_day / F.lit(sampling_seconds)).cast("int"))
+        .withColumn("hod", (sec_of_day / F.lit(3600.0)))
+    )
+
+
+def events_as_measurements(events: DataFrame, sampling_seconds: int = 300) -> DataFrame:
+    """Adapt the synthetic ``events`` table to the canonical measurement shape.
+
+    ``user_id`` plays the role of ``site`` and ``event_id`` is the stable
+    ``seq`` id used for deterministic ordering and raw-row re-joins.
+    """
+    base = events.select(
+        F.col("user_id").alias("site"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.col("value"),
+    )
+    return with_time_columns(base, "ts", sampling_seconds)
+
+
+def round_float(col: Column, digits: int = 6) -> Column:
+    """Round a double for order-insensitive hash comparison.
+
+    Spark sums partition-parallel while single-node oracles sum sequentially;
+    double addition is not associative, so raw sums can differ in the last
+    few ulps. Rounding both sides to the same precision removes the
+    nondeterminism without hiding real errors.
+    """
+    return F.round(col, digits)

@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale document corpora.
+
+North-star extensions beyond the reference surface (BASELINE.json): exact
+dedup, n-gram Jaccard, MinHash+LSH, SimHash. All shuffle-conscious:
+
+* exact dedup — one hash-groupBy, no pairwise work;
+* n-gram Jaccard — inverted-index self-join on shingles (pairs only form
+  where a shingle is shared), the standard way to avoid the O(N^2) cross
+  join;
+* MinHash+LSH — signatures via built-in ``xxhash64`` (JVM-side), banding
+  reduces candidate pairs to hash-bucket collisions;
+* SimHash — 64 aggregated bit-counts per doc, Hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — shared normalization for all dedup
+    paths so variants of the same doc hash identically."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup via md5(normalized text) group-by.
+
+    Returns one row per duplicate *group* (>= 2 docs): the canonical doc
+    (lowest id), group size, and member ids. Single shuffle on the hash.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+
+
+def word_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each doc into its distinct word n-gram shingles.
+
+    Pure built-ins: split -> transform(sequence) -> explode. Output:
+    (doc_id, shingle), distinct per doc.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size({'_toks'}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col), tokens.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
+
+    jaccard(a, b) = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingles.
+
+    Scale notes: candidate pairs only materialize for docs sharing a
+    shingle; ``max_shingle_freq`` drops ultra-common shingles (stop-gram
+    suppression) which bounds the worst-case fan-out — at 100 TB this is
+    the difference between a linear job and a quadratic one.
+    """
+    sh = word_ngrams(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    posting = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        posting = sh.join(
+            freq.where(F.col("df") <= max_shingle_freq).select("shingle"),
+            on="shingle",
+            how="left_semi",
+        )
+
+    a = posting.select(F.col(id_col).alias("id_a"), "shingle")
+    b = posting.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(sizes.selectExpr(f"{id_col} as id_a", "n_shingles as n_a")),
+            on="id_a",
+        )
+        .join(
+            F.broadcast(sizes.selectExpr(f"{id_col} as id_b", "n_shingles as n_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, i).
+
+    ``xxhash64`` is a built-in JVM expression — no Python in the loop. One
+    explode of (shingle x num_hashes) then a single groupBy(doc) with
+    map-side partial min: shuffle carries only num_hashes longs per doc.
+    """
+    sh = word_ngrams(docs, n, id_col, text_col)
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_ix"),
+        F.col("shingle"),
+    ).withColumn("h", F.xxhash64("shingle", "h_ix"))
+    per_hash = seeded.groupBy(id_col, "h_ix").agg(F.min("h").alias("min_h"))
+    return per_hash.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("h_ix", "min_h"))
+        ).alias("_pairs")
+    ).select(
+        F.col(id_col),
+        F.expr("transform(_pairs, p -> p.min_h)").alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs from bucket collisions.
+
+    rows_per_band = len(signature) / bands. Pair probability follows the
+    standard (1 - (1 - s^r)^b) S-curve. Join is on (band_ix, band_hash) —
+    only colliding docs meet, never the full cross product.
+    """
+    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+    if sig_len_row is None:
+        return signatures.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long"
+        )
+    r = sig_len_row["n"] // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),
+        F.col("signature"),
+    ).select(
+        F.col(id_col),
+        "band_ix",
+        F.xxhash64(
+            F.expr(f"slice(signature, band_ix * {r} + 1, {r})"), F.col("band_ix")
+        ).alias("band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_ix", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_ix", "band_hash")
+    return (
+        a.join(b, on=["band_ix", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures -> banded candidates -> exact
+    Jaccard verification of candidates only."""
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    cand = minhash_lsh_candidates(sigs, bands, id_col)
+    sh = word_ngrams(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.selectExpr(f"{id_col} id_a", "n_sh n_a")), "id_a")
+        .join(F.broadcast(sizes.selectExpr(f"{id_col} id_b", "n_sh n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint: sign of per-bit weighted sums of token hashes.
+
+    Computed as one explode + one groupBy with ``bits`` conditional sums —
+    everything stays in whole-stage codegen. Output: (doc_id, simhash).
+    """
+    tokens = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    tok = docs.select(F.col(id_col), tokens).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+variant (random hyperplane signatures) as the 100 TB scale path.
+
+Dot products use ``zip_with`` + ``aggregate`` — built-in higher-order
+functions evaluated JVM-side, sequential left fold, so results are
+bit-reproducible against a single-node oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(
+        vec_col, F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    The corpus scan is embarrassingly parallel; per-partition partial top-k
+    happens inside the window's sort. Queries are broadcast (the small
+    side), so the corpus never shuffles for the join — only the final
+    (query_id)-partitioned rank shuffles, carrying k' candidates per
+    partition at most.
+
+    Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken by
+    vec_id for determinism.
+    """
+    corpus = _as_double(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cvec")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def random_hyperplane_signatures(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-LSH bit signature: bit_i = sign(v . plane_i).
+
+    ``planes`` is a small deterministic list (seeded off-line) shipped as
+    literals — no broadcast variable machinery needed for <= 64 planes.
+    """
+    df = _as_double(embeddings, vec_col)
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query signature; exact
+    cosine re-rank of candidates only.
+
+    At scale the corpus signature table is tiny per bucket; the exact-rank
+    join touches only candidate rows instead of the full corpus.
+    """
+    c_sig = random_hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    q_sig = random_hyperplane_signatures(
+        queries.withColumnRenamed(query_id_col, id_col), planes, id_col, vec_col
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col("lsh_sig").alias("_qsig"),
+    )
+    cand = c_sig.join(
+        F.broadcast(q_sig), F.col(id_col) != F.col(query_id_col)
+    ).where(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("_qsig"))) <= max_hamming
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

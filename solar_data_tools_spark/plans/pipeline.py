@@ -1,0 +1,94 @@
+"""Fleet pipeline — the Spark equivalent of ``DataHandler.run_pipeline``
+(SURVEY.md §3.1, reference data_handler.py:220-716).
+
+Where the reference runs one site at a time through numpy stages, this
+pipeline takes a long measurement table of the WHOLE FLEET and emits:
+
+  * ``standardized`` — regular-grid long table (T1/T2),
+  * ``daily``        — fact_daily with scores/flags (A1-A14, one agg),
+  * ``report``       — one row per site (scalar metrics).
+
+Stage boundaries are DataFrames, so Catalyst fuses the SQL stages; the
+only shuffles are groupBy(site, grid slot), groupBy(site, date) and
+groupBy(site) — see SURVEY §3.1 "Spark lifecycle equivalent".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators.canonical import with_time_columns
+from solar_data_tools_spark.operators.daily import (
+    clipping_stats,
+    daily_statistics,
+    dataset_report,
+)
+from solar_data_tools_spark.operators.filters import clamp_to_null
+from solar_data_tools_spark.operators.time_axis import (
+    infer_sampling_seconds,
+    standardize_time_axis,
+)
+
+
+@dataclass
+class PipelineResult:
+    standardized: DataFrame
+    daily: DataFrame
+    report: DataFrame
+    sampling: DataFrame
+    extras: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    measurements: DataFrame,
+    sampling_seconds: int | None = None,
+    max_val: float | None = None,
+    min_val: float | None = None,
+    slots_per_day: int | None = None,
+) -> PipelineResult:
+    """Run the relational pipeline for every site in ``measurements``.
+
+    Input schema: (site, ts, seq, value). If ``sampling_seconds`` is None
+    it is inferred per-fleet as the global modal delta (T1) — one tiny
+    aggregate collected to the driver, mirroring the reference's scalar
+    ``data_sampling`` attribute.
+    """
+    sampling = infer_sampling_seconds(measurements)
+    if sampling_seconds is None:
+        # fleet-level modal sampling: cheap driver-side scalar (guard stage,
+        # SURVEY §4.1 "early-exit guards run as a separate small action")
+        row = (
+            sampling.groupBy("sampling_seconds")
+            .count()
+            .orderBy(F.desc("count"), F.asc("sampling_seconds"))
+            .first()
+        )
+        sampling_seconds = int(row["sampling_seconds"]) if row else 300
+    if slots_per_day is None:
+        slots_per_day = max(int(86400 // sampling_seconds), 1)
+
+    clamped = clamp_to_null(measurements, "value", min_val, max_val)
+    standardized = standardize_time_axis(clamped, sampling_seconds)
+
+    std_meas = with_time_columns(
+        standardized.select(
+            "site",
+            F.col("grid_ts").alias("ts"),
+            F.monotonically_increasing_id().alias("seq"),
+            "value",
+        ),
+        sampling_seconds=sampling_seconds,
+    )
+    daily = daily_statistics(std_meas, slots_per_day=slots_per_day)
+    clip = clipping_stats(std_meas)
+    daily = daily.join(clip, on=["site", "date"], how="left")
+    report = dataset_report(daily)
+    return PipelineResult(
+        standardized=standardized,
+        daily=daily,
+        report=report,
+        sampling=sampling,
+    )

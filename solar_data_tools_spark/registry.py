@@ -1,0 +1,1120 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair over the synthetic tables (TESTDATA.md).
+
+This is the correctness surface the driver checks (CORRECTNESS_r{N}.json)
+and the model for ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Conventions:
+  * every float aggregate is rounded identically on both sides (see
+    ``canonical.round_float``) — partition-parallel double sums differ from
+    sequential sums in the last ulps;
+  * every aggregate/computed column is aliased identically on both sides;
+  * deterministic tie-breaks everywhere a rank/limit/mode appears;
+  * ``events.user_id`` plays the "site" role; fractional-hour-of-day is
+    ``floor(epoch_us/1e6) % 86400 / 3600`` on both engines.
+
+Queries whose semantics aren't SQL-expressible (solver fits, LSH variants)
+carry ``oracle=None`` -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.session import read_table
+from solar_data_tools_spark.operators import dedup as dd
+from solar_data_tools_spark.operators import similarity as sim
+from solar_data_tools_spark.operators import text as tx
+from solar_data_tools_spark.operators.canonical import events_as_measurements
+from solar_data_tools_spark.operators import daily as dy
+from solar_data_tools_spark.operators import filters as fl
+from solar_data_tools_spark.operators import joins as jn
+from solar_data_tools_spark.operators import time_axis as ta
+from solar_data_tools_spark.operators import windows as wd
+from solar_data_tools_spark.functions import solar as sol
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL over pre-registered views, or None
+    survey_ids: str = ""  # SURVEY.md §2 operator ids this query certifies
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = read_table(spark, f"{sf_dir}/{name}.parquet")
+    return df
+
+
+def _meas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_measurements(_t(spark, sf_dir, "events"))
+
+
+R = 6  # float rounding digits for hash-stable comparison
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational coverage (scan/filter/project/agg/join/window)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Scan + filter + wide agg + sort (certifies P1/P3, A-family partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
+            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)       AS sum_qty,
+       round(sum(l_extendedprice), 4)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6)       AS avg_qty,
+       round(avg(l_extendedprice), 6)  AS avg_price,
+       round(avg(l_discount), 6)       AS avg_disc,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """Multi-way equi join with broadcast dims (certifies J1-style joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q03_priority_with_discounted_items(spark, sf_dir):
+    """Left-semi join (certifies J3)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q03_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q04_customers_without_orders(spark, sf_dir):
+    """Left-anti join (set difference on keys)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q05_topk_orders_per_customer(spark, sf_dir):
+    """Window top-k with deterministic tie-break (certifies W12)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("total"), "rank")
+    )
+
+
+Q05_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+WHERE rank <= 3
+"""
+
+
+def q06_conditional_pivot(spark, sf_dir):
+    """Conditional aggregation == pivot (certifies S5/A16 pivot shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4
+        ).alias("sum_f"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 4
+        ).alias("sum_o"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+        ).cast("long").alias("cnt_f"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+        ).cast("long").alias("cnt_o"),
+    )
+
+
+Q06_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 4) AS sum_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 4) AS sum_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
+# Time-series / solar operators over `events` (site == user_id)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragment: canonical measurement projection of events
+_EV = """
+SELECT user_id AS site, ts, event_id AS seq, value,
+       CAST(ts AS DATE) AS date,
+       ((epoch_us(ts) // 1000000) % 86400) / 3600.0 AS hod
+FROM events
+"""
+
+
+def q10_daily_energy(spark, sf_dir):
+    """A1 — daily energy integral per site."""
+    m = _meas(spark, sf_dir)
+    return m.groupBy("site", "date").agg(
+        F.round(F.sum("value") * 24.0 / 288.0, R).alias("energy")
+    )
+
+
+Q10_SQL = f"""
+SELECT site, date, round(sum(value) * 24.0 / 288.0, 6) AS energy
+FROM ({_EV})
+GROUP BY site, date
+"""
+
+
+def q11_daily_stats(spark, sf_dir):
+    """A4/A5/A12 — daily max, log-max, count, energy center of mass."""
+    m = _meas(spark, sf_dir)
+    return m.groupBy("site", "date").agg(
+        F.round(F.max("value"), R).alias("day_max"),
+        F.round(F.log(F.max("value")), R).alias("log_day_max"),
+        F.count("value").alias("n_obs"),
+        F.round(F.sum(F.col("hod") * F.col("value")) / F.sum("value"), R).alias(
+            "solar_noon_com"
+        ),
+    )
+
+
+Q11_SQL = f"""
+SELECT site, date,
+       round(max(value), 6) AS day_max,
+       round(ln(max(value)), 6) AS log_day_max,
+       count(value) AS n_obs,
+       round(sum(hod * value) / sum(value), 6) AS solar_noon_com
+FROM ({_EV})
+GROUP BY site, date
+"""
+
+
+def q12_site_capacity(spark, sf_dir):
+    """A3 — per-site capacity = exact 95th percentile."""
+    m = _meas(spark, sf_dir)
+    return dy.site_capacity(m).select(
+        "site", F.round("capacity", R).alias("capacity")
+    )
+
+
+Q12_SQL = f"""
+SELECT site, round(quantile_cont(value, 0.95), 6) AS capacity
+FROM ({_EV})
+GROUP BY site
+"""
+
+
+def q13_daily_density(spark, sf_dir):
+    """A2 — fraction of readings above 2% of site capacity."""
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    return (
+        m.join(F.broadcast(cap), "site")
+        .groupBy("site", "date")
+        .agg(
+            F.round(
+                F.avg((F.col("value") > 0.02 * F.col("capacity")).cast("int")), R
+            ).alias("density")
+        )
+    )
+
+
+Q13_SQL = f"""
+WITH m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site)
+SELECT m.site, m.date,
+       round(avg(CASE WHEN m.value > 0.02 * cap.capacity THEN 1 ELSE 0 END), 6) AS density
+FROM m JOIN cap ON m.site = cap.site
+GROUP BY m.site, m.date
+"""
+
+
+def q14_sampling_inference(spark, sf_dir):
+    """T1 — per-site modal timestamp delta rounded to 10 s."""
+    m = _meas(spark, sf_dir)
+    return ta.infer_sampling_seconds(m)
+
+
+Q14_SQL = f"""
+WITH m AS ({_EV}),
+d AS (
+  SELECT site,
+         CAST(round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 10000000.0) * 10 AS BIGINT) AS delta_s
+  FROM m
+  WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
+),
+c AS (
+  SELECT site, delta_s, count(*) AS cnt
+  FROM d WHERE delta_s IS NOT NULL
+  GROUP BY site, delta_s
+),
+r AS (
+  SELECT site, delta_s, row_number() OVER (PARTITION BY site ORDER BY cnt DESC, delta_s ASC) AS rn
+  FROM c
+)
+SELECT site, delta_s AS sampling_seconds FROM r WHERE rn = 1
+"""
+
+
+def q15_first_diff(spark, sf_dir):
+    """W1 — first difference along each series."""
+    m = _meas(spark, sf_dir)
+    return wd.first_diff(m).select(
+        "site", "seq", F.round("diff1", R).alias("diff1")
+    )
+
+
+Q15_SQL = f"""
+SELECT site, seq,
+       round(value - lag(value) OVER (PARTITION BY site ORDER BY ts, seq), 6) AS diff1
+FROM ({_EV})
+"""
+
+
+def q16_rolling_mean(spark, sf_dir):
+    """W9 — centered rolling mean, window 2+1+2."""
+    m = _meas(spark, sf_dir)
+    return wd.rolling_mean(m, 2, 2).select(
+        "site", "seq", F.round("rolling_mean", R).alias("rolling_mean")
+    )
+
+
+Q16_SQL = f"""
+SELECT site, seq,
+       round(avg(value) OVER (PARTITION BY site ORDER BY ts, seq
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rolling_mean
+FROM ({_EV})
+"""
+
+
+def q17_run_length(spark, sf_dir):
+    """W4 — run-length encoding of consecutive equal event_type values."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("site"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("value"),
+    )
+    runs = wd.find_runs(ev)
+    return runs.select("site", "run_id", "run_value", "run_length")
+
+
+Q17_SQL = """
+WITH m AS (
+  SELECT user_id AS site, ts, event_id AS seq, event_type AS value FROM events
+),
+flagged AS (
+  SELECT site, ts, seq, value,
+         CASE WHEN lag(value) OVER w IS NULL OR value <> lag(value) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM m
+  WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
+),
+runs AS (
+  SELECT site, ts, seq, value,
+         CAST(sum(chg) OVER (PARTITION BY site ORDER BY ts, seq
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM flagged
+)
+SELECT site, run_id, min(value) AS run_value, count(*) AS run_length
+FROM runs
+GROUP BY site, run_id
+"""
+
+
+def q18_dedup_timestamps(spark, sf_dir):
+    """U2 — duplicate-timestamp dedup keep-first (lowest seq)."""
+    m = _meas(spark, sf_dir)
+    return wd.dedup_timestamps(m).select("site", "ts", "seq")
+
+
+Q18_SQL = f"""
+SELECT site, ts, seq FROM (
+  SELECT site, ts, seq,
+         row_number() OVER (PARTITION BY site, ts ORDER BY seq) AS rn
+  FROM ({_EV}))
+WHERE rn = 1
+"""
+
+
+def q19_gap_fill(spark, sf_dir):
+    """W7 — linear interpolation of masked-out values (P2 clamp -> NULL
+    first, then gap-fill)."""
+    m = _meas(spark, sf_dir)
+    clamped = fl.clamp_to_null(m, "value", max_val=400.0)
+    return wd.gap_fill_linear(clamped).select(
+        "site", "seq", F.round("value_filled", R).alias("value_filled")
+    )
+
+
+Q19_SQL = f"""
+WITH m AS (
+  SELECT site, ts, seq, CASE WHEN value <= 400.0 THEN value END AS value
+  FROM ({_EV})
+),
+ctx AS (
+  SELECT site, ts, seq, value,
+         last_value(value IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(value IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS next_t
+  FROM m
+  WINDOW wb AS (PARTITION BY site ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY site ORDER BY ts, seq ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT site, seq,
+       round(CASE
+         WHEN value IS NOT NULL THEN value
+         WHEN prev_v IS NULL THEN NULL
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * (epoch_us(ts) - prev_t) / (next_t - prev_t)
+       END, 6) AS value_filled
+FROM ctx
+"""
+
+
+def q20_range_clamp(spark, sf_dir):
+    """P2 — out-of-range -> NULL (rows kept); per-site accounting."""
+    m = _meas(spark, sf_dir)
+    clamped = fl.clamp_to_null(m, "value", min_val=1.0, max_val=400.0)
+    return clamped.groupBy("site").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_nulled"),
+        F.round(F.min("value"), R).alias("min_kept"),
+        F.round(F.max("value"), R).alias("max_kept"),
+    )
+
+
+Q20_SQL = f"""
+WITH m AS (
+  SELECT site, CASE WHEN value >= 1.0 AND value <= 400.0 THEN value END AS value
+  FROM ({_EV})
+)
+SELECT site, count(*) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
+       round(min(value), 6) AS min_kept,
+       round(max(value), 6) AS max_kept
+FROM m GROUP BY site
+"""
+
+
+def q21_iqr_filter(spark, sf_dir):
+    """P7 — rows surviving the per-event_type IQR band."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"), F.col("event_id"), F.col("value")
+    )
+    kept = fl.iqr_filter(ev, "value", ["event_type"], k=1.5)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 4).alias("sum_kept"),
+    )
+
+
+Q21_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_kept, round(sum(e.value), 4) AS sum_kept
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE e.value BETWEEN b.q1 - 1.5 * (b.q3 - b.q1) AND b.q3 + 1.5 * (b.q3 - b.q1)
+GROUP BY e.event_type
+"""
+
+
+def q22_daytime_detection(spark, sf_dir):
+    """P8/P9 — quantile-scaled threshold detection."""
+    m = _meas(spark, sf_dir)
+    flagged = fl.detect_daytime(m, threshold=0.5, quantile=0.95)
+    return flagged.groupBy("site").agg(
+        F.sum(F.col("is_daytime").cast("int")).cast("long").alias("n_day"),
+        F.count("*").alias("n_total"),
+    )
+
+
+Q22_SQL = f"""
+WITH m AS ({_EV}),
+s AS (SELECT site, quantile_cont(value, 0.95) AS scale_q FROM m GROUP BY site)
+SELECT m.site,
+       CAST(sum(CASE WHEN m.value / s.scale_q > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_day,
+       count(*) AS n_total
+FROM m JOIN s ON m.site = s.site
+GROUP BY m.site
+"""
+
+
+def q23_future_filter(spark, sf_dir):
+    """T6 — drop rows after a cutoff."""
+    m = _meas(spark, sf_dir)
+    kept = fl.drop_future_rows(m, "ts", now="2024-01-15 00:00:00")
+    return kept.groupBy("site").agg(F.count("*").alias("n_kept"))
+
+
+Q23_SQL = f"""
+SELECT site, count(*) AS n_kept
+FROM ({_EV})
+WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY site
+"""
+
+
+def q24_resample_hourly(spark, sf_dir):
+    """T7 — tumbling-window resample-aggregate."""
+    m = _meas(spark, sf_dir)
+    out = ta.resample_aggregate(m, 3600, "avg")
+    return out.select(
+        "site", "bucket_start", F.round("avg_value", R).alias("avg_value")
+    )
+
+
+Q24_SQL = f"""
+SELECT site, date_trunc('hour', ts) AS bucket_start,
+       round(avg(value), 6) AS avg_value
+FROM ({_EV})
+GROUP BY site, date_trunc('hour', ts)
+"""
+
+
+def q25_avg_day_profile(spark, sf_dir):
+    """T3 — average-day profile (groupby time-of-day -> mean)."""
+    ev = _t(spark, sf_dir, "events")
+    prof = ta.average_day_profile(
+        ev.select(F.col("user_id").alias("site"), "ts", "value")
+    )
+    return prof.select(
+        "site", "hh", "mm", F.round("avg_value", R).alias("avg_value")
+    )
+
+
+Q25_SQL = """
+SELECT user_id AS site,
+       CAST(date_part('hour', ts) AS INT) AS hh,
+       CAST(date_part('minute', ts) AS INT) AS mm,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q26_asof_join(spark, sf_dir):
+    """J6 — as-of (nearest, backward) join: each click joined to the user's
+    most recent purchase within 24 h."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("site"), "ts", F.col("event_id").alias("seq")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("site"), "ts", F.col("value")
+    )
+    out = jn.asof_nearest_join(
+        clicks,
+        purchases,
+        on="site",
+        tolerance_seconds=86400,
+        direction="backward",
+        right_cols=["value"],
+    )
+    return out.select(
+        "site",
+        "seq",
+        F.col("matched_ts"),
+        F.round("value", R).alias("purchase_value"),
+    )
+
+
+Q26_SQL = """
+WITH clicks AS (
+  SELECT user_id AS site, ts, event_id AS seq FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id AS site, ts AS pts, value FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT c.site, c.seq, p.pts, p.value,
+         row_number() OVER (PARTITION BY c.site, c.seq
+                            ORDER BY (epoch_us(c.ts) - epoch_us(p.pts)) ASC, p.pts ASC) AS rn
+  FROM clicks c JOIN purchases p
+    ON c.site = p.site
+   AND p.pts <= c.ts
+   AND epoch_us(c.ts) - epoch_us(p.pts) <= 86400000000
+)
+SELECT c.site, c.seq,
+       r.pts AS matched_ts,
+       round(r.value, 6) AS purchase_value
+FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON c.site = r.site AND c.seq = r.seq
+"""
+
+
+def q28_daily_smoothness(spark, sf_dir):
+    """W2 — daily L1 norm of the second difference (clear-day metric)."""
+    m = _meas(spark, sf_dir)
+    d2 = wd.second_diff(m)
+    return d2.groupBy("site", "date").agg(
+        F.round(F.sum(F.abs(F.col("diff2"))), 4).alias("smoothness_l1")
+    )
+
+
+Q28_SQL = f"""
+WITH m AS ({_EV}),
+d AS (
+  SELECT site, date,
+         value - 2 * lag(value, 1) OVER w + lag(value, 2) OVER w AS diff2
+  FROM m
+  WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
+)
+SELECT site, date, round(sum(abs(diff2)), 4) AS smoothness_l1
+FROM d GROUP BY site, date
+"""
+
+
+def q29_sunrise_sunset(spark, sf_dir):
+    """A13/W3/A14 — first/last above-threshold hod per day, midpoint, span."""
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    thresh = 0.05 * F.col("capacity")
+    v = F.col("value")
+    return j.groupBy("site", "date").agg(
+        F.round(F.min(F.when(v > thresh, F.col("hod"))), R).alias("sunrise"),
+        F.round(F.max(F.when(v > thresh, F.col("hod"))), R).alias("sunset"),
+        F.round(
+            (
+                F.min(F.when(v > thresh, F.col("hod")))
+                + F.max(F.when(v > thresh, F.col("hod")))
+            )
+            / 2.0,
+            R,
+        ).alias("solar_noon_rs"),
+    )
+
+
+Q29_SQL = f"""
+WITH m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site)
+SELECT m.site, m.date,
+       round(min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END), 6) AS sunrise,
+       round(max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END), 6) AS sunset,
+       round((min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)
+            + max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)) / 2.0, 6) AS solar_noon_rs
+FROM m JOIN cap ON m.site = cap.site
+GROUP BY m.site, m.date
+"""
+
+
+def q30_clipping_stats(spark, sf_dir):
+    """A9/A10 — daily clipping statistics."""
+    m = _meas(spark, sf_dir)
+    out = dy.clipping_stats(m)
+    return out.select(
+        "site",
+        "date",
+        F.round("clip_stat_1", R).alias("clip_stat_1"),
+        F.round("clip_stat_2", R).alias("clip_stat_2"),
+    )
+
+
+Q30_SQL = f"""
+WITH m AS ({_EV}),
+dm AS (SELECT site, date, max(value) AS day_max FROM m GROUP BY site, date),
+sm AS (SELECT site, max(value) AS site_max FROM m GROUP BY site)
+SELECT m.site, m.date,
+       round(min(dm.day_max) / min(sm.site_max), 6) AS clip_stat_1,
+       round(sum(CASE WHEN m.value >= 0.995 * dm.day_max THEN m.value END) / sum(m.value), 6) AS clip_stat_2
+FROM m
+JOIN dm ON m.site = dm.site AND m.date = dm.date
+JOIN sm ON m.site = sm.site
+GROUP BY m.site, m.date
+"""
+
+
+def q31_binned_mean(spark, sf_dir):
+    """A16/F10 — mean grouped by rounded value bins (polar-transform shape)."""
+    ev = _t(spark, sf_dir, "events")
+    binned = dy.binned_mean_pivot(
+        ev.select(
+            (F.col("value")).alias("x"),
+            (F.col("user_id").cast("double")).alias("y"),
+            F.col("value"),
+        ),
+        "x",
+        "y",
+        x_bin=50.0,
+        y_bin=10.0,
+    )
+    return binned.select(
+        F.col("x_bin"), F.col("y_bin"), F.round("avg_value", R).alias("avg_value")
+    )
+
+
+Q31_SQL = """
+SELECT round(value / 50.0) * 50.0 AS x_bin,
+       round(CAST(user_id AS DOUBLE) / 10.0) * 10.0 AS y_bin,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q32_rayleigh(spark, sf_dir):
+    """A22/F11 — circular statistics of event time-of-day per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    angles = ev.select(
+        "event_type",
+        (
+            (F.floor(F.unix_micros("ts") / 1_000_000) % 86400)
+            / 86400.0
+            * 2.0
+            * 3.141592653589793
+        ).alias("angle"),
+    )
+    out = dy.rayleigh_statistic(angles, "angle", ["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("resultant_length", R).alias("resultant_length"),
+        F.round("rayleigh_z", R).alias("rayleigh_z"),
+    )
+
+
+Q32_SQL = """
+WITH a AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 1000000) % 86400) / 86400.0 * 2.0 * 3.141592653589793 AS angle
+  FROM events
+),
+agg AS (
+  SELECT event_type, sum(cos(angle)) AS sc, sum(sin(angle)) AS ss, count(*) AS n
+  FROM a GROUP BY event_type
+)
+SELECT event_type, n,
+       round(sqrt(sc * sc + ss * ss) / n, 6) AS resultant_length,
+       round(n * (sqrt(sc * sc + ss * ss) / n) * (sqrt(sc * sc + ss * ss) / n), 6) AS rayleigh_z
+FROM agg
+"""
+
+
+def q33_solar_geometry(spark, sf_dir):
+    """F1-F4 — equation of time, declination, daylight hours as native
+    column expressions over day-of-year."""
+    li = _t(spark, sf_dir, "lineitem")
+    doys = li.select(F.dayofyear("l_shipdate").alias("doy")).distinct()
+    return doys.select(
+        "doy",
+        F.round(sol.eot_duffie(F.col("doy")), R).alias("eot_duffie"),
+        F.round(sol.eot_da_rosa(F.col("doy")), R).alias("eot_da_rosa"),
+        F.round(sol.delta_cooper(F.col("doy")), R).alias("delta_cooper"),
+        F.round(
+            sol.num_daylight_hours(37.45, sol.delta_cooper(F.col("doy"))), R
+        ).alias("daylight_hours"),
+    )
+
+
+Q33_SQL = """
+WITH doys AS (SELECT DISTINCT CAST(date_part('doy', l_shipdate) AS INT) AS doy FROM lineitem),
+geo AS (
+  SELECT doy,
+         2 * pi() * (doy - 1) / 365.0 AS b,
+         23.45 * sin(2 * pi() * (284 + doy) / 365.0) AS delta_cooper
+  FROM doys
+)
+SELECT doy,
+       round(229.2 * (0.000075 + 0.001868 * cos(b) - 0.032077 * sin(b)
+             - 0.014615 * cos(2 * b) - 0.04089 * sin(2 * b)), 6) AS eot_duffie,
+       round(9.87 * sin(2 * (2 * pi() * (doy - 81) / 364.0))
+             - 7.53 * cos(2 * pi() * (doy - 81) / 364.0)
+             - 1.5 * sin(2 * pi() * (doy - 81) / 364.0), 6) AS eot_da_rosa,
+       round(delta_cooper, 6) AS delta_cooper,
+       round(2.0 * degrees(acos(greatest(-1.0, least(1.0,
+             -tan(radians(37.45)) * tan(radians(delta_cooper)))))) / 15.0, 6) AS daylight_hours
+FROM geo
+"""
+
+# ---------------------------------------------------------------------------
+# Document / embedding operators (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q40_exact_dup_groups(spark, sf_dir):
+    """Exact dedup groups by md5 of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.exact_duplicates(docs)
+    return out.select("text_hash", "canonical_id", "group_size")
+
+
+Q40_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS group_size
+FROM documents
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q41_fingerprint(spark, sf_dir):
+    """Content fingerprints (md5 content address)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.fingerprint(docs).select("doc_id", "fingerprint_md5")
+
+
+Q41_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_md5
+FROM documents
+"""
+
+
+def q42_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_stats(docs)
+
+
+Q42_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def q43_quality_scores(spark, sf_dir):
+    """Quality-score features + composite score."""
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_scores(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        F.round("punct_ratio", R).alias("punct_ratio"),
+        F.round("digit_ratio", R).alias("digit_ratio"),
+        F.round("stopword_ratio", R).alias("stopword_ratio"),
+        F.round("quality_score", R).alias("quality_score"),
+    )
+
+
+Q43_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t))) AS DOUBLE) AS sw_hits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         n_chars / greatest(n_tokens, 1.0) AS mean_word_len,
+         punct / greatest(n_chars, 1.0) AS punct_ratio,
+         digits / greatest(n_chars, 1.0) AS digit_ratio,
+         sw_hits / greatest(n_tokens, 1.0) AS stopword_ratio
+  FROM f
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         least(n_tokens / 100.0, 1.0) * 0.4
+         + least(stopword_ratio * 4.0, 1.0) * 0.4
+         + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2 END, 6) AS quality_score
+FROM r
+"""
+
+
+def q44_language_id(spark, sf_dir):
+    """Stopword-hit language identification."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.language_id(docs)
+
+
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> list_contains([{arr}], t))) AS BIGINT) AS hits_{lang}"
+    )
+
+
+Q44_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(_lang_hits_sql(lang, w) for lang, w in sorted(tx.LANG_STOPWORDS.items()))
+    + " FROM documents), "
+    + """
+b AS (
+  SELECT doc_id,
+         greatest(hits_de, hits_en, hits_es, hits_fr) AS best_hits,
+         CASE
+           WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+           WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+           WHEN hits_en >= hits_de THEN 'en'
+           ELSE 'de'
+         END AS best_lang
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN best_hits > 0 THEN best_lang ELSE 'und' END AS predicted_lang
+FROM b
+"""
+)
+
+
+def q45_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (unigram) Jaccard near-duplicate pairs via
+    inverted-index join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_pairs(docs, n=1, threshold=0.62)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round("jaccard", R).alias("jaccard"),
+    )
+
+
+Q45_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.62
+"""
+
+
+def q46_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = sim.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
+Q46_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         / sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+              * list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q47_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-duplicate pipeline (rows-only check: hash family is
+    engine-specific; the verified jaccard filter is exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.minhash_near_duplicates(
+        docs, num_hashes=32, bands=8, n=1, threshold=0.62
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def q48_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: engine-specific 64-bit hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs)
+
+
+def q49_lsh_topk(spark, sf_dir):
+    """Cosine-LSH bucketed approximate top-k (rows-only: candidate set is
+    hash-family-specific; re-rank is exact cosine)."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(16)]
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = sim.lsh_topk(emb, queries, planes, k=5, max_hamming=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+    )
+
+
+def q50_seasonal_quantile_fit(spark, sf_dir):
+    """D2 — per-site smooth periodic quantile fit over daily energy
+    (solver layer; rows-only: iterative solver not SQL-expressible)."""
+    from solar_data_tools_spark.solvers.decompositions import fit_seasonal_quantile
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = fit_seasonal_quantile(daily, "energy", tau=0.75, period=30.0)
+    return out.select(
+        "site", "date", F.round("seasonal_fit", 4).alias("seasonal_fit")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "P1,P3,A-agg"),
+    "q02_revenue_by_nation": QuerySpec(q02_revenue_by_nation, Q02_SQL, "J1"),
+    "q03_semi_join": QuerySpec(q03_priority_with_discounted_items, Q03_SQL, "J3"),
+    "q04_anti_join": QuerySpec(q04_customers_without_orders, Q04_SQL, "U5"),
+    "q05_window_topk": QuerySpec(q05_topk_orders_per_customer, Q05_SQL, "W12"),
+    "q06_conditional_pivot": QuerySpec(q06_conditional_pivot, Q06_SQL, "S5-pivot"),
+    "q10_daily_energy": QuerySpec(q10_daily_energy, Q10_SQL, "A1"),
+    "q11_daily_stats": QuerySpec(q11_daily_stats, Q11_SQL, "A4,A5,A12"),
+    "q12_site_capacity": QuerySpec(q12_site_capacity, Q12_SQL, "A3"),
+    "q13_daily_density": QuerySpec(q13_daily_density, Q13_SQL, "A2"),
+    "q14_sampling_inference": QuerySpec(q14_sampling_inference, Q14_SQL, "T1,A23"),
+    "q15_first_diff": QuerySpec(q15_first_diff, Q15_SQL, "W1"),
+    "q16_rolling_mean": QuerySpec(q16_rolling_mean, Q16_SQL, "W9"),
+    "q17_run_length": QuerySpec(q17_run_length, Q17_SQL, "W4,W5"),
+    "q18_dedup_timestamps": QuerySpec(q18_dedup_timestamps, Q18_SQL, "U2"),
+    "q19_gap_fill": QuerySpec(q19_gap_fill, Q19_SQL, "W7,P2"),
+    "q20_range_clamp": QuerySpec(q20_range_clamp, Q20_SQL, "P2"),
+    "q21_iqr_filter": QuerySpec(q21_iqr_filter, Q21_SQL, "P7"),
+    "q22_daytime_detection": QuerySpec(q22_daytime_detection, Q22_SQL, "P8,P9"),
+    "q23_future_filter": QuerySpec(q23_future_filter, Q23_SQL, "T6"),
+    "q24_resample_hourly": QuerySpec(q24_resample_hourly, Q24_SQL, "T7"),
+    "q25_avg_day_profile": QuerySpec(q25_avg_day_profile, Q25_SQL, "T3"),
+    "q26_asof_join": QuerySpec(q26_asof_join, Q26_SQL, "J6,W8"),
+    "q28_daily_smoothness": QuerySpec(q28_daily_smoothness, Q28_SQL, "W2"),
+    "q29_sunrise_sunset": QuerySpec(q29_sunrise_sunset, Q29_SQL, "A13,A14,W3"),
+    "q30_clipping_stats": QuerySpec(q30_clipping_stats, Q30_SQL, "A9,A10"),
+    "q31_binned_mean": QuerySpec(q31_binned_mean, Q31_SQL, "A16,F10"),
+    "q32_rayleigh": QuerySpec(q32_rayleigh, Q32_SQL, "A22,F11"),
+    "q33_solar_geometry": QuerySpec(q33_solar_geometry, Q33_SQL, "F1,F2,F3,F4"),
+    "q40_exact_dup_groups": QuerySpec(q40_exact_dup_groups, Q40_SQL, "dedup-exact"),
+    "q41_fingerprint": QuerySpec(q41_fingerprint, Q41_SQL, "text-fingerprint"),
+    "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
+    "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
+    "q44_language_id": QuerySpec(q44_language_id, Q44_SQL, "text-langid"),
+    "q45_ngram_jaccard": QuerySpec(q45_ngram_jaccard, Q45_SQL, "dedup-jaccard"),
+    "q46_knn_bruteforce": QuerySpec(q46_knn_bruteforce, Q46_SQL, "similarity-knn"),
+    "q47_minhash_near_dups": QuerySpec(q47_minhash_near_dups, None, "dedup-minhash"),
+    "q48_simhash": QuerySpec(q48_simhash, None, "dedup-simhash"),
+    "q49_lsh_topk": QuerySpec(q49_lsh_topk, None, "similarity-lsh"),
+    "q50_seasonal_fit": QuerySpec(q50_seasonal_quantile_fit, None, "D2"),
+}

@@ -1,0 +1,121 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; on a real cluster the same settings
+(AQE, skew-join handling, partition-size caps) are what you would want at
+100 TB — nothing here is local-mode-specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "solar-data-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Defaults follow the env contract of this repo's bench/test harness:
+    ``SPARK_GRAFT_CPUS`` controls local parallelism.
+
+    Settings rationale (100 TB design notes):
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+      replaces hand-tuned partition counts when data volume varies 1000x.
+    - ``spark.sql.files.maxPartitionBytes`` left at default 128 MB: parquet
+      scan tasks stay memory-bounded regardless of total input size.
+    - Arrow enabled: every solver-layer ``applyInPandas`` crosses the
+      JVM->Python boundary via Arrow batches, not pickled rows.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # keep them explicit so a misconfigured cluster can't silently
+        # disable the fast path.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, path: str):
+    """Read a parquet table, tolerating nanosecond timestamp columns.
+
+    Spark has no TIMESTAMP(NANOS) type; with the ``nanosAsLong`` legacy
+    flag the column arrives as LONG nanoseconds and is converted to a
+    microsecond timestamp with exact integer division (``DIV`` — double
+    division would round, diverging from single-node engines that
+    truncate ns -> us).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.ParquetFile(
+            path if not path.startswith("file:") else path[5:]
+        ).schema_arrow
+        ns_cols = [
+            f.name for f in arrow_schema if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        pass  # directory datasets / remote paths: fall back to plain read
+
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for name in ns_cols:
+        if name in df.columns and isinstance(df.schema[name].dataType, LongType):
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Register the synthetic parquet tables under ``sf_dir`` as temp views.
+
+    Returns a dict name -> DataFrame. Views let operators be written either
+    as DataFrame chains or ``spark.sql`` against the same names the DuckDB
+    oracle sees.
+    """
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    out = {}
+    for name in names:
+        df = read_table(spark, f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,155 @@
+"""Signal decompositions (SURVEY.md §2.8) — Spark-first implementations.
+
+The reference solves these as cvxpy/OSD convex programs per series
+(solardatatools/signal_decompositions.py). Here each model is a small,
+deterministic numpy solve wrapped in ``applyInPandas`` so a fleet of N
+sites runs as N parallel tasks after one shuffle on the site key.
+
+Round-1 scope: D2 ``tl1_l2d2p365`` (quantile loss + smooth periodic
+Fourier fit — facade signal_decompositions.py:127-185) via IRLS pinball
+regression on a Fourier basis, plus the trend-diagnostic least-squares fit
+it shares machinery with. Later rounds add D1/D3-D9 on the same pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.solvers.basis import fourier_basis
+
+
+def quantile_regression_irls(
+    X: np.ndarray,
+    y: np.ndarray,
+    tau: float = 0.5,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    ridge: float = 1e-8,
+) -> np.ndarray:
+    """Pinball-loss linear regression via iteratively reweighted least
+    squares (smoothed check function). Deterministic given inputs.
+
+    Solves  min_beta  sum_i rho_tau(y_i - X_i beta)  with the standard IRLS
+    weights w_i = |tau - 1{r_i<0}| / max(|r_i|, eps).
+    """
+    n, p = X.shape
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    eps = 1e-6
+    for _ in range(max_iter):
+        r = y - X @ beta
+        w = np.where(r >= 0, tau, 1.0 - tau) / np.maximum(np.abs(r), eps)
+        XtW = X.T * w
+        lhs = XtW @ X + ridge * np.eye(p)
+        rhs = XtW @ y
+        new_beta = np.linalg.solve(lhs, rhs)
+        if np.max(np.abs(new_beta - beta)) < tol:
+            beta = new_beta
+            break
+        beta = new_beta
+    return beta
+
+
+def tl1_l2d2p365_fit(
+    y: np.ndarray,
+    tau: float = 0.75,
+    num_harmonics: int = 3,
+    period: float = 365.2425,
+    use_ixs: np.ndarray | None = None,
+) -> np.ndarray:
+    """D2 — smooth periodic quantile fit of a daily signal.
+
+    Parity target: ``tl1_l2d2p365`` (signal_decompositions.py:127-185) —
+    pinball(tau) residual + smooth periodic component with period 365.2425.
+    The smooth periodic component is parameterized directly on a truncated
+    Fourier basis (equivalent regularization path to the reference's
+    l2-of-second-diff with periodicity constraint), so the solve is a tiny
+    weighted least-squares iteration instead of a cone program.
+
+    Returns the fitted seasonal values (same length as ``y``); NaNs in
+    ``y`` are excluded from the fit and filled in the output.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    t = np.arange(n, dtype=np.float64)
+    X = fourier_basis(t, num_harmonics=num_harmonics, period=period)
+    mask = np.isfinite(y)
+    if use_ixs is not None:
+        mask &= np.asarray(use_ixs, dtype=bool)
+    if mask.sum() < X.shape[1] + 1:
+        return np.full(n, np.nan)
+    beta = quantile_regression_irls(X[mask], y[mask], tau=tau)
+    return X @ beta
+
+
+def fit_seasonal_quantile(
+    daily: DataFrame,
+    value_col: str = "energy",
+    tau: float = 0.75,
+    num_harmonics: int = 3,
+    period: float = 365.2425,
+    site_col: str = "site",
+    date_col: str = "date",
+) -> DataFrame:
+    """Run D2 per site over the daily table with ``applyInPandas``.
+
+    One shuffle on ``site``; each task fits one site's series (365*years
+    points — trivially fits executor memory, SURVEY §7.4 risk 4). Rows are
+    sorted *inside* the UDF (never trust shuffle order, risk 5).
+
+    Output: (site, date, <value_col>, seasonal_fit).
+    """
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(daily.sparkSession)
+    schema = (
+        f"{site_col} long, {date_col} date, {value_col} double, "
+        "seasonal_fit double"
+    )
+    site_dtype = dict(daily.dtypes)[site_col]
+    if site_dtype == "string":
+        schema = schema.replace(f"{site_col} long", f"{site_col} string")
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        fit = tl1_l2d2p365_fit(
+            pdf[value_col].to_numpy(dtype=np.float64),
+            tau=tau,
+            num_harmonics=num_harmonics,
+            period=period,
+        )
+        return pd.DataFrame(
+            {
+                site_col: pdf[site_col],
+                date_col: pdf[date_col],
+                value_col: pdf[value_col],
+                "seasonal_fit": fit,
+            }
+        )
+
+    return (
+        daily.select(site_col, date_col, value_col)
+        .groupBy(site_col)
+        .applyInPandas(_fit, schema=schema)
+    )
+
+
+def detrend_daily_signal(
+    daily: DataFrame,
+    value_col: str = "energy",
+    site_col: str = "site",
+    date_col: str = "date",
+    tau: float = 0.9,
+) -> DataFrame:
+    """Seasonal-correct a daily signal: value / seasonal_fit (the reference
+    normalizes daily signals by their seasonal quantile fit before change
+    detection, e.g. data_quality.py:42, clear_day_detection.py:75-86)."""
+    fitted = fit_seasonal_quantile(daily, value_col, tau, site_col=site_col)
+    return fitted.withColumn(
+        "seasonal_ratio",
+        F.when(
+            F.col("seasonal_fit") > 0, F.col(value_col) / F.col("seasonal_fit")
+        ),
+    )

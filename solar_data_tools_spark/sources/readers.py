@@ -1,0 +1,105 @@
+"""Scan operators (SURVEY.md §2.1).
+
+S1/S2 — CSV scans (local or object store): ``spark.read.csv`` handles both;
+an s3a:// path is the same reader (parity: sdt_dask/dataplugs/csv_plug.py:9-57,
+S3Bucket_plug.py:1-87 — those fetch one file per site into pandas; Spark
+reads the whole fleet as one datasource with partition parallelism).
+
+S5 — long DB-style table -> per-sensor wide series (parity:
+time_axis_manipulation.py:27-100 ``make_time_series``).
+
+S3/S4 (PVDAQ API, Redshift/Cassandra) are deprecated in the reference
+itself (dataio.py raises) — represented here by :func:`jdbc_source` for the
+JDBC-shaped ones and intentionally no HTTP source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_timeseries_csv(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    site_from_filename: bool = False,
+) -> DataFrame:
+    """S1/S2 — read time-series CSVs (local path, glob, or s3a:// URI).
+
+    Schema inference happens once on a sample; the timestamp column is
+    parsed to TIMESTAMP. With ``site_from_filename`` the site key is derived
+    from the input file name (one-file-per-site layouts, the reference's
+    DataPlug convention).
+    """
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if ts_col in df.columns:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if site_from_filename:
+        df = df.withColumn(
+            "site", F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1)
+        )
+    return df
+
+
+def make_time_series(
+    df: DataFrame,
+    ts_col: str = "ts",
+    site_col: str = "site",
+    sensor_col: str = "sensor",
+    value_col: str = "meas_val_f",
+    min_nonnull: int = 200,
+    tz_offset_hours: int = 0,
+) -> DataFrame:
+    """S5 — canonicalize a long DB-style table into per-(site,sensor) series.
+
+    Parity with ``make_time_series`` (time_axis_manipulation.py:27-100):
+    sort, dedupe timestamps per key (keep first), drop keys with fewer than
+    ``min_nonnull`` non-null values, shift timestamps by a timezone offset.
+    The reference pivots each key to a column of one wide frame; at fleet
+    scale we keep the long format with a composite ``series_key`` — the
+    reference's own analyses are all per-key anyway.
+    """
+    key = F.format_string("%s_%s", F.col(site_col), F.col(sensor_col))
+    base = df.select(
+        key.alias("series_key"),
+        (F.col(ts_col) + F.expr(f"INTERVAL {int(tz_offset_hours)} HOURS")).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    # dedupe timestamps keep-first (deterministic: min value as tiebreak)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key", "ts").orderBy(F.asc_nulls_last("value"))
+    deduped = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    counts = deduped.where(F.col("value").isNotNull()).groupBy("series_key").agg(
+        F.count("*").alias("n_nonnull")
+    )
+    keep = counts.where(F.col("n_nonnull") >= min_nonnull).select("series_key")
+    return deduped.join(F.broadcast(keep), on="series_key", how="left_semi")
+
+
+def jdbc_source(
+    spark: SparkSession, url: str, table: str, **options
+) -> DataFrame:
+    """S4 — JDBC reader for DB-backed fleets (reference's Redshift/Cassandra
+    loaders are deprecated stubs, dataio.py:37-168). Partitioned reads via
+    the standard numPartitions/partitionColumn options."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_result(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """S6 — fleet-summary sink (parity: sdt_dask runner.get_result -> CSV).
+    Parquet by default; partition columns for downstream pruning."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

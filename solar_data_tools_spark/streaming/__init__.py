@@ -1,0 +1,9 @@
+"""Structured Streaming layer.
+
+The reference is strictly batch (SURVEY.md §2.11) — whole-series solves
+can't stream. What CAN incrementalize is the ingest -> daily-score layer:
+tumbling 1-day windows with a watermark. This module provides that
+skeleton; the solver layer stays batch-recompute by design.
+"""
+
+from solar_data_tools_spark.streaming.daily_stream import streaming_daily_stats  # noqa: F401
