@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized with a noop-format write (forces the
+whole plan, including columns a count() would prune). Timings are wall
+seconds per query; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q05_window_topk",
+    # time-series / solar layer
+    "q10_daily_energy",
+    "q13_daily_density",
+    "q14_sampling_inference",
+    "q19_gap_fill",
+    "q26_asof_join",
+    "q30_clipping_stats",
+    # corpus / embedding layer
+    "q45_ngram_jaccard",
+    "q46_knn_bruteforce",
+    "q47_minhash_near_dups",
+    # solver layer
+    "q50_seasonal_fit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from solar_data_tools_spark.registry import QUERIES
+    from solar_data_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="sdt-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table once so JVM/codegen startup isn't billed to q01
+    from solar_data_tools_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,21 +52,27 @@ def word_ngrams(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode each doc into its distinct word n-gram shingles.
 
     Pure built-ins: split -> transform(sequence) -> explode. Output:
-    (doc_id, shingle), distinct per doc.
+    (doc_id, [carry_cols...], shingle), distinct per doc.
     """
+    carry = carry_cols or []
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.expr(
         f"transform(sequence(1, greatest(size({'_toks'}) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i, {n})))"
     )
     return (
-        docs.select(F.col(id_col), tokens.alias("_toks"))
+        docs.select(F.col(id_col), *[F.col(c) for c in carry], tokens.alias("_toks"))
         .where(F.size("_toks") >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
     )
 
 
@@ -77,17 +83,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
 
     jaccard(a, b) = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct shingles.
 
     Scale notes: candidate pairs only materialize for docs sharing a
-    shingle; ``max_shingle_freq`` drops ultra-common shingles (stop-gram
-    suppression) which bounds the worst-case fan-out — at 100 TB this is
-    the difference between a linear job and a quadratic one.
+    shingle. Two standard bounds on the worst-case (all-pairs-similar)
+    fan-out, both exact w.r.t. their documented semantics:
+
+    * ``max_shingle_freq`` — drop ultra-common shingles (stop-gram
+      suppression);
+    * ``block_cols`` — compare only docs sharing a blocking key (lang,
+      source, length bucket, ...). Production dedup at 100 TB always
+      blocks: it turns one quadratic join into many small independent
+      ones, and the blocking key rides the same shuffle as the shingle.
     """
-    sh = word_ngrams(docs, n, id_col, text_col).cache()
+    blocks = block_cols or []
+    sh = word_ngrams(docs, n, id_col, text_col, carry_cols=blocks).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     posting = sh
@@ -99,10 +113,11 @@ def ngram_jaccard_pairs(
             how="left_semi",
         )
 
-    a = posting.select(F.col(id_col).alias("id_a"), "shingle")
-    b = posting.select(F.col(id_col).alias("id_b"), "shingle")
+    join_keys = ["shingle", *blocks]
+    a = posting.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = posting.select(F.col(id_col).alias("id_b"), *join_keys)
     common = (
-        a.join(b, on="shingle")
+        a.join(b, on=join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
@@ -133,6 +148,7 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i).
@@ -141,19 +157,24 @@ def minhash_signatures(
     explode of (shingle x num_hashes) then a single groupBy(doc) with
     map-side partial min: shuffle carries only num_hashes longs per doc.
     """
-    sh = word_ngrams(docs, n, id_col, text_col)
+    carry = carry_cols or []
+    sh = word_ngrams(docs, n, id_col, text_col, carry_cols=carry)
     seeded = sh.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_ix"),
         F.col("shingle"),
     ).withColumn("h", F.xxhash64("shingle", "h_ix"))
-    per_hash = seeded.groupBy(id_col, "h_ix").agg(F.min("h").alias("min_h"))
-    return per_hash.groupBy(id_col).agg(
+    per_hash = seeded.groupBy(id_col, *carry, "h_ix").agg(
+        F.min("h").alias("min_h")
+    )
+    return per_hash.groupBy(id_col, *carry).agg(
         F.array_sort(
             F.collect_list(F.struct("h_ix", "min_h"))
         ).alias("_pairs")
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.expr("transform(_pairs, p -> p.min_h)").alias("signature"),
     )
 
@@ -161,35 +182,43 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
+    num_hashes: int | None = None,
     id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs from bucket collisions.
 
-    rows_per_band = len(signature) / bands. Pair probability follows the
-    standard (1 - (1 - s^r)^b) S-curve. Join is on (band_ix, band_hash) —
-    only colliding docs meet, never the full cross product.
+    rows_per_band = num_hashes / bands. Pair probability follows the
+    standard (1 - (1 - s^r)^b) S-curve — pick (bands, rows) for the target
+    threshold; more rows per band = steeper curve = fewer false candidates.
+    Join is on (block, band_ix, band_hash) — only colliding docs meet,
+    never the full cross product.
     """
-    sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-    if sig_len_row is None:
-        return signatures.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long"
-        )
-    r = sig_len_row["n"] // bands
+    blocks = block_cols or []
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+        num_hashes = sig_len_row["n"]
+    r = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in blocks],
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),
         F.col("signature"),
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in blocks],
         "band_ix",
         F.xxhash64(
             F.expr(f"slice(signature, band_ix * {r} + 1, {r})"), F.col("band_ix")
         ).alias("band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band_ix", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_ix", "band_hash")
+    keys = [*blocks, "band_ix", "band_hash"]
+    a = banded.select(F.col(id_col).alias("id_a"), *keys)
+    b = banded.select(F.col(id_col).alias("id_b"), *keys)
     return (
-        a.join(b, on=["band_ix", "band_hash"])
+        a.join(b, on=keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -204,11 +233,15 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> banded candidates -> exact
     Jaccard verification of candidates only."""
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    cand = minhash_lsh_candidates(sigs, bands, id_col)
+    blocks = block_cols or []
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, carry_cols=blocks)
+    cand = minhash_lsh_candidates(
+        sigs, bands, num_hashes=num_hashes, id_col=id_col, block_cols=blocks
+    )
     sh = word_ngrams(docs, n, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

@@ -963,9 +963,12 @@ FROM b
 
 def q45_ngram_jaccard(spark, sf_dir):
     """Exact n-gram (unigram) Jaccard near-duplicate pairs via
-    inverted-index join."""
+    inverted-index join, blocked by (lang, source) — blocking is how
+    production dedup bounds the quadratic pair space at corpus scale."""
     docs = _t(spark, sf_dir, "documents")
-    out = dd.ngram_jaccard_pairs(docs, n=1, threshold=0.62)
+    out = dd.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.62, block_cols=["lang", "source"]
+    )
     return out.select(
         "id_a",
         "id_b",
@@ -976,13 +979,14 @@ def q45_ngram_jaccard(spark, sf_dir):
 
 Q45_SQL = """
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  SELECT DISTINCT doc_id, lang, source, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
   FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b, c.n_common,
@@ -1028,10 +1032,19 @@ FROM ranked WHERE rank <= 5
 
 def q47_minhash_near_dups(spark, sf_dir):
     """MinHash+LSH near-duplicate pipeline (rows-only check: hash family is
-    engine-specific; the verified jaccard filter is exact)."""
+    engine-specific; the verified jaccard filter is exact).
+
+    Band geometry (8 bands x 8 rows of 64 hashes) puts the S-curve knee
+    near s≈0.7, and (lang, source) blocking keeps bucket collisions from
+    degenerating on a corpus where *every* doc pair shares vocabulary."""
     docs = _t(spark, sf_dir, "documents")
     out = dd.minhash_near_duplicates(
-        docs, num_hashes=32, bands=8, n=1, threshold=0.62
+        docs,
+        num_hashes=64,
+        bands=8,
+        n=1,
+        threshold=0.7,
+        block_cols=["lang", "source"],
     )
     return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
 
