@@ -825,6 +825,474 @@ SELECT doy,
 FROM geo
 """
 
+def q27_standardize_grid(spark, sf_dir):
+    """T2/J6/W8 — regular-grid reindex with nearest-neighbor snap (the
+    reference's standardize_time_axis)."""
+    m = _meas(spark, sf_dir)
+    out = ta.standardize_time_axis(m, 3600)
+    return out.select("site", "grid_ts", F.round("value", R).alias("value"))
+
+
+Q27_SQL = f"""
+WITH m AS ({_EV}),
+b AS (
+  SELECT site, date_trunc('day', min(ts)) AS s, date_trunc('day', max(ts)) AS e
+  FROM m GROUP BY site
+),
+grid AS (
+  SELECT site, unnest(generate_series(s, e + INTERVAL 1 DAY - INTERVAL 1 HOUR,
+                                      INTERVAL 1 HOUR)) AS grid_ts
+  FROM b
+),
+snapped AS (
+  SELECT site, ts, seq, value,
+         make_timestamp(CAST(floor((epoch_us(ts) + 1800000000) / 3600000000.0) AS BIGINT)
+                        * 3600000000) AS grid_ts
+  FROM m
+),
+best AS (
+  SELECT site, grid_ts, value FROM (
+    SELECT site, grid_ts, value,
+           row_number() OVER (PARTITION BY site, grid_ts
+                              ORDER BY abs(epoch_us(ts) - epoch_us(grid_ts)) ASC,
+                                       ts ASC, seq ASC) AS rn
+    FROM snapped) WHERE rn = 1
+)
+SELECT g.site, g.grid_ts, round(best.value, 6) AS value
+FROM grid g LEFT JOIN best ON g.site = best.site AND g.grid_ts = best.grid_ts
+"""
+
+
+def q34_longitude_estimate(spark, sf_dir):
+    """F7/M5(l1) — per-site longitude from daily solar noon: median of
+    (720 - noon_min - eot)/4 + 15*gmt_offset over days."""
+    m = _meas(spark, sf_dir)
+    noon = m.groupBy("site", "date").agg(
+        (F.sum(F.col("hod") * F.col("value")) / F.sum("value") * 60.0).alias(
+            "noon_min"
+        )
+    )
+    doy = F.dayofyear("date")
+    est = noon.select(
+        "site",
+        sol.calc_lon(F.col("noon_min"), sol.eot_duffie(doy), gmt_offset=0.0).alias(
+            "lon_day"
+        ),
+    )
+    return est.groupBy("site").agg(
+        F.round(F.expr("percentile(lon_day, 0.5)"), R).alias("longitude")
+    )
+
+
+Q34_SQL = f"""
+WITH m AS ({_EV}),
+noon AS (
+  SELECT site, date, sum(hod * value) / sum(value) * 60.0 AS noon_min
+  FROM m GROUP BY site, date
+),
+est AS (
+  SELECT site,
+         (720.0 - noon_min
+          - 229.2 * (0.000075 + 0.001868 * cos(2 * pi() * (date_part('doy', date) - 1) / 365.0)
+                    - 0.032077 * sin(2 * pi() * (date_part('doy', date) - 1) / 365.0)
+                    - 0.014615 * cos(4 * pi() * (date_part('doy', date) - 1) / 365.0)
+                    - 0.04089 * sin(4 * pi() * (date_part('doy', date) - 1) / 365.0))) / 4.0
+         AS lon_day
+  FROM noon
+)
+SELECT site, round(quantile_cont(lon_day, 0.5), 6) AS longitude
+FROM est GROUP BY site
+"""
+
+
+def q35_latitude_estimate(spark, sf_dir):
+    """F8 — per-site latitude from daylight hours + declination (median
+    over days)."""
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    thresh = 0.05 * F.col("capacity")
+    daylight = j.groupBy("site", "date").agg(
+        (
+            F.max(F.when(v > thresh, F.col("hod")))
+            - F.min(F.when(v > thresh, F.col("hod")))
+        ).alias("hours_daylight")
+    )
+    est = daylight.where(F.col("hours_daylight") > 0).select(
+        "site",
+        sol.calc_lat(
+            F.col("hours_daylight"), sol.delta_cooper(F.dayofyear("date"))
+        ).alias("lat_day"),
+    )
+    return est.groupBy("site").agg(
+        F.round(F.expr("percentile(lat_day, 0.5)"), R).alias("latitude")
+    )
+
+
+Q35_SQL = f"""
+WITH m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site),
+daylight AS (
+  SELECT m.site, m.date,
+         max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)
+         - min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END) AS hours_daylight
+  FROM m JOIN cap ON m.site = cap.site
+  GROUP BY m.site, m.date
+),
+est AS (
+  SELECT site,
+         degrees(atan(-cos(radians(15.0 * hours_daylight / 2.0))
+                      / tan(radians(23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0))))) AS lat_day
+  FROM daylight WHERE hours_daylight > 0
+)
+SELECT site, round(quantile_cont(lat_day, 0.5), 6) AS latitude
+FROM est GROUP BY site
+"""
+
+
+def q36_linearity_mode(spark, sf_dir):
+    """A6/A23 — per-day modal rounded first-difference and its count
+    (grouped-mode recipe with deterministic tie-break: higher count, then
+    smaller diff value).
+
+    The diff is bucketed in integer deci-units (value scaled x100 to exact
+    cents first, diffed, then /10 with an exact-binary .5 boundary) —
+    rounding raw doubles to 1 decimal is engine-dependent at the x.x5
+    boundary (Spark rounds the exact binary expansion, DuckDB the shortest
+    decimal repr), so bucket keys must be integer-exact.
+    """
+    m = _meas(spark, sf_dir)
+    m = m.withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+    w = Window.partitionBy("site").orderBy("ts", "seq")
+    d = m.withColumn("dc", F.col("vc") - F.lag("vc").over(w)).where(
+        F.col("dc").isNotNull()
+    )
+    d = d.withColumn("rdiff", F.round(F.col("dc") / 10.0).cast("long"))
+    counts = d.groupBy("site", "date", "rdiff").agg(F.count("*").alias("cnt"))
+    w2 = Window.partitionBy("site", "date").orderBy(F.desc("cnt"), F.asc("rdiff"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .select(
+            "site",
+            "date",
+            F.col("rdiff").alias("modal_diff_decicents"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
+
+
+Q36_SQL = f"""
+WITH m AS (
+  SELECT site, ts, seq, date, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM ({_EV})
+),
+d AS (
+  SELECT site, date,
+         CAST(round((vc - lag(vc) OVER (PARTITION BY site ORDER BY ts, seq)) / 10.0) AS BIGINT) AS rdiff
+  FROM m
+),
+c AS (
+  SELECT site, date, rdiff, count(*) AS cnt
+  FROM d WHERE rdiff IS NOT NULL
+  GROUP BY site, date, rdiff
+),
+r AS (
+  SELECT site, date, rdiff, cnt,
+         row_number() OVER (PARTITION BY site, date ORDER BY cnt DESC, rdiff ASC) AS rn
+  FROM c
+)
+SELECT site, date, rdiff AS modal_diff_decicents, cnt AS modal_count FROM r WHERE rn = 1
+"""
+
+
+def q37_cdf_resample(spark, sf_dir):
+    """A11 — empirical CDF resampled onto an even quantile grid (the
+    clipping detector's 5000-point CDF, demonstrated at 101 points) via the
+    exact interpolating percentile."""
+    m = _meas(spark, sf_dir)
+    daily_max = m.groupBy("site", "date").agg(F.max("value").alias("day_max"))
+    site_max = m.groupBy("site").agg(F.max("value").alias("site_max"))
+    stat = daily_max.join(F.broadcast(site_max), "site").select(
+        "site", (F.col("day_max") / F.col("site_max")).alias("clip_stat")
+    )
+    qs = [i / 100.0 for i in range(101)]
+    arr = ", ".join(str(q) for q in qs)
+    per_site = stat.groupBy("site").agg(
+        F.expr(f"percentile(clip_stat, array({arr}))").alias("cdf")
+    )
+    return per_site.select(
+        "site", F.posexplode("cdf").alias("q_ix", "v")
+    ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
+
+
+Q37_SQL = (
+    f"""
+WITH m AS ({_EV}),
+dm AS (SELECT site, date, max(value) AS day_max FROM m GROUP BY site, date),
+sm AS (SELECT site, max(value) AS site_max FROM m GROUP BY site),
+stat AS (SELECT dm.site, dm.day_max / sm.site_max AS clip_stat
+         FROM dm JOIN sm ON dm.site = sm.site),
+per_site AS (
+  SELECT site, quantile_cont(clip_stat, ["""
+    + ", ".join(str(i / 100.0) for i in range(101))
+    + """]) AS cdf
+  FROM stat GROUP BY site
+),
+g AS (SELECT unnest(range(0, 101)) AS q_ix)
+SELECT p.site, CAST(g.q_ix AS INT) AS q_ix,
+       round(p.cdf[CAST(g.q_ix AS INT) + 1], 6) AS cdf_value
+FROM per_site p CROSS JOIN g
+"""
+)
+
+
+def q38_train_test_split(spark, sf_dir):
+    """U3/U4 — seeded random day-level holdout split (rows-only: RNG
+    streams are engine-specific; determinism within Spark is seeded)."""
+    m = _meas(spark, sf_dir)
+    days = m.select("site", "date").distinct()
+    tagged = days.withColumn(
+        "is_train", F.rand(seed=42) < F.lit(0.85)
+    )
+    return tagged.groupBy("site").agg(
+        F.sum(F.col("is_train").cast("int")).cast("long").alias("n_train"),
+        F.sum((~F.col("is_train")).cast("int")).cast("long").alias("n_test"),
+    )
+
+
+def q39_doy_median_profile(spark, sf_dir):
+    """A15 — median across years per (site, day-of-year) ("bundt" median
+    profile; one month of data makes doy == one day each, still exercising
+    the grouped exact median)."""
+    m = _meas(spark, sf_dir)
+    return (
+        m.groupBy("site", F.dayofyear("date").alias("doy"))
+        .agg(F.round(F.expr("percentile(value, 0.5)"), R).alias("median_value"))
+    )
+
+
+Q39_SQL = f"""
+SELECT site, CAST(date_part('doy', date) AS INT) AS doy,
+       round(quantile_cont(value, 0.5), 6) AS median_value
+FROM ({_EV})
+GROUP BY 1, 2
+"""
+
+
+def q52_make_time_series(spark, sf_dir):
+    """S5 — long DB-style table -> canonical per-(site,sensor) series:
+    dedupe timestamps keep-first, drop series with < min_nonnull values,
+    tz shift."""
+    ev = _t(spark, sf_dir, "events")
+    from solar_data_tools_spark.sources.readers import make_time_series
+
+    long_db = ev.select(
+        F.col("ts"),
+        F.col("user_id").alias("site"),
+        F.col("event_type").alias("sensor"),
+        F.col("value").alias("meas_val_f"),
+    )
+    out = make_time_series(long_db, min_nonnull=10, tz_offset_hours=1)
+    return out.groupBy("series_key").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+Q52_SQL = """
+WITH base AS (
+  SELECT user_id || '_' || event_type AS series_key,
+         ts + INTERVAL 1 HOUR AS ts,
+         value,
+         row_number() OVER (PARTITION BY user_id || '_' || event_type, ts
+                            ORDER BY value ASC NULLS LAST) AS rn
+  FROM events
+),
+dedup AS (SELECT series_key, ts, value FROM base WHERE rn = 1),
+keep AS (
+  SELECT series_key FROM dedup WHERE value IS NOT NULL
+  GROUP BY series_key HAVING count(*) >= 10
+)
+SELECT d.series_key, count(*) AS n_rows, round(sum(d.value), 4) AS sum_value,
+       min(d.ts) AS first_ts
+FROM dedup d SEMI JOIN keep k ON d.series_key = k.series_key
+GROUP BY d.series_key
+"""
+
+
+def q53_annotation_rejoin(spark, sf_dir):
+    """J1/J2/U1 — daily boolean flag computed on the aggregated table
+    joined back onto raw rows (augment_data_frame parity), NULL-safe
+    coalesce to false."""
+    m = _meas(spark, sf_dir)
+    daily_flag = m.groupBy("site", "date").agg(
+        (F.avg("value") > 100.0).alias("high_day")
+    )
+    annotated = jn.annotate(m, daily_flag, keys=["site", "date"])
+    return annotated.groupBy("site").agg(
+        F.sum(F.coalesce(F.col("high_day"), F.lit(False)).cast("int"))
+        .cast("long")
+        .alias("n_high_rows"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q53_SQL = f"""
+WITH m AS ({_EV}),
+flag AS (SELECT site, date, avg(value) > 100.0 AS high_day
+         FROM m GROUP BY site, date)
+SELECT m.site,
+       CAST(sum(CASE WHEN coalesce(flag.high_day, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rows,
+       count(*) AS n_rows
+FROM m LEFT JOIN flag ON m.site = flag.site AND m.date = flag.date
+GROUP BY m.site
+"""
+
+
+def q56_pivot_wide(spark, sf_dir):
+    """S5/A16 — pivot long to wide: avg value per site x event_type with an
+    explicit, deterministic column list."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.col("user_id").alias("site"))
+        .pivot("event_type", types)
+        .agg(F.round(F.avg("value"), R))
+    )
+    return out
+
+
+Q56_SQL = """
+SELECT user_id AS site,
+       round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+       round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+       round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+       round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def q57_segment_pooled_diffs(spark, sf_dir):
+    """W5 — adjacent nonzero diffs pooled into segments with summed mass
+    (time-shift transition pooling recipe)."""
+    m = _meas(spark, sf_dir)
+    # synthesize a piecewise-constant signal: daily mean rounded to 100s
+    daily = m.groupBy("site", "date").agg(
+        (F.round(F.avg("value") / 100.0) * 100.0).alias("level")
+    )
+    sig = daily.select(
+        "site",
+        F.col("date").cast("timestamp").alias("ts"),
+        F.monotonically_increasing_id().alias("seq"),
+        F.col("level").alias("value"),
+    )
+    # dates are unique per site -> seq tie-break never fires; re-derive a
+    # deterministic seq from the date for ordering stability
+    sig = sig.withColumn("seq", F.unix_date(F.col("ts").cast("date")).cast("long"))
+    out = wd.segment_pooled_diffs(sig)
+    return out.select(
+        "site",
+        "seg_id",
+        F.round("pooled_diff", 4).alias("pooled_diff"),
+        "seg_length",
+    )
+
+
+Q57_SQL = f"""
+WITH m AS ({_EV}),
+daily AS (
+  SELECT site, CAST(date AS TIMESTAMP) AS ts,
+         CAST(epoch_us(CAST(date AS TIMESTAMP)) / 86400000000 AS BIGINT) AS seq,
+         round(avg(value) / 100.0) * 100.0 AS value
+  FROM m GROUP BY site, date
+),
+d AS (
+  SELECT site, ts, seq,
+         value - lag(value) OVER (PARTITION BY site ORDER BY ts, seq) AS dv
+  FROM daily
+),
+flagged AS (
+  SELECT site, ts, seq, dv,
+         CASE WHEN abs(dv) > 1e-12 THEN 1 ELSE 0 END AS nz
+  FROM d WHERE dv IS NOT NULL
+),
+runs AS (
+  SELECT site, ts, seq, dv, nz,
+         CAST(sum(CASE WHEN prev_nz IS NULL OR nz <> prev_nz THEN 1 ELSE 0 END)
+              OVER (PARTITION BY site ORDER BY ts, seq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+  FROM (
+    SELECT *, lag(nz) OVER (PARTITION BY site ORDER BY ts, seq) AS prev_nz
+    FROM flagged)
+)
+SELECT site, seg_id, round(sum(dv), 4) AS pooled_diff, count(*) AS seg_length
+FROM runs WHERE nz = 1
+GROUP BY site, seg_id
+"""
+
+
+def q58_daily_median_delta(spark, sf_dir):
+    """A23 — per-day median timestamp delta (multi-scan-rate report).
+
+    The median interpolates over INTEGER microsecond deltas, so the result
+    is exactly an integer or integer+0.5 in both engines — no rounding
+    (rounding interpolated doubles is engine-dependent at ulp scale)."""
+    m = _meas(spark, sf_dir)
+    w = Window.partitionBy("site").orderBy("ts", "seq")
+    d = m.withColumn(
+        "delta_us",
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+    ).where(F.col("delta_us").isNotNull())
+    return d.groupBy("site", "date").agg(
+        F.expr("percentile(delta_us, 0.5)").alias("median_delta_us")
+    )
+
+
+Q58_SQL = f"""
+WITH m AS ({_EV}),
+d AS (
+  SELECT site, date,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY site ORDER BY ts, seq)) AS delta_us
+  FROM m
+)
+SELECT site, date, quantile_cont(delta_us, 0.5) AS median_delta_us
+FROM d WHERE delta_us IS NOT NULL
+GROUP BY site, date
+"""
+
+
+def q59_set_ops(spark, sf_dir):
+    """U5 — set algebra on key sets: users with clicks but no purchases
+    (EXCEPT) and users with both (INTERSECT)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clicks.exceptAll(buys).select(
+        F.col("user_id"), F.lit("click_only").alias("segment")
+    )
+    both = clicks.intersect(buys).select(
+        F.col("user_id"), F.lit("both").alias("segment")
+    )
+    return only_click.unionByName(both)
+
+
+Q59_SQL = """
+SELECT user_id, 'click_only' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'both' AS segment FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document / embedding operators (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -1113,12 +1581,25 @@ QUERIES: dict[str, QuerySpec] = {
     "q24_resample_hourly": QuerySpec(q24_resample_hourly, Q24_SQL, "T7"),
     "q25_avg_day_profile": QuerySpec(q25_avg_day_profile, Q25_SQL, "T3"),
     "q26_asof_join": QuerySpec(q26_asof_join, Q26_SQL, "J6,W8"),
+    "q27_standardize_grid": QuerySpec(q27_standardize_grid, Q27_SQL, "T2,J6,W8"),
     "q28_daily_smoothness": QuerySpec(q28_daily_smoothness, Q28_SQL, "W2"),
     "q29_sunrise_sunset": QuerySpec(q29_sunrise_sunset, Q29_SQL, "A13,A14,W3"),
     "q30_clipping_stats": QuerySpec(q30_clipping_stats, Q30_SQL, "A9,A10"),
     "q31_binned_mean": QuerySpec(q31_binned_mean, Q31_SQL, "A16,F10"),
     "q32_rayleigh": QuerySpec(q32_rayleigh, Q32_SQL, "A22,F11"),
     "q33_solar_geometry": QuerySpec(q33_solar_geometry, Q33_SQL, "F1,F2,F3,F4"),
+    "q34_longitude_estimate": QuerySpec(q34_longitude_estimate, Q34_SQL, "F7,M5"),
+    "q35_latitude_estimate": QuerySpec(q35_latitude_estimate, Q35_SQL, "F8,A14"),
+    "q36_linearity_mode": QuerySpec(q36_linearity_mode, Q36_SQL, "A6,A7"),
+    "q37_cdf_resample": QuerySpec(q37_cdf_resample, Q37_SQL, "A11"),
+    "q38_train_test_split": QuerySpec(q38_train_test_split, None, "U3,U4"),
+    "q39_doy_median_profile": QuerySpec(q39_doy_median_profile, Q39_SQL, "A15,A23"),
+    "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
+    "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
+    "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
+    "q57_segment_pooled_diffs": QuerySpec(q57_segment_pooled_diffs, Q57_SQL, "W5"),
+    "q58_daily_median_delta": QuerySpec(q58_daily_median_delta, Q58_SQL, "A23"),
+    "q59_set_ops": QuerySpec(q59_set_ops, Q59_SQL, "U5"),
     "q40_exact_dup_groups": QuerySpec(q40_exact_dup_groups, Q40_SQL, "dedup-exact"),
     "q41_fingerprint": QuerySpec(q41_fingerprint, Q41_SQL, "text-fingerprint"),
     "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),

@@ -1,0 +1,213 @@
+"""Unit tests for components not covered by the oracle registry:
+multimodal plumbing, structured streaming daily aggs, the fleet pipeline,
+the solver layer, and edge-case operator semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_feature_extraction(spark):
+    from solar_data_tools_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        (1, "image", bytes(range(64)), "image/fake", 8, 8, None),
+        (2, "audio", b"\x00" * 128, "audio/fake", None, None, 1.5),
+        (3, "image", b"", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media, batch_feature_dim=4).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2, 3]
+    assert out[0]["n_bytes"] == 64
+    assert len(out[0]["feature"]) == 4
+    # deterministic: same bytes -> same hash/feature
+    assert out[1]["feature"] == [0.0, 0.0, 0.0, 0.0]
+    assert out[2]["content_hash"] is None
+    assert out[0]["content_hash"] is not None
+    assert out.__len__() == 3
+
+
+def test_multimodal_decode_is_stubbed():
+    from solar_data_tools_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+
+
+# ----------------------------------------------------------------- streaming
+def test_streaming_daily_stats_matches_batch(spark, sf_small, tmp_path):
+    """availableNow file stream over the events parquet must produce the
+    same daily aggregates as the batch path."""
+    from solar_data_tools_spark.operators.canonical import events_as_measurements
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_daily_stats
+
+    events = read_table(spark, f"{sf_small}/events.parquet")
+    meas = events_as_measurements(events)
+    # stage a micro-batch-readable copy (ns timestamps already normalized)
+    src = str(tmp_path / "stream_src")
+    meas.select("site", "ts", "value").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("site long, ts timestamp, value double")
+        .parquet(src)
+    )
+    out = streaming_daily_stats(stream, slots_per_day=288)
+    # complete mode: append-mode windows only emit once the watermark passes
+    # them, so a bounded availableNow run would hold back the trailing days
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["site"], str(r["date"])): (round(r["energy"], 6), r["n_obs"])
+        for r in spark.sql("select * from daily_stream_test").collect()
+    }
+    exp = {
+        (r["site"], str(r["date"])): (round(r["energy"], 6), r["n_obs"])
+        for r in meas.groupBy("site", "date")
+        .agg(
+            (F.sum("value") * 24.0 / 288.0).alias("energy"),
+            F.count("value").alias("n_obs"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+# ------------------------------------------------------------------ pipeline
+def test_run_pipeline_end_to_end(spark, sf_small):
+    from solar_data_tools_spark.operators.canonical import events_as_measurements
+    from solar_data_tools_spark.plans.pipeline import run_pipeline
+    from solar_data_tools_spark.session import read_table
+
+    events = read_table(spark, f"{sf_small}/events.parquet")
+    meas = events_as_measurements(events)
+    result = run_pipeline(meas, sampling_seconds=3600)
+
+    report = result.report.collect()
+    n_sites = meas.select("site").distinct().count()
+    assert len(report) == n_sites
+    for row in report:
+        assert row["num_days"] > 0
+        assert row["capacity"] > 0
+
+    # standardized grid: every site covers full days at the grid frequency
+    std = result.standardized
+    per_site = std.groupBy("site").agg(F.count("*").alias("n")).collect()
+    for r in per_site:
+        assert r["n"] % 24 == 0, "hourly grid must tile whole days"
+
+    daily_cols = set(result.daily.columns)
+    assert {"energy", "density", "day_max", "clip_stat_1"} <= daily_cols
+
+
+# -------------------------------------------------------------------- solver
+def test_quantile_regression_recovers_seasonal_quantile():
+    """IRLS pinball fit on a Fourier basis: residuals must split
+    approximately tau / (1-tau) around the fit (the defining property of a
+    quantile fit)."""
+    from solar_data_tools_spark.solvers.basis import fourier_basis
+    from solar_data_tools_spark.solvers.decompositions import (
+        quantile_regression_irls,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 730
+    t = np.arange(n)
+    season = 5.0 + 2.0 * np.sin(2 * np.pi * t / 365.2425)
+    y = season + rng.normal(0, 0.5, n)
+    X = fourier_basis(t, num_harmonics=3)
+    for tau in (0.5, 0.9):
+        beta = quantile_regression_irls(X, y, tau=tau)
+        frac_below = float(np.mean(y <= X @ beta))
+        assert abs(frac_below - tau) < 0.05, (tau, frac_below)
+
+
+def test_tl1_fit_handles_nans_and_short_series():
+    from solar_data_tools_spark.solvers.decompositions import tl1_l2d2p365_fit
+
+    y = np.full(400, 10.0) + np.sin(np.arange(400) / 58.0)
+    y[50:60] = np.nan
+    fit = tl1_l2d2p365_fit(y, tau=0.5)
+    assert np.isfinite(fit).all()
+    # too-short series -> all NaN, no crash
+    assert np.isnan(tl1_l2d2p365_fit(np.array([1.0, 2.0]))).all()
+
+
+# ------------------------------------------------------------------- sources
+def test_read_timeseries_csv_roundtrip(spark, tmp_path):
+    from solar_data_tools_spark.sources.readers import read_timeseries_csv
+
+    p = tmp_path / "siteA.csv"
+    p.write_text("ts,power\n2024-01-01 00:00:00,1.5\n2024-01-01 00:05:00,2.5\n")
+    df = read_timeseries_csv(spark, str(p), site_from_filename=True)
+    rows = df.orderBy("ts").collect()
+    assert len(rows) == 2
+    assert rows[0]["site"] == "siteA"
+    assert str(rows[0]["ts"]).startswith("2024-01-01 00:00")
+
+
+# ------------------------------------------------------------ operator edges
+def test_trim_empty_edge_days(spark):
+    from solar_data_tools_spark.operators.filters import trim_empty_edge_days
+
+    rows = []
+    for d, v in [(1, None), (2, 5.0), (3, None), (4, 7.0), (5, None)]:
+        rows.append((1, f"2024-01-0{d}", v))
+    df = spark.createDataFrame(rows, "site long, date_s string, value double").select(
+        "site", F.to_date("date_s").alias("date"), "value"
+    )
+    kept = trim_empty_edge_days(df)
+    dates = sorted(str(r["date"]) for r in kept.select("date").distinct().collect())
+    assert dates == ["2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+def test_circular_roll_slots(spark):
+    from solar_data_tools_spark.operators.windows import circular_roll_slots
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", s, float(s)) for s in range(4)],
+        "site long, date_s string, slot int, value double",
+    ).select("site", F.to_date("date_s").alias("date"), "slot", "value")
+    shifts = spark.createDataFrame(
+        [(1, "2024-01-01", 1)], "site long, date_s string, roll_k int"
+    ).select("site", F.to_date("date_s").alias("date"), "roll_k")
+    out = circular_roll_slots(df, shifts, slots_per_day=4)
+    got = {r["value"]: r["slot"] for r in out.collect()}
+    assert got == {0.0: 1, 1.0: 2, 2.0: 3, 3.0: 0}
+
+
+def test_asof_join_directions(spark):
+    from solar_data_tools_spark.operators.joins import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:00", 1.0), (1, "2024-01-01 10:00:30", 2.0)],
+        "k long, ts_s string, v double",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+
+    nearest = asof_nearest_join(left, right, on="k", tolerance_seconds=3600).collect()
+    assert nearest[0]["v"] == 2.0  # 30s beats 60s
+    backward = asof_nearest_join(
+        left, right, on="k", tolerance_seconds=3600, direction="backward"
+    ).collect()
+    assert backward[0]["v"] == 1.0
+    forward = asof_nearest_join(
+        left, right, on="k", tolerance_seconds=10, direction="backward"
+    ).collect()
+    assert forward[0]["v"] is None  # tolerance excludes the 60s-old row
