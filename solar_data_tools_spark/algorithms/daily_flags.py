@@ -1,0 +1,367 @@
+"""Per-day flag algorithms: clear-day detection, capacity-change labels,
+quality clustering, time-shift detection.
+
+Each takes/returns Spark DataFrames; the per-site numerical core runs in
+``applyInPandas`` (one shuffle on ``site``, whole-series semantics per
+task — SURVEY §7.4 risk 4). All cores are deterministic numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+
+def _site_schema(daily: DataFrame, site_col: str, extra: str) -> str:
+    site_dtype = dict(daily.dtypes)[site_col]
+    st = "string" if site_dtype == "string" else "long"
+    return f"{site_col} {st}, date date, {extra}"
+
+
+# ------------------------------------------------------------- clear days
+def detect_clear_days(
+    daily: DataFrame,
+    smoothness_col: str = "smoothness_l1",
+    energy_col: str = "energy",
+    site_col: str = "site",
+    weight_seasonal: float = 0.8,
+) -> DataFrame:
+    """Clear-day detection (reference: clear_day_detection.py:40-103).
+
+    A day is 'clear' when (a) its intraday profile is smooth — daily L1 of
+    the second difference below an adaptive threshold — and (b) its energy
+    is close to the seasonal 90th-quantile baseline (D2 fit). Both criteria
+    per the reference's two-filter AND.
+
+    Input: daily table with smoothness + energy columns. Output adds
+    ``clear`` boolean.
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    schema = _site_schema(
+        daily, site_col, f"{smoothness_col} double, {energy_col} double, clear boolean"
+    )
+
+    def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        from solar_data_tools_spark.solvers.decompositions import tl1_l2d2p365_fit
+
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        smooth = pdf[smoothness_col].to_numpy(dtype=np.float64)
+        energy = pdf[energy_col].to_numpy(dtype=np.float64)
+        # smoothness criterion: below median of positive smoothness values
+        pos = smooth[np.isfinite(smooth) & (smooth > 0)]
+        s_thresh = np.quantile(pos, 0.5) if len(pos) else np.inf
+        smooth_ok = np.where(np.isfinite(smooth), smooth <= s_thresh, False)
+        # energy criterion: within [weight_seasonal, 1/weight_seasonal] x
+        # seasonal q90 baseline
+        baseline = tl1_l2d2p365_fit(energy, tau=0.9, period=min(len(pdf), 365.2425))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = energy / baseline
+        energy_ok = np.where(
+            np.isfinite(ratio),
+            (ratio >= weight_seasonal) & (ratio <= 2.0 - weight_seasonal + 1e-9),
+            False,
+        )
+        pdf["clear"] = smooth_ok & energy_ok
+        return pdf[[c.split()[0] for c in schema.split(", ")]]
+
+    cols = [site_col, "date", smoothness_col, energy_col]
+    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+
+
+# -------------------------------------------------------- capacity change
+def detect_capacity_changes(
+    daily: DataFrame,
+    metric_col: str = "log_day_max",
+    site_col: str = "site",
+    w1: float = 0.5,
+    round_base: float = 0.05,
+) -> DataFrame:
+    """Capacity-change labels (reference: capacity_change.py:38-116 + D3).
+
+    TV-denoise the per-day log-quantile metric into a piecewise-constant
+    level signal; rounding levels to ``round_base`` (custom_round, F10)
+    yields integer regime labels; a change is flagged where the label
+    steps. Output: (site, date, cap_level, capacity_label, cap_changed).
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    schema = _site_schema(
+        daily,
+        site_col,
+        "cap_level double, capacity_label int, cap_changed boolean",
+    )
+
+    def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        from solar_data_tools_spark.solvers.tv import tv1d_denoise_nan
+
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        metric = pdf[metric_col].to_numpy(dtype=np.float64)
+        level = tv1d_denoise_nan(metric, w1)
+        rounded = np.round(level / round_base) * round_base
+        # labels: dense rank of distinct levels in order of appearance
+        labels = np.zeros(len(rounded), dtype=np.int32)
+        seen: dict[float, int] = {}
+        for i, v in enumerate(rounded):
+            key = float(v) if np.isfinite(v) else float("nan")
+            if np.isnan(key):
+                labels[i] = -1
+                continue
+            if key not in seen:
+                seen[key] = len(seen)
+            labels[i] = seen[key]
+        changed = np.zeros(len(labels), dtype=bool)
+        changed[1:] = labels[1:] != labels[:-1]
+        return pd.DataFrame(
+            {
+                site_col: pdf[site_col],
+                "date": pdf["date"],
+                "cap_level": level,
+                "capacity_label": labels,
+                "cap_changed": changed,
+            }
+        )
+
+    cols = [site_col, "date", metric_col]
+    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+
+
+# ------------------------------------------------------------ time shifts
+def detect_time_shifts(
+    daily: DataFrame,
+    noon_col: str = "solar_noon_com",
+    site_col: str = "site",
+    w1: float = 0.05,
+    min_shift_hours: float = 0.25,
+) -> DataFrame:
+    """Time-shift detection (reference: time_shifts.py:47-199 + D1).
+
+    Decompose the daily solar-noon signal into piecewise-constant +
+    seasonal (D1); steps in the piecewise-constant component larger than
+    ``min_shift_hours`` are clock shifts. The roll correction per day is
+    the offset of the current segment from the first segment, in hours.
+
+    Output: (site, date, noon_pwc, noon_seasonal, shift_hours) where
+    shift_hours is the correction to ADD to slot positions (W6 roll).
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    schema = _site_schema(
+        daily,
+        site_col,
+        "noon_pwc double, noon_seasonal double, shift_hours double",
+    )
+
+    def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        from solar_data_tools_spark.solvers.decompositions import (
+            l2_l1d1_l2d2p365_fit,
+        )
+
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        noon = pdf[noon_col].to_numpy(dtype=np.float64)
+        pwc, seasonal = l2_l1d1_l2d2p365_fit(
+            noon, w1=w1, period=min(len(pdf), 365.2425)
+        )
+        if np.all(np.isnan(pwc)):
+            shift = np.full(len(noon), np.nan)
+        else:
+            base = pwc[np.isfinite(pwc)][0]
+            raw = base - pwc  # correction toward the initial clock
+            shift = np.where(np.abs(raw) >= min_shift_hours, raw, 0.0)
+        return pd.DataFrame(
+            {
+                site_col: pdf[site_col],
+                "date": pdf["date"],
+                "noon_pwc": pwc,
+                "noon_seasonal": seasonal,
+                "shift_hours": shift,
+            }
+        )
+
+    cols = [site_col, "date", noon_col]
+    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+
+
+def apply_time_shift_correction(
+    measurements: DataFrame,
+    shifts: DataFrame,
+    slots_per_day: int,
+    site_col: str = "site",
+) -> DataFrame:
+    """W6 — turn shift_hours into per-day slot rolls and apply them."""
+    from solar_data_tools_spark.operators.windows import circular_roll_slots
+
+    slots_per_hour = slots_per_day / 24.0
+    roll = shifts.select(
+        site_col,
+        "date",
+        F.round(F.col("shift_hours") * slots_per_hour).cast("int").alias("roll_k"),
+    )
+    return circular_roll_slots(measurements, roll, slots_per_day, site_col)
+
+
+# ------------------------------------------------------ quality clustering
+def quality_clustering(
+    daily: DataFrame,
+    site_col: str = "site",
+    eps: float = 0.03,
+    min_samples: int = 10,
+) -> DataFrame:
+    """M1 — density-based clustering of (density, linearity-proxy) day
+    scores (reference: data_handler.py:1170-1199, sklearn DBSCAN eps=0.03).
+
+    DBSCAN reimplemented in numpy (grid-bucketed neighbor search, exact
+    same semantics) since days-per-site is tiny; runs per site in one
+    grouped-map task. Output: (site, date, quality_cluster) with -1 noise.
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    schema = _site_schema(daily, site_col, "quality_cluster int")
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        pts = pdf[["density", "density_fit_ratio"]].to_numpy(dtype=np.float64)
+        pts = np.where(np.isfinite(pts), pts, 0.0)
+        n = len(pts)
+        # exact DBSCAN, O(n^2) distances — n = days per site (tiny)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+        neighbors = d2 <= eps * eps
+        counts = neighbors.sum(axis=1)
+        core = counts >= min_samples
+        labels = np.full(n, -1, dtype=np.int32)
+        cluster = 0
+        for i in range(n):
+            if labels[i] != -1 or not core[i]:
+                continue
+            # BFS expand
+            stack = [i]
+            labels[i] = cluster
+            while stack:
+                j = stack.pop()
+                if not core[j]:
+                    continue
+                for k in np.where(neighbors[j])[0]:
+                    if labels[k] == -1:
+                        labels[k] = cluster
+                        stack.append(int(k))
+            cluster += 1
+        return pd.DataFrame(
+            {
+                site_col: pdf[site_col],
+                "date": pdf["date"],
+                "quality_cluster": labels,
+            }
+        )
+
+    base = daily.withColumn(
+        "density_fit_ratio",
+        F.coalesce(
+            F.col("density") / F.avg("density").over(Window.partitionBy(site_col)),
+            F.lit(0.0),
+        ),
+    )
+    cols = [site_col, "date", "density", "density_fit_ratio"]
+    return base.select(*cols).groupBy(site_col).applyInPandas(_cluster, schema)
+
+
+# ---------------------------------------------------------------- clipping
+def detect_clipping(
+    daily: DataFrame,
+    stat_col: str = "clip_stat_1",
+    site_col: str = "site",
+    grid_points: int = 201,
+    deriv_factor: float = 3.0,
+    min_level: float = 0.85,
+) -> DataFrame:
+    """Inverter-clipping day flags (reference: clipping.py:40-198 + D4).
+
+    Per site: resample the empirical CDF of the daily-max ratio onto an
+    even grid (A11), fit the piecewise-linear constrained model (D4,
+    l1-of-second-diff), and mark point masses — grid cells whose fitted
+    derivative exceeds ``deriv_factor`` x the median derivative at levels
+    above ``min_level``. Days whose stat falls in a point-mass interval are
+    flagged ``clipped``.
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    schema = _site_schema(daily, site_col, f"{stat_col} double, clipped boolean")
+
+    def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        from solar_data_tools_spark.solvers.decompositions import (
+            l2_l1d2_constrained_fit,
+        )
+
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        stat = pdf[stat_col].to_numpy(dtype=np.float64)
+        finite = stat[np.isfinite(stat)]
+        clipped = np.zeros(len(stat), dtype=bool)
+        if len(finite) >= 10:
+            qs = np.linspace(0.0, 1.0, grid_points)
+            cdf_vals = np.quantile(finite, qs)
+            fit = l2_l1d2_constrained_fit(cdf_vals, w=5.0)
+            deriv = np.gradient(fit, qs)
+            med = np.median(deriv[deriv > 0]) if (deriv > 0).any() else 0.0
+            mass = (deriv <= med / deriv_factor) & (fit >= min_level)
+            # a point mass in the VALUE domain is a flat run in the CDF fit
+            if mass.any():
+                lo = float(fit[mass].min())
+                clipped = np.isfinite(stat) & (stat >= lo)
+        return pd.DataFrame(
+            {
+                site_col: pdf[site_col],
+                "date": pdf["date"],
+                stat_col: stat,
+                "clipped": clipped,
+            }
+        )
+
+    cols = [site_col, "date", stat_col]
+    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+
+
+# --------------------------------------------------------- clear-sky DP
+def clear_sky_dp_labels(
+    series: pd.DataFrame | None = None,
+    *,
+    values: np.ndarray,
+    baseline: np.ndarray,
+    stickiness: float = 4.0,
+    escape: float = 0.1,
+) -> np.ndarray:
+    """M3 — 2-state Viterbi labeling of clear vs cloudy periods
+    (reference: clear_sky_detection.py:13-112): hinge losses against a
+    quantile band [0.75*q, 1.2*q] with asymmetric transition costs.
+
+    Pure-numpy DP over one series; wrap per site via applyInPandas when
+    fleet-scale. Returns a boolean array (True = clear).
+    """
+    v = np.asarray(values, dtype=np.float64)
+    q = np.asarray(baseline, dtype=np.float64)
+    n = len(v)
+    lo, hi = 0.75 * q, 1.2 * q
+    # emission costs: clear state penalizes leaving the band, cloudy state
+    # penalizes being inside it
+    clear_cost = np.maximum(lo - v, 0.0) + np.maximum(v - hi, 0.0)
+    cloudy_cost = np.maximum(1.0 - np.abs(v - q) / np.maximum(q, 1e-9), 0.0)
+    bad = ~np.isfinite(v) | ~np.isfinite(q)
+    clear_cost = np.where(bad, 1e6, clear_cost)
+    cloudy_cost = np.where(bad, 0.0, cloudy_cost)
+
+    INF = float("inf")
+    cost = np.array([clear_cost[0], cloudy_cost[0]])
+    back = np.zeros((n, 2), dtype=np.int8)
+    trans = np.array([[0.0, stickiness], [escape, 0.0]])
+    for i in range(1, n):
+        emis = np.array([clear_cost[i], cloudy_cost[i]])
+        new = np.empty(2)
+        for s in range(2):
+            cands = cost + trans[:, s]
+            b = int(np.argmin(cands))
+            back[i, s] = b
+            new[s] = cands[b] + emis[s]
+        cost = new
+    state = int(np.argmin(cost))
+    out = np.empty(n, dtype=bool)
+    for i in range(n - 1, -1, -1):
+        out[i] = state == 0
+        state = int(back[i, state])
+    return out

@@ -1540,6 +1540,110 @@ def q49_lsh_topk(spark, sf_dir):
     )
 
 
+def _daily_for_flags(spark, sf_dir):
+    m = _meas(spark, sf_dir)
+    d2 = wd.second_diff(m)
+    return d2.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy"),
+        F.sum(F.abs(F.col("diff2"))).alias("smoothness_l1"),
+        F.log(F.max("value")).alias("log_day_max"),
+        (F.sum(F.col("hod") * F.col("value")) / F.sum("value")).alias(
+            "solar_noon_com"
+        ),
+    )
+
+
+def q60_time_shift_detection(spark, sf_dir):
+    """D1 + time-shift detection (time_shifts.py parity): piecewise-
+    constant + seasonal decomposition of the daily solar-noon signal,
+    emitting per-day roll corrections (rows-only: iterative TV solve)."""
+    from solar_data_tools_spark.algorithms.daily_flags import detect_time_shifts
+
+    daily = _daily_for_flags(spark, sf_dir)
+    out = detect_time_shifts(daily, w1=2.0, min_shift_hours=1.0)
+    return out.select(
+        "site",
+        "date",
+        F.round("noon_pwc", 4).alias("noon_pwc"),
+        F.round("shift_hours", 4).alias("shift_hours"),
+    )
+
+
+def q61_capacity_change_labels(spark, sf_dir):
+    """D3-family capacity-change segmentation (capacity_change.py parity):
+    TV level fit of log daily max -> rounded regime labels (rows-only)."""
+    from solar_data_tools_spark.algorithms.daily_flags import (
+        detect_capacity_changes,
+    )
+
+    daily = _daily_for_flags(spark, sf_dir)
+    out = detect_capacity_changes(daily, w1=0.3)
+    return out.select(
+        "site", "date", F.round("cap_level", 4).alias("cap_level"),
+        "capacity_label", "cap_changed",
+    )
+
+
+def q62_clear_day_detection(spark, sf_dir):
+    """Clear-day flags (clear_day_detection.py parity): smoothness + D2
+    seasonal-baseline energy criterion (rows-only)."""
+    from solar_data_tools_spark.algorithms.daily_flags import detect_clear_days
+
+    daily = _daily_for_flags(spark, sf_dir)
+    out = detect_clear_days(daily)
+    return out.select("site", "date", "clear")
+
+
+def q63_quality_clustering(spark, sf_dir):
+    """M1 — DBSCAN quality clustering of day-score pairs (rows-only)."""
+    from solar_data_tools_spark.algorithms.daily_flags import quality_clustering
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    daily = (
+        m.join(F.broadcast(cap), "site")
+        .groupBy("site", "date")
+        .agg(
+            F.avg(
+                (F.col("value") > 0.02 * F.col("capacity")).cast("int")
+            ).alias("density")
+        )
+    )
+    out = quality_clustering(daily, eps=0.1, min_samples=3)
+    return out.select("site", "date", "quality_cluster")
+
+
+def q64_clipping_detection(spark, sf_dir):
+    """D4 + clipping flags (clipping.py parity): CDF point-mass detection
+    over the daily-max ratio (rows-only: IRLS fit)."""
+    from solar_data_tools_spark.algorithms.daily_flags import detect_clipping
+
+    m = _meas(spark, sf_dir)
+    stats = dy.clipping_stats(m)
+    out = detect_clipping(stats)
+    return out.select("site", "date", "clipped")
+
+
+def q65_time_shift_roundtrip(spark, sf_dir):
+    """W6 end-to-end: detect shifts on the noon signal and APPLY the slot
+    roll to the measurement table; verifies the correction path is a pure
+    projection (rows-only)."""
+    from solar_data_tools_spark.algorithms.daily_flags import (
+        apply_time_shift_correction,
+        detect_time_shifts,
+    )
+
+    m = _meas(spark, sf_dir)
+    daily = _daily_for_flags(spark, sf_dir)
+    shifts = detect_time_shifts(daily, w1=2.0, min_shift_hours=1.0)
+    corrected = apply_time_shift_correction(m, shifts, slots_per_day=288)
+    return corrected.groupBy("site").agg(
+        F.count("*").alias("n_rows"),
+        F.min("slot").alias("min_slot"),
+        F.max("slot").alias("max_slot"),
+    )
+
+
 def q50_seasonal_quantile_fit(spark, sf_dir):
     """D2 — per-site smooth periodic quantile fit over daily energy
     (solver layer; rows-only: iterative solver not SQL-expressible)."""
@@ -1611,4 +1715,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q48_simhash": QuerySpec(q48_simhash, None, "dedup-simhash"),
     "q49_lsh_topk": QuerySpec(q49_lsh_topk, None, "similarity-lsh"),
     "q50_seasonal_fit": QuerySpec(q50_seasonal_quantile_fit, None, "D2"),
+    "q60_time_shift_detection": QuerySpec(q60_time_shift_detection, None, "D1,W6"),
+    "q61_capacity_change_labels": QuerySpec(
+        q61_capacity_change_labels, None, "D3,A5,F10"
+    ),
+    "q62_clear_day_detection": QuerySpec(q62_clear_day_detection, None, "W2,D2"),
+    "q63_quality_clustering": QuerySpec(q63_quality_clustering, None, "M1"),
+    "q64_clipping_detection": QuerySpec(q64_clipping_detection, None, "D4,A9,A10,A11"),
+    "q65_time_shift_roundtrip": QuerySpec(q65_time_shift_roundtrip, None, "W6,D1"),
 }

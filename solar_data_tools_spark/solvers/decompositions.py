@@ -84,6 +84,96 @@ def tl1_l2d2p365_fit(
     return X @ beta
 
 
+def l2_l1d1_l2d2p365_fit(
+    y: np.ndarray,
+    w1: float = 5.0,
+    tau: float | None = None,
+    num_harmonics: int = 3,
+    period: float = 365.2425,
+    n_iter: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """D1 — decompose a daily signal into piecewise-constant + smooth
+    seasonal components.
+
+    Parity target: ``l2_l1d1_l2d2p365`` (signal_decompositions.py:45-124):
+    l2 residual + l1-of-first-diff (piecewise constant, weight w1) +
+    smooth periodic seasonal. Solved by exact alternating minimization —
+    each subproblem is solved globally (Fourier least squares / direct TV
+    via Condat's algorithm), so the block-coordinate descent is
+    deterministic and monotone.
+
+    Returns (pwc, seasonal); NaNs in y are masked out of both fits.
+    """
+    from solar_data_tools_spark.solvers.tv import tv1d_denoise_nan
+
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    t = np.arange(n, dtype=np.float64)
+    X = fourier_basis(t, num_harmonics=num_harmonics, period=period,
+                      include_intercept=False)
+    mask = np.isfinite(y)
+    if mask.sum() < X.shape[1] + 2:
+        return np.full(n, np.nan), np.full(n, np.nan)
+
+    seasonal = np.zeros(n)
+    pwc = np.zeros(n)
+    for _ in range(n_iter):
+        resid = y - seasonal
+        pwc = tv1d_denoise_nan(resid, w1)
+        resid2 = y - pwc
+        beta = np.linalg.lstsq(X[mask], resid2[mask], rcond=None)[0]
+        seasonal = X @ beta
+    return pwc, seasonal
+
+
+def l2_l1d2_constrained_fit(
+    y: np.ndarray,
+    w: float = 1.0,
+    n_irls: int = 20,
+    eps: float = 1e-6,
+) -> np.ndarray:
+    """D4 — piecewise-linear fit of a CDF: l2 residual + l1 of the second
+    difference, constrained to f(0)=y[0], f(end)=y[-1].
+
+    Parity target: ``l2_l1d2_constrained`` (signal_decompositions.py:229-
+    256), used by clipping detection on the 5000-point resampled CDF. The
+    l1-of-D2 term is handled by IRLS (reweighted quadratic smoothing);
+    endpoint constraints by elimination. Deterministic.
+
+    Scale note: dense solve is O(n^3) — fine at the CDF grid sizes the
+    reference uses after resampling (<= a few thousand); the resample step
+    (A11) is what keeps n bounded, exactly as in the reference.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 4:
+        return y.copy()
+    # second-difference operator
+    D = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+    wts = np.ones(n - 2)
+    x = y.copy()
+    I = np.eye(n)
+    for _ in range(n_irls):
+        A = I + w * (D.T * wts) @ D
+        # endpoint equality via large quadratic penalty (exact in the limit;
+        # 1e8 puts the residual far below the comparison tolerance)
+        A[0, 0] += 1e8
+        A[-1, -1] += 1e8
+        b = y.copy()
+        b[0] += 1e8 * y[0]
+        b[-1] += 1e8 * y[-1]
+        x_new = np.linalg.solve(A, b)
+        d2 = D @ x_new
+        wts = 1.0 / np.maximum(np.abs(d2), eps)
+        if np.max(np.abs(x_new - x)) < 1e-9:
+            x = x_new
+            break
+        x = x_new
+    return x
+
+
 def fit_seasonal_quantile(
     daily: DataFrame,
     value_col: str = "energy",
