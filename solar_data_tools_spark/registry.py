@@ -1293,6 +1293,103 @@ SELECT user_id, 'both' AS segment FROM (
 """
 
 
+def q70_cos_theta_geometry(spark, sf_dir):
+    """F5/F6/F9 — hour angle + angle-of-incidence cosine over a
+    (doy x hour) grid derived from lineitem ship dates."""
+    li = _t(spark, sf_dir, "lineitem")
+    doys = li.select(F.dayofyear("l_shipdate").alias("doy")).distinct()
+    hours = spark.range(6, 19).select(F.col("id").cast("double").alias("solar_hour"))
+    grid = doys.crossJoin(F.broadcast(hours))
+    delta = sol.delta_cooper(F.col("doy"))
+    omega = sol.hour_angle(F.col("solar_hour"))
+    ct = sol.cos_theta(delta, omega, lat_deg=37.45, tilt_deg=20.0, azimuth_deg=0.0)
+    return grid.select(
+        "doy",
+        F.col("solar_hour"),
+        F.round(omega, R).alias("omega_deg"),
+        F.round(ct, R).alias("cos_theta"),
+    )
+
+
+Q70_SQL = """
+WITH doys AS (SELECT DISTINCT CAST(date_part('doy', l_shipdate) AS INT) AS doy FROM lineitem),
+hours AS (SELECT CAST(unnest(range(6, 19)) AS DOUBLE) AS solar_hour),
+g AS (SELECT doy, solar_hour,
+             23.45 * sin(2 * pi() * (284 + doy) / 365.0) AS delta_deg,
+             15.0 * (solar_hour - 12.0) AS omega_deg
+      FROM doys CROSS JOIN hours)
+SELECT doy, solar_hour,
+       round(omega_deg, 6) AS omega_deg,
+       round(
+         sin(radians(delta_deg)) * sin(radians(37.45)) * cos(radians(20.0))
+         - sin(radians(delta_deg)) * cos(radians(37.45)) * sin(radians(20.0)) * cos(radians(0.0))
+         + cos(radians(delta_deg)) * cos(radians(37.45)) * cos(radians(20.0)) * cos(radians(omega_deg))
+         + cos(radians(delta_deg)) * sin(radians(37.45)) * sin(radians(20.0)) * cos(radians(0.0)) * cos(radians(omega_deg))
+         + cos(radians(delta_deg)) * sin(radians(20.0)) * sin(radians(0.0)) * sin(radians(omega_deg)),
+       6) AS cos_theta
+FROM g
+"""
+
+
+def q71_declination_binned_mean(spark, sf_dir):
+    """A17 — mean value grouped by rounded solar-declination bins (the
+    shade-analysis transform's grouping key)."""
+    m = _meas(spark, sf_dir)
+    delta = sol.delta_cooper(F.dayofyear("date"))
+    binned = m.select(
+        (F.round(delta / 2.0) * 2.0).alias("delta_bin"), F.col("value")
+    )
+    return binned.groupBy("delta_bin").agg(
+        F.round(F.avg("value"), R).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+Q71_SQL = f"""
+SELECT round(23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0) / 2.0) * 2.0 AS delta_bin,
+       round(avg(value), 6) AS avg_value,
+       count(*) AS n
+FROM ({_EV})
+GROUP BY 1
+"""
+
+
+def q72_pv_quantiles(spark, sf_dir):
+    """D7-lite — per-(site, dil_slot) quantile estimates over the dilated
+    signal (PVQuantiles surface; rows-only: dilation is a numpy
+    integral transform)."""
+    from solar_data_tools_spark.algorithms.dilation import dilate
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    rs = j.groupBy("site", "date").agg(
+        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
+        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    )
+    dil = dilate(m, rs, nvals=16)
+    return dil.groupBy("site", "dil_slot").agg(
+        F.round(F.expr("percentile(dil_value, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(dil_value, 0.9)"), 4).alias("q90"),
+    )
+
+
+def q73_performance_index(spark, sf_dir):
+    """M8 — daily performance index = energy / seasonal-quantile clear-sky
+    baseline (SCSF ratio; rows-only: D2 fit)."""
+    from solar_data_tools_spark.solvers.decompositions import detrend_daily_signal
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = detrend_daily_signal(daily, "energy", tau=0.9)
+    return out.select(
+        "site", "date", F.round("seasonal_ratio", 4).alias("performance_index")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document / embedding operators (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -1723,4 +1820,82 @@ QUERIES: dict[str, QuerySpec] = {
     "q63_quality_clustering": QuerySpec(q63_quality_clustering, None, "M1"),
     "q64_clipping_detection": QuerySpec(q64_clipping_detection, None, "D4,A9,A10,A11"),
     "q65_time_shift_roundtrip": QuerySpec(q65_time_shift_roundtrip, None, "W6,D1"),
+    "q66_dilation": QuerySpec(lambda s, d: q66_dilation(s, d), None, "W10,W11"),
+    "q70_cos_theta_geometry": QuerySpec(
+        lambda s, d: q70_cos_theta_geometry(s, d), Q70_SQL, "F5,F6,F9"
+    ),
+    "q71_declination_binned_mean": QuerySpec(
+        lambda s, d: q71_declination_binned_mean(s, d), Q71_SQL, "A17,F3"
+    ),
+    "q72_pv_quantiles": QuerySpec(lambda s, d: q72_pv_quantiles(s, d), None, "D7"),
+    "q73_performance_index": QuerySpec(
+        lambda s, d: q73_performance_index(s, d), None, "M8,D2"
+    ),
+    "q67_loss_factors": QuerySpec(
+        lambda s, d: q67_loss_factors(s, d), None, "D6,M6"
+    ),
+    "q68_mc_degradation": QuerySpec(
+        lambda s, d: q68_mc_degradation(s, d), None, "D6,A21,U4"
+    ),
 }
+
+
+def q66_dilation(spark, sf_dir):
+    """W10 — energy-preserving per-day dilation onto 32 points between
+    sunrise and sunset (rows-only: numpy integral interpolation)."""
+    from solar_data_tools_spark.algorithms.dilation import dilate
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    rs = j.groupBy("site", "date").agg(
+        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
+        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    )
+    out = dilate(m, rs, nvals=32)
+    return out.select(
+        "site", "date", "dil_slot", F.round("dil_value", 4).alias("dil_value")
+    )
+
+
+def q67_loss_factors(spark, sf_dir):
+    """D6+M6 — per-site loss-factor decomposition with exact Shapley
+    attribution (rows-only: iterative solve)."""
+    from solar_data_tools_spark.algorithms.loss_factors import (
+        run_loss_factor_analysis,
+    )
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = run_loss_factor_analysis(daily)
+    return out.select(
+        "site",
+        F.round("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
+        F.round("loss_seasonal", 6).alias("loss_seasonal"),
+        F.round("loss_degradation", 6).alias("loss_degradation"),
+        F.round("loss_soiling", 6).alias("loss_soiling"),
+    )
+
+
+def q68_mc_degradation(spark, sf_dir):
+    """A21/U4 — Monte-Carlo degradation quantiles via parameter-DataFrame
+    fan-out (the reference's sequential MC loop, parallelized; rows-only)."""
+    from solar_data_tools_spark.algorithms.loss_factors import (
+        mc_degradation_estimate,
+    )
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = mc_degradation_estimate(daily, n_samples=8)
+    return out.select(
+        "site",
+        F.round("rate_median", 4).alias("rate_median"),
+        F.round("rate_lo", 4).alias("rate_lo"),
+        F.round("rate_hi", 4).alias("rate_hi"),
+        "n_samples",
+    )
