@@ -1,0 +1,85 @@
+"""Hyperparameter grid fan-out (SURVEY §2.8 wrappers).
+
+The reference runs its w1 / weight / threshold grids as sequential Python
+loops with holdout validation (time_shifts.py:201-272,
+capacity_change.py:132-182, sunrise_sunset_estimation.py:184-335). On
+Spark the grid is DATA: a parameter DataFrame cross-joined against the
+per-site series, solved in one grouped-map pass — (sites x grid points)
+concurrent solves, then an argmin per site.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+
+def tune_time_shift_w1(
+    daily: DataFrame,
+    w1_grid: list[float] | None = None,
+    holdout_frac: float = 0.15,
+    seed: int = 42,
+    noon_col: str = "solar_noon_com",
+    site_col: str = "site",
+) -> DataFrame:
+    """w1 grid search for the time-shift decomposition (D1) with seeded
+    holdout validation, fleet-parallel.
+
+    For each (site, w1): fit D1 on the train days, score pinball-free MSE
+    of (pwc + seasonal) on the holdout days. Returns the per-site argmin
+    row: (site, best_w1, holdout_mse, n_grid).
+    """
+    ensure_package_on_executors(daily.sparkSession)
+    if w1_grid is None:
+        w1_grid = [float(w) for w in np.logspace(-1, 1.5, 11)]
+    spark = daily.sparkSession
+    params = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(w1_grid)], "grid_ix int, w1 double"
+    )
+    grid = daily.select(site_col, "date", noon_col).crossJoin(F.broadcast(params))
+
+    site_dtype = dict(daily.dtypes)[site_col]
+    st = "string" if site_dtype == "string" else "long"
+    schema = f"{site_col} {st}, w1 double, holdout_mse double"
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        from solar_data_tools_spark.solvers.decompositions import (
+            l2_l1d1_l2d2p365_fit,
+        )
+
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        y = pdf[noon_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        rng = np.random.default_rng(seed)
+        holdout = rng.random(n) < holdout_frac
+        y_train = np.where(holdout, np.nan, y)
+        w1 = float(pdf["w1"].iloc[0])
+        pwc, seasonal = l2_l1d1_l2d2p365_fit(
+            y_train, w1=w1, period=min(n, 365.2425)
+        )
+        fit = pwc + seasonal
+        resid = (y - fit)[holdout & np.isfinite(y) & np.isfinite(fit)]
+        mse = float(np.mean(resid**2)) if len(resid) else float("inf")
+        return pd.DataFrame(
+            {site_col: [pdf[site_col].iloc[0]], "w1": [w1], "holdout_mse": [mse]}
+        )
+
+    scores = grid.groupBy(site_col, "grid_ix").applyInPandas(_score, schema)
+    pick = Window.partitionBy(site_col).orderBy(F.asc("holdout_mse"), F.asc("w1"))
+    return (
+        scores.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            site_col,
+            F.col("w1").alias("best_w1"),
+            F.col("holdout_mse"),
+        )
+        .join(
+            scores.groupBy(site_col).agg(F.count("*").alias("n_grid")),
+            on=site_col,
+        )
+    )

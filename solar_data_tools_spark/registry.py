@@ -230,6 +230,84 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+def q07_group_having(spark, sf_dir):
+    """GROUP BY + HAVING (large-order customers, TPC-H Q18 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+Q07_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+"""
+
+
+def q08_correlated_subquery(spark, sf_dir):
+    """Correlated scalar-subquery shape (TPC-H Q17): lineitems whose
+    quantity is below 50% of the part's average quantity. Decorrelated to
+    an aggregate + join — the plan Spark and any optimizer should reach."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+Q08_SQL = """
+SELECT l_partkey, count(*) AS n_small,
+       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+def q09_monthly_rollup(spark, sf_dir):
+    """Calendar rollup: revenue by (year, month) with running cumulative
+    total per year (window over aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.partitionBy("yr").orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.withColumn(
+        "cum_revenue", F.round(F.sum("revenue").over(w), 4)
+    )
+
+
+Q09_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+         CAST(date_part('month', o_orderdate) AS INT) AS mo,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, revenue,
+       round(sum(revenue) OVER (PARTITION BY yr ORDER BY mo
+                                ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue
+FROM monthly
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-series / solar operators over `events` (site == user_id)
 # ---------------------------------------------------------------------------
@@ -1765,6 +1843,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q04_anti_join": QuerySpec(q04_customers_without_orders, Q04_SQL, "U5"),
     "q05_window_topk": QuerySpec(q05_topk_orders_per_customer, Q05_SQL, "W12"),
     "q06_conditional_pivot": QuerySpec(q06_conditional_pivot, Q06_SQL, "S5-pivot"),
+    "q07_group_having": QuerySpec(q07_group_having, Q07_SQL, "A-agg"),
+    "q08_correlated_subquery": QuerySpec(q08_correlated_subquery, Q08_SQL, "A-agg,J1"),
+    "q09_monthly_rollup": QuerySpec(q09_monthly_rollup, Q09_SQL, "A-agg,W9"),
     "q10_daily_energy": QuerySpec(q10_daily_energy, Q10_SQL, "A1"),
     "q11_daily_stats": QuerySpec(q11_daily_stats, Q11_SQL, "A4,A5,A12"),
     "q12_site_capacity": QuerySpec(q12_site_capacity, Q12_SQL, "A3"),
@@ -1831,6 +1912,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q73_performance_index": QuerySpec(
         lambda s, d: q73_performance_index(s, d), None, "M8,D2"
     ),
+    "q74_w1_grid_search": QuerySpec(
+        lambda s, d: q74_w1_grid_search(s, d), None, "D1-grid,U3"
+    ),
+    "q75_orientation_fit": QuerySpec(
+        lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
+    ),
     "q67_loss_factors": QuerySpec(
         lambda s, d: q67_loss_factors(s, d), None, "D6,M6"
     ),
@@ -1838,6 +1925,45 @@ QUERIES: dict[str, QuerySpec] = {
         lambda s, d: q68_mc_degradation(s, d), None, "D6,A21,U4"
     ),
 }
+
+
+def q74_w1_grid_search(spark, sf_dir):
+    """D1 hyperparameter grid with holdout, fan-out as a parameter
+    DataFrame — the reference's sequential w1 loop parallelized over
+    (sites x grid points) (rows-only)."""
+    from solar_data_tools_spark.algorithms.grid_search import tune_time_shift_w1
+
+    daily = _daily_for_flags(spark, sf_dir)
+    out = tune_time_shift_w1(daily, w1_grid=[0.1, 0.5, 2.0, 8.0])
+    return out.select(
+        "site",
+        F.round("best_w1", 4).alias("best_w1"),
+        F.round("holdout_mse", 4).alias("holdout_mse"),
+        "n_grid",
+    )
+
+
+def q75_orientation_fit(spark, sf_dir):
+    """M4/D9 — Gauss-Newton tilt/azimuth fit of the cosθ model per site
+    over (declination, hour-angle, normalized response) samples derived
+    from the measurement table (rows-only)."""
+    from solar_data_tools_spark.algorithms.orientation import estimate_orientation
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    samples = j.select(
+        "site",
+        sol.delta_cooper(F.dayofyear("date")).alias("delta_deg"),
+        sol.hour_angle(F.col("hod")).alias("omega_deg"),
+        (F.col("value") / F.col("capacity")).alias("costheta"),
+    ).where(F.col("costheta") > 0.05)
+    out = estimate_orientation(samples, lat_deg=37.45)
+    return out.select(
+        "site",
+        F.round("tilt_deg", 2).alias("tilt_deg"),
+        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+    )
 
 
 def q66_dilation(spark, sf_dir):
