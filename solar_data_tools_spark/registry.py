@@ -1836,6 +1836,269 @@ def q50_seasonal_quantile_fit(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 
+
+
+def q74_w1_grid_search(spark, sf_dir):
+    """D1 hyperparameter grid with holdout, fan-out as a parameter
+    DataFrame — the reference's sequential w1 loop parallelized over
+    (sites x grid points) (rows-only)."""
+    from solar_data_tools_spark.algorithms.grid_search import tune_time_shift_w1
+
+    daily = _daily_for_flags(spark, sf_dir)
+    out = tune_time_shift_w1(daily, w1_grid=[0.1, 0.5, 2.0, 8.0])
+    return out.select(
+        "site",
+        F.round("best_w1", 4).alias("best_w1"),
+        F.round("holdout_mse", 4).alias("holdout_mse"),
+        "n_grid",
+    )
+
+
+def q75_orientation_fit(spark, sf_dir):
+    """M4/D9 — Gauss-Newton tilt/azimuth fit of the cosθ model per site
+    over (declination, hour-angle, normalized response) samples derived
+    from the measurement table (rows-only)."""
+    from solar_data_tools_spark.algorithms.orientation import estimate_orientation
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    samples = j.select(
+        "site",
+        sol.delta_cooper(F.dayofyear("date")).alias("delta_deg"),
+        sol.hour_angle(F.col("hod")).alias("omega_deg"),
+        (F.col("value") / F.col("capacity")).alias("costheta"),
+    ).where(F.col("costheta") > 0.05)
+    out = estimate_orientation(samples, lat_deg=37.45)
+    return out.select(
+        "site",
+        F.round("tilt_deg", 2).alias("tilt_deg"),
+        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+    )
+
+
+def q76_sessionization(spark, sf_dir):
+    """Gap-based sessionization per user (30-min gap) — the W4 run-id
+    recipe applied to time gaps."""
+    from solar_data_tools_spark.operators.sessions import sessionize
+
+    m = _meas(spark, sf_dir)
+    out = sessionize(m, gap_seconds=1800)
+    return out.select(
+        "site",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("session_value", 4).alias("session_value"),
+    )
+
+
+Q76_SQL = """
+WITH m AS (
+  SELECT user_id AS site, ts, event_id AS seq, value FROM events
+),
+flagged AS (
+  SELECT site, ts, seq, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM m WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
+),
+sess AS (
+  SELECT site, ts, seq, value,
+         CAST(sum(new_s) OVER (PARTITION BY site ORDER BY ts, seq
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT site, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM sess GROUP BY site, session_id
+"""
+
+
+def q77_scd2_merge(spark, sf_dir):
+    """SCD2 upsert emulation (MERGE INTO without lakehouse jars): apply
+    per-customer latest order totals as dimension updates and version the
+    rows."""
+    from solar_data_tools_spark.operators.sessions import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 4).alias("balance"),
+        F.lit("1990-01-01").cast("timestamp").alias("effective_from"),
+    )
+    updates = o.select(
+        F.col("o_custkey").alias("key"),
+        F.round("o_totalprice", 4).alias("balance"),
+        F.col("o_orderdate").alias("update_ts"),
+    )
+    merged = scd2_merge(dim, updates, "key", ["balance"])
+    return merged.groupBy("key").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("is_current").cast("int")).cast("long").alias("n_current"),
+        F.round(F.max(F.when(F.col("is_current"), F.col("balance"))), 4).alias(
+            "current_balance"
+        ),
+    )
+
+
+Q77_SQL = """
+WITH latest AS (
+  SELECT key, balance, update_ts FROM (
+    SELECT o_custkey AS key, round(o_totalprice, 4) AS balance, o_orderdate AS update_ts,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+dim AS (
+  SELECT c_custkey AS key, round(c_acctbal, 4) AS balance,
+         TIMESTAMP '1990-01-01' AS effective_from
+  FROM customer
+),
+affected AS (
+  SELECT d.key FROM dim d JOIN latest u ON d.key = u.key
+  WHERE NOT (d.balance IS NOT DISTINCT FROM u.balance)
+  UNION
+  SELECT u.key FROM latest u ANTI JOIN dim d ON u.key = d.key
+),
+merged AS (
+  SELECT d.key, d.balance, d.effective_from, false AS is_current
+  FROM dim d SEMI JOIN affected a ON d.key = a.key
+  UNION ALL
+  SELECT d.key, d.balance, d.effective_from, true AS is_current
+  FROM dim d ANTI JOIN affected a ON d.key = a.key
+  UNION ALL
+  SELECT u.key, u.balance, u.update_ts AS effective_from, true AS is_current
+  FROM latest u SEMI JOIN affected a ON u.key = a.key
+)
+SELECT key, count(*) AS n_versions,
+       CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       round(max(CASE WHEN is_current THEN balance END), 4) AS current_balance
+FROM merged GROUP BY key
+"""
+
+
+def q78_rollup(spark, sf_dir):
+    """ROLLUP aggregation (multi-level totals in one pass; Catalyst
+    expands to grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+Q78_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q79_sensor_identification(spark, sf_dir):
+    """M2 — per-(site, sensor) correlation + sequential-CV regression
+    RMSE; best sensor per site (rows-only: CV folds are a numpy solve).
+    The events table stands in: event_type series as candidate 'sensors'
+    predicting the site's hourly total."""
+    from solar_data_tools_spark.algorithms.sensors import identify_best_sensor
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").alias("site"),
+        F.date_trunc("hour", "ts").alias("ts"),
+        F.col("event_type").alias("sensor"),
+    ).agg(F.sum("value").alias("sensor_value"))
+    power = ev.groupBy(
+        F.col("user_id").alias("site"), F.date_trunc("hour", "ts").alias("ts")
+    ).agg(F.sum("value").alias("power"))
+    joined = hourly.join(power, on=["site", "ts"])
+    out = identify_best_sensor(joined)
+    return out.select(
+        "site",
+        "sensor",
+        F.round("corr", 4).alias("corr"),
+        F.round("cv_rmse", 4).alias("cv_rmse"),
+        "is_best",
+    )
+
+
+def q66_dilation(spark, sf_dir):
+    """W10 — energy-preserving per-day dilation onto 32 points between
+    sunrise and sunset (rows-only: numpy integral interpolation)."""
+    from solar_data_tools_spark.algorithms.dilation import dilate
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    rs = j.groupBy("site", "date").agg(
+        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
+        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    )
+    out = dilate(m, rs, nvals=32)
+    return out.select(
+        "site", "date", "dil_slot", F.round("dil_value", 4).alias("dil_value")
+    )
+
+
+def q67_loss_factors(spark, sf_dir):
+    """D6+M6 — per-site loss-factor decomposition with exact Shapley
+    attribution (rows-only: iterative solve)."""
+    from solar_data_tools_spark.algorithms.loss_factors import (
+        run_loss_factor_analysis,
+    )
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = run_loss_factor_analysis(daily)
+    return out.select(
+        "site",
+        F.round("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
+        F.round("loss_seasonal", 6).alias("loss_seasonal"),
+        F.round("loss_degradation", 6).alias("loss_degradation"),
+        F.round("loss_soiling", 6).alias("loss_soiling"),
+    )
+
+
+def q68_mc_degradation(spark, sf_dir):
+    """A21/U4 — Monte-Carlo degradation quantiles via parameter-DataFrame
+    fan-out (the reference's sequential MC loop, parallelized; rows-only)."""
+    from solar_data_tools_spark.algorithms.loss_factors import (
+        mc_degradation_estimate,
+    )
+
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(
+        (F.sum("value") * 24.0 / 288.0).alias("energy")
+    )
+    out = mc_degradation_estimate(daily, n_samples=8)
+    return out.select(
+        "site",
+        F.round("rate_median", 4).alias("rate_median"),
+        F.round("rate_lo", 4).alias("rate_lo"),
+        F.round("rate_hi", 4).alias("rate_hi"),
+        "n_samples",
+    )
+
+
+# ---------------------------------------------------------------------------
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "P1,P3,A-agg"),
     "q02_revenue_by_nation": QuerySpec(q02_revenue_by_nation, Q02_SQL, "J1"),
@@ -1915,6 +2178,14 @@ QUERIES: dict[str, QuerySpec] = {
     "q74_w1_grid_search": QuerySpec(
         lambda s, d: q74_w1_grid_search(s, d), None, "D1-grid,U3"
     ),
+    "q76_sessionization": QuerySpec(
+        lambda s, d: q76_sessionization(s, d), Q76_SQL, "W4-sessions"
+    ),
+    "q77_scd2_merge": QuerySpec(lambda s, d: q77_scd2_merge(s, d), Q77_SQL, "U5-cdc"),
+    "q78_rollup": QuerySpec(lambda s, d: q78_rollup(s, d), Q78_SQL, "A-rollup"),
+    "q79_sensor_identification": QuerySpec(
+        lambda s, d: q79_sensor_identification(s, d), None, "M2"
+    ),
     "q75_orientation_fit": QuerySpec(
         lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
     ),
@@ -1925,103 +2196,3 @@ QUERIES: dict[str, QuerySpec] = {
         lambda s, d: q68_mc_degradation(s, d), None, "D6,A21,U4"
     ),
 }
-
-
-def q74_w1_grid_search(spark, sf_dir):
-    """D1 hyperparameter grid with holdout, fan-out as a parameter
-    DataFrame — the reference's sequential w1 loop parallelized over
-    (sites x grid points) (rows-only)."""
-    from solar_data_tools_spark.algorithms.grid_search import tune_time_shift_w1
-
-    daily = _daily_for_flags(spark, sf_dir)
-    out = tune_time_shift_w1(daily, w1_grid=[0.1, 0.5, 2.0, 8.0])
-    return out.select(
-        "site",
-        F.round("best_w1", 4).alias("best_w1"),
-        F.round("holdout_mse", 4).alias("holdout_mse"),
-        "n_grid",
-    )
-
-
-def q75_orientation_fit(spark, sf_dir):
-    """M4/D9 — Gauss-Newton tilt/azimuth fit of the cosθ model per site
-    over (declination, hour-angle, normalized response) samples derived
-    from the measurement table (rows-only)."""
-    from solar_data_tools_spark.algorithms.orientation import estimate_orientation
-
-    m = _meas(spark, sf_dir)
-    cap = dy.site_capacity(m)
-    j = m.join(F.broadcast(cap), "site")
-    samples = j.select(
-        "site",
-        sol.delta_cooper(F.dayofyear("date")).alias("delta_deg"),
-        sol.hour_angle(F.col("hod")).alias("omega_deg"),
-        (F.col("value") / F.col("capacity")).alias("costheta"),
-    ).where(F.col("costheta") > 0.05)
-    out = estimate_orientation(samples, lat_deg=37.45)
-    return out.select(
-        "site",
-        F.round("tilt_deg", 2).alias("tilt_deg"),
-        F.round("azimuth_deg", 2).alias("azimuth_deg"),
-    )
-
-
-def q66_dilation(spark, sf_dir):
-    """W10 — energy-preserving per-day dilation onto 32 points between
-    sunrise and sunset (rows-only: numpy integral interpolation)."""
-    from solar_data_tools_spark.algorithms.dilation import dilate
-
-    m = _meas(spark, sf_dir)
-    cap = dy.site_capacity(m)
-    j = m.join(F.broadcast(cap), "site")
-    v = F.col("value")
-    rs = j.groupBy("site", "date").agg(
-        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
-        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
-    )
-    out = dilate(m, rs, nvals=32)
-    return out.select(
-        "site", "date", "dil_slot", F.round("dil_value", 4).alias("dil_value")
-    )
-
-
-def q67_loss_factors(spark, sf_dir):
-    """D6+M6 — per-site loss-factor decomposition with exact Shapley
-    attribution (rows-only: iterative solve)."""
-    from solar_data_tools_spark.algorithms.loss_factors import (
-        run_loss_factor_analysis,
-    )
-
-    m = _meas(spark, sf_dir)
-    daily = m.groupBy("site", "date").agg(
-        (F.sum("value") * 24.0 / 288.0).alias("energy")
-    )
-    out = run_loss_factor_analysis(daily)
-    return out.select(
-        "site",
-        F.round("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
-        F.round("loss_seasonal", 6).alias("loss_seasonal"),
-        F.round("loss_degradation", 6).alias("loss_degradation"),
-        F.round("loss_soiling", 6).alias("loss_soiling"),
-    )
-
-
-def q68_mc_degradation(spark, sf_dir):
-    """A21/U4 — Monte-Carlo degradation quantiles via parameter-DataFrame
-    fan-out (the reference's sequential MC loop, parallelized; rows-only)."""
-    from solar_data_tools_spark.algorithms.loss_factors import (
-        mc_degradation_estimate,
-    )
-
-    m = _meas(spark, sf_dir)
-    daily = m.groupBy("site", "date").agg(
-        (F.sum("value") * 24.0 / 288.0).alias("energy")
-    )
-    out = mc_degradation_estimate(daily, n_samples=8)
-    return out.select(
-        "site",
-        F.round("rate_median", 4).alias("rate_median"),
-        F.round("rate_lo", 4).alias("rate_lo"),
-        F.round("rate_hi", 4).alias("rate_hi"),
-        "n_samples",
-    )

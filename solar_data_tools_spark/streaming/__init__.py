@@ -7,3 +7,4 @@ skeleton; the solver layer stays batch-recompute by design.
 """
 
 from solar_data_tools_spark.streaming.daily_stream import streaming_daily_stats  # noqa: F401
+from solar_data_tools_spark.streaming.sessions_stream import streaming_sessionize  # noqa: F401

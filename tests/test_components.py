@@ -87,6 +87,46 @@ def test_streaming_daily_stats_matches_batch(spark, sf_small, tmp_path):
     assert got == exp
 
 
+def test_streaming_sessionize_matches_batch(spark, sf_small, tmp_path):
+    """session_window streaming sessions must agree with the batch
+    gap-based sessionizer on counts and totals."""
+    from solar_data_tools_spark.operators.canonical import events_as_measurements
+    from solar_data_tools_spark.operators.sessions import sessionize
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_sessionize
+
+    events = read_table(spark, f"{sf_small}/events.parquet")
+    meas = events_as_measurements(events)
+    src = str(tmp_path / "sess_src")
+    meas.select("site", "ts", "value").write.parquet(src)
+
+    stream = spark.readStream.schema("site long, ts timestamp, value double").parquet(
+        src
+    )
+    out = streaming_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select site, session_start, n_events, round(session_value, 6) v "
+        "from sess_stream_test"
+    ).collect()
+    exp = (
+        sessionize(meas, gap_seconds=1800)
+        .select("site", "session_start", "n_events", F.round("session_value", 6).alias("v"))
+        .collect()
+    )
+    # session_window's end = last_event + gap, so compare on (site, start)
+    assert sorted((r["site"], str(r["session_start"]), r["n_events"], r["v"]) for r in got) == sorted(
+        (r["site"], str(r["session_start"]), r["n_events"], r["v"]) for r in exp
+    )
+
+
 # ------------------------------------------------------------------ pipeline
 def test_run_pipeline_end_to_end(spark, sf_small):
     from solar_data_tools_spark.operators.canonical import events_as_measurements
