@@ -153,29 +153,24 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i).
 
-    ``xxhash64`` is a built-in JVM expression — no Python in the loop. One
-    explode of (shingle x num_hashes) then a single groupBy(doc) with
-    map-side partial min: shuffle carries only num_hashes longs per doc.
+    ``xxhash64`` is a built-in JVM expression — no Python in the loop, and
+    no row explosion either: the whole signature is ONE higher-order
+    projection ``transform(0..k-1, i -> array_min(transform(shingles,
+    s -> xxhash64(s, i))))`` evaluated inside codegen per document. The
+    only shuffle is the per-doc distinct-shingle collect (~|doc| longs);
+    the k x |shingles| hash evaluations never materialize as rows.
     """
     carry = carry_cols or []
     sh = word_ngrams(docs, n, id_col, text_col, carry_cols=carry)
-    seeded = sh.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h_ix"),
-        F.col("shingle"),
-    ).withColumn("h", F.xxhash64("shingle", "h_ix"))
-    per_hash = seeded.groupBy(id_col, *carry, "h_ix").agg(
-        F.min("h").alias("min_h")
+    per_doc = sh.groupBy(id_col, *carry).agg(
+        F.collect_list("shingle").alias("_shingles")
     )
-    return per_hash.groupBy(id_col, *carry).agg(
-        F.array_sort(
-            F.collect_list(F.struct("h_ix", "min_h"))
-        ).alias("_pairs")
-    ).select(
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        F.expr("transform(_pairs, p -> p.min_h)").alias("signature"),
+    sig = F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        "i -> array_min(transform(_shingles, s -> xxhash64(s, i))))"
+    )
+    return per_doc.select(
+        F.col(id_col), *[F.col(c) for c in carry], sig.alias("signature")
     )
 
 

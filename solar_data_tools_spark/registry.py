@@ -2036,6 +2036,35 @@ def q79_sensor_identification(spark, sf_dir):
     )
 
 
+def q80_shade_analysis(spark, sf_dir):
+    """D8/A17 — shade analysis: dilated clear-day grid by (declination
+    bin x daylight fraction), clear-sky envelope + nonnegative shade
+    deficit per site (rows-only: envelope fit is a numpy solve)."""
+    from solar_data_tools_spark.algorithms.dilation import dilate
+    from solar_data_tools_spark.algorithms.shade import decompose_shade, shade_grid
+
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    rs = j.groupBy("site", "date").agg(
+        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
+        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    )
+    dil = dilate(m, rs, nvals=16)
+    grid = shade_grid(dil)
+    out = decompose_shade(grid)
+    return out.select(
+        "site",
+        "delta_bin",
+        "dil_slot",
+        F.round("observed", 4).alias("observed"),
+        F.round("clearsky", 4).alias("clearsky"),
+        F.round("shade_frac", 4).alias("shade_frac"),
+        "is_shaded",
+    )
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -2185,6 +2214,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q78_rollup": QuerySpec(lambda s, d: q78_rollup(s, d), Q78_SQL, "A-rollup"),
     "q79_sensor_identification": QuerySpec(
         lambda s, d: q79_sensor_identification(s, d), None, "M2"
+    ),
+    "q80_shade_analysis": QuerySpec(
+        lambda s, d: q80_shade_analysis(s, d), None, "D8,A17"
     ),
     "q75_orientation_fit": QuerySpec(
         lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"

@@ -70,6 +70,31 @@ def test_dilation_fixed_output_size(spark):
     assert (out.groupby("date").size() == 16).all()
 
 
+def test_shade_decomposition_finds_synthetic_shade(spark):
+    """A grid with a notch carved into the afternoon must yield shade
+    flags exactly in the notch and a clear-sky envelope above it."""
+    from solar_data_tools_spark.algorithms.shade import decompose_shade
+
+    slots = np.arange(16)
+    bell = np.sin((slots + 0.5) / 16 * np.pi)
+    rows = []
+    for db in (-20.0, 0.0, 20.0):
+        obs = bell.copy()
+        if db == 0.0:
+            obs[10:13] *= 0.5  # afternoon shade notch
+        for s, v in zip(slots, obs):
+            rows.append((1, float(db), int(s), float(v)))
+    grid = spark.createDataFrame(
+        rows, "site long, delta_bin double, dil_slot int, observed double"
+    )
+    out = decompose_shade(grid, shade_threshold=0.2).toPandas()
+    notch = out[(out.delta_bin == 0.0) & out.dil_slot.isin([10, 11, 12])]
+    clean = out[out.delta_bin != 0.0]
+    assert notch.is_shaded.all(), notch
+    assert not clean.is_shaded.any()
+    assert (out.clearsky >= out.observed - 1e-9).all()
+
+
 def test_loss_factor_degradation_recovery(spark):
     from solar_data_tools_spark.algorithms.loss_factors import (
         run_loss_factor_analysis,
