@@ -1468,6 +1468,135 @@ def q73_performance_index(spark, sf_dir):
     )
 
 
+def q81_profile_normalization(spark, sf_dir):
+    """A18 — normalize by the per-day 95th percentile (join-divide), report
+    each day's normalized max."""
+    m = _meas(spark, sf_dir)
+    q95 = m.groupBy("site", "date").agg(
+        F.expr("percentile(value, 0.95)").alias("q95")
+    )
+    return (
+        m.join(q95, on=["site", "date"])
+        .groupBy("site", "date")
+        .agg(
+            F.round(F.max(F.col("value") / F.col("q95")), R).alias("norm_max"),
+            F.round(F.avg(F.col("value") / F.col("q95")), R).alias("norm_avg"),
+        )
+    )
+
+
+Q81_SQL = f"""
+WITH m AS ({_EV}),
+q AS (SELECT site, date, quantile_cont(value, 0.95) AS q95
+      FROM m GROUP BY site, date)
+SELECT m.site, m.date,
+       round(max(m.value / q.q95), 6) AS norm_max,
+       round(avg(m.value / q.q95), 6) AS norm_avg
+FROM m JOIN q ON m.site = q.site AND m.date = q.date
+GROUP BY m.site, m.date
+"""
+
+
+def q82_quality_counts(spark, sf_dir):
+    """A19/A20 — daytime data-quality accounting: after clamping outliers
+    to NULL, the fraction of daytime slots (hod in [6, 18)) still holding a
+    value, and the fill-ratio guard counts."""
+    m = _meas(spark, sf_dir)
+    clamped = fl.clamp_to_null(m, "value", max_val=300.0, out_col="v_clean")
+    daytime = F.col("hod").between(6.0, 18.0)
+    return clamped.groupBy("site").agg(
+        F.sum(daytime.cast("int")).cast("long").alias("n_daytime"),
+        F.sum((daytime & F.col("v_clean").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_daytime_valid"),
+        F.round(
+            F.sum((daytime & F.col("v_clean").isNotNull()).cast("int"))
+            / F.sum(daytime.cast("int")),
+            R,
+        ).alias("quality_ratio"),
+    )
+
+
+Q82_SQL = f"""
+WITH m AS (
+  SELECT site, hod, CASE WHEN value <= 300.0 THEN value END AS v_clean
+  FROM ({_EV})
+)
+SELECT site,
+       CAST(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_daytime,
+       CAST(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 AND v_clean IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_daytime_valid,
+       round(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 AND v_clean IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 THEN 1 ELSE 0 END), 6) AS quality_ratio
+FROM m GROUP BY site
+"""
+
+
+def q83_doy_model_join(spark, sf_dir):
+    """J5 — join an empirical day-of-year model table (fleet-average daily
+    energy per doy) back to each site's days; ratio = measured / modeled."""
+    m = _meas(spark, sf_dir)
+    daily = m.groupBy("site", "date").agg(F.sum("value").alias("energy"))
+    model = (
+        daily.withColumn("doy", F.dayofyear("date"))
+        .groupBy("doy")
+        .agg(F.avg("energy").alias("model_energy"))
+    )
+    return (
+        daily.withColumn("doy", F.dayofyear("date"))
+        .join(F.broadcast(model), on="doy")
+        .select(
+            "site",
+            "date",
+            F.round("energy", 4).alias("energy"),
+            F.round("model_energy", 4).alias("model_energy"),
+            F.round(F.col("energy") / F.col("model_energy"), R).alias("ratio"),
+        )
+    )
+
+
+Q83_SQL = f"""
+WITH daily AS (
+  SELECT site, date, sum(value) AS energy
+  FROM ({_EV}) GROUP BY site, date
+),
+model AS (
+  SELECT CAST(date_part('doy', date) AS INT) AS doy, avg(energy) AS model_energy
+  FROM daily GROUP BY 1
+)
+SELECT d.site, d.date, round(d.energy, 4) AS energy,
+       round(m.model_energy, 4) AS model_energy,
+       round(d.energy / m.model_energy, 6) AS ratio
+FROM daily d JOIN model m ON CAST(date_part('doy', d.date) AS INT) = m.doy
+"""
+
+
+def q84_string_ops(spark, sf_dir):
+    """F13 — key formatting + pattern matching (format_string / LIKE), the
+    reference's only string surface."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.format_string("%d_%s", F.col("user_id"), F.col("event_type")).alias(
+            "series_key"
+        ),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    return (
+        keyed.where(F.col("event_type").like("%i%"))
+        .groupBy("series_key")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+Q84_SQL = """
+SELECT printf('%d_%s', user_id, event_type) AS series_key,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE event_type LIKE '%i%'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document / embedding operators (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -2218,6 +2347,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q80_shade_analysis": QuerySpec(
         lambda s, d: q80_shade_analysis(s, d), None, "D8,A17"
     ),
+    "q81_profile_normalization": QuerySpec(
+        q81_profile_normalization, Q81_SQL, "A18"
+    ),
+    "q82_quality_counts": QuerySpec(q82_quality_counts, Q82_SQL, "A19,A20"),
+    "q83_doy_model_join": QuerySpec(q83_doy_model_join, Q83_SQL, "J5"),
+    "q84_string_ops": QuerySpec(q84_string_ops, Q84_SQL, "F13"),
     "q75_orientation_fit": QuerySpec(
         lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
     ),
