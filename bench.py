@@ -49,18 +49,34 @@ def main() -> None:
     spark = get_spark(app_name="sdt-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table once so JVM/codegen startup isn't billed to q01
+    # warmup: touch every table once so JVM/codegen startup isn't billed to
+    # q01, and boot the Python worker pool (long-lived on a real cluster) so
+    # solver-layer queries measure work, not interpreter startup
     from solar_data_tools_spark.session import load_tables
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
 
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
+    ensure_package_on_executors(spark)
+    import pandas as pd  # noqa: F401
 
+    warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    warm.mapInPandas(lambda it: it, schema="id long").count()
+
+    # two executions per query, report the min: steady-state throughput
+    # (codegen compiled, broadcasts GC-settled) is the number comparable
+    # across machines; single-shot readings on a busy host are bimodal
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

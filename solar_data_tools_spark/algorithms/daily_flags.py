@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.parallel import partition_for_grouped_map
+
 from solar_data_tools_spark.shipping import ensure_package_on_executors
 
 
@@ -69,7 +71,7 @@ def detect_clear_days(
         return pdf[[c.split()[0] for c in schema.split(", ")]]
 
     cols = [site_col, "date", smoothness_col, energy_col]
-    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
 
 
 # -------------------------------------------------------- capacity change
@@ -125,7 +127,7 @@ def detect_capacity_changes(
         )
 
     cols = [site_col, "date", metric_col]
-    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
 
 
 # ------------------------------------------------------------ time shifts
@@ -180,7 +182,7 @@ def detect_time_shifts(
         )
 
     cols = [site_col, "date", noon_col]
-    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
 
 
 def apply_time_shift_correction(
@@ -261,7 +263,7 @@ def quality_clustering(
         ),
     )
     cols = [site_col, "date", "density", "density_fit_ratio"]
-    return base.select(*cols).groupBy(site_col).applyInPandas(_cluster, schema)
+    return partition_for_grouped_map(base.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_cluster, schema)
 
 
 # ---------------------------------------------------------------- clipping
@@ -315,7 +317,7 @@ def detect_clipping(
         )
 
     cols = [site_col, "date", stat_col]
-    return daily.select(*cols).groupBy(site_col).applyInPandas(_detect, schema)
+    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
 
 
 # --------------------------------------------------------- clear-sky DP

@@ -112,8 +112,10 @@ def dilate(
         )
 
     cols = [site_col, "date", "hod", "value", "sunrise", "sunset"]
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
     return (
-        joined.select(*cols)
+        partition_for_grouped_map(joined.select(*cols), [site_col, "date"])
         .groupBy(site_col, "date")
         .applyInPandas(_dilate, schema)
     )

@@ -68,7 +68,11 @@ def tune_time_shift_w1(
             {site_col: [pdf[site_col].iloc[0]], "w1": [w1], "holdout_mse": [mse]}
         )
 
-    scores = grid.groupBy(site_col, "grid_ix").applyInPandas(_score, schema)
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
+    scores = partition_for_grouped_map(grid, [site_col, "grid_ix"]).groupBy(
+        site_col, "grid_ix"
+    ).applyInPandas(_score, schema)
     pick = Window.partitionBy(site_col).orderBy(F.asc("holdout_mse"), F.asc("w1"))
     return (
         scores.withColumn("_rn", F.row_number().over(pick))

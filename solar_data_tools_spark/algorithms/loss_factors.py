@@ -164,11 +164,12 @@ def run_loss_factor_analysis(
             }
         )
 
-    return (
-        daily.select(site_col, "date", energy_col)
-        .groupBy(site_col)
-        .applyInPandas(_fit, schema)
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
+    prepared = partition_for_grouped_map(
+        daily.select(site_col, "date", energy_col), [site_col]
     )
+    return prepared.groupBy(site_col).applyInPandas(_fit, schema)
 
 
 def mc_degradation_estimate(
@@ -214,7 +215,11 @@ def mc_degradation_estimate(
             }
         )
 
-    rates = grid.groupBy(site_col, "sample_id").applyInPandas(_fit_one, fit_schema)
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
+    rates = partition_for_grouped_map(grid, [site_col, "sample_id"]).groupBy(
+        site_col, "sample_id"
+    ).applyInPandas(_fit_one, fit_schema)
     return rates.groupBy(site_col).agg(
         F.expr("percentile(rate, 0.5)").alias("rate_median"),
         F.expr("percentile(rate, 0.025)").alias("rate_lo"),

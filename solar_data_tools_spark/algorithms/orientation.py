@@ -120,8 +120,13 @@ def estimate_orientation(
             {site_col: [pdf[site_col].iloc[0]], "tilt_deg": [tilt], "azimuth_deg": [az]}
         )
 
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
     return (
-        samples.select(site_col, "delta_deg", "omega_deg", "costheta")
+        partition_for_grouped_map(
+            samples.select(site_col, "delta_deg", "omega_deg", "costheta"),
+            [site_col],
+        )
         .groupBy(site_col)
         .applyInPandas(_fit, schema)
     )

@@ -71,8 +71,13 @@ def identify_best_sensor(
             }
         )
 
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
     scores = (
-        joined.select(site_col, sensor_col, "ts", power_col, sensor_val_col)
+        partition_for_grouped_map(
+            joined.select(site_col, sensor_col, "ts", power_col, sensor_val_col),
+            [site_col, sensor_col],
+        )
         .groupBy(site_col, sensor_col)
         .applyInPandas(_score, schema)
     )

@@ -101,7 +101,10 @@ def ngram_jaccard_pairs(
       ones, and the blocking key rides the same shuffle as the shingle.
     """
     blocks = block_cols or []
-    sh = word_ngrams(docs, n, id_col, text_col, carry_cols=blocks).cache()
+    # no .cache(): shingling is a cheap projection recomputed per branch;
+    # session-lifetime caches accumulate across invocations and make join
+    # timing depend on eviction pressure (at 100 TB, checkpoint explicitly)
+    sh = word_ngrams(docs, n, id_col, text_col, carry_cols=blocks)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     posting = sh

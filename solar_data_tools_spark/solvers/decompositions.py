@@ -219,11 +219,12 @@ def fit_seasonal_quantile(
             }
         )
 
-    return (
-        daily.select(site_col, date_col, value_col)
-        .groupBy(site_col)
-        .applyInPandas(_fit, schema=schema)
+    from solar_data_tools_spark.parallel import partition_for_grouped_map
+
+    prepared = partition_for_grouped_map(
+        daily.select(site_col, date_col, value_col), [site_col]
     )
+    return prepared.groupBy(site_col).applyInPandas(_fit, schema=schema)
 
 
 def detrend_daily_signal(
