@@ -21,31 +21,40 @@ from solar_data_tools_spark.registry import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the fleet report (SURVEY §7.2 minimum end-to-end
-    slice) — ingest events, standardize semantics, daily aggregation core,
-    one row per site with dataset-level metrics."""
+    """Flagship query: the fleet report (SURVEY §3.1 pipeline, §7.2 slice)
+    — ingest events, daily aggregation core, clipping statistics, one row
+    per site with dataset-level metrics (reference ``report()`` parity:
+    length, capacity, quality, clipping)."""
     from pyspark.sql import functions as F
 
     from solar_data_tools_spark.operators.canonical import events_as_measurements
     from solar_data_tools_spark.operators.daily import (
+        clipping_stats,
         daily_statistics,
         dataset_report,
     )
-
     from solar_data_tools_spark.session import read_table
 
     events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
     meas = events_as_measurements(events)
     daily = daily_statistics(meas, slots_per_day=288)
+    clip = clipping_stats(meas)
     report = dataset_report(daily)
-    return report.select(
-        "site",
-        "num_days",
-        F.round("length_years", 6).alias("length_years"),
-        F.round("capacity", 6).alias("capacity"),
-        F.round("quality_score", 6).alias("quality_score"),
-        F.round("avg_daily_energy", 6).alias("avg_daily_energy"),
-        F.round("max_power", 6).alias("max_power"),
+    clip_report = clip.groupBy("site").agg(
+        F.avg((F.col("clip_stat_1") > 0.95).cast("int")).alias("clipped_day_frac")
+    )
+    return (
+        report.join(clip_report, on="site", how="left")
+        .select(
+            "site",
+            "num_days",
+            F.round("length_years", 6).alias("length_years"),
+            F.round("capacity", 6).alias("capacity"),
+            F.round("quality_score", 6).alias("quality_score"),
+            F.round("avg_daily_energy", 6).alias("avg_daily_energy"),
+            F.round("max_power", 6).alias("max_power"),
+            F.round("clipped_day_frac", 6).alias("clipped_day_frac"),
+        )
     )
 
 
