@@ -2194,6 +2194,50 @@ def q80_shade_analysis(spark, sf_dir):
     )
 
 
+def _dilated(spark, sf_dir, nvals=16):
+    m = _meas(spark, sf_dir)
+    cap = dy.site_capacity(m)
+    j = m.join(F.broadcast(cap), "site")
+    v = F.col("value")
+    rs = j.groupBy("site", "date").agg(
+        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
+        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    )
+    from solar_data_tools_spark.algorithms.dilation import dilate
+
+    return dilate(m, rs, nvals=nvals)
+
+
+def q85_quantile_surface(spark, sf_dir):
+    """D7 — smooth periodic quantile surface (3 non-crossing levels on a
+    daily x yearly product Fourier basis) over the dilated signal
+    (rows-only: IRLS fits)."""
+    from solar_data_tools_spark.solvers.quantile_surface import estimate_quantiles
+
+    dil = _dilated(spark, sf_dir)
+    out = estimate_quantiles(dil, nvals=16, levels=(0.1, 0.5, 0.9))
+    return out.select(
+        "site", "date", "dil_slot", "level", F.round("qvalue", 4).alias("qvalue")
+    )
+
+
+def q86_clear_sky_labels(spark, sf_dir):
+    """§3.3(a) end-to-end: dilation -> D7 quantile surface -> M3 Viterbi
+    clear-sky labels against the q90 baseline (rows-only)."""
+    from solar_data_tools_spark.solvers.quantile_surface import (
+        detect_clear_sky,
+        estimate_quantiles,
+    )
+
+    dil = _dilated(spark, sf_dir)
+    quantiles = estimate_quantiles(dil, nvals=16, levels=(0.9,))
+    labels = detect_clear_sky(dil, quantiles)
+    return labels.groupBy("site").agg(
+        F.count("*").alias("n_slots"),
+        F.sum(F.col("is_clear").cast("int")).cast("long").alias("n_clear"),
+    )
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -2353,6 +2397,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q82_quality_counts": QuerySpec(q82_quality_counts, Q82_SQL, "A19,A20"),
     "q83_doy_model_join": QuerySpec(q83_doy_model_join, Q83_SQL, "J5"),
     "q84_string_ops": QuerySpec(q84_string_ops, Q84_SQL, "F13"),
+    "q85_quantile_surface": QuerySpec(
+        lambda s, d: q85_quantile_surface(s, d), None, "D7"
+    ),
+    "q86_clear_sky_labels": QuerySpec(
+        lambda s, d: q86_clear_sky_labels(s, d), None, "M3,D7"
+    ),
     "q75_orientation_fit": QuerySpec(
         lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
     ),
