@@ -73,20 +73,25 @@ def standardize_time_axis(
     midnight of day 1 to midnight after the last day, then
     ``reindex(method='nearest', limit=1)``).
 
+    Fill semantics match pandas ``reindex(method='nearest', limit=1)``
+    exactly (verified against the reference's golden fixture): a grid slot
+    takes the value of the nearest raw point within ONE full sampling step
+    (inclusive); equidistant ties go to the LATER raw point; a single raw
+    point may serve several adjacent slots.
+
     Plan shape (scale notes):
       1. one aggregation for per-site (start, end) bounds — tiny table;
       2. grid = ``explode(sequence(start, end, interval))`` — generated,
          never read from storage;
-      3. each RAW row computes its nearest grid timestamp arithmetically
-         (round to grid) — a projection, no join;
-      4. ``row_number() == 1`` per (site, grid_ts) picks the closest raw row
-         (tie -> earlier raw ts, then seq) — one shuffle on (site, grid_ts);
-      5. right join onto the generated grid fills unmatched slots with NULL —
-         grid and matched table are co-partitioned on the same key so AQE
-         plans a local join.
+      3. each RAW row replicates to its <=3 candidate slots arithmetically
+         (constant fan-out, no range join);
+      4. ``row_number() == 1`` per (site, grid_ts) picks the closest raw
+         row — one shuffle on (site, grid_ts);
+      5. right join onto the generated grid fills unmatched slots with
+         NULL — co-partitioned on the same key.
 
-    Returns (site, grid_ts, value) with NULL where no raw row landed within
-    half a sampling interval.
+    Returns (site, grid_ts, value) with NULL where no raw row lies within
+    one sampling interval.
     """
     us = int(sampling_seconds) * 1_000_000
 
@@ -109,28 +114,34 @@ def standardize_time_axis(
         ).alias("grid_ts"),
     )
 
-    # nearest grid slot for each raw row: floor((t + half) / step) * step
+    # candidate slots: k0-1, k0, k0+1 where k0 = nearest slot index; keep
+    # candidates within one full step (pandas limit=1 distance bound)
     half = us // 2
-    snapped = df.select(
-        F.col(site_col),
-        F.col(ts_col),
-        F.col(seq_col),
-        F.col(value_col),
-        F.timestamp_micros(
-            (F.floor((F.unix_micros(F.col(ts_col)) + F.lit(half)) / F.lit(us)) * us).cast(
-                "long"
-            )
-        ).alias("grid_ts"),
-    ).withColumn(
-        "dist_us",
-        F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("grid_ts"))),
+    k0 = F.floor((F.unix_micros(F.col(ts_col)) + F.lit(half)) / F.lit(us))
+    candidates = (
+        df.select(
+            F.col(site_col),
+            F.col(ts_col),
+            F.col(seq_col),
+            F.col(value_col),
+            k0.alias("_k0"),
+        )
+        .withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn(
+            "grid_ts", F.timestamp_micros(((F.col("_k0") + F.col("_off")) * us).cast("long"))
+        )
+        .withColumn(
+            "dist_us",
+            F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("grid_ts"))),
+        )
+        .where(F.col("dist_us") <= F.lit(us))
     )
 
     pick = Window.partitionBy(site_col, "grid_ts").orderBy(
-        F.asc("dist_us"), F.asc(ts_col), F.asc(seq_col)
+        F.asc("dist_us"), F.desc(ts_col), F.asc(seq_col)
     )
     best = (
-        snapped.withColumn("_rn", F.row_number().over(pick))
+        candidates.withColumn("_rn", F.row_number().over(pick))
         .where(F.col("_rn") == 1)
         .select(site_col, "grid_ts", value_col)
     )

@@ -922,19 +922,20 @@ grid AS (
                                       INTERVAL 1 HOUR)) AS grid_ts
   FROM b
 ),
-snapped AS (
+cand AS (
   SELECT site, ts, seq, value,
-         make_timestamp(CAST(floor((epoch_us(ts) + 1800000000) / 3600000000.0) AS BIGINT)
-                        * 3600000000) AS grid_ts
-  FROM m
+         make_timestamp((CAST(floor((epoch_us(ts) + 1800000000) / 3600000000.0) AS BIGINT)
+                         + off) * 3600000000) AS grid_ts
+  FROM m CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off)
 ),
 best AS (
   SELECT site, grid_ts, value FROM (
     SELECT site, grid_ts, value,
            row_number() OVER (PARTITION BY site, grid_ts
                               ORDER BY abs(epoch_us(ts) - epoch_us(grid_ts)) ASC,
-                                       ts ASC, seq ASC) AS rn
-    FROM snapped) WHERE rn = 1
+                                       ts DESC, seq ASC) AS rn
+    FROM cand
+    WHERE abs(epoch_us(ts) - epoch_us(grid_ts)) <= 3600000000) WHERE rn = 1
 )
 SELECT g.site, g.grid_ts, round(best.value, 6) AS value
 FROM grid g LEFT JOIN best ON g.site = best.site AND g.grid_ts = best.grid_ts
