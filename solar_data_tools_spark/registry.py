@@ -1128,17 +1128,34 @@ FROM per_site p CROSS JOIN g
 
 
 def q38_train_test_split(spark, sf_dir):
-    """U3/U4 — seeded random day-level holdout split (rows-only: RNG
-    streams are engine-specific; determinism within Spark is seeded)."""
+    """U3/U4 — deterministic day-level holdout split via a portable hash:
+    bucket = first 16 bits of md5("site|date") mod 100, train iff < 85.
+    Engine-independent (unlike rand(seed)), so DuckDB replicates it exactly
+    and the driver can hash-check the split (reference train/test utils:
+    pvsystemprofiler utilities use random splits; determinism is ours)."""
     m = _meas(spark, sf_dir)
     days = m.select("site", "date").distinct()
-    tagged = days.withColumn(
-        "is_train", F.rand(seed=42) < F.lit(0.85)
-    )
+    key = F.concat_ws("|", F.col("site").cast("string"), F.col("date").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 100
+    tagged = days.withColumn("is_train", bucket < F.lit(85))
     return tagged.groupBy("site").agg(
         F.sum(F.col("is_train").cast("int")).cast("long").alias("n_train"),
         F.sum((~F.col("is_train")).cast("int")).cast("long").alias("n_test"),
     )
+
+
+Q38_SQL = f"""
+SELECT site,
+       CAST(sum(CASE WHEN bucket < 85 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN bucket >= 85 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM (
+  SELECT site, date,
+         CAST(('0x' || substr(md5(site || '|' || CAST(date AS VARCHAR)), 1, 4))
+              AS INTEGER) % 100 AS bucket
+  FROM (SELECT DISTINCT site, date FROM ({_EV}))
+)
+GROUP BY site
+"""
 
 
 def q39_doy_median_profile(spark, sf_dir):
@@ -2302,63 +2319,20 @@ def q68_mc_degradation(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 
+# Registration order matters: the driver's correctness gate checks the FIRST
+# 50 entries. Round 1 verified q01-q44/q52-q59 (49/49 hash-green), so those
+# rotate to the back (still regression-covered by tests/test_oracle_parity.py)
+# and the solver/similarity/session queries that round 1 never gated occupy
+# the checked window, followed by 18 high-value proven queries for continuity.
 QUERIES: dict[str, QuerySpec] = {
-    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "P1,P3,A-agg"),
-    "q02_revenue_by_nation": QuerySpec(q02_revenue_by_nation, Q02_SQL, "J1"),
-    "q03_semi_join": QuerySpec(q03_priority_with_discounted_items, Q03_SQL, "J3"),
-    "q04_anti_join": QuerySpec(q04_customers_without_orders, Q04_SQL, "U5"),
-    "q05_window_topk": QuerySpec(q05_topk_orders_per_customer, Q05_SQL, "W12"),
-    "q06_conditional_pivot": QuerySpec(q06_conditional_pivot, Q06_SQL, "S5-pivot"),
-    "q07_group_having": QuerySpec(q07_group_having, Q07_SQL, "A-agg"),
-    "q08_correlated_subquery": QuerySpec(q08_correlated_subquery, Q08_SQL, "A-agg,J1"),
-    "q09_monthly_rollup": QuerySpec(q09_monthly_rollup, Q09_SQL, "A-agg,W9"),
-    "q10_daily_energy": QuerySpec(q10_daily_energy, Q10_SQL, "A1"),
-    "q11_daily_stats": QuerySpec(q11_daily_stats, Q11_SQL, "A4,A5,A12"),
-    "q12_site_capacity": QuerySpec(q12_site_capacity, Q12_SQL, "A3"),
-    "q13_daily_density": QuerySpec(q13_daily_density, Q13_SQL, "A2"),
-    "q14_sampling_inference": QuerySpec(q14_sampling_inference, Q14_SQL, "T1,A23"),
-    "q15_first_diff": QuerySpec(q15_first_diff, Q15_SQL, "W1"),
-    "q16_rolling_mean": QuerySpec(q16_rolling_mean, Q16_SQL, "W9"),
-    "q17_run_length": QuerySpec(q17_run_length, Q17_SQL, "W4,W5"),
-    "q18_dedup_timestamps": QuerySpec(q18_dedup_timestamps, Q18_SQL, "U2"),
-    "q19_gap_fill": QuerySpec(q19_gap_fill, Q19_SQL, "W7,P2"),
-    "q20_range_clamp": QuerySpec(q20_range_clamp, Q20_SQL, "P2"),
-    "q21_iqr_filter": QuerySpec(q21_iqr_filter, Q21_SQL, "P7"),
-    "q22_daytime_detection": QuerySpec(q22_daytime_detection, Q22_SQL, "P8,P9"),
-    "q23_future_filter": QuerySpec(q23_future_filter, Q23_SQL, "T6"),
-    "q24_resample_hourly": QuerySpec(q24_resample_hourly, Q24_SQL, "T7"),
-    "q25_avg_day_profile": QuerySpec(q25_avg_day_profile, Q25_SQL, "T3"),
-    "q26_asof_join": QuerySpec(q26_asof_join, Q26_SQL, "J6,W8"),
-    "q27_standardize_grid": QuerySpec(q27_standardize_grid, Q27_SQL, "T2,J6,W8"),
-    "q28_daily_smoothness": QuerySpec(q28_daily_smoothness, Q28_SQL, "W2"),
-    "q29_sunrise_sunset": QuerySpec(q29_sunrise_sunset, Q29_SQL, "A13,A14,W3"),
-    "q30_clipping_stats": QuerySpec(q30_clipping_stats, Q30_SQL, "A9,A10"),
-    "q31_binned_mean": QuerySpec(q31_binned_mean, Q31_SQL, "A16,F10"),
-    "q32_rayleigh": QuerySpec(q32_rayleigh, Q32_SQL, "A22,F11"),
-    "q33_solar_geometry": QuerySpec(q33_solar_geometry, Q33_SQL, "F1,F2,F3,F4"),
-    "q34_longitude_estimate": QuerySpec(q34_longitude_estimate, Q34_SQL, "F7,M5"),
-    "q35_latitude_estimate": QuerySpec(q35_latitude_estimate, Q35_SQL, "F8,A14"),
-    "q36_linearity_mode": QuerySpec(q36_linearity_mode, Q36_SQL, "A6,A7"),
-    "q37_cdf_resample": QuerySpec(q37_cdf_resample, Q37_SQL, "A11"),
-    "q38_train_test_split": QuerySpec(q38_train_test_split, None, "U3,U4"),
-    "q39_doy_median_profile": QuerySpec(q39_doy_median_profile, Q39_SQL, "A15,A23"),
-    "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
-    "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
-    "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
-    "q57_segment_pooled_diffs": QuerySpec(q57_segment_pooled_diffs, Q57_SQL, "W5"),
-    "q58_daily_median_delta": QuerySpec(q58_daily_median_delta, Q58_SQL, "A23"),
-    "q59_set_ops": QuerySpec(q59_set_ops, Q59_SQL, "U5"),
-    "q40_exact_dup_groups": QuerySpec(q40_exact_dup_groups, Q40_SQL, "dedup-exact"),
-    "q41_fingerprint": QuerySpec(q41_fingerprint, Q41_SQL, "text-fingerprint"),
-    "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
-    "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
-    "q44_language_id": QuerySpec(q44_language_id, Q44_SQL, "text-langid"),
+    # --- previously ungated: similarity / dedup extensions -----------------
     "q45_ngram_jaccard": QuerySpec(q45_ngram_jaccard, Q45_SQL, "dedup-jaccard"),
     "q46_knn_bruteforce": QuerySpec(q46_knn_bruteforce, Q46_SQL, "similarity-knn"),
     "q47_minhash_near_dups": QuerySpec(q47_minhash_near_dups, None, "dedup-minhash"),
     "q48_simhash": QuerySpec(q48_simhash, None, "dedup-simhash"),
     "q49_lsh_topk": QuerySpec(q49_lsh_topk, None, "similarity-lsh"),
     "q50_seasonal_fit": QuerySpec(q50_seasonal_quantile_fit, None, "D2"),
+    # --- previously ungated: solver layer ----------------------------------
     "q60_time_shift_detection": QuerySpec(q60_time_shift_detection, None, "D1,W6"),
     "q61_capacity_change_labels": QuerySpec(
         q61_capacity_change_labels, None, "D3,A5,F10"
@@ -2368,6 +2342,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q64_clipping_detection": QuerySpec(q64_clipping_detection, None, "D4,A9,A10,A11"),
     "q65_time_shift_roundtrip": QuerySpec(q65_time_shift_roundtrip, None, "W6,D1"),
     "q66_dilation": QuerySpec(lambda s, d: q66_dilation(s, d), None, "W10,W11"),
+    "q67_loss_factors": QuerySpec(
+        lambda s, d: q67_loss_factors(s, d), None, "D6,M6"
+    ),
+    "q68_mc_degradation": QuerySpec(
+        lambda s, d: q68_mc_degradation(s, d), None, "D6,A21,U4"
+    ),
     "q70_cos_theta_geometry": QuerySpec(
         lambda s, d: q70_cos_theta_geometry(s, d), Q70_SQL, "F5,F6,F9"
     ),
@@ -2380,6 +2360,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q74_w1_grid_search": QuerySpec(
         lambda s, d: q74_w1_grid_search(s, d), None, "D1-grid,U3"
+    ),
+    "q75_orientation_fit": QuerySpec(
+        lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
     ),
     "q76_sessionization": QuerySpec(
         lambda s, d: q76_sessionization(s, d), Q76_SQL, "W4-sessions"
@@ -2404,13 +2387,56 @@ QUERIES: dict[str, QuerySpec] = {
     "q86_clear_sky_labels": QuerySpec(
         lambda s, d: q86_clear_sky_labels(s, d), None, "M3,D7"
     ),
-    "q75_orientation_fit": QuerySpec(
-        lambda s, d: q75_orientation_fit(s, d), None, "M4,D9,F9"
-    ),
-    "q67_loss_factors": QuerySpec(
-        lambda s, d: q67_loss_factors(s, d), None, "D6,M6"
-    ),
-    "q68_mc_degradation": QuerySpec(
-        lambda s, d: q68_mc_degradation(s, d), None, "D6,A21,U4"
-    ),
+    # --- proven in round 1, kept inside the 50-query window ----------------
+    "q38_train_test_split": QuerySpec(q38_train_test_split, Q38_SQL, "U3,U4"),
+    "q01_pricing_summary": QuerySpec(q01_pricing_summary, Q01_SQL, "P1,P3,A-agg"),
+    "q02_revenue_by_nation": QuerySpec(q02_revenue_by_nation, Q02_SQL, "J1"),
+    "q05_window_topk": QuerySpec(q05_topk_orders_per_customer, Q05_SQL, "W12"),
+    "q10_daily_energy": QuerySpec(q10_daily_energy, Q10_SQL, "A1"),
+    "q12_site_capacity": QuerySpec(q12_site_capacity, Q12_SQL, "A3"),
+    "q14_sampling_inference": QuerySpec(q14_sampling_inference, Q14_SQL, "T1,A23"),
+    "q17_run_length": QuerySpec(q17_run_length, Q17_SQL, "W4,W5"),
+    "q19_gap_fill": QuerySpec(q19_gap_fill, Q19_SQL, "W7,P2"),
+    "q26_asof_join": QuerySpec(q26_asof_join, Q26_SQL, "J6,W8"),
+    "q27_standardize_grid": QuerySpec(q27_standardize_grid, Q27_SQL, "T2,J6,W8"),
+    "q30_clipping_stats": QuerySpec(q30_clipping_stats, Q30_SQL, "A9,A10"),
+    "q32_rayleigh": QuerySpec(q32_rayleigh, Q32_SQL, "A22,F11"),
+    "q34_longitude_estimate": QuerySpec(q34_longitude_estimate, Q34_SQL, "F7,M5"),
+    "q35_latitude_estimate": QuerySpec(q35_latitude_estimate, Q35_SQL, "F8,A14"),
+    "q37_cdf_resample": QuerySpec(q37_cdf_resample, Q37_SQL, "A11"),
+    "q40_exact_dup_groups": QuerySpec(q40_exact_dup_groups, Q40_SQL, "dedup-exact"),
+    "q44_language_id": QuerySpec(q44_language_id, Q44_SQL, "text-langid"),
+    # --- proven in round 1, outside the window (regression-covered) --------
+    "q03_semi_join": QuerySpec(q03_priority_with_discounted_items, Q03_SQL, "J3"),
+    "q04_anti_join": QuerySpec(q04_customers_without_orders, Q04_SQL, "U5"),
+    "q06_conditional_pivot": QuerySpec(q06_conditional_pivot, Q06_SQL, "S5-pivot"),
+    "q07_group_having": QuerySpec(q07_group_having, Q07_SQL, "A-agg"),
+    "q08_correlated_subquery": QuerySpec(q08_correlated_subquery, Q08_SQL, "A-agg,J1"),
+    "q09_monthly_rollup": QuerySpec(q09_monthly_rollup, Q09_SQL, "A-agg,W9"),
+    "q11_daily_stats": QuerySpec(q11_daily_stats, Q11_SQL, "A4,A5,A12"),
+    "q13_daily_density": QuerySpec(q13_daily_density, Q13_SQL, "A2"),
+    "q15_first_diff": QuerySpec(q15_first_diff, Q15_SQL, "W1"),
+    "q16_rolling_mean": QuerySpec(q16_rolling_mean, Q16_SQL, "W9"),
+    "q18_dedup_timestamps": QuerySpec(q18_dedup_timestamps, Q18_SQL, "U2"),
+    "q20_range_clamp": QuerySpec(q20_range_clamp, Q20_SQL, "P2"),
+    "q21_iqr_filter": QuerySpec(q21_iqr_filter, Q21_SQL, "P7"),
+    "q22_daytime_detection": QuerySpec(q22_daytime_detection, Q22_SQL, "P8,P9"),
+    "q23_future_filter": QuerySpec(q23_future_filter, Q23_SQL, "T6"),
+    "q24_resample_hourly": QuerySpec(q24_resample_hourly, Q24_SQL, "T7"),
+    "q25_avg_day_profile": QuerySpec(q25_avg_day_profile, Q25_SQL, "T3"),
+    "q28_daily_smoothness": QuerySpec(q28_daily_smoothness, Q28_SQL, "W2"),
+    "q29_sunrise_sunset": QuerySpec(q29_sunrise_sunset, Q29_SQL, "A13,A14,W3"),
+    "q31_binned_mean": QuerySpec(q31_binned_mean, Q31_SQL, "A16,F10"),
+    "q33_solar_geometry": QuerySpec(q33_solar_geometry, Q33_SQL, "F1,F2,F3,F4"),
+    "q36_linearity_mode": QuerySpec(q36_linearity_mode, Q36_SQL, "A6,A7"),
+    "q39_doy_median_profile": QuerySpec(q39_doy_median_profile, Q39_SQL, "A15,A23"),
+    "q41_fingerprint": QuerySpec(q41_fingerprint, Q41_SQL, "text-fingerprint"),
+    "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
+    "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
+    "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
+    "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
+    "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
+    "q57_segment_pooled_diffs": QuerySpec(q57_segment_pooled_diffs, Q57_SQL, "W5"),
+    "q58_daily_median_delta": QuerySpec(q58_daily_median_delta, Q58_SQL, "A23"),
+    "q59_set_ops": QuerySpec(q59_set_ops, Q59_SQL, "U5"),
 }
