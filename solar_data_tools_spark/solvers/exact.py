@@ -1,0 +1,679 @@
+"""Exact convex signal-decomposition solvers (SURVEY.md §2.8, D1-D4).
+
+Parity targets (reference formulations, re-derived from public problem
+statements — NOT a code port):
+
+- ``l2_l1d1_l2d2p365``  (reference signal_decompositions.py:45-124 and
+  _osd_signal_decompositions.py:48-135): squared residual + w1 * l1 of the
+  first difference of a piecewise-constant component + a smooth seasonal
+  component restricted to a 3-harmonic Fourier basis (period 365.2425,
+  plus intercept) with zero average and a tiny quadratic harmonic penalty.
+- ``tl1_l2d2p365``      (reference _osd_signal_decompositions.py:138-186):
+  pinball(tau) residual + the same smooth Fourier seasonal component.
+- ``l1_pwc_smoothper_trend`` (reference _cvx_signal_decompositions.py:193-
+  289): mean-abs residual + w2 * mean of (reweighted) abs first diffs of a
+  piecewise-constant term + quadratic harmonic penalty on a 6-harmonic
+  seasonal + bounded linear trend, with one pass of iterative reweighting.
+- ``l2_l1d2_constrained`` (reference _osd_signal_decompositions.py:255-288):
+  squared residual + w1 * l1 of second differences, first value pinned to
+  0 and last to 1 (piecewise-linear CDF fit for clipping detection).
+
+All four are solved with over-relaxed ADMM followed by a support-pattern
+"polish" solve (an equality-constrained QP on the detected sparsity
+pattern), which recovers the interior-point optimum to high accuracy —
+validated against the reference's own fixture files in
+``tests/test_solver_fixtures.py`` at the reference's tolerances
+(MAE < 1e-3, objective to 1 decimal; see reference
+tests/solardatatools/test_signal_decompositions.py:57-61).
+
+The harmonic penalty constant is the reference's published regularization:
+weight^2 * (2*pi*k)^2 / (2*period) per (sin, cos) pair — the square of
+``weight * 2*pi*k / sqrt(period)`` on a sqrt(2)-normalized trig basis (see
+_cvx_signal_decompositions.py:269-276), intercept unpenalized.
+
+Scale note: these run per site inside ``applyInPandas`` on daily-level
+series (365 * years points, <= a few thousand). Per-solve cost is a few
+hundred ms of dense numpy; the fleet dimension is Spark's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PERIOD_DAYS = 365.2425
+
+
+# ---------------------------------------------------------------------------
+# bases and penalties
+# ---------------------------------------------------------------------------
+
+def trig_basis(T: int, num_harmonics: int, period: float = PERIOD_DAYS,
+               include_const: bool = True) -> np.ndarray:
+    """[sin(2pi k t/P), cos(2pi k t/P)]_{k=1..K} (+ trailing ones column)."""
+    t = np.arange(T, dtype=np.float64)
+    cols = []
+    for k in range(1, num_harmonics + 1):
+        w = 2.0 * np.pi * k * t / period
+        cols.append(np.sin(w))
+        cols.append(np.cos(w))
+    if include_const:
+        cols.append(np.ones(T))
+    return np.column_stack(cols)
+
+
+def harmonic_penalty(num_harmonics: int, weight: float,
+                     period: float = PERIOD_DAYS,
+                     include_const: bool = True,
+                     normalized_basis: bool = True) -> np.ndarray:
+    """Diagonal quadratic penalty on trig_basis coefficients.
+
+    The reference regularization weight per harmonic is
+    ``weight * 2*pi*k / sqrt(period)`` (squared in the objective;
+    _cvx_signal_decompositions.py:271-276), applied in the coefficient
+    space of the published basis. Expressed on the plain trig basis used
+    here this is ``weight^2 (2 pi k)^2 / period`` per sin/cos coefficient
+    — halved when the consuming path normalizes basis columns by sqrt(2)
+    (the gfosd Fourier component does; the direct CVXPY path does not).
+    Intercept unpenalized (reference drops the bias row).
+
+    Both constants are fixture-validated: ``normalized_basis=True``
+    against the l2_l1d1/tl1 fixtures, ``False`` against the
+    l1_pwc_smoothper_trend fixture (tests/test_solver_fixtures.py).
+    """
+    denom = 2.0 * period if normalized_basis else period
+    vals = []
+    for k in range(1, num_harmonics + 1):
+        q = weight ** 2 * (2.0 * np.pi * k) ** 2 / denom
+        vals.extend([q, q])
+    if include_const:
+        vals.append(0.0)
+    return np.array(vals)
+
+
+def _diff1(n: int) -> np.ndarray:
+    D = np.zeros((n - 1, n))
+    idx = np.arange(n - 1)
+    D[idx, idx] = -1.0
+    D[idx, idx + 1] = 1.0
+    return D
+
+
+def _diff2(n: int) -> np.ndarray:
+    D = np.zeros((n - 2, n))
+    idx = np.arange(n - 2)
+    D[idx, idx] = 1.0
+    D[idx, idx + 1] = -2.0
+    D[idx, idx + 2] = 1.0
+    return D
+
+
+def _soft(v: np.ndarray, k) -> np.ndarray:
+    return np.sign(v) * np.maximum(np.abs(v) - k, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# D1: l2_l1d1_l2d2p365
+# ---------------------------------------------------------------------------
+
+def solve_l2_l1d1_l2d2p365(
+    y: np.ndarray,
+    w1: float = 50.0,
+    w2: float = 1e-3,
+    use_ixs: np.ndarray | None = None,
+    yearly_periodic: bool = False,
+    num_harmonics: int = 3,
+    period: float = PERIOD_DAYS,
+    admm_iters: int = 4000,
+    rho: float = 1.0,
+):
+    """Minimize  sum_use (y - B th - x)^2 + w1 ||D1 x||_1 + th' Q th
+    s.t. mean(B th) = 0 over the full index, optionally x 365-periodic.
+
+    Returns (s_hat, s_seas, obj).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    T = len(y)
+    use = np.isfinite(y)
+    if use_ixs is not None:
+        use &= np.asarray(use_ixs, dtype=bool)
+    yc = np.where(use, y, 0.0)
+
+    B = trig_basis(T, num_harmonics, period)
+    p = B.shape[1]
+    q = harmonic_penalty(num_harmonics, w2, period) + 1e-12
+
+    # x parameterized as S @ xt; periodic ties day t to day t mod 365
+    if yearly_periodic and T > 365:
+        n = 365
+        S = np.zeros((T, n))
+        S[np.arange(T), np.arange(T) % 365] = 1.0
+    else:
+        n = T
+        S = np.eye(T)
+    D = _diff1(T) @ S  # (T-1) x n
+    m = D.shape[0]
+
+    nu = p + n
+    # data matrix rows on the use set: [B | S]
+    X = np.hstack([B, S])[use]
+    c = np.concatenate([B.sum(axis=0), np.zeros(n)])  # mean-zero on B th
+    G = np.hstack([np.zeros((m, p)), D])
+
+    A2 = 2.0 * (X.T @ X)
+    A2[np.arange(p), np.arange(p)] += 2.0 * q
+    K = np.zeros((nu + 1, nu + 1))
+    K[:nu, :nu] = A2 + rho * (G.T @ G)
+    K[:nu, nu] = c
+    K[nu, :nu] = c
+    Kinv = np.linalg.inv(K)
+    base_rhs = np.zeros(nu + 1)
+    base_rhs[:nu] = 2.0 * (X.T @ yc[use])
+    u0 = (Kinv @ base_rhs)[:nu]
+    Kg = Kinv[:nu, :nu] @ (rho * G.T)
+
+    z = np.zeros(m)
+    s = np.zeros(m)
+    alpha = 1.8
+    u = u0.copy()
+    for _ in range(admm_iters):
+        u = u0 + Kg @ (z - s)
+        Du = G[:, p:] @ u[p:]
+        Dh = alpha * Du + (1.0 - alpha) * z
+        z = _soft(Dh + s, w1 / rho)
+        s += Dh - z
+
+    # support-pattern polish: fix zero pattern of D x, solve the resulting
+    # equality-constrained QP with the active-sign linear term exactly.
+    theta, xt, ok = _polish_l1d1(X, yc[use], q, c, D, z, w1, p, n)
+    if not ok:
+        theta, xt = u[:p], u[p:]
+        for _ in range(4 * admm_iters):
+            u = u0 + Kg @ (z - s)
+            Du = G[:, p:] @ u[p:]
+            Dh = alpha * Du + (1.0 - alpha) * z
+            z = _soft(Dh + s, w1 / rho)
+            s += Dh - z
+        theta2, xt2, ok2 = _polish_l1d1(X, yc[use], q, c, D, z, w1, p, n)
+        if ok2:
+            theta, xt = theta2, xt2
+        else:
+            theta, xt = u[:p], u[p:]
+
+    s_seas = B @ theta
+    s_hat = S @ xt
+    e = (y - s_seas - s_hat)[use]
+    obj = float(np.sum(e ** 2) + w1 * np.sum(np.abs(np.diff(s_hat)))
+                + theta @ (q * theta))
+    return s_hat, s_seas, obj
+
+
+def _polish_l1d1(X, yu, q, c, D, z, w1, p, n):
+    """Solve min ||X u - y||^2 + th'Qth + w1 * sgn' (D x)_A
+    s.t. (D x)_Ac = 0, c'u = 0 for the active pattern from z."""
+    tol = 1e-6 * max(1.0, np.abs(z).max() if len(z) else 1.0)
+    active = np.abs(z) > tol
+    sgn = np.sign(z[active])
+    Din = D[~active]
+    nu = p + n
+    neq = Din.shape[0] + 1
+    K = np.zeros((nu + neq, nu + neq))
+    A2 = 2.0 * (X.T @ X)
+    A2[np.arange(p), np.arange(p)] += 2.0 * q
+    K[:nu, :nu] = A2
+    E = np.zeros((neq, nu))
+    E[: Din.shape[0], p:] = Din
+    E[-1, :] = c
+    K[:nu, nu:] = E.T
+    K[nu:, :nu] = E
+    rhs = np.zeros(nu + neq)
+    lin = w1 * (D[active].T @ sgn)
+    rhs[:nu] = np.concatenate([2.0 * (X.T @ yu)[:p], 2.0 * (X.T @ yu)[p:] - lin])
+    try:
+        sol = np.linalg.solve(K, rhs)
+    except np.linalg.LinAlgError:
+        return None, None, False
+    u = sol[:nu]
+    lam = sol[nu:nu + Din.shape[0]]
+    Dx = D @ u[p:]
+    # KKT check: active signs must agree, inactive duals within [-w1, w1]
+    if np.any(np.sign(Dx[active]) * sgn < -1e-9):
+        return None, None, False
+    if Din.shape[0] and np.abs(lam).max() > w1 * (1.0 + 1e-4):
+        return None, None, False
+    return u[:p], u[p:], True
+
+
+# ---------------------------------------------------------------------------
+# D2: tl1_l2d2p365
+# ---------------------------------------------------------------------------
+
+def solve_tl1_l2d2p365(
+    y: np.ndarray,
+    tau: float = 0.75,
+    w0: float = 1.0,
+    w2: float = 1e-3,
+    use_ixs: np.ndarray | None = None,
+    num_harmonics: int = 3,
+    period: float = PERIOD_DAYS,
+    admm_iters: int = 30000,
+    rho: float = 0.5,
+):
+    """Minimize  w0 * sum_use pinball_tau(y - B th) + th' Q th.
+
+    Returns (s_seas, obj).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    T = len(y)
+    use = np.isfinite(y)
+    if use_ixs is not None:
+        use &= np.asarray(use_ixs, dtype=bool)
+
+    B = trig_basis(T, num_harmonics, period)
+    q = harmonic_penalty(num_harmonics, w2, period) + 1e-12
+    Bu = B[use]
+    yu = y[use]
+    p = B.shape[1]
+
+    H = 2.0 * np.diag(q) + rho * (Bu.T @ Bu)
+    Hinv = np.linalg.inv(H)
+    z = np.zeros(len(yu))
+    s = np.zeros(len(yu))
+    alpha = 1.8
+    lam_hi = w0 * tau / rho
+    lam_lo = w0 * (1.0 - tau) / rho
+    for _ in range(admm_iters):
+        th = Hinv @ (rho * Bu.T @ (yu - z + s))
+        r = yu - Bu @ th
+        rh = alpha * r + (1.0 - alpha) * z
+        v = rh + s
+        z = np.where(v > lam_hi, v - lam_hi, np.where(v < -lam_lo, v + lam_lo, 0.0))
+        s += rh - z
+    r = yu - Bu @ th
+    obj = float(w0 * np.sum(np.maximum(tau * r, (tau - 1.0) * r)) + th @ (q * th))
+    return B @ th, obj
+
+
+# ---------------------------------------------------------------------------
+# interior-point QP (Mehrotra predictor-corrector)
+# ---------------------------------------------------------------------------
+
+def ipm_qp(P, q, G, h, max_iters=100, tol=1e-10, center_iters=0,
+           center_mu=1e-9):
+    """Minimize 1/2 v'Pv + q'v  s.t.  Gv <= h, by a standard primal-dual
+    predictor-corrector interior-point method (textbook Mehrotra).
+
+    Used where the l1 problem has a degenerate optimal face: the central
+    path converges to the face's analytic center, matching what a conic
+    interior-point solver (the reference's CLARABEL) returns, whereas
+    first-order methods pick an arbitrary face point.
+    """
+    n = len(q)
+    m = len(h)
+    v = np.zeros(n)
+    s = np.maximum(h - G @ v, 1.0)
+    z = np.ones(m)
+    for _ in range(max_iters):
+        r_d = P @ v + q + G.T @ z
+        r_p = G @ v + s - h
+        mu = s @ z / m
+        if max(np.abs(r_d).max(), np.abs(r_p).max(), mu) < tol:
+            break
+        w = z / s
+        H = P + (G.T * w) @ G
+        try:
+            L = np.linalg.cholesky(H)
+        except np.linalg.LinAlgError:
+            L = np.linalg.cholesky(H + 1e-12 * np.trace(H) / n * np.eye(n))
+
+        grad = P @ v + q
+
+        def solve_kkt(rc):
+            # Newton direction with complementarity rhs  z*ds + s*dz = rc - s*z
+            rhs = -grad - G.T @ (w * r_p + rc / s)
+            dv = np.linalg.solve(L.T, np.linalg.solve(L, rhs))
+            ds = -r_p - G @ dv
+            dz = (rc - z * ds) / s - z
+            return dv, ds, dz
+
+        # affine (predictor) step
+        dv_a, ds_a, dz_a = solve_kkt(np.zeros(m))
+        a_p = min(1.0, *(0.999 * (-s[ds_a < 0] / ds_a[ds_a < 0])
+                         if np.any(ds_a < 0) else [1.0]))
+        a_d = min(1.0, *(0.999 * (-z[dz_a < 0] / dz_a[dz_a < 0])
+                         if np.any(dz_a < 0) else [1.0]))
+        mu_aff = (s + a_p * ds_a) @ (z + a_d * dz_a) / m
+        sigma = (mu_aff / mu) ** 3
+        # corrector
+        rc = sigma * mu - ds_a * dz_a
+        dv, ds, dz = solve_kkt(rc)
+        a_p = min(1.0, *(0.999 * (-s[ds < 0] / ds[ds < 0])
+                         if np.any(ds < 0) else [1.0]))
+        a_d = min(1.0, *(0.999 * (-z[dz < 0] / dz[dz < 0])
+                         if np.any(dz < 0) else [1.0]))
+        v = v + a_p * dv
+        s = s + a_p * ds
+        z = z + a_d * dz
+    # optional pure-centering finish: on a degenerate optimal face Mehrotra
+    # steps can drift off the central path; sigma=1 steps at a small fixed
+    # mu pull the iterate back to the path (whose limit is the analytic
+    # center of the face — the point a conic IPM reports).
+    for _ in range(center_iters):
+        r_p = G @ v + s - h
+        w = z / s
+        H = P + (G.T * w) @ G
+        try:
+            L = np.linalg.cholesky(H)
+        except np.linalg.LinAlgError:
+            L = np.linalg.cholesky(H + 1e-12 * np.trace(H) / len(q) * np.eye(len(q)))
+        grad = P @ v + q
+        rc = np.full(len(h), center_mu)
+        rhs = -grad - G.T @ (w * r_p + rc / s)
+        dv = np.linalg.solve(L.T, np.linalg.solve(L, rhs))
+        ds = -r_p - G @ dv
+        dz = (rc - z * ds) / s - z
+        a_p = min(1.0, *(0.999 * (-s[ds < 0] / ds[ds < 0])
+                         if np.any(ds < 0) else [1.0]))
+        a_d = min(1.0, *(0.999 * (-z[dz < 0] / dz[dz < 0])
+                         if np.any(dz < 0) else [1.0]))
+        a = min(a_p, a_d)
+        v = v + a * dv
+        s = s + a * ds
+        z = z + a * dz
+    return v
+
+
+# ---------------------------------------------------------------------------
+# D3: l1_pwc_smoothper_trend
+# ---------------------------------------------------------------------------
+
+def solve_l1_pwc_smoothper_trend(
+    y: np.ndarray,
+    use_ixs: np.ndarray | None = None,
+    w2: float = 2e1,
+    w3: float = 1.0,
+    w4: float = 1e1,
+    num_harmonics: int = 6,
+    period: float = PERIOD_DAYS,
+    admm_iters: int = 15000,
+    rho: float = 0.01,
+    n_reweight: int = 1,
+    reweight_eps: float = 0.1,
+    method: str = "admm",
+):
+    """Reference capacity-change model (_cvx_signal_decompositions.py:193-289):
+
+    min (1/T)||e||_1 + (w2/(T-1)) sum tvw_i |(D1 x2)_i| + z3' Q3 z3
+        + w4 * T * beta^2
+    s.t. e = y - x2 - B z3 - beta*t on the use set,
+         beta*365 in [-0.2, 0.05],
+    followed by ``n_reweight`` passes of tvw = 1/(eps + |D1 x2|).
+
+    Returns (s_hat, s_seas, s_lin, obj).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    T = len(y)
+    use = np.isfinite(y)
+    if use_ixs is not None:
+        use &= np.asarray(use_ixs, dtype=bool)
+    yu = y[use]
+    t_full = np.arange(T, dtype=np.float64)
+
+    B = trig_basis(T, num_harmonics, period, include_const=False)
+    q3 = harmonic_penalty(num_harmonics, w3, period, include_const=False,
+                          normalized_basis=False)
+    pB = B.shape[1]
+    D = _diff1(T)
+    m = D.shape[0]
+    lo, hi = -0.2 / 365.0, 0.05 / 365.0
+
+    tvw = np.ones(m)
+    x2 = np.zeros(T)
+    z3 = np.zeros(pB)
+    beta = 0.0
+    for _pass in range(n_reweight + 1):
+        if method == "ipm":
+            # interior-point: the l1 parts make the optimal face degenerate
+            # (verified: ADMM reaches the same objective at rho-dependent
+            # face points); the central path selects the analytic center,
+            # matching the reference's conic solver.
+            x2, z3, beta = _ipm_pwc_pass(
+                yu, use, B, q3, D, tvw, w2, w4, lo, hi)
+        else:
+            x2, z3, beta, splits = _admm_pwc_smoothper_trend(
+                yu, use, B, q3, D, tvw, w2, w4, lo, hi, rho, admm_iters)
+            admm_u = np.concatenate([x2, z3, [beta]])
+            px2, pz3, pbeta, ok = _polish_pwc(
+                yu, use, B, q3, D, tvw, w2, w4, lo, hi, splits, admm_u=admm_u)
+            if ok:
+                x2, z3, beta = px2, pz3, pbeta
+        if _pass < n_reweight:
+            tvw = 1.0 / (reweight_eps + np.abs(np.diff(x2)))
+
+    s_seas = B @ z3
+    s_lin = beta * t_full
+    e = yu - (x2 + s_seas + s_lin)[use]
+    obj = float(np.sum(np.abs(e)) / T
+                + w2 * np.sum(tvw * np.abs(np.diff(x2))) / (T - 1)
+                + z3 @ (q3 * z3) + w4 * T * beta ** 2)
+    return x2, s_seas, s_lin, obj
+
+
+def _ipm_pwc_pass(yu, use, B, q3, D, tvw, w2, w4, lo, hi):
+    """One reweighting pass of the D3 problem as an inequality-form QP:
+    v = [x2; z3; beta; t_e; t_d] with abs-epigraph rows (the same
+    inequality set the reference's CVXPY canonicalization produces)."""
+    T = B.shape[0]
+    pB = B.shape[1]
+    nuse = int(use.sum())
+    t_full = np.arange(T, dtype=np.float64)
+    Xr = np.hstack([np.eye(T)[use], B[use], t_full[use, None]])
+    m1 = D.shape[0]
+    nx = T + pB + 1
+    n = nx + nuse + m1
+    P = np.zeros((n, n))
+    P[T:T + pB, T:T + pB] = 2.0 * np.diag(q3)
+    P[nx - 1, nx - 1] = 2.0 * w4 * T
+    q = np.zeros(n)
+    q[nx:nx + nuse] = 1.0 / T
+    q[nx + nuse:] = w2 * tvw / (T - 1.0)
+
+    G = np.zeros((2 * nuse + 2 * m1 + 2, n))
+    h = np.zeros(2 * nuse + 2 * m1 + 2)
+    # r - te <= 0  ->  -Xr v_x - te <= -y
+    G[:nuse, :nx] = -Xr
+    G[:nuse, nx:nx + nuse] = -np.eye(nuse)
+    h[:nuse] = -yu
+    # -r - te <= 0  ->  Xr v_x - te <= y
+    G[nuse:2 * nuse, :nx] = Xr
+    G[nuse:2 * nuse, nx:nx + nuse] = -np.eye(nuse)
+    h[nuse:2 * nuse] = yu
+    r0 = 2 * nuse
+    G[r0:r0 + m1, :T] = D
+    G[r0:r0 + m1, nx + nuse:] = -np.eye(m1)
+    G[r0 + m1:r0 + 2 * m1, :T] = -D
+    G[r0 + m1:r0 + 2 * m1, nx + nuse:] = -np.eye(m1)
+    G[-2, nx - 1] = 1.0
+    h[-2] = hi
+    G[-1, nx - 1] = -1.0
+    h[-1] = -lo
+    v = ipm_qp(P, q, G, h, center_iters=15, center_mu=1e-8)
+    return v[:T], v[T:T + pB], float(v[nx - 1])
+
+
+def _admm_pwc_smoothper_trend(yu, use, B, q3, D, tvw, w2, w4, lo, hi,
+                              rho, admm_iters):
+    T = B.shape[0]
+    pB = B.shape[1]
+    m = D.shape[0]
+    t_full = np.arange(T, dtype=np.float64)
+    # u = [x2 (T) ; z3 (pB) ; beta (1)]
+    nu = T + pB + 1
+    # residual map on use set: r(u) = y - x2 - B z3 - beta t
+    Xr = np.hstack([np.eye(T)[use], B[use], t_full[use, None]])
+    Gtv = np.hstack([D, np.zeros((m, pB + 1))])
+    gb = np.zeros(nu)
+    gb[-1] = 1.0
+
+    P = np.zeros((nu, nu))
+    P[T:T + pB, T:T + pB] = 2.0 * np.diag(q3)
+    P[-1, -1] = 2.0 * w4 * T
+    K = P + rho * (Xr.T @ Xr + Gtv.T @ Gtv + np.outer(gb, gb))
+    Kinv = np.linalg.inv(K)
+
+    ze = np.zeros(len(yu)); se = np.zeros(len(yu))
+    zt = np.zeros(m); st = np.zeros(m)
+    zb = 0.0; sb = 0.0
+    alpha = 1.8
+    ke = 1.0 / (T * rho)
+    kt = w2 * tvw / ((T - 1) * rho)
+    for _ in range(admm_iters):
+        rhs = rho * (Xr.T @ (yu - ze + se) + Gtv.T @ (zt - st) + gb * (zb - sb))
+        u = Kinv @ rhs
+        r = yu - Xr @ u
+        Dx = Gtv @ u
+        bet = u[-1]
+        rh = alpha * r + (1.0 - alpha) * ze
+        ze = _soft(rh + se, ke); se += rh - ze
+        Dh = alpha * Dx + (1.0 - alpha) * zt
+        zt = _soft(Dh + st, kt); st += Dh - zt
+        bh = alpha * bet + (1.0 - alpha) * zb
+        zb = min(max(bh + sb, lo), hi); sb += bh - zb
+    return u[:T], u[T:T + pB], float(zb), (ze, zt, zb)
+
+
+def _polish_pwc(yu, use, B, q3, D, tvw, w2, w4, lo, hi, splits,
+                admm_u=None):
+    """Support-pattern polish: zero residuals and zero first-diffs become
+    equality constraints, nonzero ones contribute their fixed-sign linear
+    l1 terms, beta is pinned when at a bound. Tries several support
+    thresholds and accepts the candidate only if it lowers the true
+    objective (always a valid test — the objective is re-evaluated with
+    real absolute values, not the linearized surrogate)."""
+    ze, zt, zb = splits
+    T = B.shape[0]
+    pB = B.shape[1]
+    t_full = np.arange(T, dtype=np.float64)
+    Xr = np.hstack([np.eye(T)[use], B[use], t_full[use, None]])
+    Gtv = np.hstack([D, np.zeros((T - 1, pB + 1))])
+    nu = T + pB + 1
+    ke = 1.0 / T
+    kt = w2 * tvw / (T - 1.0)
+    beta_fixed = zb <= lo + 1e-12 or zb >= hi - 1e-12
+
+    def true_obj(u):
+        r = yu - Xr @ u
+        Dx = Gtv @ u
+        z3 = u[T:T + pB]
+        return (ke * np.sum(np.abs(r)) + np.sum(kt * np.abs(Dx))
+                + z3 @ (q3 * z3) + w4 * T * u[-1] ** 2)
+
+    best_u = None
+    best_obj = true_obj(admm_u) if admm_u is not None else np.inf
+    se = max(1.0, np.abs(ze).max() if len(ze) else 1.0)
+    st = max(1.0, np.abs(zt).max() if len(zt) else 1.0)
+    P = np.zeros((nu, nu))
+    P[:T, :T] = 1e-9 * np.eye(T)  # KKT singularity guard
+    P[T:T + pB, T:T + pB] = 2.0 * np.diag(q3)
+    P[-1, -1] = 2.0 * w4 * T
+    for rel in (1e-3, 1e-4, 1e-5):
+        act_e = np.abs(ze) > rel * se
+        act_t = np.abs(zt) > rel * st
+        sgn_e = np.sign(ze[act_e])
+        sgn_t = np.sign(zt[act_t])
+        E_rows = [Xr[~act_e], Gtv[~act_t]]
+        e_rhs = [yu[~act_e], np.zeros(int((~act_t).sum()))]
+        if beta_fixed:
+            row = np.zeros((1, nu)); row[0, -1] = 1.0
+            E_rows.append(row); e_rhs.append(np.array([zb]))
+        E = np.vstack(E_rows)
+        neq = E.shape[0]
+        lin = -ke * (Xr[act_e].T @ sgn_e) + Gtv[act_t].T @ (kt[act_t] * sgn_t)
+        K = np.zeros((nu + neq, nu + neq))
+        K[:nu, :nu] = P
+        K[:nu, nu:] = E.T
+        K[nu:, :nu] = E
+        rhs = np.concatenate([-lin, np.concatenate(e_rhs)])
+        try:
+            sol = np.linalg.solve(K, rhs)
+        except np.linalg.LinAlgError:
+            continue
+        u = sol[:nu]
+        if not beta_fixed and not (lo - 1e-9 <= u[-1] <= hi + 1e-9):
+            continue
+        o = true_obj(u)
+        if o < best_obj - 1e-15:
+            best_obj = o
+            best_u = u
+    if best_u is None:
+        return None, None, None, False
+    return best_u[:T], best_u[T:T + pB], float(best_u[-1]), True
+
+
+# ---------------------------------------------------------------------------
+# D4: l2_l1d2_constrained
+# ---------------------------------------------------------------------------
+
+def solve_l2_l1d2_constrained(
+    y: np.ndarray,
+    w0: float = 1.0,
+    w1: float = 5.0,
+    admm_iters: int = 30000,
+    rho: float = 100.0,
+):
+    """Minimize  w0 ||y - x||^2 + w1 ||D2 x||_1  s.t. x[0]=0, x[-1]=1.
+
+    Returns (s_hat, obj).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    T = len(y)
+    D = _diff2(T)
+    m = D.shape[0]
+    # eliminate pinned endpoints: x = [0, xf..., 1]
+    F = np.zeros((T, T - 2))
+    F[1:-1] = np.eye(T - 2)
+    fix = np.zeros(T); fix[-1] = 1.0
+    Df = D @ F
+    dfix = D @ fix
+    H = 2.0 * w0 * (F.T @ F) + rho * (Df.T @ Df)
+    Hinv = np.linalg.inv(H)
+    z = np.zeros(m); s = np.zeros(m)
+    alpha = 1.8
+    for _ in range(admm_iters):
+        xf = Hinv @ (2.0 * w0 * F.T @ (y - fix) + rho * Df.T @ (z - s - dfix))
+        Dx = Df @ xf + dfix
+        Dh = alpha * Dx + (1.0 - alpha) * z
+        z = _soft(Dh + s, w1 / rho)
+        s += Dh - z
+    x = F @ xf + fix
+
+    # support-pattern polish: fix the zero pattern of D2 x, solve the
+    # equality-constrained QP, accept only if the true objective improves
+    def true_obj(xx):
+        return float(w0 * np.sum((y - xx) ** 2)
+                     + w1 * np.sum(np.abs(_diff2(T) @ xx)))
+
+    best = true_obj(x)
+    sz = max(1.0, np.abs(z).max() if m else 1.0)
+    for rel in (1e-3, 1e-4, 1e-5, 1e-6):
+        active = np.abs(z) > rel * sz
+        sgn = np.sign(z[active])
+        Din = Df[~active]
+        neq = Din.shape[0]
+        K = np.zeros((T - 2 + neq, T - 2 + neq))
+        K[:T - 2, :T - 2] = 2.0 * w0 * (F.T @ F) + 1e-12 * np.eye(T - 2)
+        K[:T - 2, T - 2:] = Din.T
+        K[T - 2:, :T - 2] = Din
+        rhs = np.zeros(T - 2 + neq)
+        rhs[:T - 2] = 2.0 * w0 * F.T @ (y - fix) - w1 * (Df[active].T @ sgn)
+        rhs[T - 2:] = -dfix[~active]
+        try:
+            sol = np.linalg.solve(K, rhs)
+        except np.linalg.LinAlgError:
+            continue
+        cand = F @ sol[:T - 2] + fix
+        o = true_obj(cand)
+        if o < best - 1e-15:
+            best = o
+            x = cand
+    obj = true_obj(x)
+    return x, obj
