@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
     meas = events_as_measurements(events)
-    daily = daily_statistics(meas, slots_per_day=288)
+    daily = daily_statistics(meas, slots_per_day=288, approx_capacity=True)
     clip = clipping_stats(meas)
     report = dataset_report(daily)
     clip_report = clip.groupBy("site").agg(

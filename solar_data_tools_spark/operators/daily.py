@@ -39,6 +39,7 @@ def daily_statistics(
     value_col: str = "value",
     density_threshold: float = 0.02,
     sun_threshold_frac: float = 0.05,
+    approx_capacity: bool = False,
 ) -> DataFrame:
     """One wide pass building the ``fact_daily`` table.
 
@@ -60,8 +61,13 @@ def daily_statistics(
 
     Requires ``hod`` (fractional hour) on the input; the per-site capacity
     is computed once and broadcast back (tiny table).
+    ``approx_capacity=True`` (the pipeline default) uses the mergeable
+    ``percentile_approx`` sketch instead of the exact sort-based
+    percentile — the right trade at fleet scale; oracle tests pin exact.
     """
-    cap = site_capacity(df, site_col=site_col, value_col=value_col)
+    cap = site_capacity(
+        df, site_col=site_col, value_col=value_col, approx=approx_capacity
+    )
     v = F.col(value_col)
     with_cap = df.join(F.broadcast(cap), on=site_col)
     sun_thresh = F.col("capacity") * F.lit(sun_threshold_frac)

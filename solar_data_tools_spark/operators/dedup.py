@@ -180,7 +180,7 @@ def minhash_signatures(
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
-    num_hashes: int | None = None,
+    num_hashes: int = 64,
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -193,11 +193,8 @@ def minhash_lsh_candidates(
     never the full cross product.
     """
     blocks = block_cols or []
-    if num_hashes is None:
-        sig_len_row = signatures.select(F.size("signature").alias("n")).first()
-        if sig_len_row is None:
-            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-        num_hashes = sig_len_row["n"]
+    # num_hashes is required (no mid-plan .first() to infer it — a hidden
+    # driver action in a hot path triggers an extra job)
     r = num_hashes // bands
     banded = signatures.select(
         F.col(id_col),

@@ -130,6 +130,34 @@ def random_hyperplane_signatures(
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
 
 
+def _band_layout(n_bits: int, bands: int) -> list[tuple[int, int]]:
+    """Partition ``n_bits`` signature bits into ``bands`` contiguous
+    (start, width) slices; leftover bits spread over the leading bands."""
+    base, extra = divmod(n_bits, bands)
+    layout, start = [], 0
+    for i in range(bands):
+        width = base + (1 if i < extra else 0)
+        layout.append((start, width))
+        start += width
+    return layout
+
+
+def _banded_bits(sig_col: Column, layout: list[tuple[int, int]]) -> Column:
+    """array<struct<band_ix, band_bits>> — one slice of the signature per
+    band, extracted with shifts/masks (pure codegen, no Python)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_ix"),
+                F.shiftright(sig_col, start)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+            for i, (start, width) in enumerate(layout)
+        ]
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -139,14 +167,31 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bands: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors whose hyperplane
     signature is within ``max_hamming`` bits of the query signature; exact
     cosine re-rank of candidates only.
 
-    At scale the corpus signature table is tiny per bucket; the exact-rank
-    join touches only candidate rows instead of the full corpus.
+    Candidate generation is a banded hash EQUI-join, never an all-pairs
+    comparison: the signature is sliced into ``bands`` bit-ranges with
+    ``bands > max_hamming``, so by pigeonhole any pair within
+    ``max_hamming`` differing bits agrees EXACTLY on at least one band and
+    is recalled by a join on (band_ix, band_bits). False candidates from
+    the band join are removed by the exact Hamming filter, so results are
+    identical to a full signature scan — but the corpus meets only its
+    bucket collisions, and the corpus vector table itself never shuffles
+    (candidates and query vectors are the broadcast sides).
     """
+    n_planes = len(planes)
+    if max_hamming >= n_planes:
+        raise ValueError("max_hamming must be < number of hyperplanes")
+    if bands is None:
+        bands = max_hamming + 1
+    if not (max_hamming < bands <= n_planes):
+        raise ValueError("need max_hamming < bands <= n_planes for exact recall")
+    layout = _band_layout(n_planes, bands)
+
     c_sig = random_hyperplane_signatures(embeddings, planes, id_col, vec_col)
     q_sig = random_hyperplane_signatures(
         queries.withColumnRenamed(query_id_col, id_col), planes, id_col, vec_col
@@ -155,12 +200,33 @@ def lsh_topk(
         F.col(vec_col).alias("_qvec"),
         F.col("lsh_sig").alias("_qsig"),
     )
-    cand = c_sig.join(
-        F.broadcast(q_sig), F.col(id_col) != F.col(query_id_col)
-    ).where(
-        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("_qsig"))) <= max_hamming
+    c_band = c_sig.select(
+        F.col(id_col),
+        F.col("lsh_sig"),
+        F.explode(_banded_bits(F.col("lsh_sig"), layout)).alias("_b"),
+    ).select(id_col, "lsh_sig", "_b.band_ix", "_b.band_bits")
+    q_band = q_sig.select(
+        F.col(query_id_col),
+        F.col("_qsig"),
+        F.explode(_banded_bits(F.col("_qsig"), layout)).alias("_b"),
+    ).select(query_id_col, "_qsig", "_b.band_ix", "_b.band_bits")
+    cand = (
+        c_band.join(F.broadcast(q_band), on=["band_ix", "band_bits"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .where(
+            F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("_qsig"))) <= max_hamming
+        )
+        .select(query_id_col, id_col)
+        .distinct()
     )
-    scored = cand.withColumn("cosine_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    q_vec = q_sig.select(query_id_col, "_qvec")
+    scored = (
+        _as_double(embeddings, vec_col)
+        .select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+        .join(F.broadcast(cand), on=id_col)
+        .join(F.broadcast(q_vec), on=query_id_col)
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -73,16 +73,22 @@ def run_pipeline(
     clamped = clamp_to_null(measurements, "value", min_val, max_val)
     standardized = standardize_time_axis(clamped, sampling_seconds)
 
+    # deterministic seq: the absolute grid slot index. Unlike
+    # monotonically_increasing_id() it survives task retries / plan
+    # re-evaluation unchanged (pure function of grid_ts).
+    us = int(sampling_seconds) * 1_000_000
     std_meas = with_time_columns(
         standardized.select(
             "site",
             F.col("grid_ts").alias("ts"),
-            F.monotonically_increasing_id().alias("seq"),
+            (F.unix_micros("grid_ts") / F.lit(us)).cast("long").alias("seq"),
             "value",
         ),
         sampling_seconds=sampling_seconds,
     )
-    daily = daily_statistics(std_meas, slots_per_day=slots_per_day)
+    daily = daily_statistics(
+        std_meas, slots_per_day=slots_per_day, approx_capacity=True
+    )
     clip = clipping_stats(std_meas)
     daily = daily.join(clip, on=["site", "date"], how="left")
     report = dataset_report(daily)
