@@ -51,6 +51,13 @@ def get_spark(
         # disable the fast path.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Spark 4 infers naive parquet timestamps (timestamp[us], no tz) as
+        # TIMESTAMP_NTZ, which breaks every unix_micros()/unix_timestamp()
+        # call site. Session tz is pinned UTC, so reading naive stamps as
+        # TIMESTAMP (UTC instant) is semantically identical to the
+        # reference's pandas-naive handling. read_table() additionally
+        # casts defensively in case this conf is missing on a shared session.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -67,7 +74,7 @@ def read_table(spark: SparkSession, path: str):
     truncate ns -> us).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     ns_cols: list[str] = []
     try:
@@ -90,6 +97,15 @@ def read_table(spark: SparkSession, path: str):
             df = df.withColumn(
                 name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000"))
             )
+    # Defensive NTZ normalization: naive parquet timestamps must surface as
+    # TIMESTAMP (UTC session tz) so unix_micros()/window exprs resolve. The
+    # cast is wall-clock-preserving under a UTC session tz, matching the
+    # reference's pandas-naive semantics (time_axis_manipulation.py:270-311).
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for name in ntz_cols:
+        df = df.withColumn(name, F.col(name).cast(TimestampType()))
     return df
 
 

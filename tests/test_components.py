@@ -251,3 +251,40 @@ def test_asof_join_directions(spark):
         left, right, on="k", tolerance_seconds=10, direction="backward"
     ).collect()
     assert forward[0]["v"] is None  # tolerance excludes the 60s-old row
+
+
+# --------------------------------------------------------- NTZ ingest (r04)
+def test_read_table_normalizes_timestamp_ntz(spark, sf_small, tmp_path):
+    """Spark 4 infers naive parquet timestamps as TIMESTAMP_NTZ; the driver's
+    own session may have that inference ON. read_table must normalize to
+    TIMESTAMP so unix_micros()-based operators (sessionize, T1, T2) resolve.
+    Regression for the round-3 q14/q19/q26/q27/q32/q76 crash family."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from solar_data_tools_spark.operators.canonical import events_as_measurements
+    from solar_data_tools_spark.operators.sessions import sessionize
+    from solar_data_tools_spark.operators.time_axis import (
+        infer_sampling_seconds,
+        standardize_time_axis,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        path = f"{sf_small}/events.parquet"
+        raw = spark.read.parquet(path)
+        # precondition: without normalization the column IS NTZ (else this
+        # test is vacuous for the regression it guards)
+        assert isinstance(raw.schema["ts"].dataType, TimestampNTZType)
+        events = read_table(spark, path)
+        assert isinstance(events.schema["ts"].dataType, TimestampType)
+        meas = events_as_measurements(events)
+        sessions = sessionize(meas, gap_seconds=1800)
+        assert sessions.limit(1).count() >= 0
+        sampling = infer_sampling_seconds(meas)
+        assert sampling.count() > 0
+        grid = standardize_time_axis(meas.limit(5000), sampling_seconds=300)
+        assert grid.limit(1).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
