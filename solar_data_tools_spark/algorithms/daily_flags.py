@@ -84,10 +84,16 @@ def detect_capacity_changes(
 ) -> DataFrame:
     """Capacity-change labels (reference: capacity_change.py:38-116 + D3).
 
-    TV-denoise the per-day log-quantile metric into a piecewise-constant
-    level signal; rounding levels to ``round_base`` (custom_round, F10)
-    yields integer regime labels; a change is flagged where the label
-    steps. Output: (site, date, cap_level, capacity_label, cap_changed).
+    Decompose the per-day log-quantile metric with the exact D3 model
+    (``l1_pwc_smoothper_trend``: l1 residual + weighted-TV piecewise
+    constant + smooth periodic + bounded trend); rounding the
+    piecewise-constant component to ``round_base`` bins aligned to its
+    first value (custom_round, capacity_change.py:100-103) yields integer
+    regime labels; a change is flagged where the label steps.
+    Output: (site, date, cap_level, capacity_label, cap_changed).
+
+    ``w1`` is the TV weight (the reference's tuned ``w2``; its holdout
+    grid is logspace(-0.5, 2.5, 13), capacity_change.py:75).
     """
     ensure_package_on_executors(daily.sparkSession)
     schema = _site_schema(
@@ -97,12 +103,24 @@ def detect_capacity_changes(
     )
 
     def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        from solar_data_tools_spark.solvers.tv import tv1d_denoise_nan
+        from solar_data_tools_spark.solvers.exact import (
+            solve_l1_pwc_smoothper_trend,
+        )
 
         pdf = pdf.sort_values("date").reset_index(drop=True)
         metric = pdf[metric_col].to_numpy(dtype=np.float64)
-        level = tv1d_denoise_nan(metric, w1)
-        rounded = np.round(level / round_base) * round_base
+        finite = np.isfinite(metric)
+        if finite.sum() >= 16:
+            level, _seas, _lin, _obj = solve_l1_pwc_smoothper_trend(
+                metric, w2=w1, period=min(float(len(metric)), 365.2425)
+            )
+            # reference alignment: bins anchored at the first pwc value
+            level = np.where(finite, level, np.nan)
+            base0 = level[finite][0]
+            rounded = np.round((level - base0) / round_base) * round_base + base0
+        else:
+            level = np.where(finite, metric, np.nan)
+            rounded = np.where(finite, 0.0, np.nan)
         # labels: dense rank of distinct levels in order of appearance
         labels = np.zeros(len(rounded), dtype=np.int32)
         seen: dict[float, int] = {}
@@ -267,46 +285,122 @@ def quality_clustering(
 
 
 # ---------------------------------------------------------------- clipping
+def point_mass_locations(
+    y_hat: np.ndarray,
+    x_rs: np.ndarray,
+    threshold: float = -0.35,
+    min_slope: float = 3e-4,
+) -> np.ndarray:
+    """Point-mass values from a fitted CDF (reference: clipping.py:130-199).
+
+    A point mass (a vertical jump in the true CDF) shows up in the
+    piecewise-linear fit as a steep cell whose slope then collapses: the
+    windowed second difference divided by the entering slope drops below
+    ``threshold`` (relative slope drop of >35%). Windows of 1-3 grid cells
+    catch masses smeared over neighboring cells; clusters reduce to their
+    strongest cell; a still-rising final slope is an end-of-support mass.
+    """
+    d1 = np.diff(y_hat)
+    curv = np.diff(y_hat, n=2)
+    nm = len(curv)
+    ref_slope = d1[:-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cand = []
+        for wdw in (1, 2, 3):
+            sums = np.convolve(curv, np.ones(wdw), mode="full")[wdw - 1 : nm]
+            v = np.empty(nm)
+            v[: len(sums)] = sums / ref_slope[: len(sums)]
+            v[len(sums) :] = curv[len(sums) :] / ref_slope[len(sums) :]
+            cand.append(v)
+        metric = np.min(cand, axis=0)
+    metric = np.where(np.isfinite(metric), metric, 0.0)
+    core = (metric <= threshold) & (ref_slope > min_slope)
+    # end-of-support point mass: CDF still rising steeply at x = 1
+    if d1[-1] > 1e-3 or np.isclose(d1[-1], d1.max()):
+        core[-1] = True
+    # cluster reduction: one representative (most negative metric) per run
+    pm = np.zeros(len(y_hat), dtype=bool)
+    i = 0
+    while i < nm:
+        if core[i]:
+            j = i
+            while j + 1 < nm and core[j + 1]:
+                j += 1
+            best = i + int(np.argmin(metric[i : j + 1]))
+            pm[best + 1] = True  # curv index i sits at grid position i+1
+            i = j + 1
+        else:
+            i += 1
+    return x_rs[pm]
+
+
 def detect_clipping(
     daily: DataFrame,
     stat_col: str = "clip_stat_1",
+    stat2_col: str = "clip_stat_2",
     site_col: str = "site",
-    grid_points: int = 201,
-    deriv_factor: float = 3.0,
-    min_level: float = 0.85,
+    grid_points: int = 1001,
+    threshold: float = -0.35,
+    weight: float = 5.0,
+    pm_neighborhood: float = 0.0075,
 ) -> DataFrame:
-    """Inverter-clipping day flags (reference: clipping.py:40-198 + D4).
+    """Inverter-clipping day flags (reference: clipping.py:25-135 + D4).
 
-    Per site: resample the empirical CDF of the daily-max ratio onto an
-    even grid (A11), fit the piecewise-linear constrained model (D4,
-    l1-of-second-diff), and mark point masses — grid cells whose fitted
-    derivative exceeds ``deriv_factor`` x the median derivative at levels
-    above ``min_level``. Days whose stat falls in a point-mass interval are
-    flagged ``clipped``.
+    Per site, the reference pipeline end-to-end:
+
+    1. empirical CDF of ``clip_stat_1`` with 0 and 1 appended, resampled
+       onto an even value grid (clipping.py:360-370; the reference grid is
+       5000 — 1001 keeps the dense D4 solve sub-second with no detection
+       change at fleet stat counts);
+    2. piecewise-linear fit via the exact D4 solver (l2 residual + l1 of
+       second differences, endpoints pinned to 0/1);
+    3. point masses from the relative-curvature metric
+       (``point_mass_locations`` above);
+    4. a day is clipped when clip_stat_1 > 0.05, clip_stat_2 > 0.1 and
+       clip_stat_1 lies within ``pm_neighborhood`` of a point mass
+       (clipping.py:70-93).
     """
     ensure_package_on_executors(daily.sparkSession)
     schema = _site_schema(daily, site_col, f"{stat_col} double, clipped boolean")
 
     def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        from solar_data_tools_spark.solvers.decompositions import (
-            l2_l1d2_constrained_fit,
+        from solar_data_tools_spark.solvers.exact import (
+            solve_l2_l1d2_constrained,
         )
 
         pdf = pdf.sort_values("date").reset_index(drop=True)
         stat = pdf[stat_col].to_numpy(dtype=np.float64)
-        finite = stat[np.isfinite(stat)]
+        stat2 = (
+            pdf[stat2_col].to_numpy(dtype=np.float64)
+            if stat2_col in pdf.columns
+            else np.ones_like(stat)
+        )
+        finite = stat[np.isfinite(stat) & (stat > 0)]
         clipped = np.zeros(len(stat), dtype=bool)
         if len(finite) >= 10:
-            qs = np.linspace(0.0, 1.0, grid_points)
-            cdf_vals = np.quantile(finite, qs)
-            fit = l2_l1d2_constrained_fit(cdf_vals, w=5.0)
-            deriv = np.gradient(fit, qs)
-            med = np.median(deriv[deriv > 0]) if (deriv > 0).any() else 0.0
-            mass = (deriv <= med / deriv_factor) & (fit >= min_level)
-            # a point mass in the VALUE domain is a flat run in the CDF fit
-            if mass.any():
-                lo = float(fit[mass].min())
-                clipped = np.isfinite(stat) & (stat >= lo)
+            xs = np.concatenate([[0.0], np.sort(finite), [1.0]])
+            ys = np.linspace(0.0, 1.0, len(xs))
+            # grid resolution only needs to resolve the empirical CDF's
+            # own structure (~len(finite) steps) and the pm_neighborhood
+            # radius; oversampling a short series onto the full grid makes
+            # the dense D4 solve ~25x slower for identical detections.
+            gp = int(min(grid_points, max(101, 8 * len(finite))))
+            x_rs = np.linspace(0.0, 1.0, gp)
+            y_rs = np.interp(x_rs, xs, ys)
+            fit, _obj = solve_l2_l1d2_constrained(
+                y_rs, w1=weight, admm_iters=1000
+            )
+            pms = point_mass_locations(fit, x_rs, threshold=threshold)
+            if len(pms):
+                near = np.zeros(len(stat), dtype=bool)
+                for x0 in pms:
+                    near |= np.abs(stat - x0) < pm_neighborhood
+                clipped = (
+                    np.isfinite(stat)
+                    & (stat > 0.05)
+                    & np.where(np.isfinite(stat2), stat2 > 0.1, True)
+                    & near
+                )
         return pd.DataFrame(
             {
                 site_col: pdf[site_col],
@@ -317,6 +411,8 @@ def detect_clipping(
         )
 
     cols = [site_col, "date", stat_col]
+    if stat2_col in daily.columns:
+        cols.append(stat2_col)
     return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
 
 

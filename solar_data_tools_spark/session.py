@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE's parallelism-first coalescing binding: CPU-heavy
+        # grouped-map (solver) stages shuffle only a few hundred KB, and
+        # the default 1 MB minPartitionSize would fold them into one task.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are on by default;

@@ -18,9 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solar_data_tools_spark.solvers.basis import fourier_basis
-
-
 def quantile_regression_irls(
     X: np.ndarray,
     y: np.ndarray,
@@ -63,25 +60,30 @@ def tl1_l2d2p365_fit(
 
     Parity target: ``tl1_l2d2p365`` (signal_decompositions.py:127-185) —
     pinball(tau) residual + smooth periodic component with period 365.2425.
-    The smooth periodic component is parameterized directly on a truncated
-    Fourier basis (equivalent regularization path to the reference's
-    l2-of-second-diff with periodicity constraint), so the solve is a tiny
-    weighted least-squares iteration instead of a cone program.
+    Delegates to the exact ADMM solver (``solvers.exact``), which is
+    validated against the reference's own fixture files at the reference
+    tolerances (tests/test_solver_fixtures.py).
 
     Returns the fitted seasonal values (same length as ``y``); NaNs in
     ``y`` are excluded from the fit and filled in the output.
     """
+    from solar_data_tools_spark.solvers.exact import solve_tl1_l2d2p365
+
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
-    t = np.arange(n, dtype=np.float64)
-    X = fourier_basis(t, num_harmonics=num_harmonics, period=period)
     mask = np.isfinite(y)
     if use_ixs is not None:
         mask &= np.asarray(use_ixs, dtype=bool)
-    if mask.sum() < X.shape[1] + 1:
+    if mask.sum() < 2 * num_harmonics + 2:
         return np.full(n, np.nan)
-    beta = quantile_regression_irls(X[mask], y[mask], tau=tau)
-    return X @ beta
+    s_seas, _obj = solve_tl1_l2d2p365(
+        y,
+        tau=tau,
+        use_ixs=use_ixs,
+        num_harmonics=num_harmonics,
+        period=period,
+    )
+    return s_seas
 
 
 def l2_l1d1_l2d2p365_fit(
@@ -97,33 +99,23 @@ def l2_l1d1_l2d2p365_fit(
 
     Parity target: ``l2_l1d1_l2d2p365`` (signal_decompositions.py:45-124):
     l2 residual + l1-of-first-diff (piecewise constant, weight w1) +
-    smooth periodic seasonal. Solved by exact alternating minimization —
-    each subproblem is solved globally (Fourier least squares / direct TV
-    via Condat's algorithm), so the block-coordinate descent is
-    deterministic and monotone.
+    smooth periodic seasonal. Delegates to the exact ADMM + support-polish
+    solver (``solvers.exact``), fixture-validated against the reference's
+    published outputs (tests/test_solver_fixtures.py).
 
     Returns (pwc, seasonal); NaNs in y are masked out of both fits.
     """
-    from solar_data_tools_spark.solvers.tv import tv1d_denoise_nan
+    from solar_data_tools_spark.solvers.exact import solve_l2_l1d1_l2d2p365
 
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
-    t = np.arange(n, dtype=np.float64)
-    X = fourier_basis(t, num_harmonics=num_harmonics, period=period,
-                      include_intercept=False)
     mask = np.isfinite(y)
-    if mask.sum() < X.shape[1] + 2:
+    if mask.sum() < 2 * num_harmonics + 3:
         return np.full(n, np.nan), np.full(n, np.nan)
-
-    seasonal = np.zeros(n)
-    pwc = np.zeros(n)
-    for _ in range(n_iter):
-        resid = y - seasonal
-        pwc = tv1d_denoise_nan(resid, w1)
-        resid2 = y - pwc
-        beta = np.linalg.lstsq(X[mask], resid2[mask], rcond=None)[0]
-        seasonal = X @ beta
-    return pwc, seasonal
+    s_hat, s_seas, _obj = solve_l2_l1d1_l2d2p365(
+        y, w1=w1, num_harmonics=num_harmonics, period=period
+    )
+    return s_hat, s_seas
 
 
 def l2_l1d2_constrained_fit(
@@ -136,42 +128,27 @@ def l2_l1d2_constrained_fit(
     difference, constrained to f(0)=y[0], f(end)=y[-1].
 
     Parity target: ``l2_l1d2_constrained`` (signal_decompositions.py:229-
-    256), used by clipping detection on the 5000-point resampled CDF. The
-    l1-of-D2 term is handled by IRLS (reweighted quadratic smoothing);
-    endpoint constraints by elimination. Deterministic.
+    256), used by clipping detection on the resampled CDF. Delegates to
+    the exact ADMM + support-polish solver (``solvers.exact``), which pins
+    x[0]=0, x[-1]=1; general endpoints are handled by the affine map
+    x = a + (b-a) x_hat, under which the l1 weight rescales to w/(b-a).
 
     Scale note: dense solve is O(n^3) — fine at the CDF grid sizes the
     reference uses after resampling (<= a few thousand); the resample step
     (A11) is what keeps n bounded, exactly as in the reference.
     """
+    from solar_data_tools_spark.solvers.exact import solve_l2_l1d2_constrained
+
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
     if n < 4:
         return y.copy()
-    # second-difference operator
-    D = np.zeros((n - 2, n))
-    for i in range(n - 2):
-        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
-    wts = np.ones(n - 2)
-    x = y.copy()
-    I = np.eye(n)
-    for _ in range(n_irls):
-        A = I + w * (D.T * wts) @ D
-        # endpoint equality via large quadratic penalty (exact in the limit;
-        # 1e8 puts the residual far below the comparison tolerance)
-        A[0, 0] += 1e8
-        A[-1, -1] += 1e8
-        b = y.copy()
-        b[0] += 1e8 * y[0]
-        b[-1] += 1e8 * y[-1]
-        x_new = np.linalg.solve(A, b)
-        d2 = D @ x_new
-        wts = 1.0 / np.maximum(np.abs(d2), eps)
-        if np.max(np.abs(x_new - x)) < 1e-9:
-            x = x_new
-            break
-        x = x_new
-    return x
+    a, b = float(y[0]), float(y[-1])
+    if not np.isfinite(a) or not np.isfinite(b) or abs(b - a) < 1e-12:
+        return y.copy()
+    y_norm = (y - a) / (b - a)
+    x_norm, _obj = solve_l2_l1d2_constrained(y_norm, w0=1.0, w1=w / abs(b - a))
+    return a + (b - a) * x_norm
 
 
 def fit_seasonal_quantile(

@@ -111,6 +111,22 @@ def _soft(v: np.ndarray, k) -> np.ndarray:
     return np.sign(v) * np.maximum(np.abs(v) - k, 0.0)
 
 
+def _admm_converged(r_prim: np.ndarray, z_step: np.ndarray, rho: float,
+                    tol: float = 1e-8) -> bool:
+    """Early-exit test: primal residual and (scaled) dual step both tiny.
+
+    The dual residual is rho * ||A' (z - z_prev)||; dropping the constant
+    operator keeps the check allocation-free, and the tolerance is far
+    below the fixture tolerances (MAE 1e-3), so stopping here never costs
+    parity — it only trims the fixed-iteration overdrive that dominates
+    wall time on short (fleet-daily-length) series.
+    """
+    return (
+        float(np.max(np.abs(r_prim), initial=0.0)) < tol
+        and rho * float(np.max(np.abs(z_step), initial=0.0)) < tol
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1: l2_l1d1_l2d2p365
 # ---------------------------------------------------------------------------
@@ -171,28 +187,40 @@ def solve_l2_l1d1_l2d2p365(
     u0 = (Kinv @ base_rhs)[:nu]
     Kg = Kinv[:nu, :nu] @ (rho * G.T)
 
+    y_scale = max(1.0, float(np.abs(yc).max()) if T else 1.0)
     z = np.zeros(m)
     s = np.zeros(m)
     alpha = 1.8
     u = u0.copy()
-    for _ in range(admm_iters):
+    for it in range(admm_iters):
         u = u0 + Kg @ (z - s)
         Du = G[:, p:] @ u[p:]
         Dh = alpha * Du + (1.0 - alpha) * z
+        z_prev = z
         z = _soft(Dh + s, w1 / rho)
         s += Dh - z
+        # converged when both ADMM residuals are tiny (checked cheaply each
+        # iter — every array here is already in hand); the support polish
+        # below recovers the exact optimum from the detected pattern.
+        if it % 25 == 24 and _admm_converged(Du - z, z - z_prev, rho,
+                                             tol=1e-8 * y_scale):
+            break
 
     # support-pattern polish: fix zero pattern of D x, solve the resulting
     # equality-constrained QP with the active-sign linear term exactly.
     theta, xt, ok = _polish_l1d1(X, yc[use], q, c, D, z, w1, p, n)
     if not ok:
         theta, xt = u[:p], u[p:]
-        for _ in range(4 * admm_iters):
+        for it in range(4 * admm_iters):
             u = u0 + Kg @ (z - s)
             Du = G[:, p:] @ u[p:]
             Dh = alpha * Du + (1.0 - alpha) * z
+            z_prev = z
             z = _soft(Dh + s, w1 / rho)
             s += Dh - z
+            if it % 25 == 24 and _admm_converged(Du - z, z - z_prev, rho,
+                                                 tol=1e-11 * y_scale):
+                break
         theta2, xt2, ok2 = _polish_l1d1(X, yc[use], q, c, D, z, w1, p, n)
         if ok2:
             theta, xt = theta2, xt2
@@ -256,7 +284,7 @@ def solve_tl1_l2d2p365(
     num_harmonics: int = 3,
     period: float = PERIOD_DAYS,
     admm_iters: int = 30000,
-    rho: float = 0.5,
+    rho: float = 0.1,
 ):
     """Minimize  w0 * sum_use pinball_tau(y - B th) + th' Q th.
 
@@ -272,22 +300,49 @@ def solve_tl1_l2d2p365(
     q = harmonic_penalty(num_harmonics, w2, period) + 1e-12
     Bu = B[use]
     yu = y[use]
-    p = B.shape[1]
 
-    H = 2.0 * np.diag(q) + rho * (Bu.T @ Bu)
+    # SVD-whitened parameterization: Bu th = U w with orthonormal U. When
+    # period >> T (short series fit against the yearly basis) the raw trig
+    # columns are nearly collinear and plain ADMM crawls; in the whitened
+    # coordinates H = 2 Qw + rho I is perfectly conditioned, so the solve
+    # converges in a few hundred iterations regardless of series length.
+    U, sv, Vt = np.linalg.svd(Bu, full_matrices=False)
+    keep = sv > 1e-12 * (sv[0] if len(sv) else 1.0)
+    U, sv, Vt = U[:, keep], sv[keep], Vt[keep]
+    M = Vt.T / sv  # th = M @ w
+    Qw = (M.T * q) @ M
+    r_dim = U.shape[1]
+
+    H = 2.0 * Qw + rho * np.eye(r_dim)
     Hinv = np.linalg.inv(H)
+    y_scale = max(1.0, float(np.abs(yu).max()) if len(yu) else 1.0)
     z = np.zeros(len(yu))
     s = np.zeros(len(yu))
     alpha = 1.8
     lam_hi = w0 * tau / rho
     lam_lo = w0 * (1.0 - tau) / rho
-    for _ in range(admm_iters):
-        th = Hinv @ (rho * Bu.T @ (yu - z + s))
-        r = yu - Bu @ th
+    w = np.zeros(r_dim)
+    w_check = w.copy()
+    for it in range(admm_iters):
+        w = Hinv @ (rho * (U.T @ (yu - z + s)))
+        r = yu - U @ w
         rh = alpha * r + (1.0 - alpha) * z
         v = rh + s
+        z_prev = z
         z = np.where(v > lam_hi, v - lam_hi, np.where(v < -lam_lo, v + lam_lo, 0.0))
         s += rh - z
+        if it % 25 == 24:
+            # two independent stop rules: (a) standard primal/dual
+            # residuals; (b) the low-dimensional coefficient vector has
+            # stopped moving across a whole check interval — on kinky
+            # real-world series the duals can chatter indefinitely at the
+            # pinball kinks while the fit itself is long converged.
+            if _admm_converged(r - z, z - z_prev, rho, tol=1e-8 * y_scale):
+                break
+            if float(np.max(np.abs(w - w_check), initial=0.0)) < 1e-10 * y_scale:
+                break
+            w_check = w.copy()
+    th = M @ w
     r = yu - Bu @ th
     obj = float(w0 * np.sum(np.maximum(tau * r, (tau - 1.0) * r)) + th @ (q * th))
     return B @ th, obj
@@ -520,24 +575,35 @@ def _admm_pwc_smoothper_trend(yu, use, B, q3, D, tvw, w2, w4, lo, hi,
     K = P + rho * (Xr.T @ Xr + Gtv.T @ Gtv + np.outer(gb, gb))
     Kinv = np.linalg.inv(K)
 
+    y_scale = max(1.0, float(np.abs(yu).max()) if len(yu) else 1.0)
     ze = np.zeros(len(yu)); se = np.zeros(len(yu))
     zt = np.zeros(m); st = np.zeros(m)
     zb = 0.0; sb = 0.0
     alpha = 1.8
     ke = 1.0 / (T * rho)
     kt = w2 * tvw / ((T - 1) * rho)
-    for _ in range(admm_iters):
+    for it in range(admm_iters):
         rhs = rho * (Xr.T @ (yu - ze + se) + Gtv.T @ (zt - st) + gb * (zb - sb))
         u = Kinv @ rhs
         r = yu - Xr @ u
         Dx = Gtv @ u
         bet = u[-1]
         rh = alpha * r + (1.0 - alpha) * ze
+        ze_prev = ze
         ze = _soft(rh + se, ke); se += rh - ze
         Dh = alpha * Dx + (1.0 - alpha) * zt
+        zt_prev = zt
         zt = _soft(Dh + st, kt); st += Dh - zt
         bh = alpha * bet + (1.0 - alpha) * zb
         zb = min(max(bh + sb, lo), hi); sb += bh - zb
+        if (
+            it % 25 == 24
+            and _admm_converged(r - ze, ze - ze_prev, rho,
+                                tol=1e-8 * y_scale)
+            and _admm_converged(Dx - zt, zt - zt_prev, rho,
+                                tol=1e-8 * y_scale)
+        ):
+            break
     return u[:T], u[T:T + pB], float(zb), (ze, zt, zb)
 
 
@@ -613,67 +679,149 @@ def _polish_pwc(yu, use, B, q3, D, tvw, w2, w4, lo, hi, splits,
 # D4: l2_l1d2_constrained
 # ---------------------------------------------------------------------------
 
+def _apply_d2(x: np.ndarray) -> np.ndarray:
+    """D2 @ x as an O(n) stencil (x full length)."""
+    return x[2:] - 2.0 * x[1:-1] + x[:-2]
+
+
+def _apply_d2t(v: np.ndarray, n: int) -> np.ndarray:
+    """D2.T @ v as an O(n) stencil (v length n-2)."""
+    out = np.zeros(n)
+    out[: n - 2] += v
+    out[1 : n - 1] -= 2.0 * v
+    out[2:] += v
+    return out
+
+
 def solve_l2_l1d2_constrained(
     y: np.ndarray,
     w0: float = 1.0,
     w1: float = 5.0,
-    admm_iters: int = 30000,
+    admm_iters: int = 3000,
     rho: float = 100.0,
 ):
     """Minimize  w0 ||y - x||^2 + w1 ||D2 x||_1  s.t. x[0]=0, x[-1]=1.
+
+    Over-relaxed ADMM finds the kink support; an exact breakpoint polish
+    (the optimum is piecewise-linear with kinks only where D2 x != 0, so
+    the restricted problem is a tiny least-squares in the kink values)
+    recovers the interior-point optimum. Per-iteration cost is one dense
+    (T-2)^2 matvec + O(T) stencils; the polish is O(T K^2) for K kinks.
 
     Returns (s_hat, obj).
     """
     y = np.asarray(y, dtype=np.float64)
     T = len(y)
-    D = _diff2(T)
-    m = D.shape[0]
-    # eliminate pinned endpoints: x = [0, xf..., 1]
-    F = np.zeros((T, T - 2))
-    F[1:-1] = np.eye(T - 2)
-    fix = np.zeros(T); fix[-1] = 1.0
-    Df = D @ F
-    dfix = D @ fix
-    H = 2.0 * w0 * (F.T @ F) + rho * (Df.T @ Df)
+    m = T - 2
+    fix = np.zeros(T)
+    fix[-1] = 1.0
+    # H = 2 w0 I + rho * interior block of D2.T D2 (built without dense D2)
+    H = rho * _apply_d2t_d2_interior(T)
+    H[np.arange(m), np.arange(m)] += 2.0 * w0
     Hinv = np.linalg.inv(H)
-    z = np.zeros(m); s = np.zeros(m)
+    base = 2.0 * w0 * (y - fix)[1:-1]
+    z = np.zeros(m)
+    s = np.zeros(m)
     alpha = 1.8
-    for _ in range(admm_iters):
-        xf = Hinv @ (2.0 * w0 * F.T @ (y - fix) + rho * Df.T @ (z - s - dfix))
-        Dx = Df @ xf + dfix
+    x = fix.copy()
+    obj_prev = np.inf
+    obj_stable = 0
+    for it in range(admm_iters):
+        rhs_full = _apply_d2t(z - s - _apply_d2(fix), T)
+        xf = Hinv @ (base + rho * rhs_full[1:-1])
+        x = fix.copy()
+        x[1:-1] = xf
+        Dx = _apply_d2(x)
         Dh = alpha * Dx + (1.0 - alpha) * z
+        z_prev = z
         z = _soft(Dh + s, w1 / rho)
         s += Dh - z
-    x = F @ xf + fix
+        if it % 25 == 24:
+            if _admm_converged(Dx - z, z - z_prev, rho):
+                break
+            # objective-plateau stop: the breakpoint polish below recovers
+            # the exact optimum once the iterate is near-optimal, so
+            # iterate only until the true objective stops moving.
+            obj_cur = w0 * float(np.sum((y - x) ** 2)) + w1 * float(
+                np.sum(np.abs(Dx))
+            )
+            if abs(obj_prev - obj_cur) < 1e-9 * max(1.0, obj_cur):
+                obj_stable += 1
+                if obj_stable >= 4:
+                    break
+            else:
+                obj_stable = 0
+            obj_prev = obj_cur
 
-    # support-pattern polish: fix the zero pattern of D2 x, solve the
-    # equality-constrained QP, accept only if the true objective improves
     def true_obj(xx):
-        return float(w0 * np.sum((y - xx) ** 2)
-                     + w1 * np.sum(np.abs(_diff2(T) @ xx)))
+        return float(
+            w0 * np.sum((y - xx) ** 2) + w1 * np.sum(np.abs(_apply_d2(xx)))
+        )
 
     best = true_obj(x)
     sz = max(1.0, np.abs(z).max() if m else 1.0)
     for rel in (1e-3, 1e-4, 1e-5, 1e-6):
-        active = np.abs(z) > rel * sz
-        sgn = np.sign(z[active])
-        Din = Df[~active]
-        neq = Din.shape[0]
-        K = np.zeros((T - 2 + neq, T - 2 + neq))
-        K[:T - 2, :T - 2] = 2.0 * w0 * (F.T @ F) + 1e-12 * np.eye(T - 2)
-        K[:T - 2, T - 2:] = Din.T
-        K[T - 2:, :T - 2] = Din
-        rhs = np.zeros(T - 2 + neq)
-        rhs[:T - 2] = 2.0 * w0 * F.T @ (y - fix) - w1 * (Df[active].T @ sgn)
-        rhs[T - 2:] = -dfix[~active]
-        try:
-            sol = np.linalg.solve(K, rhs)
-        except np.linalg.LinAlgError:
+        cand = _polish_l1d2_breakpoints(y, z, w0, w1, rel * sz)
+        if cand is None:
             continue
-        cand = F @ sol[:T - 2] + fix
         o = true_obj(cand)
         if o < best - 1e-15:
             best = o
             x = cand
     obj = true_obj(x)
     return x, obj
+
+
+def _apply_d2t_d2_interior(T: int) -> np.ndarray:
+    """Interior (T-2)^2 block of D2.T @ D2, assembled from its stencil."""
+    # accumulate sum_r outer(row_r, row_r) over the D2 stencil rows
+    # (e_r - 2 e_{r+1} + e_{r+2}) without materializing dense D2
+    A = np.zeros((T, T))
+    rows = np.arange(T - 2)
+    for o1, c1 in ((0, 1.0), (1, -2.0), (2, 1.0)):
+        for o2, c2 in ((0, 1.0), (1, -2.0), (2, 1.0)):
+            np.add.at(A, (rows + o1, rows + o2), c1 * c2)
+    return A[1:-1, 1:-1]
+
+
+def _polish_l1d2_breakpoints(y, z, w0, w1, tol):
+    """Exact restricted solve: fix the kink support from z, parameterize x
+    by its values at the kinks (piecewise-linear between breakpoints,
+    endpoints pinned to 0 and 1), minimize the now-smooth objective."""
+    T = len(y)
+    active = np.abs(z) > tol
+    kinks = np.where(active)[0] + 1  # interior positions of nonzero D2
+    sgn = np.sign(z[active])
+    K = len(kinks)
+    bp = np.concatenate([[0], kinks, [T - 1]]).astype(np.int64)
+    # interpolation: x = M @ v + m0, v = x at interior kinks; endpoints 0, 1
+    t = np.arange(T, dtype=np.float64)
+    M = np.zeros((T, K))
+    m0 = np.zeros(T)
+    vals_fixed = {0: 0.0, T - 1: 1.0}
+    for j in range(len(bp) - 1):
+        a, b = bp[j], bp[j + 1]
+        seg = slice(a, b + 1)
+        alpha = (t[seg] - a) / float(b - a)
+        for pos, wcol in ((j, 1.0 - alpha), (j + 1, alpha)):
+            p = bp[pos]
+            if p in vals_fixed:
+                m0[seg] += vals_fixed[p] * wcol
+            else:
+                M[seg, pos - 1] += wcol
+    if K == 0:
+        return m0
+    # linear term from the active l1 pieces: w1 * sgn' D2_active x
+    g = np.zeros(T)
+    for i, kk in enumerate(np.where(active)[0]):
+        g[kk] += w1 * sgn[i]
+        g[kk + 1] -= 2.0 * w1 * sgn[i]
+        g[kk + 2] += w1 * sgn[i]
+    lin = M.T @ g
+    A = 2.0 * w0 * (M.T @ M)
+    rhs = 2.0 * w0 * (M.T @ (y - m0)) - lin
+    try:
+        v = np.linalg.solve(A + 1e-12 * np.eye(K), rhs)
+    except np.linalg.LinAlgError:
+        return None
+    return M @ v + m0
