@@ -10,7 +10,6 @@ from solar_data_tools_spark.registry import QUERIES
 from tests.oracle_utils import compare, duckdb_run
 
 WITH_ORACLE = [n for n, s in QUERIES.items() if s.oracle is not None]
-ROWS_ONLY = [n for n, s in QUERIES.items() if s.oracle is None]
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -21,10 +20,5 @@ def test_oracle_parity(spark, sf_small, name):
     compare(spark_df, oracle, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, sf_small, name):
-    spec = QUERIES[name]
-    df = spec.fn(spark, sf_small)
-    n = df.count()
-    assert n >= 0
-    assert len(df.schema.fields) > 0
+# Rows-only (no-oracle) queries are checked by per-query semantic
+# invariants in tests/test_semantic_invariants.py.

@@ -1,0 +1,399 @@
+"""Semantic invariants for the rows-only (no-oracle) registry queries.
+
+The DuckDB oracle cannot express iterative solvers, LSH, or stateful
+algorithms, so each rows-only query gets a real per-query assertion here
+instead of the former "it runs" check: reconstruction identities (q66
+energy preservation), order properties (q68/q72/q85 non-crossing
+quantiles), internal consistency (q61 label/changed agreement), and
+recomputed ground truth where the base tables allow it (q49 true top-k
+recall, q47 exact-duplicate subset, q64 stat threshold).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from solar_data_tools_spark.registry import QUERIES
+
+ROWS_ONLY = [n for n, s in QUERIES.items() if s.oracle is None]
+
+
+def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+@pytest.fixture(scope="module")
+def results(spark, sf_small):
+    cache: dict[str, pd.DataFrame] = {}
+
+    def get(name: str) -> pd.DataFrame:
+        if name not in cache:
+            cache[name] = QUERIES[name].fn(spark, sf_small).toPandas()
+        return cache[name]
+
+    return get
+
+
+def test_q47_minhash_invariants(results, sf_small):
+    df = results("q47_minhash_near_dups")
+    # pairs canonical and unique, similarity a valid Jaccard estimate
+    assert (df.id_a < df.id_b).all()
+    assert not df.duplicated(["id_a", "id_b"]).any()
+    assert df.jaccard.between(0.0, 1.0).all()
+    # lossless floor: exact duplicate docs have identical signatures, so
+    # every exact-duplicate pair MUST be reported with jaccard 1.0
+    dups = _duck(
+        sf_small,
+        """
+        select a.doc_id as id_a, b.doc_id as id_b
+        from documents a join documents b
+          on a.text = b.text and a.doc_id < b.doc_id
+        """,
+    )
+    if len(dups):
+        got = set(zip(df.id_a, df.id_b))
+        for pair in zip(dups.id_a, dups.id_b):
+            assert pair in got, f"exact dup pair {pair} missed by minhash"
+
+
+def test_q48_simhash_invariants(results, sf_small):
+    df = results("q48_simhash")
+    ndocs = int(_duck(sf_small, "select count(*) n from documents").n[0])
+    assert len(df) == ndocs
+    assert not df.doc_id.duplicated().any()
+    assert df.simhash.notna().all()
+    # identical text => identical fingerprint
+    same = _duck(
+        sf_small,
+        """
+        select a.doc_id as id_a, b.doc_id as id_b
+        from documents a join documents b
+          on a.text = b.text and a.doc_id < b.doc_id
+        """,
+    )
+    if len(same):
+        sh = df.set_index("doc_id").simhash
+        for a, b in zip(same.id_a, same.id_b):
+            assert sh[a] == sh[b]
+
+
+def test_q49_lsh_topk_exact_contract(results, sf_small):
+    """lsh_topk's contract is EXACT top-k within the hamming<=6 candidate
+    set (pigeonhole-lossless band join + exact re-rank), so the whole
+    pipeline is recomputable in numpy with the same seeded planes."""
+    import random
+
+    df = results("q49_lsh_topk")
+    emb = _duck(sf_small, "select vec_id, embedding from embeddings")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.maximum(norms[:, None], 1e-12)
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    rng = random.Random(42)
+    planes = np.array(
+        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(16)]
+    )
+    bits = (mat @ planes.T >= 0).astype(np.int64)
+    sigs = (bits << np.arange(16)).sum(axis=1)
+    k, max_hamming = 5, 6
+    for qid, g in df.groupby("query_id"):
+        qi = id_to_row[qid]
+        ham = np.array(
+            [bin(int(s) ^ int(sigs[qi])).count("1") for s in sigs]
+        )
+        cand = (ham <= max_hamming) & (ids != qid)
+        sims = unit[cand] @ unit[qi]
+        cand_ids = ids[cand]
+        order = np.argsort(-sims)
+        expect_n = min(k, cand.sum())
+        assert len(g) == expect_n, (qid, len(g), expect_n)
+        # every returned pair's cosine is the true cosine, and the set is
+        # the candidate-set top-k (ties allowed at the cut boundary)
+        got_cos = []
+        for _, r in g.iterrows():
+            true_cos = float(unit[id_to_row[r.vec_id]] @ unit[qi])
+            assert abs(true_cos - r.cosine_sim) < 1e-4
+            got_cos.append(true_cos)
+        kth = sims[order[expect_n - 1]]
+        assert min(got_cos) >= kth - 1e-9
+
+
+def test_q50_seasonal_fit_coverage(results, sf_small):
+    df = results("q50_seasonal_fit")
+    energy = _duck(
+        sf_small,
+        """
+        select user_id as site, cast(ts as date) as date,
+               sum(value) * 24 / 288 as energy
+        from events group by 1, 2
+        """,
+    )
+    energy["date"] = pd.to_datetime(energy.date)
+    df = df.assign(date=pd.to_datetime(df.date))
+    j = df.merge(energy, on=["site", "date"])
+    assert len(j) == len(df)
+    fin = j[np.isfinite(j.seasonal_fit)]
+    assert len(fin) > 0.9 * len(j)
+    # tau=0.75 pinball fit: roughly a quarter of days exceed the fit
+    frac_above = float((fin.energy > fin.seasonal_fit).mean())
+    assert 0.05 < frac_above < 0.55, frac_above
+
+
+def test_q60_shift_detection_consistent(results):
+    df = results("q60_time_shift_detection")
+    assert np.isfinite(df.noon_pwc).mean() > 0.9
+    sh = df.shift_hours.dropna()
+    # min_shift_hours=1.0 gates small corrections to exactly zero
+    assert ((sh == 0) | (sh.abs() >= 1.0)).all()
+    # internal consistency: shift is measured against ONE per-site base
+    # level (the first segment): pwc + shift must be constant wherever the
+    # shift is active, and within the gate of that constant elsewhere
+    for site, g in df.groupby("site"):
+        g = g.sort_values("date")
+        fin = g[np.isfinite(g.noon_pwc)]
+        if fin.empty:
+            continue
+        base = fin.noon_pwc.iloc[0]
+        active = fin[fin.shift_hours != 0]
+        if len(active):
+            recon = active.noon_pwc + active.shift_hours
+            assert np.allclose(recon, base, atol=1e-3), f"site {site}"
+        idle = fin[fin.shift_hours == 0]
+        if len(idle):
+            assert ((base - idle.noon_pwc).abs() < 1.0 + 1e-3).all(), (
+                f"site {site}"
+            )
+
+
+def test_q61_capacity_labels_consistent(results):
+    df = results("q61_capacity_change_labels")
+    for site, g in df.groupby("site"):
+        g = g.sort_values("date").reset_index(drop=True)
+        lab = g.capacity_label.to_numpy()
+        chg = g.cap_changed.to_numpy()
+        # cap_changed is exactly the label-step indicator
+        expect = np.zeros(len(lab), dtype=bool)
+        expect[1:] = lab[1:] != lab[:-1]
+        assert (chg == expect).all(), f"site {site}: changed != label step"
+        # distinct neighboring regimes differ by at least half a rounding
+        # bin in fitted level (round_base=0.05)
+        steps = np.abs(np.diff(g.cap_level.to_numpy()))[expect[1:]]
+        finite = steps[np.isfinite(steps)]
+        if len(finite):
+            assert finite.min() >= 0.025 - 1e-9, finite.min()
+
+
+def test_q62_clear_days_shape(results):
+    df = results("q62_clear_day_detection")
+    assert df.clear.dtype == bool or set(df.clear.dropna().unique()) <= {True, False}
+    assert not df.duplicated(["site", "date"]).any()
+    # the two-filter AND can never mark every day clear (smoothness
+    # criterion alone keeps only days at or below the median)
+    assert df.clear.mean() <= 0.75
+
+
+def test_q63_quality_clusters_shape(results):
+    df = results("q63_quality_clustering")
+    assert (df.quality_cluster >= -1).all()
+    assert not df.duplicated(["site", "date"]).any()
+    # DBSCAN min_samples=3: any non-noise cluster has >= 3 members
+    sizes = (
+        df[df.quality_cluster >= 0]
+        .groupby(["site", "quality_cluster"])
+        .size()
+    )
+    if len(sizes):
+        assert sizes.min() >= 3
+
+
+def test_q64_clipping_threshold(results, sf_small):
+    df = results("q64_clipping_detection")
+    stat = _duck(
+        sf_small,
+        """
+        with dm as (
+          select user_id as site, cast(ts as date) as date,
+                 max(value) as day_max
+          from events group by 1, 2
+        ), sm as (
+          select site, max(day_max) as site_max from dm group by 1
+        )
+        select dm.site, dm.date, dm.day_max / sm.site_max as clip_stat_1
+        from dm join sm on dm.site = sm.site
+        """,
+    )
+    stat["date"] = pd.to_datetime(stat.date)
+    df = df.assign(date=pd.to_datetime(df.date))
+    j = df.merge(stat, on=["site", "date"])
+    assert len(j) == len(df)
+    clipped = j[j.clipped]
+    if len(clipped):
+        # reference gate: clipped days must have clip_stat_1 > 0.05
+        assert (clipped.clip_stat_1 > 0.05).all()
+
+
+def test_q65_roundtrip_slot_range(results):
+    df = results("q65_time_shift_roundtrip")
+    # the roll is a permutation within the day: slot stays in [0, 287] and
+    # no rows are created or destroyed per site
+    assert (df.min_slot >= 0).all()
+    assert (df.max_slot <= 287).all()
+    assert (df.n_rows > 0).all()
+
+
+def test_q66_dilation_preserves_energy(results, sf_small):
+    df = results("q66_dilation")
+    df = df.assign(date=pd.to_datetime(df.date))
+    raw = _duck(
+        sf_small,
+        """
+        select user_id as site, ts, value,
+               cast(cast(ts as date) as timestamp) as date,
+               (extract(hour from ts) * 3600 + extract(minute from ts) * 60
+                + extract(second from ts)) / 3600.0 as hod
+        from events
+        """,
+    )
+    cap = raw.groupby("site").value.quantile(0.95).rename("capacity")
+    raw = raw.merge(cap, on="site")
+    checked = 0
+    for (site, date), g in df.groupby(["site", "date"]):
+        day = raw[(raw.site == site) & (raw.date == date)]
+        if day.empty:
+            continue
+        lit = day[day.value > 0.05 * day.capacity]
+        if lit.empty:
+            continue
+        sunrise, sunset = float(lit.hod.min()), float(lit.hod.max())
+        if sunset <= sunrise:
+            continue
+        # reconstruct the windowed step-integral the dilation preserves
+        d = day.sort_values("hod")
+        h = d.hod.to_numpy()
+        v = np.nan_to_num(d.value.to_numpy())
+        widths = np.diff(np.append(h, sunset))
+        widths = np.maximum(widths, 0.0)
+        cum = np.concatenate([[0.0], np.cumsum(v * widths)])
+        knots = np.append(h, sunset)
+        mass = float(
+            np.interp(sunset, knots, cum) - np.interp(sunrise, knots, cum)
+        )
+        dil_mass = float(g.dil_value.sum() * (sunset - sunrise) / len(g))
+        assert dil_mass == pytest.approx(mass, rel=2e-3, abs=2e-2), (
+            site,
+            date,
+        )
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked > 0
+
+
+def test_q67_loss_factors_reconstruction(results):
+    df = results("q67_loss_factors")
+    for c in ("deg_rate_pct_yr", "loss_seasonal", "loss_degradation", "loss_soiling"):
+        assert np.isfinite(df[c]).all(), c
+    # physical bounds: degradation within [-50, +20] %/yr; loss components
+    # are (log-space) losses — non-positive or near zero, bounded below
+    assert df.deg_rate_pct_yr.between(-50, 20).all()
+    for c in ("loss_seasonal", "loss_degradation", "loss_soiling"):
+        assert df[c].between(-5.0, 0.5).all(), c
+
+
+def test_q68_mc_quantile_order(results):
+    df = results("q68_mc_degradation")
+    assert (df.rate_lo <= df.rate_median + 1e-12).all()
+    assert (df.rate_median <= df.rate_hi + 1e-12).all()
+    assert (df.n_samples > 0).all()
+
+
+def test_q72_quantiles_noncrossing(results):
+    df = results("q72_pv_quantiles")
+    fin = df[np.isfinite(df.q50) & np.isfinite(df.q90)]
+    assert len(fin) > 0
+    assert (fin.q50 <= fin.q90 + 1e-9).all()
+
+
+def test_q73_performance_index_bounds(results):
+    df = results("q73_performance_index")
+    fin = df.performance_index.dropna()
+    assert len(fin) > 0.5 * len(df)
+    assert (fin >= 0).all()
+    # index is observed/expected: the bulk of days sit near 1
+    assert 0.3 < fin.median() < 3.0, fin.median()
+
+
+def test_q74_grid_search_argmin(results):
+    df = results("q74_w1_grid_search")
+    grid = np.array([0.1, 0.5, 2.0, 8.0])  # the registry's q74 grid
+    for w in df.best_w1:
+        assert np.min(np.abs(grid - w)) < 1e-9, w
+    assert (df.holdout_mse >= 0).all()
+    assert (df.n_grid == len(grid)).all()
+
+
+def test_q75_orientation_bounds(results):
+    df = results("q75_orientation_fit")
+    assert df.tilt_deg.between(0, 90).all()
+    assert df.azimuth_deg.between(-180, 180).all()
+
+
+def test_q79_sensor_identification_consistent(results):
+    df = results("q79_sensor_identification")
+    assert df["corr"].dropna().between(-1, 1).all()
+    best = df[df.is_best]
+    # exactly one winning sensor per site, and it attains the site's
+    # minimum cross-validated RMSE
+    assert (best.groupby("site").size() == 1).all()
+    for site, g in df.groupby("site"):
+        b = g[g.is_best]
+        assert len(b) == 1
+        assert b.cv_rmse.iloc[0] <= g.cv_rmse.min() + 1e-12
+
+
+def test_q80_shade_fractions(results):
+    df = results("q80_shade_analysis")
+    fin = df[np.isfinite(df.shade_frac)]
+    assert len(fin) > 0
+    assert fin.shade_frac.between(-0.5, 1.5).all()
+    assert (fin.clearsky.dropna() >= 0).all()
+    # is_shaded agrees with a positive shade fraction
+    assert fin[fin.is_shaded].shade_frac.min() >= 0.0
+
+
+def test_q85_quantile_surface_noncrossing(results):
+    df = results("q85_quantile_surface")
+    piv = df.pivot_table(
+        index=["site", "date", "dil_slot"], columns="level", values="qvalue"
+    )
+    levels = sorted(piv.columns)
+    arr = piv[levels].to_numpy()
+    ok = np.isfinite(arr).all(axis=1)
+    diffs = np.diff(arr[ok], axis=1)
+    assert (diffs >= -1e-9).all(), "crossing quantile surfaces"
+
+
+def test_q86_clear_sky_counts(results):
+    df = results("q86_clear_sky_labels")
+    assert (df.n_clear <= df.n_slots).all()
+    assert (df.n_clear >= 0).all()
+    assert (df.n_slots > 0).all()
+
+
+def test_every_rows_only_query_has_an_invariant():
+    covered = {
+        name[len("test_"):].split("_")[0]
+        for name in globals()
+        if name.startswith("test_q")
+    }
+    for q in ROWS_ONLY:
+        assert q.split("_")[0] in covered, f"{q} lacks a semantic invariant"
