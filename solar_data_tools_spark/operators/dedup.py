@@ -28,20 +28,38 @@ def exact_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    member_cap: int = 1000,
 ) -> DataFrame:
     """Exact dedup via md5(normalized text) group-by.
 
     Returns one row per duplicate *group* (>= 2 docs): the canonical doc
-    (lowest id), group size, and member ids. Single shuffle on the hash.
+    (lowest id), the EXACT group size, and up to ``member_cap`` member
+    ids (lowest first).
+
+    Scale note: a pathological group — billions of empty or boilerplate
+    documents hashing identically — must not concentrate every member id
+    in one aggregation buffer. Members are rank-limited with a window
+    (sort-based, disk-spillable) BEFORE the collect_list, so the buffer
+    is bounded by ``member_cap`` while counts stay exact; the window and
+    the groupBy share one hash partitioning on text_hash.
     """
+    from pyspark.sql import Window
+
     h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(F.asc(id_col))
+    ranked = docs.select(F.col(id_col), h).withColumn(
+        "_rn", F.row_number().over(w)
+    )
     return (
-        docs.select(F.col(id_col), h)
-        .groupBy("text_hash")
+        ranked.groupBy("text_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("group_size"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= member_cap, F.col(id_col))
+                )
+            ).alias("member_ids"),
         )
         .where(F.col("group_size") >= 2)
     )
@@ -105,7 +123,6 @@ def ngram_jaccard_pairs(
     # session-lifetime caches accumulate across invocations and make join
     # timing depend on eviction pressure (at 100 TB, checkpoint explicitly)
     sh = word_ngrams(docs, n, id_col, text_col, carry_cols=blocks)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     posting = sh
     if max_shingle_freq is not None:
@@ -115,6 +132,11 @@ def ngram_jaccard_pairs(
             on="shingle",
             how="left_semi",
         )
+    # sizes from the POSTING list, not the raw shingles: with stop-gram
+    # suppression active, |A| and |B| must count the same filtered shingle
+    # space as |A n B| or the Jaccard denominator is inflated and
+    # similarity systematically underestimated for stop-gram-heavy docs.
+    sizes = posting.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     join_keys = ["shingle", *blocks]
     a = posting.select(F.col(id_col).alias("id_a"), *join_keys)
@@ -193,10 +215,31 @@ def minhash_lsh_candidates(
     never the full cross product.
     """
     blocks = block_cols or []
-    # num_hashes is required (no mid-plan .first() to infer it — a hidden
-    # driver action in a hot path triggers an extra job)
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     r = num_hashes // bands
-    banded = signatures.select(
+    # Structural guard against a signature-length mismatch: if the caller
+    # banded with a different num_hashes than the signatures were built
+    # with, trailing bands all slice to the SAME short (or empty) array,
+    # hash identically, and the bucket join silently degenerates toward
+    # the all-pairs cross product this operator exists to avoid. The
+    # check is a plain codegen expression (no driver-side .first()); it
+    # fails the job loudly at the first bad row.
+    checked = signatures.withColumn(
+        "signature",
+        F.when(F.size("signature") == num_hashes, F.col("signature")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "minhash signature length %s != num_hashes "
+                    + str(num_hashes),
+                    F.size("signature").cast("string"),
+                )
+            )
+        ),
+    )
+    banded = checked.select(
         F.col(id_col),
         *[F.col(c) for c in blocks],
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),

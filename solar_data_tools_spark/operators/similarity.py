@@ -150,7 +150,9 @@ def _banded_bits(sig_col: Column, layout: list[tuple[int, int]]) -> Column:
             F.struct(
                 F.lit(i).alias("band_ix"),
                 F.shiftright(sig_col, start)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                # width=64 (single band): (1<<64)-1 overflows LongType;
+                # -1 is the all-ones 64-bit mask in two's complement
+                .bitwiseAND(F.lit(-1 if width >= 64 else (1 << width) - 1))
                 .alias("band_bits"),
             )
             for i, (start, width) in enumerate(layout)
@@ -223,7 +225,11 @@ def lsh_topk(
     scored = (
         _as_double(embeddings, vec_col)
         .select(F.col(id_col), F.col(vec_col).alias("_cvec"))
-        .join(F.broadcast(cand), on=id_col)
+        # no broadcast hint on cand: its size is |queries| x per-query
+        # candidates, which corpus-side band skew can blow past the driver
+        # at fleet scale. AQE sizes the built side at runtime and still
+        # broadcasts when it is actually small; a hint would force it.
+        .join(cand, on=id_col)
         .join(F.broadcast(q_vec), on=query_id_col)
         .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
     )

