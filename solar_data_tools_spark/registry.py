@@ -2256,6 +2256,32 @@ def q86_clear_sky_labels(spark, sf_dir):
     )
 
 
+def q87_quality_scores(spark, sf_dir):
+    """A8 end-to-end: the reference run_pipeline scoring stage (density,
+    linearity, clipping stats, DBSCAN clusters, quality/clearness scores)
+    over the standardized fleet — golden-validated against the
+    reference's published scoring fixtures in tests/test_scoring_goldens.py
+    (rows-only: solver/optimizer chain not SQL-expressible)."""
+    from solar_data_tools_spark.algorithms.scoring import daily_quality_scores
+    from solar_data_tools_spark.operators.time_axis import standardize_time_axis
+
+    m = _meas(spark, sf_dir)
+    std = standardize_time_axis(m.select("site", "ts", "seq", "value"), 300)
+    out = daily_quality_scores(std, slots_per_day=288)
+    return out.select(
+        "site",
+        "date",
+        F.round("density", 4).alias("density"),
+        F.round("linearity", 4).alias("linearity"),
+        F.round("clipping_1", 4).alias("clipping_1"),
+        "quality_clustering",
+        "no_errors",
+        "clear",
+        F.round("data_quality_score", 4).alias("data_quality_score"),
+        F.round("data_clearness_score", 4).alias("data_clearness_score"),
+    )
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -2433,6 +2459,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q41_fingerprint": QuerySpec(q41_fingerprint, Q41_SQL, "text-fingerprint"),
     "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
     "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
+    "q87_quality_scores": QuerySpec(q87_quality_scores, None, "A8,scoring-e2e"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),

@@ -397,3 +397,26 @@ def test_every_rows_only_query_has_an_invariant():
     }
     for q in ROWS_ONLY:
         assert q.split("_")[0] in covered, f"{q} lacks a semantic invariant"
+
+
+def test_q87_quality_scores_consistent(results):
+    df = results("q87_quality_scores")
+    assert not df.duplicated(["site", "date"]).any()
+    # flags are exactly the documented functions of the emitted scores
+    expect_no_err = (
+        (df.density > 0.6) & (df.density < 1.05) & (df.linearity < 0.1)
+    )
+    assert (df.no_errors == expect_no_err).mean() > 0.99  # 4-dp rounding edge
+    # clear implies no_errors (flag_clear_cloudy ANDs them)
+    assert (~df.clear | df.no_errors).all()
+    # per-site scalars equal the mean of the per-day flags
+    for site, g in df.groupby("site"):
+        assert g.data_quality_score.nunique() == 1
+        assert g.data_quality_score.iloc[0] == pytest.approx(
+            g.no_errors.mean(), abs=1e-3
+        )
+        assert g.data_clearness_score.iloc[0] == pytest.approx(
+            g.clear.mean(), abs=1e-3
+        )
+    assert df.data_quality_score.between(0, 1).all()
+    assert df.quality_clustering.min() >= -1
