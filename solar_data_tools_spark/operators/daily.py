@@ -79,7 +79,9 @@ def daily_statistics(
         ).alias("density"),
         F.max(v).alias("day_max"),
         F.log(F.max(v)).alias("log_day_max"),
-        (F.sum(F.col("hod") * v) / F.sum(v)).alias("solar_noon_com"),
+        # try_divide: an all-zero/all-null day has an undefined center of
+        # mass (NaN in the reference), not an ANSI division error
+        F.try_divide(F.sum(F.col("hod") * v), F.sum(v)).alias("solar_noon_com"),
         F.min(F.when(v > sun_thresh, F.col("hod"))).alias("sunrise"),
         F.max(F.when(v > sun_thresh, F.col("hod"))).alias("sunset"),
         F.count(v).alias("n_obs"),
@@ -115,9 +117,9 @@ def clipping_stats(
     )
     return joined.groupBy(site_col, "date").agg(
         (F.first("day_max") / F.first("site_max")).alias("clip_stat_1"),
-        (
-            F.sum(F.when(v >= F.lit(near_max_frac) * F.col("day_max"), v))
-            / F.sum(v)
+        F.try_divide(
+            F.sum(F.when(v >= F.lit(near_max_frac) * F.col("day_max"), v)),
+            F.sum(v),
         ).alias("clip_stat_2"),
     )
 

@@ -1869,7 +1869,7 @@ def _daily_for_flags(spark, sf_dir):
         (F.sum("value") * 24.0 / 288.0).alias("energy"),
         F.sum(F.abs(F.col("diff2"))).alias("smoothness_l1"),
         F.log(F.max("value")).alias("log_day_max"),
-        (F.sum(F.col("hod") * F.col("value")) / F.sum("value")).alias(
+        F.try_divide(F.sum(F.col("hod") * F.col("value")), F.sum("value")).alias(
             "solar_noon_com"
         ),
     )

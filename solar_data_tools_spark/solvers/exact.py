@@ -140,14 +140,27 @@ def solve_l2_l1d1_l2d2p365(
     num_harmonics: int = 3,
     period: float = PERIOD_DAYS,
     admm_iters: int = 4000,
-    rho: float = 1.0,
+    rho: float | None = None,
+    transition_locs: np.ndarray | None = None,
 ):
     """Minimize  sum_use (y - B th - x)^2 + w1 ||D1 x||_1 + th' Q th
     s.t. mean(B th) = 0 over the full index, optionally x 365-periodic.
 
+    ``rho`` defaults to max(1, w1/7.5): the scaled dual must reach w1/rho
+    to sustain an active jump, so a fixed rho makes convergence
+    arbitrarily slow as w1 grows (observed on the time-shift golden at
+    w1=75: 4000 iterations with rho=1 missed the planted jump entirely).
+
+    With ``transition_locs`` the l1 term is replaced by a segment-basis
+    constraint (x piecewise constant with breakpoints AT the given
+    indices, reference _osd_signal_decompositions.py:106-118) and the
+    problem reduces to one equality-constrained least squares — no ADMM.
+
     Returns (s_hat, s_seas, obj).
     """
     y = np.asarray(y, dtype=np.float64)
+    if rho is None:
+        rho = max(1.0, w1 / 7.5)
     T = len(y)
     use = np.isfinite(y)
     if use_ixs is not None:
@@ -157,6 +170,32 @@ def solve_l2_l1d1_l2d2p365(
     B = trig_basis(T, num_harmonics, period)
     p = B.shape[1]
     q = harmonic_penalty(num_harmonics, w2, period) + 1e-12
+
+    if transition_locs is not None:
+        locs = np.asarray(transition_locs, dtype=np.int64)
+        bounds = np.r_[0, locs, T]
+        k = len(bounds) - 1
+        S = np.zeros((T, k))
+        for j in range(k):
+            S[bounds[j] : bounds[j + 1], j] = 1.0
+        X = np.hstack([B, S])[use]
+        nu = p + k
+        c = np.concatenate([B.sum(axis=0), np.zeros(k)])
+        K = np.zeros((nu + 1, nu + 1))
+        A2 = 2.0 * (X.T @ X)
+        A2[np.arange(p), np.arange(p)] += 2.0 * q
+        K[:nu, :nu] = A2 + 1e-12 * np.eye(nu)
+        K[:nu, nu] = c
+        K[nu, :nu] = c
+        rhs = np.zeros(nu + 1)
+        rhs[:nu] = 2.0 * (X.T @ yc[use])
+        sol = np.linalg.solve(K, rhs)
+        theta, zz = sol[:p], sol[p : p + k]
+        s_seas = B @ theta
+        s_hat = S @ zz
+        e = (y - s_seas - s_hat)[use]
+        obj = float(np.sum(e**2) + theta @ (q * theta))
+        return s_hat, s_seas, obj
 
     # x parameterized as S @ xt; periodic ties day t to day t mod 365
     if yearly_periodic and T > 365:
