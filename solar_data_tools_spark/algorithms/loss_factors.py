@@ -43,12 +43,19 @@ def fit_loss_components(
     Deterministic block-coordinate fit:
       * seasonal  — Fourier least squares (zero-mean basis),
       * degradation — linear trend in years,
-      * soiling   — TV-denoised nonpositive residual component,
+      * soiling   — D5 sawtooth-dictionary fit (descending teeth with
+        cleaning-event resets, reference loss_factor_analysis.py:497-508,
+        :759-780); series shorter than 60 days fall back to the TV
+        approximation (too short for the tooth dictionary, mirroring the
+        reference's own short-series seasonal guard, soiling.py:163),
     with optional seeded random holdout (the MC wrapper's knob).
 
     Returns components + ``degradation_rate_pct_per_year``.
     """
     from solar_data_tools_spark.solvers.basis import fourier_basis
+    from solar_data_tools_spark.solvers.soiling import (
+        fit_soiling_sawtooth_with_trend,
+    )
     from solar_data_tools_spark.solvers.tv import tv1d_denoise_nan
 
     energy = np.asarray(energy, dtype=np.float64)
@@ -70,23 +77,32 @@ def fit_loss_components(
     deg = np.zeros(n)
     soil = np.zeros(n)
     beta_deg = 0.0
-    for _ in range(n_iter):
-        r = y - baseline - deg - soil
-        m = np.isfinite(r)
-        if m.sum() > Xs.shape[1] + 1:
-            bs = np.linalg.lstsq(Xs[m], r[m], rcond=None)[0]
-            seasonal = Xs @ bs
-        r = y - baseline - seasonal - soil
-        m = np.isfinite(r)
-        if m.sum() > 2:
-            A = np.column_stack([np.ones(m.sum()), years[m]])
-            sol = np.linalg.lstsq(A, r[m], rcond=None)[0]
-            baseline = baseline + sol[0]
-            beta_deg = sol[1]
-            deg = beta_deg * years
-        resid = y - baseline - seasonal - deg
-        resid_f = np.where(np.isfinite(resid), resid, 0.0)
-        soil = np.minimum(tv1d_denoise_nan(resid_f, soiling_lam), 0.0)
+    if n >= 60:
+        # ONE joint convex fit of all components (see solvers/soiling.py:
+        # the soiling-reset / envelope identification is lost if the
+        # trend, seasonal, and soiling terms are fit alternately)
+        baseline, beta_deg, seasonal, soil = fit_soiling_sawtooth_with_trend(
+            y, years, num_harmonics=num_harmonics, period=period
+        )
+        deg = beta_deg * years
+    else:
+        for _ in range(n_iter):
+            r = y - baseline - deg - soil
+            m = np.isfinite(r)
+            if m.sum() > Xs.shape[1] + 1:
+                bs = np.linalg.lstsq(Xs[m], r[m], rcond=None)[0]
+                seasonal = Xs @ bs
+            r = y - baseline - seasonal - soil
+            m = np.isfinite(r)
+            if m.sum() > 2:
+                A = np.column_stack([np.ones(m.sum()), years[m]])
+                sol = np.linalg.lstsq(A, r[m], rcond=None)[0]
+                baseline = baseline + sol[0]
+                beta_deg = sol[1]
+                deg = beta_deg * years
+            resid = y - baseline - seasonal - deg
+            resid_f = np.where(np.isfinite(resid), resid, 0.0)
+            soil = np.minimum(tv1d_denoise_nan(resid_f, soiling_lam), 0.0)
 
     return {
         "baseline": float(baseline),
