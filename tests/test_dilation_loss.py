@@ -70,9 +70,13 @@ def test_dilation_fixed_output_size(spark):
     assert (out.groupby("date").size() == 16).all()
 
 
-def test_shade_decomposition_finds_synthetic_shade(spark):
+import pytest
+
+
+@pytest.mark.parametrize("model", ["pca", "envelope"])
+def test_shade_decomposition_finds_synthetic_shade(spark, model):
     """A grid with a notch carved into the afternoon must yield shade
-    flags exactly in the notch and a clear-sky envelope above it."""
+    flags exactly in the notch and a clear-sky model above it."""
     from solar_data_tools_spark.algorithms.shade import decompose_shade
 
     slots = np.arange(16)
@@ -87,12 +91,18 @@ def test_shade_decomposition_finds_synthetic_shade(spark):
     grid = spark.createDataFrame(
         rows, "site long, delta_bin double, dil_slot int, observed double"
     )
-    out = decompose_shade(grid, shade_threshold=0.2).toPandas()
+    out = decompose_shade(grid, shade_threshold=0.2, model=model).toPandas()
     notch = out[(out.delta_bin == 0.0) & out.dil_slot.isin([10, 11, 12])]
     clean = out[out.delta_bin != 0.0]
     assert notch.is_shaded.all(), notch
     assert not clean.is_shaded.any()
-    assert (out.clearsky >= out.observed - 1e-9).all()
+    if model == "envelope":
+        # the concave upper hull majorizes the observations exactly
+        assert (out.clearsky >= out.observed - 1e-9).all()
+    else:
+        # a class REGRESSION may dip slightly below clean observations;
+        # material deficits must still be notch-only (asserted above)
+        assert (out.clearsky >= out.observed - 0.1).all()
 
 
 def test_loss_factor_degradation_recovery(spark):
