@@ -1967,15 +1967,16 @@ def q65_time_shift_roundtrip(spark, sf_dir):
 
 
 def q50_seasonal_quantile_fit(spark, sf_dir):
-    """D2 — per-site smooth periodic quantile fit over daily energy
-    (solver layer; rows-only: iterative solver not SQL-expressible)."""
+    """D2 — per-site smooth periodic quantile fit over daily energy at the
+    reference's yearly period (tl1_l2d2p365; solver layer; rows-only:
+    iterative solver not SQL-expressible)."""
     from solar_data_tools_spark.solvers.decompositions import fit_seasonal_quantile
 
     m = _meas(spark, sf_dir)
     daily = m.groupBy("site", "date").agg(
         (F.sum("value") * 24.0 / 288.0).alias("energy")
     )
-    out = fit_seasonal_quantile(daily, "energy", tau=0.75, period=30.0)
+    out = fit_seasonal_quantile(daily, "energy", tau=0.75)
     return out.select(
         "site", "date", F.round("seasonal_fit", 4).alias("seasonal_fit")
     )
