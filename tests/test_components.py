@@ -288,3 +288,88 @@ def test_read_table_normalizes_timestamp_ntz(spark, sf_small, tmp_path):
         assert grid.limit(1).count() >= 0
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+
+
+# ----------------------------------------------------- media sniffing (r04)
+def _make_png(w, h):
+    import struct, zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80\x80\x80" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(seconds, rate=8000):
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(b"\x00\x00" * int(seconds * rate))
+    return bio.getvalue()
+
+
+def test_sniff_media_real_containers():
+    from solar_data_tools_spark.operators.multimodal import sniff_media
+
+    png = sniff_media(_make_png(17, 9))
+    assert png["mime_type"] == "image/png"
+    assert (png["width"], png["height"], png["bit_depth"]) == (17, 9, 8)
+
+    wav = sniff_media(_make_wav(2.5))
+    assert wav["mime_type"] == "audio/wav"
+    assert wav["sample_rate_hz"] == 8000
+    assert wav["channels"] == 1
+    assert abs(wav["duration_s"] - 2.5) < 1e-6
+
+    import struct
+
+    # minimal JPEG: SOI + SOF0 with 31x23, 8-bit
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 23, 31) + b"\x03\x00\x00\x00"
+    )
+    j = sniff_media(jpeg)
+    assert j["mime_type"] == "image/jpeg"
+    assert (j["width"], j["height"], j["bit_depth"]) == (31, 23, 8)
+
+    gif = b"GIF89a" + struct.pack("<HH", 5, 7) + b"\x00" * 10
+    g = sniff_media(gif)
+    assert g["mime_type"] == "image/gif"
+    assert (g["width"], g["height"]) == (5, 7)
+
+    assert sniff_media(b"not media at all")["mime_type"] is None
+    assert sniff_media(b"")["mime_type"] is None
+
+
+def test_extract_features_sniffs_through_spark(spark):
+    from solar_data_tools_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        (1, "image", _make_png(32, 16), None, None, None, None),
+        (2, "audio", _make_wav(1.0), None, None, None, None),
+        (3, "image", b"\x00garbage", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert out[1].sniffed_mime == "image/png"
+    assert (out[1].width, out[1].height) == (32, 16)
+    assert out[2].sniffed_mime == "audio/wav"
+    assert abs(out[2].duration_s - 1.0) < 1e-6
+    assert out[2].sample_rate_hz == 8000
+    assert out[3].sniffed_mime is None and out[3].width is None
