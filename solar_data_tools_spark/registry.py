@@ -1106,6 +1106,29 @@ def q37_cdf_resample(spark, sf_dir):
     ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
 
 
+def q88_cdf_resample_approx(spark, sf_dir):
+    """A11 scale path — the same CDF grid via ``percentile_approx``
+    (Greenwald-Khanna sketch): constant-memory per group regardless of
+    group size, the variant to use at fleet scale where the exact
+    ``percentile`` aggregate would buffer every value. Rows-only: the
+    sketch is accuracy-bounded, not value-exact (invariant test checks
+    monotonicity and closeness to the exact CDF)."""
+    m = _meas(spark, sf_dir)
+    daily_max = m.groupBy("site", "date").agg(F.max("value").alias("day_max"))
+    site_max = m.groupBy("site").agg(F.max("value").alias("site_max"))
+    stat = daily_max.join(F.broadcast(site_max), "site").select(
+        "site", (F.col("day_max") / F.col("site_max")).alias("clip_stat")
+    )
+    qs = [i / 100.0 for i in range(101)]
+    arr = ", ".join(str(q) for q in qs)
+    per_site = stat.groupBy("site").agg(
+        F.expr(f"percentile_approx(clip_stat, array({arr}), 10000)").alias("cdf")
+    )
+    return per_site.select(
+        "site", F.posexplode("cdf").alias("q_ix", "v")
+    ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
+
+
 Q37_SQL = (
     f"""
 WITH m AS ({_EV}),
@@ -2461,6 +2484,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
     "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
     "q87_quality_scores": QuerySpec(q87_quality_scores, None, "A8,scoring-e2e"),
+    "q88_cdf_resample_approx": QuerySpec(
+        q88_cdf_resample_approx, None, "A11-scale"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),

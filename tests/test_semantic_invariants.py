@@ -420,3 +420,25 @@ def test_q87_quality_scores_consistent(results):
         )
     assert df.data_quality_score.between(0, 1).all()
     assert df.quality_clustering.min() >= -1
+
+
+def test_q88_approx_cdf_tracks_exact(results, sf_small):
+    df = results("q88_cdf_resample_approx")
+    # CDF values non-decreasing in the quantile index per site
+    for site, g in df.groupby("site"):
+        v = g.sort_values("q_ix").cdf_value.to_numpy()
+        assert (np.diff(v) >= -1e-9).all(), site
+    # sketch accuracy: close to the exact interpolating percentile at the
+    # distribution level (endpoints exact by construction)
+    exact = results("q37_cdf_resample")
+    j = df.merge(
+        exact, on=["site", "q_ix"], suffixes=("_approx", "_exact")
+    )
+    assert len(j) == len(df)
+    err = (j.cdf_value_approx - j.cdf_value_exact).abs()
+    # GK returns actual data values while the exact aggregate
+    # interpolates; at sf0.001 (~10 points/site) a gap-sized difference
+    # is expected at interior quantiles
+    assert float(err.quantile(0.95)) < 0.1, err.describe()
+    ends = j[j.q_ix.isin([0, 100])]
+    assert (ends.cdf_value_approx - ends.cdf_value_exact).abs().max() < 1e-9
