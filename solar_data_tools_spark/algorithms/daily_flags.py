@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from solar_data_tools_spark.parallel import partition_for_grouped_map
+from solar_data_tools_spark.parallel import grouped_apply
 
 from solar_data_tools_spark.shipping import ensure_package_on_executors
 
@@ -71,7 +71,7 @@ def detect_clear_days(
         return pdf[[c.split()[0] for c in schema.split(", ")]]
 
     cols = [site_col, "date", smoothness_col, energy_col]
-    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
+    return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
 
 # -------------------------------------------------------- capacity change
@@ -145,7 +145,7 @@ def detect_capacity_changes(
         )
 
     cols = [site_col, "date", metric_col]
-    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
+    return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
 
 # ------------------------------------------------------------ time shifts
@@ -200,7 +200,7 @@ def detect_time_shifts(
         )
 
     cols = [site_col, "date", noon_col]
-    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
+    return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
 
 def apply_time_shift_correction(
@@ -281,7 +281,7 @@ def quality_clustering(
         ),
     )
     cols = [site_col, "date", "density", "density_fit_ratio"]
-    return partition_for_grouped_map(base.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_cluster, schema)
+    return grouped_apply(base.select(*cols), [site_col], _cluster, schema)
 
 
 # ---------------------------------------------------------------- clipping
@@ -383,8 +383,11 @@ def detect_clipping(
             # grid resolution only needs to resolve the empirical CDF's
             # own structure (~len(finite) steps) and the pm_neighborhood
             # radius; oversampling a short series onto the full grid makes
-            # the dense D4 solve ~25x slower for identical detections.
-            gp = int(min(grid_points, max(101, 8 * len(finite))))
+            # the D4 solve slower for identical detections. The size is
+            # rounded so the DST solver's FFT length stays smooth.
+            from solar_data_tools_spark.solvers.exact import cdf_grid_points
+
+            gp = cdf_grid_points(len(finite), cap=grid_points)
             x_rs = np.linspace(0.0, 1.0, gp)
             y_rs = np.interp(x_rs, xs, ys)
             fit, _obj = solve_l2_l1d2_constrained(
@@ -413,7 +416,7 @@ def detect_clipping(
     cols = [site_col, "date", stat_col]
     if stat2_col in daily.columns:
         cols.append(stat2_col)
-    return partition_for_grouped_map(daily.select(*cols), [site_col]).groupBy(site_col).applyInPandas(_detect, schema)
+    return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
 
 # --------------------------------------------------------- clear-sky DP

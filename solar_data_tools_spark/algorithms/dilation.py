@@ -112,10 +112,6 @@ def dilate(
         )
 
     cols = [site_col, "date", "hod", "value", "sunrise", "sunset"]
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(joined.select(*cols), [site_col, "date"])
-        .groupBy(site_col, "date")
-        .applyInPandas(_dilate, schema)
-    )
+    return grouped_apply(joined.select(*cols), [site_col, "date"], _dilate, schema)

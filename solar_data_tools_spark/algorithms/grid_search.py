@@ -68,11 +68,9 @@ def tune_time_shift_w1(
             {site_col: [pdf[site_col].iloc[0]], "w1": [w1], "holdout_mse": [mse]}
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    scores = partition_for_grouped_map(grid, [site_col, "grid_ix"]).groupBy(
-        site_col, "grid_ix"
-    ).applyInPandas(_score, schema)
+    scores = grouped_apply(grid, [site_col, "grid_ix"], _score, schema)
     pick = Window.partitionBy(site_col).orderBy(F.asc("holdout_mse"), F.asc("w1"))
     return (
         scores.withColumn("_rn", F.row_number().over(pick))

@@ -180,12 +180,11 @@ def run_loss_factor_analysis(
             }
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    prepared = partition_for_grouped_map(
-        daily.select(site_col, "date", energy_col), [site_col]
+    return grouped_apply(
+        daily.select(site_col, "date", energy_col), [site_col], _fit, schema
     )
-    return prepared.groupBy(site_col).applyInPandas(_fit, schema)
 
 
 def mc_degradation_estimate(
@@ -231,11 +230,9 @@ def mc_degradation_estimate(
             }
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    rates = partition_for_grouped_map(grid, [site_col, "sample_id"]).groupBy(
-        site_col, "sample_id"
-    ).applyInPandas(_fit_one, fit_schema)
+    rates = grouped_apply(grid, [site_col, "sample_id"], _fit_one, fit_schema)
     return rates.groupBy(site_col).agg(
         F.expr("percentile(rate, 0.5)").alias("rate_median"),
         F.expr("percentile(rate, 0.025)").alias("rate_lo"),

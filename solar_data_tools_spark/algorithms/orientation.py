@@ -120,13 +120,11 @@ def estimate_orientation(
             {site_col: [pdf[site_col].iloc[0]], "tilt_deg": [tilt], "azimuth_deg": [az]}
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(
-            samples.select(site_col, "delta_deg", "omega_deg", "costheta"),
-            [site_col],
-        )
-        .groupBy(site_col)
-        .applyInPandas(_fit, schema)
+    return grouped_apply(
+        samples.select(site_col, "delta_deg", "omega_deg", "costheta"),
+        [site_col],
+        _fit,
+        schema,
     )

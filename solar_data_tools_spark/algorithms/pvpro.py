@@ -234,13 +234,11 @@ def pvpro_postprocess(
             }
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(
-            params.select(site_col, param_col, "seq", value_col),
-            [site_col, param_col],
-        )
-        .groupBy(site_col, param_col)
-        .applyInPandas(_fit, schema)
+    return grouped_apply(
+        params.select(site_col, param_col, "seq", value_col),
+        [site_col, param_col],
+        _fit,
+        schema,
     )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solar_data_tools_spark.parallel import partition_for_grouped_map
+from solar_data_tools_spark.parallel import grouped_apply
 from solar_data_tools_spark.shipping import ensure_package_on_executors
 from solar_data_tools_spark.solvers.exact import solve_tl1_l2d2p365
 
@@ -83,10 +83,17 @@ def estimate_sunup_mask(
     The reference shuffles with an unseeded RNG; the selection rule is a
     wide plateau so a fixed seed lands on the same threshold.
     """
+    from solar_data_tools_spark.solvers.exact import solve_tl1_l2d2p365_batch
+
     ths = np.logspace(-5, -1, 21)
     rng = np.random.default_rng(seed)
-    ho_error = []
-    for th in ths:
+    # Pass 1: build every threshold's sunrise/sunset series and holdout
+    # split (RNG consumed in the same order as the sequential loop), then
+    # solve ALL holdout fits as one batched interior-point call — the
+    # per-fit setup overhead was most of this stage's cost.
+    ho_error = np.full(len(ths), 1e2)
+    cand = []  # (th_idx, sunrises, sunsets, tr_sr, te_sr, tr_ss, te_ss)
+    for i, th in enumerate(ths):
         msk = detect_sun(mat, th)
         sunrises, sunsets = rise_set_rough(msk)
         use_sr = np.where(~np.isnan(sunrises))[0]
@@ -95,7 +102,6 @@ def estimate_sunup_mask(
             len(use_sr) / len(sunrises) <= 0.6
             or len(use_ss) / len(sunsets) <= 0.6
         ):
-            ho_error.append(1e2)
             continue
         use_sr = rng.permutation(use_sr)
         use_ss = rng.permutation(use_ss)
@@ -107,29 +113,40 @@ def estimate_sunup_mask(
         tr_ss[use_ss[: int(len(use_ss) * 0.8)]] = True
         te_ss = np.zeros(len(sunsets), dtype=bool)
         te_ss[use_ss[int(len(use_ss) * 0.8) :]] = True
-        # holdout SCORING fits: the threshold selection rule has a 10%
-        # plateau, so a loosely converged fit ranks thresholds identically
-        # at a fraction of the cost; only the FINAL fits below run to
-        # full convergence
-        sr_fit = _tl1(sunrises, SUNRISE_TAU, use_ixs=tr_sr, admm_iters=2500)
-        ss_fit = _tl1(sunsets, SUNSET_TAU, use_ixs=tr_ss, admm_iters=2500)
-        resid = np.r_[
-            (sunrises - sr_fit)[te_sr], (sunsets - ss_fit)[te_ss]
+        cand.append((i, sunrises, sunsets, tr_sr, te_sr, tr_ss, te_ss))
+    if cand:
+        Y = np.column_stack(
+            [c[1] for c in cand] + [c[2] for c in cand]
+        )
+        U = np.column_stack(
+            [c[3] for c in cand] + [c[5] for c in cand]
+        )
+        taus = np.r_[
+            np.full(len(cand), SUNRISE_TAU), np.full(len(cand), SUNSET_TAU)
         ]
-        # non-physical guard: seasonal range must exceed 15 minutes
-        if (
-            sr_fit.max() - sr_fit.min() > 0.25
-            and ss_fit.max() - ss_fit.min() > 0.25
+        fits, _obj = solve_tl1_l2d2p365_batch(Y, taus, use_ixs=U)
+        for k, (i, sunrises, sunsets, tr_sr, te_sr, tr_ss, te_ss) in enumerate(
+            cand
         ):
-            ho_error.append(float(np.mean(np.abs(resid))))
-        else:
-            ho_error.append(1e2)
-    ho_error = np.array(ho_error)
+            sr_fit = fits[:, k]
+            ss_fit = fits[:, len(cand) + k]
+            resid = np.r_[
+                (sunrises - sr_fit)[te_sr], (sunsets - ss_fit)[te_ss]
+            ]
+            # non-physical guard: seasonal range must exceed 15 minutes
+            if (
+                sr_fit.max() - sr_fit.min() > 0.25
+                and ss_fit.max() - ss_fit.min() > 0.25
+            ):
+                ho_error[i] = float(np.mean(np.abs(resid)))
     selected_th = float(np.min(ths[ho_error < 1.1 * ho_error.min()]))
     msk = detect_sun(mat, selected_th)
     sunrises, sunsets = rise_set_rough(msk)
-    sr_est = _tl1(sunrises, SUNRISE_TAU, use_ixs=~np.isnan(sunrises))
-    ss_est = _tl1(sunsets, SUNSET_TAU, use_ixs=~np.isnan(sunsets))
+    fin, _obj = solve_tl1_l2d2p365_batch(
+        np.column_stack([sunrises, sunsets]),
+        np.array([SUNRISE_TAU, SUNSET_TAU]),
+    )
+    sr_est, ss_est = fin[:, 0], fin[:, 1]
     nvals, ndays = mat.shape
     hod = np.arange(0, 24, 24.0 / nvals)[:, None]
     sunup = (hod >= sr_est[None, :]) & (hod < ss_est[None, :])
@@ -273,7 +290,9 @@ def clipping_stats_and_days(
     if len(finite) >= 10:
         xs = np.concatenate([[0.0], np.sort(finite), [1.0]])
         ys = np.linspace(0.0, 1.0, len(xs))
-        gp = int(min(5000, max(101, 8 * len(finite))))
+        from solar_data_tools_spark.solvers.exact import cdf_grid_points
+
+        gp = cdf_grid_points(len(finite))
         x_rs = np.linspace(0.0, 1.0, gp)
         y_rs = np.interp(x_rs, xs, ys)
         fit, _obj = solve_l2_l1d2_constrained(y_rs, w1=5.0, admm_iters=1000)
@@ -377,10 +396,9 @@ def daily_quality_scores(
             }
         )
 
-    return (
-        partition_for_grouped_map(
-            standardized.select(site_col, "grid_ts", "value"), [site_col]
-        )
-        .groupBy(site_col)
-        .applyInPandas(_score, schema)
+    return grouped_apply(
+        standardized.select(site_col, "grid_ts", "value"),
+        [site_col],
+        _score,
+        schema,
     )

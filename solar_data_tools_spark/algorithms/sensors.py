@@ -71,15 +71,13 @@ def identify_best_sensor(
             }
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    scores = (
-        partition_for_grouped_map(
-            joined.select(site_col, sensor_col, "ts", power_col, sensor_val_col),
-            [site_col, sensor_col],
-        )
-        .groupBy(site_col, sensor_col)
-        .applyInPandas(_score, schema)
+    scores = grouped_apply(
+        joined.select(site_col, sensor_col, "ts", power_col, sensor_val_col),
+        [site_col, sensor_col],
+        _score,
+        schema,
     )
     pick = Window.partitionBy(site_col).orderBy(
         F.asc("cv_rmse"), F.asc(sensor_col)

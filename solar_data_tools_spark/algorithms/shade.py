@@ -218,12 +218,11 @@ def decompose_shade(
             )
         return pd.concat(out, ignore_index=True)
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(
-            grid.select(site_col, "delta_bin", "dil_slot", "observed"), [site_col]
-        )
-        .groupBy(site_col)
-        .applyInPandas(_decompose, schema)
+    return grouped_apply(
+        grid.select(site_col, "delta_bin", "dil_slot", "observed"),
+        [site_col],
+        _decompose,
+        schema,
     )

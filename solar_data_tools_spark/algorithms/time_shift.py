@@ -114,7 +114,7 @@ def fix_time_shifts(
     Input needs (site, date, slot, hod, value) columns (with_time_columns
     layout)."""
     from solar_data_tools_spark.operators.windows import circular_roll_slots
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
     from solar_data_tools_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(measurements.sparkSession)
@@ -157,9 +157,5 @@ def fix_time_shifts(
             }
         )
 
-    rolls = (
-        partition_for_grouped_map(daily, [site_col])
-        .groupBy(site_col)
-        .applyInPandas(_detect, schema)
-    )
+    rolls = grouped_apply(daily, [site_col], _detect, schema)
     return circular_roll_slots(measurements, rolls, slots_per_day, site_col)

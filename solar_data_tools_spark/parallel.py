@@ -1,45 +1,93 @@
 """Parallelism control for solver-layer grouped-map stages.
 
 AQE coalesces shuffle partitions by BYTE size — the right cost model for
-relational stages, the wrong one for ``applyInPandas`` stages where each
-row group carries a CPU-heavy solve (a fleet's daily table is ~1 MB but
+relational stages, the wrong one for grouped-map stages where each row
+group carries a CPU-heavy solve (a fleet's daily table is ~1 MB but
 thousands of solver-seconds). Left alone, AQE folds the whole fleet into
 one task and serializes the solver layer.
 
-``partition_for_grouped_map`` repartitions by the group key with explicit
-parallelism BEFORE the groupBy: the grouped-map's required distribution
-(clustered by key) is already satisfied, so Spark reuses the partitioning
-instead of inserting a fresh (coalescible) exchange — every executor core
-gets solver work.
+``grouped_apply`` is the solver layer's grouped-map primitive. It is
+``groupBy(keys).applyInPandas(fn)`` re-expressed as an explicit
+``repartition(n, keys)`` followed by ``mapInPandas`` with an in-task
+pandas groupby, which fixes two things the naive form gets wrong:
+
+1. **Parallelism is plan-owned, not config-owned.** A user repartition
+   with an explicit partition count is a ``REPARTITION_BY_NUM`` shuffle,
+   which AQE's partition coalescing never touches — on ANY session,
+   including externally created vanilla ones. (``applyInPandas`` inserts
+   its own exchange via EnsureRequirements, and keeping that exchange at
+   fleet parallelism required globally overriding
+   ``spark.sql.adaptive.coalescePartitions.minPartitionSize`` — a config
+   side effect on the whole session; see the round-4 review.)
+2. **One Python worker round-trip per PARTITION, not per group.** Arrow
+   transfer + per-task setup is ~10 ms; at one task per tiny group a
+   100k-site fleet pays 100k round-trips. Groups in a partition run
+   sequentially inside one task, which also lets callers batch across
+   groups (see ``solve_tl1_l2d2p365_batch``).
+
+Memory bound per task = the partition's row slice (all groups hash-spread
+over ``n`` partitions), the same bound ``applyInPandas`` already imposed
+per group times groups-per-task — daily/solver tables are a few MB per
+1000 sites, far under executor memory.
 """
 
 from __future__ import annotations
 
+from typing import Callable, Iterable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 
 
 def partition_for_grouped_map(
     df: DataFrame, keys: list[str], tasks_per_core: int = 4
 ) -> DataFrame:
-    """Several task waves per core by default: group-to-task assignment is
-    by key hash, so at one task per core the busiest task draws several
-    times the mean solver load (observed 2.6x on a 150-site fleet at 8
-    cores); 4 waves cut the straggler tail to ~1 group while Python worker
-    reuse keeps the extra task overhead negligible.
+    """Repartition by the group key with explicit parallelism BEFORE a
+    grouped-map stage (several task waves per core by default: group-to-
+    task assignment is by key hash, so at one task per core the busiest
+    task draws several times the mean solver load; observed 2.6x on a
+    150-site fleet at 8 cores).
 
-    The explicit repartition alone is NOT enough: EnsureRequirements
-    replaces it with its own exchange ahead of FlatMapGroupsInPandas, and
-    AQE then coalesces that exchange by byte size — a fleet's daily table
-    is a few hundred KB, so the whole solver stage lands in ONE task.
-    ``minPartitionSize=1b`` makes AQE's parallelism-first rule binding
-    (keep >= defaultParallelism partitions regardless of byte size), which
-    is exactly the right trade for CPU-bound grouped-map stages and costs
-    relational stages nothing but a few extra tiny tasks. Set here (not
-    only in get_spark) so externally created sessions — the bench driver's
-    vanilla session included — get parallel solver stages too.
+    NOTE: for ``groupBy().applyInPandas`` consumers this alone is not
+    sufficient on sessions without
+    ``spark.sql.adaptive.coalescePartitions.minPartitionSize=1b`` (set in
+    :func:`session.get_spark`): EnsureRequirements replaces the explicit
+    repartition with its own coalescible exchange. Prefer
+    :func:`grouped_apply`, which does not depend on session config.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
     sc = spark.sparkContext
     n = max(sc.defaultParallelism * tasks_per_core, 1)
     return df.repartition(n, *keys)
+
+
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    tasks_per_core: int = 4,
+) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` with plan-owned
+    parallelism and per-partition Python round-trips (see module
+    docstring). ``fn`` receives each group as a pandas DataFrame exactly
+    as ``applyInPandas`` would (key columns included, index reset).
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism * tasks_per_core, 1)
+    prepared = df.repartition(n, *keys)
+    key_list = list(keys)
+
+    def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby(key_list, sort=False, dropna=False):
+            out = fn(g.reset_index(drop=True))
+            if out is not None and len(out):
+                yield out
+
+    return prepared.mapInPandas(_run, schema)

@@ -160,17 +160,29 @@ def fit_seasonal_quantile(
     site_col: str = "site",
     date_col: str = "date",
 ) -> DataFrame:
-    """Run D2 per site over the daily table with ``applyInPandas``.
+    """Run D2 over the daily table, batched per partition.
 
-    One shuffle on ``site``; each task fits one site's series (365*years
-    points — trivially fits executor memory, SURVEY §7.4 risk 4). Rows are
+    One shuffle on ``site``; each task stacks ALL of its sites onto one
+    shared day axis (phase shifts rotate within each harmonic pair and
+    the penalty is pair-isotropic, so per-site fits on a global axis are
+    identical to local-axis fits — see ``solve_tl1_l2d2p365_batch``) and
+    runs ONE batched interior-point solve for the whole column matrix.
+    This amortizes the per-fit setup cost across the partition's fleet
+    slice — the dominant cost once the solve itself is ~30 Newton steps.
+
+    Memory per task is (span_days x sites_in_partition) doubles — a
+    45-year span at 1 000 sites/partition is ~130 MB, far under executor
+    memory; sites are hash-spread so a fleet of millions of sites scales
+    by partition count, not per-task size (SURVEY §7.4 risk 4). Rows are
     sorted *inside* the UDF (never trust shuffle order, risk 5).
 
     Output: (site, date, <value_col>, seasonal_fit).
     """
     from solar_data_tools_spark.shipping import ensure_package_on_executors
+    from solar_data_tools_spark.solvers.exact import solve_tl1_l2d2p365_batch
 
-    ensure_package_on_executors(daily.sparkSession)
+    spark = daily.sparkSession
+    ensure_package_on_executors(spark)
     schema = (
         f"{site_col} long, {date_col} date, {value_col} double, "
         "seasonal_fit double"
@@ -178,30 +190,63 @@ def fit_seasonal_quantile(
     site_dtype = dict(daily.dtypes)[site_col]
     if site_dtype == "string":
         schema = schema.replace(f"{site_col} long", f"{site_col} string")
+    min_rows = 2 * num_harmonics + 2
 
-    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(date_col).reset_index(drop=True)
-        fit = tl1_l2d2p365_fit(
-            pdf[value_col].to_numpy(dtype=np.float64),
-            tau=tau,
-            num_harmonics=num_harmonics,
-            period=period,
-        )
-        return pd.DataFrame(
+    def _fit_partition(batches):
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        dates = pd.to_datetime(pdf[date_col])
+        d0 = dates.min()
+        offs = (dates - d0).dt.days.to_numpy()
+        T = int(offs.max()) + 1
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        sites, inv = np.unique(pdf[site_col].to_numpy(), return_inverse=True)
+        if T > 40000:
+            # pathological era spread (sites decades apart in one
+            # partition): fall back to per-site fits rather than build a
+            # huge mostly-masked matrix
+            fit_out = np.full(len(pdf), np.nan)
+            for j in range(len(sites)):
+                sel = inv == j
+                o = offs[sel]
+                o = o - o.min()
+                y = np.full(int(o.max()) + 1, np.nan)
+                y[o] = vals[sel]
+                f = tl1_l2d2p365_fit(
+                    y, tau=tau, num_harmonics=num_harmonics, period=period
+                )
+                fit_out[sel] = f[o]
+        else:
+            Y = np.full((T, len(sites)), np.nan)
+            Y[offs, inv] = vals
+            fits, _obj = solve_tl1_l2d2p365_batch(
+                Y, tau, num_harmonics=num_harmonics, period=period
+            )
+            # min-data guard per column, matching tl1_l2d2p365_fit
+            low = np.isfinite(Y).sum(axis=0) < min_rows
+            if low.any():
+                fits[:, low] = np.nan
+            fit_out = fits[offs, inv]
+        yield pd.DataFrame(
             {
                 site_col: pdf[site_col],
                 date_col: pdf[date_col],
                 value_col: pdf[value_col],
-                "seasonal_fit": fit,
+                "seasonal_fit": fit_out,
             }
         )
 
     from solar_data_tools_spark.parallel import partition_for_grouped_map
 
+    # one task wave per core: the per-partition batched solve costs
+    # milliseconds, so task-count overhead dominates straggler variance
     prepared = partition_for_grouped_map(
-        daily.select(site_col, date_col, value_col), [site_col]
+        daily.select(site_col, date_col, value_col), [site_col],
+        tasks_per_core=1,
     )
-    return prepared.groupBy(site_col).applyInPandas(_fit, schema=schema)
+    return prepared.mapInPandas(_fit_partition, schema=schema)
 
 
 def detrend_daily_signal(

@@ -108,14 +108,13 @@ def estimate_quantiles(
             )
         return pd.concat(frames, ignore_index=True)
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(
-            dilated.select(site_col, "date", "dil_slot", "dil_value"), [site_col]
-        )
-        .groupBy(site_col)
-        .applyInPandas(_fit, schema)
+    return grouped_apply(
+        dilated.select(site_col, "date", "dil_slot", "dil_value"),
+        [site_col],
+        _fit,
+        schema,
     )
 
 
@@ -162,10 +161,6 @@ def detect_clear_sky(
             }
         )
 
-    from solar_data_tools_spark.parallel import partition_for_grouped_map
+    from solar_data_tools_spark.parallel import grouped_apply
 
-    return (
-        partition_for_grouped_map(joined, [site_col])
-        .groupBy(site_col)
-        .applyInPandas(_label, schema)
-    )
+    return grouped_apply(joined, [site_col], _label, schema)
