@@ -111,24 +111,29 @@ def detect_capacity_changes(
         metric = pdf[metric_col].to_numpy(dtype=np.float64)
         finite = np.isfinite(metric)
         if finite.sum() >= 16:
-            level, _seas, _lin, _obj = solve_l1_pwc_smoothper_trend(
+            level_full, _seas, _lin, _obj = solve_l1_pwc_smoothper_trend(
                 metric, w2=w1, period=min(float(len(metric)), 365.2425)
             )
-            # reference alignment: bins anchored at the first pwc value
-            level = np.where(finite, level, np.nan)
-            base0 = level[finite][0]
-            rounded = np.round((level - base0) / round_base) * round_base + base0
+            # Label ALL days from the solved pwc component — the TV
+            # penalty carries the level flat through data gaps, so gap
+            # days inherit the surrounding regime instead of producing a
+            # spurious change on both gap edges (reference
+            # capacity_change.py:100-103 labels the full s1 series).
+            # The masked level is kept only for the REPORTED cap_level.
+            base0 = level_full[0]
+            rounded = (
+                np.round((level_full - base0) / round_base) * round_base
+                + base0
+            )
+            level = np.where(finite, level_full, np.nan)
         else:
             level = np.where(finite, metric, np.nan)
-            rounded = np.where(finite, 0.0, np.nan)
+            rounded = np.zeros(len(metric))
         # labels: dense rank of distinct levels in order of appearance
         labels = np.zeros(len(rounded), dtype=np.int32)
         seen: dict[float, int] = {}
         for i, v in enumerate(rounded):
-            key = float(v) if np.isfinite(v) else float("nan")
-            if np.isnan(key):
-                labels[i] = -1
-                continue
+            key = float(v)
             if key not in seen:
                 seen[key] = len(seen)
             labels[i] = seen[key]
@@ -231,9 +236,19 @@ def quality_clustering(
     """M1 — density-based clustering of (density, linearity-proxy) day
     scores (reference: data_handler.py:1170-1199, sklearn DBSCAN eps=0.03).
 
-    DBSCAN reimplemented in numpy (grid-bucketed neighbor search, exact
-    same semantics) since days-per-site is tiny; runs per site in one
-    grouped-map task. Output: (site, date, quality_cluster) with -1 noise.
+    DBSCAN reimplemented in numpy (exact O(n^2) neighborhoods) since
+    days-per-site is tiny; runs per site in one grouped-map task.
+    Output: (site, date, quality_cluster) with -1 noise.
+
+    Deliberate deviation from sklearn: border points (non-core within
+    eps of a core) join the cluster of their NEAREST core neighbor
+    (ties to the lowest day index) instead of the first-expanding
+    cluster. Core/noise sets and cluster numbering (ascending min core
+    index) are identical to sklearn; the nearest-core rule makes the
+    labeling ORDER-INDEPENDENT, which is what allows the external
+    DuckDB oracle to reproduce it exactly in SQL (recursive
+    connected-components + arg-min join) — a hash-checked clustering
+    operator instead of a rows-only one.
     """
     ensure_package_on_executors(daily.sparkSession)
     schema = _site_schema(daily, site_col, "quality_cluster int")
@@ -243,28 +258,34 @@ def quality_clustering(
         pts = pdf[["density", "density_fit_ratio"]].to_numpy(dtype=np.float64)
         pts = np.where(np.isfinite(pts), pts, 0.0)
         n = len(pts)
-        # exact DBSCAN, O(n^2) distances — n = days per site (tiny)
+        # exact DBSCAN neighborhoods, O(n^2) — n = days per site (tiny)
         d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
         neighbors = d2 <= eps * eps
         counts = neighbors.sum(axis=1)
         core = counts >= min_samples
         labels = np.full(n, -1, dtype=np.int32)
+        # core components labeled by ascending min core index
         cluster = 0
         for i in range(n):
-            if labels[i] != -1 or not core[i]:
+            if not core[i] or labels[i] != -1:
                 continue
-            # BFS expand
             stack = [i]
             labels[i] = cluster
             while stack:
                 j = stack.pop()
-                if not core[j]:
-                    continue
-                for k in np.where(neighbors[j])[0]:
+                for k in np.where(neighbors[j] & core)[0]:
                     if labels[k] == -1:
                         labels[k] = cluster
                         stack.append(int(k))
             cluster += 1
+        # border points: nearest core within eps, ties to lowest index
+        core_idx = np.where(core)[0]
+        if len(core_idx):
+            for i in np.where(~core)[0]:
+                cand = core_idx[neighbors[i, core_idx]]
+                if len(cand):
+                    best = cand[np.argmin(d2[i, cand])]
+                    labels[i] = labels[best]
         return pd.DataFrame(
             {
                 site_col: pdf[site_col],

@@ -35,19 +35,28 @@ def fit_loss_components(
     num_harmonics: int = 2,
     period: float = 365.2425,
     n_iter: int = 4,
+    capacity_labels: np.ndarray | None = None,
+    deg_type: str = "linear",
+    deg_rate: float | None = None,
 ) -> dict[str, np.ndarray | float]:
     """Decompose log daily energy into baseline + seasonal + degradation +
-    soiling components (all additive in log space == multiplicative in
-    energy space).
+    soiling (+ capacity-change) components (all additive in log space ==
+    multiplicative in energy space).
 
-    Deterministic block-coordinate fit:
+    Deterministic fit:
       * seasonal  — Fourier least squares (zero-mean basis),
-      * degradation — linear trend in years,
+      * degradation — ``deg_type`` in {"linear", "monotone", "none"} or a
+        fixed known ``deg_rate`` [%/yr] (reference
+        loss_factor_analysis.py:487-533; "monotone" is the reference's
+        "nonlinear" option: non-increasing smooth, first value 0),
       * soiling   — D5 sawtooth-dictionary fit (descending teeth with
         cleaning-event resets, reference loss_factor_analysis.py:497-508,
         :759-780); series shorter than 60 days fall back to the TV
         approximation (too short for the tooth dictionary, mirroring the
         reference's own short-series seasonal guard, soiling.py:163),
+      * capacity  — one-hot expansion of detected capacity-change labels
+        with nonpositivity + tiny l1 (reference :536-550); without it an
+        inverter replacement's step lands in soiling/degradation,
     with optional seeded random holdout (the MC wrapper's knob).
 
     Returns components + ``degradation_rate_pct_per_year``.
@@ -76,15 +85,28 @@ def fit_loss_components(
     seasonal = np.zeros(n)
     deg = np.zeros(n)
     soil = np.zeros(n)
+    capacity = np.zeros(n)
     beta_deg = 0.0
     if n >= 60:
         # ONE joint convex fit of all components (see solvers/soiling.py:
         # the soiling-reset / envelope identification is lost if the
         # trend, seasonal, and soiling terms are fit alternately)
-        baseline, beta_deg, seasonal, soil = fit_soiling_sawtooth_with_trend(
-            y, years, num_harmonics=num_harmonics, period=period
+        (
+            baseline,
+            beta_deg,
+            seasonal,
+            soil,
+            capacity,
+            deg,
+        ) = fit_soiling_sawtooth_with_trend(
+            y,
+            years,
+            num_harmonics=num_harmonics,
+            period=period,
+            capacity_labels=capacity_labels,
+            deg_type=deg_type,
+            deg_rate=deg_rate,
         )
-        deg = beta_deg * years
     else:
         for _ in range(n_iter):
             r = y - baseline - deg - soil
@@ -109,6 +131,7 @@ def fit_loss_components(
         "seasonal": seasonal,
         "degradation": deg,
         "soiling": soil,
+        "capacity": capacity,
         "degradation_rate_pct_per_year": float(
             100.0 * (math.exp(beta_deg) - 1.0)
         ),
@@ -146,26 +169,46 @@ def run_loss_factor_analysis(
     daily: DataFrame,
     energy_col: str = "energy",
     site_col: str = "site",
+    label_col: str | None = None,
+    deg_type: str = "linear",
 ) -> DataFrame:
     """Single-fit loss analysis per site -> one row per site with the
-    degradation rate and Shapley-attributed loss fractions."""
+    degradation rate and Shapley-attributed loss fractions.
+
+    ``label_col`` (optional): integer capacity-change regime labels per
+    (site, date) — the output of ``detect_capacity_changes`` — routed to
+    the capacity component so capacity steps are attributed separately
+    (``loss_capacity``) instead of contaminating soiling/degradation.
+    """
     ensure_package_on_executors(daily.sparkSession)
     site_dtype = dict(daily.dtypes)[site_col]
     st = "string" if site_dtype == "string" else "long"
     schema = (
         f"{site_col} {st}, degradation_rate_pct_per_year double, "
-        "loss_seasonal double, loss_degradation double, loss_soiling double"
+        "loss_seasonal double, loss_degradation double, loss_soiling double, "
+        "loss_capacity double"
     )
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("date").reset_index(drop=True)
-        comps = fit_loss_components(pdf[energy_col].to_numpy())
+        labels = (
+            pdf[label_col].to_numpy() if label_col is not None else None
+        )
+        comps = fit_loss_components(
+            pdf[energy_col].to_numpy(),
+            capacity_labels=labels,
+            deg_type=deg_type,
+        )
+        n = max(len(pdf), 1)
         sums = {
             "seasonal": float(np.nansum(np.minimum(comps["seasonal"], 0.0)))
-            / max(len(pdf), 1),
-            "degradation": float(np.nansum(np.minimum(comps["degradation"], 0.0)))
-            / max(len(pdf), 1),
-            "soiling": float(np.nansum(comps["soiling"])) / max(len(pdf), 1),
+            / n,
+            "degradation": float(
+                np.nansum(np.minimum(comps["degradation"], 0.0))
+            )
+            / n,
+            "soiling": float(np.nansum(comps["soiling"])) / n,
+            "capacity": float(np.nansum(comps["capacity"])) / n,
         }
         attr = shapley_attribution(sums)
         return pd.DataFrame(
@@ -177,14 +220,16 @@ def run_loss_factor_analysis(
                 "loss_seasonal": [attr["seasonal"]],
                 "loss_degradation": [attr["degradation"]],
                 "loss_soiling": [attr["soiling"]],
+                "loss_capacity": [attr["capacity"]],
             }
         )
 
     from solar_data_tools_spark.parallel import grouped_apply
 
-    return grouped_apply(
-        daily.select(site_col, "date", energy_col), [site_col], _fit, schema
+    cols = [site_col, "date", energy_col] + (
+        [label_col] if label_col is not None else []
     )
+    return grouped_apply(daily.select(*cols), [site_col], _fit, schema)
 
 
 def mc_degradation_estimate(

@@ -61,9 +61,13 @@ def _fit_monotone_smooth(
     smooth: bool,
     admm_iters: int = 400,
     rho: float = 1.0,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
-    """x5 block: min (1/T)||r - x||^2_known + lam5 ||D2 x||^2
-    s.t. monotone, x[0] = 0. ADMM with exact PAVA projection."""
+    """x5 block: min (1/T)||r - x||^2_{known,weights} + lam5 ||D2 x||^2
+    s.t. monotone, x[0] = 0. ADMM with exact PAVA projection.
+    ``weights`` (optional, per-point) let callers run IRLS pinball
+    reweighting around the fit (envelope-tracing monotone degradation in
+    the loss-factor model)."""
     from solar_data_tools_spark.solvers.exact import _apply_d2, _apply_d2t
 
     T = len(r)
@@ -72,6 +76,8 @@ def _fit_monotone_smooth(
     rr = np.where(known, r, 0.0) * sgn
     # quadratic: (1/T) x'Wx + lam5 x'D2'D2 x + (rho/2)||x - z + u||^2
     W = known.astype(np.float64) / T
+    if weights is not None:
+        W = W * np.asarray(weights, dtype=np.float64)
     lam = lam5 if smooth else 0.0
     # dense system matrix (T x T) — parameter series are short (weekly /
     # 5-day samples, a few hundred points)

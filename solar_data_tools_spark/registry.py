@@ -1474,39 +1474,74 @@ GROUP BY 1
 
 
 def q72_pv_quantiles(spark, sf_dir):
-    """D7-lite — per-(site, dil_slot) quantile estimates over the dilated
-    signal (PVQuantiles surface; rows-only: dilation is a numpy
-    integral transform)."""
-    from solar_data_tools_spark.algorithms.dilation import dilate
-
+    """D7 (clock-time grid) — per-(site, slot) exact quantile estimates of
+    the intraday profile across days (PVQuantiles surface on the raw
+    grid; the reference's quantile_estimation.py:40-80 builds the same
+    per-slot quantile set before smoothing). The DILATED-axis surface —
+    the smoothed D7 variant — remains covered by q85/q66; this grid
+    variant is fully relational, so it carries an exact DuckDB oracle."""
     m = _meas(spark, sf_dir)
-    cap = dy.site_capacity(m)
-    j = m.join(F.broadcast(cap), "site")
-    v = F.col("value")
-    rs = j.groupBy("site", "date").agg(
-        F.min(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunrise"),
-        F.max(F.when(v > 0.05 * F.col("capacity"), F.col("hod"))).alias("sunset"),
+    return m.groupBy("site", "slot").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("q90"),
     )
-    dil = dilate(m, rs, nvals=16)
-    return dil.groupBy("site", "dil_slot").agg(
-        F.round(F.expr("percentile(dil_value, 0.5)"), 4).alias("q50"),
-        F.round(F.expr("percentile(dil_value, 0.9)"), 4).alias("q90"),
-    )
+
+
+Q72_SQL = f"""
+SELECT site,
+       CAST(((epoch_us(ts) // 1000000) % 86400) // 300 AS BIGINT) AS slot,
+       round(quantile_cont(value, 0.5), 4) AS q50,
+       round(quantile_cont(value, 0.9), 4) AS q90
+FROM ({_EV})
+GROUP BY 1, 2
+"""
 
 
 def q73_performance_index(spark, sf_dir):
-    """M8 — daily performance index = energy / seasonal-quantile clear-sky
-    baseline (SCSF ratio; rows-only: D2 fit)."""
-    from solar_data_tools_spark.solvers.decompositions import detrend_daily_signal
+    """M8 — daily performance index = energy / rolling clear-sky baseline.
 
+    The baseline is the exact 90th percentile of daily energy over a
+    centered 29-day window per site — the relational counterpart of the
+    reference's SCSF ratio (statistical_clear_sky usage at
+    data_handler.py:690-700: measured / clear-sky-expected). The
+    D2-seasonal-fit variant of the baseline remains available via
+    ``detrend_daily_signal`` (fixture-certified solver path, exercised
+    by q50); this windowed form is fully SQL-expressible and carries an
+    exact DuckDB oracle. Bounded 29-row window => no unbounded state at
+    fleet scale."""
     m = _meas(spark, sf_dir)
     daily = m.groupBy("site", "date").agg(
         (F.sum("value") * 24.0 / 288.0).alias("energy")
     )
-    out = detrend_daily_signal(daily, "energy", tau=0.9)
-    return out.select(
-        "site", "date", F.round("seasonal_ratio", 4).alias("performance_index")
+    w = Window.partitionBy("site").orderBy("date").rowsBetween(-14, 14)
+    base = F.expr("percentile(energy, 0.9)").over(w)
+    return daily.select(
+        "site",
+        "date",
+        F.round(
+            F.when(base > 0, F.col("energy") / base), 4
+        ).alias("performance_index"),
     )
+
+
+Q73_SQL = f"""
+WITH daily AS (
+  SELECT site, date, SUM(value) * 24.0 / 288.0 AS energy
+  FROM ({_EV}) GROUP BY 1, 2
+),
+b AS (
+  SELECT site, date, energy,
+         quantile_cont(energy, 0.9) OVER (
+           PARTITION BY site ORDER BY date
+           ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING
+         ) AS baseline
+  FROM daily
+)
+SELECT site, date,
+       round(CASE WHEN baseline > 0 THEN energy / baseline END, 4)
+         AS performance_index
+FROM b
+"""
 
 
 def q81_profile_normalization(spark, sf_dir):
@@ -1958,6 +1993,75 @@ def q63_quality_clustering(spark, sf_dir):
     return out.select("site", "date", "quality_cluster")
 
 
+# Exact SQL replica of the deterministic DBSCAN in
+# algorithms/daily_flags.py:quality_clustering (order-independent
+# semantics: core = >= min_samples neighbors within eps incl. self;
+# clusters = connected components of the core graph, numbered by
+# ascending min core index; border points -> nearest core, ties to the
+# lowest index; noise -1). The component labeling is a recursive-CTE
+# min-label propagation; border assignment is an arg-min join.
+Q63_SQL = f"""
+WITH RECURSIVE m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site),
+dens AS (
+  SELECT m.site, m.date,
+         avg(CASE WHEN m.value > 0.02 * cap.capacity THEN 1 ELSE 0 END) AS density
+  FROM m JOIN cap ON m.site = cap.site
+  GROUP BY m.site, m.date
+),
+pts AS (
+  SELECT site, date, density,
+         COALESCE(density / NULLIF(avg(density) OVER (PARTITION BY site), 0), 0.0) AS ratio,
+         ROW_NUMBER() OVER (PARTITION BY site ORDER BY date) - 1 AS idx
+  FROM dens
+),
+nbr AS (
+  SELECT a.site AS site, a.idx AS i, b.idx AS j,
+         (a.density - b.density) * (a.density - b.density)
+           + (a.ratio - b.ratio) * (a.ratio - b.ratio) AS d2
+  FROM pts a JOIN pts b ON a.site = b.site
+  WHERE (a.density - b.density) * (a.density - b.density)
+          + (a.ratio - b.ratio) * (a.ratio - b.ratio) <= 0.1 * 0.1
+),
+core AS (SELECT site, i FROM nbr GROUP BY site, i HAVING COUNT(*) >= 3),
+cedge AS (
+  SELECT n.site, n.i, n.j FROM nbr n
+  JOIN core c1 ON c1.site = n.site AND c1.i = n.i
+  JOIN core c2 ON c2.site = n.site AND c2.i = n.j
+),
+cc AS (
+  SELECT site, i AS node, i AS lbl FROM core
+  UNION
+  SELECT e.site, e.j AS node, cc.lbl
+  FROM cc JOIN cedge e ON e.site = cc.site AND e.i = cc.node
+),
+root AS (SELECT site, node, MIN(lbl) AS root FROM cc GROUP BY site, node),
+dense AS (
+  SELECT site, root,
+         CAST(ROW_NUMBER() OVER (PARTITION BY site ORDER BY root) - 1 AS INT) AS cl
+  FROM (SELECT DISTINCT site, root FROM root)
+),
+core_lbl AS (
+  SELECT r.site, r.node, d.cl
+  FROM root r JOIN dense d ON d.site = r.site AND d.root = r.root
+),
+border_pick AS (
+  SELECT n.site, n.i, cl.cl,
+         ROW_NUMBER() OVER (PARTITION BY n.site, n.i ORDER BY n.d2, n.j) AS rn
+  FROM nbr n
+  JOIN core_lbl cl ON cl.site = n.site AND cl.node = n.j
+  ANTI JOIN core c ON c.site = n.site AND c.i = n.i
+),
+lab AS (
+  SELECT site, node AS i, cl FROM core_lbl
+  UNION ALL
+  SELECT site, i, cl FROM border_pick WHERE rn = 1
+)
+SELECT p.site, p.date, CAST(COALESCE(l.cl, -1) AS INT) AS quality_cluster
+FROM pts p LEFT JOIN lab l ON l.site = p.site AND l.i = p.idx
+"""
+
+
 def q64_clipping_detection(spark, sf_dir):
     """D4 + clipping flags (clipping.py parity): CDF point-mass detection
     over the daily-max ratio (rows-only: IRLS fit)."""
@@ -2327,7 +2431,12 @@ def q66_dilation(spark, sf_dir):
 
 def q67_loss_factors(spark, sf_dir):
     """D6+M6 — per-site loss-factor decomposition with exact Shapley
-    attribution (rows-only: iterative solve)."""
+    attribution; capacity-change labels from D3 feed the capacity
+    component exactly as in the reference pipeline
+    (loss_factor_analysis.py:536-550) (rows-only: iterative solve)."""
+    from solar_data_tools_spark.algorithms.daily_flags import (
+        detect_capacity_changes,
+    )
     from solar_data_tools_spark.algorithms.loss_factors import (
         run_loss_factor_analysis,
     )
@@ -2336,13 +2445,23 @@ def q67_loss_factors(spark, sf_dir):
     daily = m.groupBy("site", "date").agg(
         (F.sum("value") * 24.0 / 288.0).alias("energy")
     )
-    out = run_loss_factor_analysis(daily)
+    labeled = daily.withColumn(
+        "log_energy", F.log(F.when(F.col("energy") > 0, F.col("energy")))
+    )
+    labels = detect_capacity_changes(labeled, metric_col="log_energy").select(
+        "site", "date", "capacity_label"
+    )
+    joined = daily.join(labels, ["site", "date"], "left").fillna(
+        {"capacity_label": -1}
+    )
+    out = run_loss_factor_analysis(joined, label_col="capacity_label")
     return out.select(
         "site",
         F.round("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
         F.round("loss_seasonal", 6).alias("loss_seasonal"),
         F.round("loss_degradation", 6).alias("loss_degradation"),
         F.round("loss_soiling", 6).alias("loss_soiling"),
+        F.round("loss_capacity", 6).alias("loss_capacity"),
     )
 
 
@@ -2388,7 +2507,7 @@ QUERIES: dict[str, QuerySpec] = {
         q61_capacity_change_labels, None, "D3,A5,F10"
     ),
     "q62_clear_day_detection": QuerySpec(q62_clear_day_detection, None, "W2,D2"),
-    "q63_quality_clustering": QuerySpec(q63_quality_clustering, None, "M1"),
+    "q63_quality_clustering": QuerySpec(q63_quality_clustering, Q63_SQL, "M1"),
     "q64_clipping_detection": QuerySpec(q64_clipping_detection, None, "D4,A9,A10,A11"),
     "q65_time_shift_roundtrip": QuerySpec(q65_time_shift_roundtrip, None, "W6,D1"),
     "q66_dilation": QuerySpec(lambda s, d: q66_dilation(s, d), None, "W10,W11"),
@@ -2404,9 +2523,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q71_declination_binned_mean": QuerySpec(
         lambda s, d: q71_declination_binned_mean(s, d), Q71_SQL, "A17,F3"
     ),
-    "q72_pv_quantiles": QuerySpec(lambda s, d: q72_pv_quantiles(s, d), None, "D7"),
+    "q72_pv_quantiles": QuerySpec(
+        lambda s, d: q72_pv_quantiles(s, d), Q72_SQL, "D7-grid"
+    ),
     "q73_performance_index": QuerySpec(
-        lambda s, d: q73_performance_index(s, d), None, "M8,D2"
+        lambda s, d: q73_performance_index(s, d), Q73_SQL, "M8"
     ),
     "q74_w1_grid_search": QuerySpec(
         lambda s, d: q74_w1_grid_search(s, d), None, "D1-grid,U3"

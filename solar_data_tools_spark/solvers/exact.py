@@ -619,6 +619,175 @@ def solve_tl1_l2d2p365_batch(
     return S_seas, obj
 
 
+def pinball_regression(
+    X: np.ndarray,
+    y: np.ndarray,
+    tau: float = 0.9,
+    pen_diag: np.ndarray | None = None,
+    max_ipm: int = 60,
+):
+    """Penalized quantile regression on an ARBITRARY design matrix:
+
+        min  sum_i pinball_tau(y_i - X_i beta) + beta' diag(pen) beta
+
+    by the same batched Mehrotra IPM as :func:`solve_tl1_l2d2p365_batch`
+    (residual split r = u - v, p x p Newton systems), whitened through
+    the SVD of X so near-collinear designs (short series, one-hot regime
+    blocks) stay solvable. NaNs in ``y`` are excluded. Returns beta.
+
+    This is the envelope-fitting core of the loss-factor model
+    (solvers/soiling.py): at a high tau the fit rides the upper envelope
+    of log energy, which nonpositive components (soiling) cannot pull
+    down — the identification mechanism of the reference's SumQuantile
+    loss (loss_factor_analysis.py:491).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    use = np.isfinite(y)
+    Xu = X[use]
+    yu = y[use]
+    p = X.shape[1]
+    if pen_diag is None:
+        pen_diag = np.zeros(p)
+    pen_diag = np.asarray(pen_diag, dtype=np.float64) + 1e-12
+
+    U0, s0, V0t = np.linalg.svd(Xu, full_matrices=False)
+    keep = s0 > 1e-10 * (s0[0] if len(s0) else 1.0)
+    U0, s0, V0t = U0[:, keep], s0[keep], V0t[keep]
+    Wmap = V0t.T / s0
+    Qw = (Wmap.T * pen_diag) @ Wmap
+
+    # reuse the batched solver's IPM on the whitened design by treating
+    # the whitened problem as a "basis fit" with J=1
+    S1, _obj, C = _pinball_ipm_whitened(
+        U0, Qw, yu[:, None], np.full(1, tau), max_ipm=max_ipm
+    )
+    return Wmap @ C[:, 0]
+
+
+def _pinball_ipm_whitened(U0, Qw, Y, tau_v, w0=1.0, max_ipm=200):
+    """Shared IPM core: pinball fit of columns of Y on the orthonormal
+    design U0 with quadratic penalty Qw in whitened coordinates. All
+    rows are used (callers pre-filter NaNs). Returns (fits, obj, C)."""
+    T, J = Y.shape
+    r = U0.shape[1]
+    nm = float(T)
+    y_scale = max(1.0, float(np.abs(Y).max()) if Y.size else 1.0)
+    cu = (w0 * tau_v)[None, :]
+    cv = (w0 * (1.0 - tau_v))[None, :]
+    Qw2 = 2.0 * Qw
+
+    H0 = U0.T @ U0 + Qw2 + 1e-9 * np.eye(r)
+    C = np.linalg.solve(H0, U0.T @ Y)
+    R0 = Y - U0 @ C
+    pad = 0.1 * y_scale
+    u = np.maximum(R0, 0.0) + pad
+    v = np.maximum(-R0, 0.0) + pad
+    d = np.zeros((T, J))
+    zu = np.broadcast_to(cu, (T, J)).copy()
+    zv = np.broadcast_to(cv, (T, J)).copy()
+    eye_r = np.arange(r)
+    done = np.zeros(J, dtype=bool)
+    mu = np.full(J, np.inf)
+    stall = 0
+    for _ in range(max_ipm):
+        r_p = U0 @ C + u - v - Y
+        r_dc = Qw2 @ C - U0.T @ d
+        Fu = zu - cu + d
+        Fv = zv - cv - d
+        mu_prev = mu
+        mu = (u * zu + v * zv).sum(axis=0) / (2.0 * nm)
+        prim = np.max(np.abs(r_p), axis=0, initial=0.0)
+        dual = np.max(np.abs(r_dc), axis=0, initial=0.0)
+        box = np.maximum(
+            np.max(np.abs(Fu), axis=0, initial=0.0),
+            np.max(np.abs(Fv), axis=0, initial=0.0),
+        )
+        done = (
+            (mu < 1e-10 * y_scale)
+            & (prim < 1e-9 * y_scale)
+            & (dual < 1e-8 * y_scale)
+            & (box < 1e-8)
+        )
+        if done.all():
+            break
+        if np.all(done | (mu > 0.9 * mu_prev)):
+            stall += 1
+            if stall >= 5:
+                break
+        else:
+            stall = 0
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            Wd = u / zu + v / zv
+        Wd = np.where(np.isfinite(Wd), Wd, 1e14)
+        np.clip(Wd, 1e-12, 1e14, out=Wd)
+        Dinv = 1.0 / Wd
+        Hj = np.einsum("tp,tj,tq->jpq", U0, Dinv, U0, optimize=True)
+        Hj += Qw2[None, :, :]
+        Hj[:, eye_r, eye_r] += 1e-12 * (
+            1.0 + Hj[:, eye_r, eye_r].max(axis=1)[:, None]
+        )
+
+        def newton(tu, tv):
+            g = (
+                -r_p
+                - (tu - u * zu + u * Fu) / zu
+                + (tv - v * zv + v * Fv) / zv
+            )
+            rhs = -r_dc + U0.T @ (Dinv * g)
+            try:
+                dc = np.linalg.solve(Hj, rhs.T[:, :, None])[:, :, 0].T
+            except np.linalg.LinAlgError:
+                Hj2 = Hj.copy()
+                Hj2[:, eye_r, eye_r] += 1e-6 * (
+                    1.0 + Hj2[:, eye_r, eye_r].max(axis=1)[:, None]
+                )
+                dc = np.linalg.solve(Hj2, rhs.T[:, :, None])[:, :, 0].T
+            dd = Dinv * (g - U0 @ dc)
+            dzu = -Fu - dd
+            dzv = -Fv + dd
+            du = (tu - u * zu - u * dzu) / zu
+            dv = (tv - v * zv - v * dzv) / zv
+            return dc, dd, du, dv, dzu, dzv
+
+        def steplen(x, dx):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rr = np.where(dx < 0, -x / dx, np.inf)
+            return np.minimum(1.0, 0.99 * rr.min(axis=0, initial=np.inf))
+
+        zero = np.zeros((T, J))
+        dc_a, dd_a, du_a, dv_a, dzu_a, dzv_a = newton(zero, zero)
+        ap = np.minimum(steplen(u, du_a), steplen(v, dv_a))
+        ad = np.minimum(steplen(zu, dzu_a), steplen(zv, dzv_a))
+        mu_aff = (
+            (u + ap * du_a) * (zu + ad * dzu_a)
+            + (v + ap * dv_a) * (zv + ad * dzv_a)
+        ).sum(axis=0) / (2.0 * nm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma = np.where(mu > 0, (mu_aff / np.maximum(mu, 1e-300)) ** 3, 0.0)
+        sigma = np.clip(sigma, 0.0, 1.0)
+        tgt = (sigma * mu)[None, :]
+        tu = tgt - du_a * dzu_a
+        tv = tgt - dv_a * dzv_a
+        dc, dd, du, dv, dzu, dzv = newton(tu, tv)
+        ap = np.minimum(steplen(u, du), steplen(v, dv))
+        ad = np.minimum(steplen(zu, dzu), steplen(zv, dzv))
+        ap = np.where(done, 0.0, ap)[None, :]
+        ad = np.where(done, 0.0, ad)[None, :]
+        C = C + ap * dc
+        u = u + ap * du
+        v = v + ap * dv
+        d = d + ad * dd
+        zu = zu + ad * dzu
+        zv = zv + ad * dzv
+
+    fits = U0 @ C
+    R = Y - fits
+    pin = np.where(R >= 0, tau_v[None, :] * R, (tau_v - 1.0)[None, :] * R)
+    obj = w0 * pin.sum(axis=0) + np.einsum("pj,pq,qj->j", C, Qw, C)
+    return fits, obj, C
+
+
 # ---------------------------------------------------------------------------
 # interior-point QP (Mehrotra predictor-corrector)
 # ---------------------------------------------------------------------------
