@@ -320,6 +320,17 @@ def point_mass_locations(
     ``threshold`` (relative slope drop of >35%). Windows of 1-3 grid cells
     catch masses smeared over neighboring cells; clusters reduce to their
     strongest cell; a still-rising final slope is an end-of-support mass.
+
+    Deliberate deviation from the reference: a cluster wider than one
+    grid cell reduces to the cell with the MOST NEGATIVE metric (the
+    sharpest relative slope collapse — ``np.argmin``), where the
+    reference's ``pointmass_detection`` takes ``np.argmax`` over an
+    off-by-one metric slice. The argmin is the semantically intended
+    selection (pick the strongest evidence of a jump); the difference
+    only moves the representative by a few grid cells inside a wide
+    cluster, within the 0.0075 ``pm_neighborhood`` used downstream.
+    Covered by the multi-cell-cluster case in
+    tests/test_components.py::test_point_mass_multicell_cluster.
     """
     d1 = np.diff(y_hat)
     curv = np.diff(y_hat, n=2)

@@ -371,6 +371,23 @@ def daily_quality_scores(
         pdf = pdf.sort_values("grid_ts").reset_index(drop=True)
         dates = pd.to_datetime(pdf.grid_ts).dt.normalize()
         day_index = dates.unique()
+        # fail loudly with the offending site named — a ragged series
+        # otherwise surfaces as an opaque numpy reshape error deep in an
+        # executor task
+        site_id = pdf[site_col].iloc[0] if len(pdf) else "<empty>"
+        if len(pdf) % slots_per_day != 0:
+            raise ValueError(
+                f"site {site_id!r}: standardized series has {len(pdf)} rows, "
+                f"not a whole number of {slots_per_day}-slot days — "
+                "standardize_grid() must run before scoring"
+            )
+        n_days = len(pdf) // slots_per_day
+        if len(day_index) != n_days:
+            raise ValueError(
+                f"site {site_id!r}: {len(day_index)} distinct dates but "
+                f"{n_days} whole days of rows — duplicate or missing grid "
+                "slots; standardize_grid() must run before scoring"
+            )
         mat = (
             pdf.value.to_numpy(dtype=np.float64)
             .reshape(-1, slots_per_day)

@@ -34,11 +34,136 @@ def test_multimodal_feature_extraction(spark):
     assert out.__len__() == 3
 
 
-def test_multimodal_decode_is_stubbed():
-    from solar_data_tools_spark.operators.multimodal import decode_image
+def _encode_png(img, color_type=2, filters=None):
+    """Minimal PNG encoder for tests: 8-bit, chosen per-row filter."""
+    import struct
+    import zlib
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"abc")
+    import numpy as np
+
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w * nch).astype(np.int64)
+    bpp = nch
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int64)
+    for r in range(h):
+        line = px[r]
+        f = filters[r]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.r_[np.zeros(bpp, dtype=np.int64), line[:-bpp]]
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.r_[np.zeros(bpp, dtype=np.int64), line[:-bpp]]
+            enc = (line - (left + prev) // 2) % 256
+        elif f == 4:
+            enc = np.empty(w * nch, dtype=np.int64)
+            for x in range(w * nch):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pr) % 256
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = line
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_all_filters():
+    """Real pixel decode: random RGB image encoded with every PNG filter
+    type must decode bit-exactly."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        buf = _encode_png(img, filters=filters)
+        out = decode_png(buf)
+        assert out.shape == (10, 7, 3)
+        assert np.array_equal(out, img), f"filters={filters}"
+
+
+def test_decode_png_grayscale():
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = decode_png(_encode_png(img, color_type=0))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_decode_wav_pcm_roundtrip():
+    import io
+    import wave
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_wav_pcm
+
+    t = np.arange(800)
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t / 8000) * 32767).astype(
+        np.int16
+    )
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(samples.tobytes())
+    dec, rate = decode_wav_pcm(bio.getvalue())
+    assert rate == 8000
+    assert np.allclose(dec, samples / 32768.0)
+
+
+def test_media_feature_uses_real_pixels():
+    """Feature vector must be computed from DECODED pixels, not byte
+    histograms: a pure-red image's first three features are exactly the
+    channel means (255, 0, 0)."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import media_feature
+
+    img = np.zeros((6, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 255
+    feat = media_feature(_encode_png(img))
+    assert feat[0] == 255.0 and feat[1] == 0.0 and feat[2] == 0.0
+    # gray mean = 85, fill fraction (gray > 127.5) = 0
+    assert feat[3] == pytest.approx(85.0)
+    assert feat[7] == 0.0
+
+
+def test_media_feature_falls_back_for_unsupported():
+    from solar_data_tools_spark.operators.multimodal import (
+        _fake_feature,
+        media_feature,
+    )
+
+    blob = b"\xff\xd8" + bytes(range(100))  # JPEG magic, no decoder
+    assert media_feature(blob) == _fake_feature(blob)
 
 
 # ----------------------------------------------------------------- streaming
@@ -373,3 +498,44 @@ def test_extract_features_sniffs_through_spark(spark):
     assert abs(out[2].duration_s - 1.0) < 1e-6
     assert out[2].sample_rate_hz == 8000
     assert out[3].sniffed_mime is None and out[3].width is None
+
+
+# ------------------------------------------- point-mass cluster selection
+def test_point_mass_multicell_cluster():
+    """A point mass smeared over several grid cells must reduce to ONE
+    representative at the sharpest slope collapse (documented argmin
+    deviation from the reference's off-by-one argmax slice)."""
+    import numpy as np
+
+    from solar_data_tools_spark.algorithms.daily_flags import (
+        point_mass_locations,
+    )
+
+    n = 401
+    x = np.linspace(0.0, 1.0, n)
+    # CDF: gentle rise, then a steep 3-cell ramp near 0.6 (smeared point
+    # mass), then gentle rise again
+    y = 0.4 * x.copy()
+    j = int(0.6 * (n - 1))
+    y[j : j + 3] += np.array([0.1, 0.3, 0.4])
+    y[j + 3 :] += 0.4
+    y = y / y[-1]
+    pms = point_mass_locations(y, x)
+    interior = pms[pms < 0.95]
+    assert len(interior) == 1, pms
+    assert abs(interior[0] - 0.6) < 0.02, pms
+
+
+def test_scoring_rejects_ragged_series(spark):
+    """daily_quality_scores must fail with the site named when the
+    standardized series is not a whole number of days."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from solar_data_tools_spark.algorithms.scoring import daily_quality_scores
+
+    ts = pd.date_range("2024-01-01", periods=100, freq="5min")  # ragged
+    pdf = pd.DataFrame({"site": 7, "grid_ts": ts, "value": 1.0})
+    df = daily_quality_scores(spark.createDataFrame(pdf), slots_per_day=288)
+    with _pytest.raises(Exception, match="site 7"):
+        df.collect()
