@@ -330,3 +330,98 @@ def simhash(
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_cosine_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    planes: list[list[float]] | None = None,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) for
+    every pair with cosine similarity >= ``threshold``.
+
+    ``method="exact"`` — all-pairs via an inequality join with the
+    sequential-fold JVM dot product (bit-reproducible against a
+    single-node oracle). Quadratic by design: it is the verification
+    baseline and the small-collection path.
+
+    ``method="lsh"`` — the 100 TB scale path: candidate pairs are
+    generated by the banded hyperplane-signature equi-join (pigeonhole:
+    any pair within ``max_hamming`` signature bits shares at least one
+    exact band), then verified with the exact cosine. The corpus never
+    self-joins all-pairs; recall is bounded by the signature geometry
+    (pairs above the cosine threshold whose signatures differ in more
+    than ``max_hamming`` of ``len(planes)`` bits are missed) — the same
+    candidate-then-verify contract as MinHash dedup.
+    """
+    from solar_data_tools_spark.operators.similarity import (
+        _as_double,
+        _band_layout,
+        _banded_bits,
+        cosine,
+        random_hyperplane_signatures,
+    )
+
+    if method == "exact":
+        e = _as_double(embeddings.select(id_col, vec_col), vec_col)
+        a = e.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        )
+        b = e.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cos = cosine(F.col("_va"), F.col("_vb"))
+        return (
+            pairs.withColumn("cosine", cos)
+            .where(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    if planes is None:
+        raise ValueError("method='lsh' requires hyperplane list")
+    sigs = random_hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    n_bits = len(planes)
+    bands = max_hamming + 1
+    layout = _band_layout(n_bits, bands)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("lsh_sig"),
+        F.explode(_banded_bits(F.col("lsh_sig"), layout)).alias("band"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("lsh_sig").alias("_sa"),
+        "band",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("lsh_sig").alias("_sb"),
+        "band",
+    )
+    cand = (
+        left.join(right, ["band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair sharing k bands appears k times; dedup before the
+        # (relatively) expensive exact verification
+        .select("id_a", "id_b", "_va", "_vb", "_sa", "_sb")
+        .dropDuplicates(["id_a", "id_b"])
+        .where(
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            <= F.lit(max_hamming)
+        )
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

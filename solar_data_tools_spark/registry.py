@@ -1129,6 +1129,39 @@ def q88_cdf_resample_approx(spark, sf_dir):
     ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
 
 
+def q89_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (north-star dedup family):
+    all pairs with cosine >= 0.35 via the exact inequality-join path
+    (sequential-fold JVM dot product — bit-reproducible against the
+    oracle). The LSH-prefilter scale path of the same operator is
+    exercised by the recall test in tests/test_similarity_lsh.py.
+    Threshold chosen for the synthetic embeddings (max pairwise cosine
+    ~0.51); real corpora use 0.9+."""
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_duplicates(emb, threshold=0.35)
+
+
+Q89_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_dot_product(a.v, b.v)
+         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+         6
+       ) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+      >= 0.35
+"""
+
+
 Q37_SQL = (
     f"""
 WITH m AS ({_EV}),
@@ -2608,6 +2641,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
     ),
+    "q89_embedding_dedup": QuerySpec(
+        q89_embedding_dedup, Q89_SQL, "dedup-embedding"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2634,6 +2670,7 @@ _QUERY_ORDER: list[str] = [
     # 1. re-verify the one historical external failure first
     "q76_sessionization",
     # 2. oracles added in round 5
+    "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",
     "q73_performance_index",

@@ -194,3 +194,46 @@ def test_exact_duplicates_member_cap(spark):
     r = out[0]
     assert r.group_size == 10  # exact count survives the cap
     assert r.member_ids == [0, 1, 2]  # members bounded by the cap
+
+
+def test_embedding_cosine_dedup_lsh_vs_exact(spark, sf_small):
+    """The LSH scale path of embedding-cosine dedup must return a SUBSET
+    of the exact pairs with identical cosines, and full recall within
+    its hamming bound (pigeonhole-lossless banding)."""
+    import random
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(16)]
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_duplicates(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_duplicates(
+            emb, threshold=0.35, method="lsh", planes=planes, max_hamming=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+    # recall floor: recompute signatures in numpy; every exact pair
+    # within the hamming bound MUST be found (banding is lossless there)
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    pl = np.array(planes)
+    bits = (mat @ pl.T >= 0).astype(np.int64)
+    sigs = (bits << np.arange(16)).sum(axis=1)
+    sig_of = dict(zip(ids, sigs))
+    for a, b in exact:
+        if bin(int(sig_of[a]) ^ int(sig_of[b])).count("1") <= 6:
+            assert (a, b) in lsh, (a, b)
