@@ -239,3 +239,117 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 65536,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: spherical k-means on a
+    bounded driver-side sample (the standard IVF recipe — the quantizer
+    is tiny and trained once; assignment and search stay distributed).
+
+    The sample is capped (``sample_cap`` rows x dim floats, a few MB at
+    64-dim), seeded, and Lloyd's iterations run in numpy. Centroids are
+    L2-normalized so nearest-centroid-by-dot == nearest-by-cosine.
+    """
+    n = embeddings.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = (
+        embeddings.select(vec_col).sample(frac, seed=seed)
+        if frac < 1.0
+        else embeddings.select(vec_col)
+    ).toPandas()
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.maximum(norms[:, None], 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(unit))
+    cent = unit[rng.choice(len(unit), size=k, replace=False)]
+    for _ in range(n_iters):
+        sims = unit @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = unit[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid; each query probes its ``n_probe`` nearest
+    cells and exact-cosine re-ranks ONLY those cells' vectors.
+
+    Scale shape: cell assignment is one broadcast-free projection (the
+    centroid table is a literal array, ~k x dim doubles); the probe is a
+    cell-id equi-join, so a query touches ~n_probe/k of the corpus.
+    Recall is the IVF trade-off (a true neighbor in an unprobed cell is
+    missed) — quantified against brute force in
+    tests/test_similarity_lsh.py; n_probe == n_centroids degrades to
+    exact search, which the test also pins.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    k_cells = len(cent)
+    n_probe = min(n_probe, k_cells)
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in cent
+    ]
+
+    def _cell_scores(vcol: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    dot(vcol, cc).alias("score"), F.lit(i).alias("cell")
+                )
+                for i, cc in enumerate(cent_cols)
+            ]
+        )
+
+    corpus = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    # corpus: argmax cell (spherical centroids => dot == cosine order)
+    corpus_cells = corpus.withColumn(
+        "cell",
+        F.sort_array(_cell_scores(F.col(vec_col)), asc=False)[0]["cell"],
+    )
+    qd = _as_double(
+        queries.select(query_id_col, vec_col), vec_col
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"))
+    probes = qd.select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            F.slice(
+                F.sort_array(_cell_scores(F.col("_qvec")), asc=False),
+                1,
+                n_probe,
+            )
+        ).alias("_p"),
+    ).select(query_id_col, "_qvec", F.col("_p.cell").alias("cell"))
+    scored = (
+        corpus_cells.join(F.broadcast(probes), on="cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

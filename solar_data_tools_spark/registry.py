@@ -1145,6 +1145,32 @@ def q89_embedding_dedup(spark, sf_dir):
     return embedding_cosine_duplicates(emb, threshold=0.35)
 
 
+def q90_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (north-star ANN scale path #2,
+    complementing LSH q49): deterministic spherical-kmeans coarse
+    quantizer + n_probe cell search + exact cosine re-rank. Rows-only:
+    the quantizer is iterative; recall and the exact-degradation
+    (n_probe == n_cells) contract are pinned by
+    tests/test_similarity_lsh.py."""
+    from solar_data_tools_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, cent, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
 Q89_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2644,6 +2670,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q89_embedding_dedup": QuerySpec(
         q89_embedding_dedup, Q89_SQL, "dedup-embedding"
     ),
+    "q90_ivf_topk": QuerySpec(q90_ivf_topk, None, "similarity-ivf"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2708,6 +2735,7 @@ _QUERY_ORDER: list[str] = [
     "q86_clear_sky_labels",
     "q87_quality_scores",
     "q88_cdf_resample_approx",
+    "q90_ivf_topk",
     # 5. recently re-verified relational queries
     "q01_pricing_summary",
     "q02_revenue_by_nation",

@@ -474,3 +474,21 @@ def test_q88_approx_cdf_tracks_exact(results, sf_small):
     assert float(err.quantile(0.95)) < 0.1, err.describe()
     ends = j[j.q_ix.isin([0, 100])]
     assert (ends.cdf_value_approx - ends.cdf_value_exact).abs().max() < 1e-9
+
+
+def test_q90_ivf_topk_contract(results, sf_small):
+    """IVF returns dense ranks with non-increasing TRUE cosines (the
+    re-rank stage is exact even though cell probing is approximate)."""
+    df = results("q90_ivf_topk")
+    emb = _duck(sf_small, "select vec_id, embedding from embeddings")
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1)[:, None], 1e-12)
+    row = {v: i for i, v in enumerate(ids)}
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g.cosine_sim.diff().dropna() <= 1e-9).all()
+        for _, r in g.iterrows():
+            true = float(unit[row[r.vec_id]] @ unit[row[qid]])
+            assert abs(true - r.cosine_sim) < 1e-4

@@ -237,3 +237,56 @@ def test_embedding_cosine_dedup_lsh_vs_exact(spark, sf_small):
     for a, b in exact:
         if bin(int(sig_of[a]) ^ int(sig_of[b])).count("1") <= 6:
             assert (a, b) in lsh, (a, b)
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, sf_small):
+    """n_probe == n_centroids degrades IVF to exact search: results must
+    equal brute force row for row."""
+    from solar_data_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    queries = emb.where("vec_id < 10").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    exact = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 9))
+        for r in ivf_topk(emb, queries, cent, k=5, n_probe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_recall_floor(spark, sf_small):
+    """Probing a quarter of the cells must still recover most of the true
+    top-5 on the synthetic embeddings (clustered labels => IVF-friendly)."""
+    from solar_data_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    truth: dict = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict = {}
+    for r in ivf_topk(emb, queries, cent, k=5, n_probe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.5, recall
