@@ -8,3 +8,7 @@ skeleton; the solver layer stays batch-recompute by design.
 
 from solar_data_tools_spark.streaming.daily_stream import streaming_daily_stats  # noqa: F401
 from solar_data_tools_spark.streaming.sessions_stream import streaming_sessionize  # noqa: F401
+from solar_data_tools_spark.streaming.dedup_stream import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_first_seen,
+)

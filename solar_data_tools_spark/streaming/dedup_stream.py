@@ -1,0 +1,68 @@
+"""Streaming deduplication — the ingestion-time counterpart of the batch
+dedup family (operators/dedup.py) for training-data pipelines.
+
+Two built-in stateful operators cover the streaming cases without a
+custom ``applyInPandasWithState`` handler (state stays JVM-side in the
+state store, so a 1000-executor cluster shards dedup state by key hash):
+
+- ``streaming_exact_dedup`` — drop rows whose content hash was already
+  seen within the watermark horizon (``dropDuplicatesWithinWatermark``:
+  bounded state; an exact duplicate arriving later than the horizon is
+  the batch layer's job, consistent with this engine's
+  streaming-approximates / batch-is-truth contract).
+- ``streaming_first_seen`` — emit one row per NEW content hash with its
+  first-seen timestamp (dedup + provenance), a groupBy-min over the
+  same bounded state.
+
+State sizing at 100 TB: state is one (hash, timestamp) entry per
+distinct key inside the watermark window — independent of total history
+length, linear in arrival rate x horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(text_col: str = "text"):
+    """64-bit content fingerprint of the normalized text (same
+    normalization as the batch exact-dedup operator)."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    return F.xxhash64(normalize_text(F.col(text_col)))
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first arrival of each distinct (normalized) document
+    within the watermark horizon; later copies are dropped."""
+    return (
+        stream.withColumn("content_hash", content_hash(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """One output row per distinct document: (content_hash, first_ts,
+    n_copies) — dedup plus duplication telemetry, windowless bounded
+    state via the watermark."""
+    return (
+        stream.withColumn("content_hash", content_hash(text_col))
+        .withWatermark(ts_col, watermark)
+        .groupBy("content_hash")
+        .agg(
+            F.min(ts_col).alias("first_ts"),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -539,3 +539,69 @@ def test_scoring_rejects_ragged_series(spark):
     df = daily_quality_scores(spark.createDataFrame(pdf), slots_per_day=288)
     with _pytest.raises(Exception, match="site 7"):
         df.collect()
+
+
+def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
+    """Streaming exact dedup over the documents table must keep exactly
+    one representative per distinct normalized text (same contract as
+    the batch exact-dedup operator), and first-seen telemetry must
+    report the true copy counts."""
+    import pandas as pd
+
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import (
+        streaming_exact_dedup,
+        streaming_first_seen,
+    )
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # synthesize arrival order: ingest_ts strictly increasing by doc_id
+    staged = docs.withColumn(
+        "ingest_ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"),
+    )
+    src = str(tmp_path / "docs_stream")
+    staged.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .parquet(src)
+    )
+    dq = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dq.awaitTermination(120)
+    kept = spark.sql("select * from dedup_stream_test").toPandas()
+
+    batch = (
+        staged.withColumn(
+            "h", F.xxhash64(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        )
+        .toPandas()
+    )
+    n_distinct = batch.h.nunique()
+    assert len(kept) == n_distinct
+    assert kept.content_hash.nunique() == n_distinct
+
+    fq = (
+        streaming_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    fq.awaitTermination(120)
+    seen = spark.sql("select * from first_seen_test").toPandas()
+    truth = batch.groupby("h").agg(n=("doc_id", "size"), first=("ingest_ts", "min"))
+    assert len(seen) == len(truth)
+    m = seen.set_index("content_hash")
+    for h, row in truth.iterrows():
+        assert int(m.loc[h, "n_copies"]) == int(row["n"])
+        assert pd.Timestamp(m.loc[h, "first_ts"]) == row["first"]
