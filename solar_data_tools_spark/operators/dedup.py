@@ -385,39 +385,49 @@ def embedding_cosine_duplicates(
         raise ValueError(f"unknown method {method!r}")
     if planes is None:
         raise ValueError("method='lsh' requires hyperplane list")
-    sigs = random_hyperplane_signatures(embeddings, planes, id_col, vec_col)
     n_bits = len(planes)
+    if max_hamming >= n_bits:
+        # without this the band layout degenerates to zero-width bands
+        # whose bits all hash to 0 — a silent all-pairs cross join
+        raise ValueError("max_hamming must be < number of hyperplanes")
     bands = max_hamming + 1
     layout = _band_layout(n_bits, bands)
+    sigs = random_hyperplane_signatures(embeddings, planes, id_col, vec_col)
+    # band join carries only (id, sig, band) — never the vectors: with
+    # `bands` rows per id on both sides, shipping embeddings through the
+    # explode would amplify shuffle volume ~bands x corpus bytes per
+    # side (the sibling lsh_topk uses the same id-only pattern)
     banded = sigs.select(
         F.col(id_col),
-        F.col(vec_col),
         F.col("lsh_sig"),
         F.explode(_banded_bits(F.col("lsh_sig"), layout)).alias("band"),
     )
     left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("lsh_sig").alias("_sa"),
-        "band",
+        F.col(id_col).alias("id_a"), F.col("lsh_sig").alias("_sa"), "band"
     )
     right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("lsh_sig").alias("_sb"),
-        "band",
+        F.col(id_col).alias("id_b"), F.col("lsh_sig").alias("_sb"), "band"
     )
     cand = (
         left.join(right, ["band"])
         .where(F.col("id_a") < F.col("id_b"))
         # a pair sharing k bands appears k times; dedup before the
         # (relatively) expensive exact verification
-        .select("id_a", "id_b", "_va", "_vb", "_sa", "_sb")
+        .select("id_a", "id_b", "_sa", "_sb")
         .dropDuplicates(["id_a", "id_b"])
         .where(
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
             <= F.lit(max_hamming)
         )
+        .select("id_a", "id_b")
+    )
+    vecs = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+        "id_b",
     )
     cos = cosine(F.col("_va"), F.col("_vb"))
     return (

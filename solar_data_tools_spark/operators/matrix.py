@@ -62,13 +62,27 @@ def to_matrix_pandas(
     if pdf.empty:
         return pd.DataFrame()
     ts = pd.DatetimeIndex(pdf[ts_col])
+    if len(ts) < 2:
+        raise ValueError(
+            f"site {site!r}: need >= 2 rows to infer the sampling period "
+            f"(got {len(ts)})"
+        )
     deltas = (ts[1:] - ts[:-1]).to_numpy()
-    freq_seconds = int(
-        np.median(deltas) / np.timedelta64(1, "s")
-    )
+    freq_seconds = int(np.median(deltas) / np.timedelta64(1, "s"))
+    if freq_seconds <= 0 or 86400 % freq_seconds != 0:
+        raise ValueError(
+            f"site {site!r}: inferred sampling period {freq_seconds}s does "
+            "not divide a day — standardize the series first (make_2d "
+            "requires a regular grid, matrix_embedding.py:41-47)"
+        )
     n_steps = int(24 * 60 * 60 / freq_seconds)
 
     days = ts.normalize().unique().sort_values()
+    if (int(trim_start) + int(trim_end)) >= len(days):
+        raise ValueError(
+            f"site {site!r}: {len(days)} day(s) of data cannot satisfy "
+            f"trim_start={trim_start}, trim_end={trim_end}"
+        )
     start = days[1] if trim_start else days[0]
     end = days[-2] if trim_end else days[-1]
     full_index = pd.date_range(

@@ -251,9 +251,11 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
-    """Pure-stdlib WAV decode: RIFF chunk walk -> PCM samples as a
-    float64 array in [-1, 1] (16-bit and 8-bit PCM), plus the sample
-    rate. Raises ValueError on compressed/float WAV."""
+    """Pure-stdlib WAV decode: RIFF chunk walk -> PCM frames as a MONO
+    float64 array in [-1, 1] (16-bit and 8-bit PCM; multi-channel audio
+    is de-interleaved and averaged to mono so waveform statistics and
+    duration are channel-count independent), plus the sample rate.
+    Raises ValueError on compressed/float WAV."""
     import struct
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -271,9 +273,10 @@ def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         i += 8 + clen + (clen % 2)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data")
-    audio_fmt, _ch, rate, _brate, _ba, depth = fmt
+    audio_fmt, n_ch, rate, _brate, _ba, depth = fmt
     if audio_fmt != 1:
         raise ValueError(f"unsupported WAV format {audio_fmt}")
+    n_ch = max(int(n_ch), 1)
     if depth == 16:
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"
@@ -284,6 +287,9 @@ def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         ) / 128.0
     else:
         raise ValueError(f"unsupported WAV bit depth {depth}")
+    if n_ch > 1:
+        n_frames = len(samples) // n_ch
+        samples = samples[: n_frames * n_ch].reshape(-1, n_ch).mean(axis=1)
     return samples, int(rate)
 
 
@@ -336,6 +342,9 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Content feature: REAL pixel/PCM statistics for formats the pure-
     stdlib decoders cover (PNG, PCM WAV), byte-histogram fallback for
     the rest. Deterministic either way."""
+    import struct
+    import zlib
+
     if buf:
         try:
             if buf[:8] == b"\x89PNG\r\n\x1a\n":
@@ -343,7 +352,10 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
             if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
                 samples, rate = decode_wav_pcm(buf)
                 return audio_feature(samples, rate, dim)
-        except ValueError:
+        except (ValueError, IndexError, struct.error, zlib.error):
+            # corrupt container/stream (bad IDAT, truncated header,
+            # palette index out of range, ...): one malformed file must
+            # degrade to the fallback feature, never fail the task
             pass
     return _fake_feature(buf, dim)
 

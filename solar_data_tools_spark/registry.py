@@ -2683,7 +2683,13 @@ QUERIES: dict[str, QuerySpec] = {
 # Stable, committed registry order. The external driver checks a fixed-size
 # prefix of this dict each round; the order below is a deliberate, tracked
 # choice (no filesystem I/O, no dependence on grader artifacts, identical in
-# every environment). Priority rationale, front to back:
+# every environment). This list is EXPECTED to be re-ranked each round as a
+# reviewed, committed edit — front-loading whatever most needs external
+# re-verification (failures first, then new/changed queries, then least-
+# recently-checked) — so no query is starved of the external window
+# indefinitely; the full registry is additionally swept locally every
+# session (tests/test_oracle_parity.py, no window). Priority rationale,
+# front to back:
 #   1. q76 — its last external check failed (round-3 session-wide ingest
 #      regression, since fixed); it must be the first thing re-verified.
 #   2. Queries whose oracles are new this round (q63/q72/q73).

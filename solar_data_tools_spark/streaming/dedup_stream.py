@@ -10,9 +10,9 @@ state store, so a 1000-executor cluster shards dedup state by key hash):
   bounded state; an exact duplicate arriving later than the horizon is
   the batch layer's job, consistent with this engine's
   streaming-approximates / batch-is-truth contract).
-- ``streaming_first_seen`` — emit one row per NEW content hash with its
-  first-seen timestamp (dedup + provenance), a groupBy-min over the
-  same bounded state.
+- ``streaming_first_seen`` — per (tumbling window, content hash):
+  first-seen timestamp and copy count (duplication telemetry); the
+  window in the grouping key keeps the aggregation state evictable.
 
 State sizing at 100 TB: state is one (hash, timestamp) entry per
 distinct key inside the watermark window — independent of total history
@@ -53,16 +53,29 @@ def streaming_first_seen(
     ts_col: str = "ingest_ts",
     text_col: str = "text",
     watermark: str = "1 hour",
+    window: str = "1 hour",
 ) -> DataFrame:
-    """One output row per distinct document: (content_hash, first_ts,
-    n_copies) — dedup plus duplication telemetry, windowless bounded
-    state via the watermark."""
+    """Duplication telemetry: one row per (tumbling window, distinct
+    document) with first-seen timestamp and copy count.
+
+    The time window is in the grouping key — that is what makes the
+    state watermark-EVICTABLE (a bare groupBy(content_hash) aggregation
+    keeps one state entry per distinct hash over all history and never
+    expires it, and Spark rejects append output for it). Copies of the
+    same document in different windows produce one row each; cross-
+    window dedup is ``streaming_exact_dedup``'s job."""
     return (
         stream.withColumn("content_hash", content_hash(text_col))
         .withWatermark(ts_col, watermark)
-        .groupBy("content_hash")
+        .groupBy(F.window(F.col(ts_col), window), "content_hash")
         .agg(
             F.min(ts_col).alias("first_ts"),
             F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "content_hash",
+            "first_ts",
+            "n_copies",
         )
     )

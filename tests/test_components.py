@@ -605,3 +605,77 @@ def test_streaming_dedup_matches_batch(spark, sf_small, tmp_path):
     for h, row in truth.iterrows():
         assert int(m.loc[h, "n_copies"]) == int(row["n"])
         assert pd.Timestamp(m.loc[h, "first_ts"]) == row["first"]
+
+
+def test_media_feature_survives_corrupt_payloads():
+    """One malformed file must degrade to the fallback feature, never
+    raise out of the UDF (review finding: zlib/struct/Index errors
+    escaped the ValueError-only catch)."""
+    import struct
+    import zlib
+
+    from solar_data_tools_spark.operators.multimodal import (
+        _fake_feature,
+        media_feature,
+    )
+
+    # PNG magic + IHDR but corrupt IDAT stream (zlib.error)
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00not-zlib-data")
+        + chunk(b"IEND", b"")
+    )
+    assert media_feature(bad_idat) == _fake_feature(bad_idat)
+    # truncated IHDR (struct.error)
+    trunc = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr[:6])
+    assert media_feature(trunc) == _fake_feature(trunc)
+
+
+def test_decode_wav_stereo_duration_and_mono_mix():
+    import io
+    import wave
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import (
+        audio_feature,
+        decode_wav_pcm,
+    )
+
+    t = np.arange(8000)
+    left = (0.5 * np.sin(2 * np.pi * 440 * t / 8000) * 32767).astype(np.int16)
+    right = (-left).astype(np.int16)
+    inter = np.empty(16000, dtype=np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(inter.tobytes())
+    samples, rate = decode_wav_pcm(bio.getvalue())
+    assert len(samples) == 8000  # frames, not interleaved samples
+    feat = audio_feature(samples, rate)
+    assert feat[5] == pytest.approx(1.0)  # duration: 1 s, not 2 s
+    # L and -R average to ~0 per frame
+    assert np.abs(samples).max() < 1e-4
+
+
+def test_embedding_lsh_dedup_rejects_degenerate_planes(spark, sf_small):
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_cosine_duplicates,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_hamming"):
+        embedding_cosine_duplicates(
+            emb, method="lsh", planes=[[1.0] * 64] * 4, max_hamming=6
+        )
