@@ -1868,6 +1868,92 @@ FROM b
 )
 
 
+def q91_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation (north-star composition): keep
+    documents that (a) pass the quality-score filter, (b) are English by
+    stopword language ID, and (c) are the canonical representative
+    (lowest doc_id) of their exact-duplicate group — the standard
+    pretraining curation chain (quality -> langid -> dedup) as ONE
+    declarative plan: three scans of the same table, two broadcast-able
+    aggregates, no Python."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    q = tx.quality_scores(docs).select("doc_id", "quality_score")
+    lang = tx.language_id(docs).select("doc_id", "predicted_lang")
+    canon = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("_norm")
+    )
+    rep = canon.groupBy("_norm").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        canon.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(rep, "_norm")
+        .where(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("predicted_lang") == "en")
+            & (F.col("doc_id") == F.col("rep_id"))
+        )
+        .select(
+            "doc_id",
+            "predicted_lang",
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+    )
+
+
+Q91_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(
+        _lang_hits_sql(lang, w) for lang, w in sorted(tx.LANG_STOPWORDS.items())
+    )
+    + " FROM documents), "
+    + """
+lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) > 0 THEN
+           CASE
+             WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+             WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+             WHEN hits_en >= hits_de THEN 'en'
+             ELSE 'de'
+           END
+         ELSE 'und' END AS predicted_lang
+  FROM h
+),
+f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t))) AS DOUBLE) AS sw_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           least(n_tokens / 100.0, 1.0) * 0.4
+           + least((sw_hits / greatest(n_tokens, 1.0)) * 4.0, 1.0) * 0.4
+           + (1.0 - least((digits / greatest(n_chars, 1.0)) * 5.0, 1.0)) * 0.2
+         END AS quality_score
+  FROM f
+),
+canon AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+rep AS (SELECT norm, min(doc_id) AS rep_id FROM canon GROUP BY norm)
+SELECT c.doc_id, l.predicted_lang, round(q.quality_score, 6) AS quality_score
+FROM canon c
+JOIN q ON q.doc_id = c.doc_id
+JOIN lang l ON l.doc_id = c.doc_id
+JOIN rep r ON r.norm = c.norm
+WHERE q.quality_score >= 0.5 AND l.predicted_lang = 'en' AND c.doc_id = r.rep_id
+"""
+)
+
+
 def q45_ngram_jaccard(spark, sf_dir):
     """Exact n-gram (unigram) Jaccard near-duplicate pairs via
     inverted-index join, blocked by (lang, source) — blocking is how
@@ -2671,6 +2757,9 @@ QUERIES: dict[str, QuerySpec] = {
         q89_embedding_dedup, Q89_SQL, "dedup-embedding"
     ),
     "q90_ivf_topk": QuerySpec(q90_ivf_topk, None, "similarity-ivf"),
+    "q91_curation_pipeline": QuerySpec(
+        q91_curation_pipeline, Q91_SQL, "curation-e2e"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2703,6 +2792,7 @@ _QUERY_ORDER: list[str] = [
     # 1. re-verify the one historical external failure first
     "q76_sessionization",
     # 2. oracles added in round 5
+    "q91_curation_pipeline",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",
