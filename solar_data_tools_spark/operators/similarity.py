@@ -264,6 +264,8 @@ def train_ivf_centroids(
         if frac < 1.0
         else embeddings.select(vec_col)
     ).toPandas()
+    if sample.empty:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     unit = mat / np.maximum(norms[:, None], 1e-12)
