@@ -175,7 +175,11 @@ def density_scores(
     dens = (filled0 > 0.02 * cap).sum(axis=0) / mat.shape[0]
     use = (dens > threshold) & (dens < 0.8)
     fit = _tl1(dens, 0.85, use_ixs=use)
-    return dens / fit, dens, fit
+    # fit can be 0/NaN on degenerate (all-dark) day subsets; the inf/NaN
+    # scores are handled by the downstream flag thresholds — silence the
+    # intentional divide so executor logs stay clean
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dens / fit, dens, fit
 
 
 def linearity_scores(
@@ -197,7 +201,8 @@ def linearity_scores(
             continue
         vals, cnts = np.unique(col, return_counts=True)
         counts[d] = cnts.max()
-    return counts / (n * density_fit)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return counts / (n * density_fit)
 
 
 def dbscan_labels(
@@ -207,8 +212,9 @@ def dbscan_labels(
     the point itself; clusters labeled in first-core-encounter order;
     border points claimed by the first expanding cluster)."""
     n = len(points)
-    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(axis=2)
-    neighbors = d2 <= eps * eps
+    with np.errstate(invalid="ignore"):
+        d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(axis=2)
+        neighbors = d2 <= eps * eps
     core = neighbors.sum(axis=1) >= min_samples
     labels = np.full(n, -1, dtype=np.int64)
     cluster = 0
