@@ -276,7 +276,12 @@ def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, n_ch, rate, _brate, _ba, depth = fmt
     if audio_fmt != 1:
         raise ValueError(f"unsupported WAV format {audio_fmt}")
-    n_ch = max(int(n_ch), 1)
+    n_ch = int(n_ch)
+    if not (1 <= n_ch <= 64):
+        # corrupt fmt chunk: raise so media_feature routes the payload
+        # to the byte-histogram fallback instead of emitting an
+        # all-zeros "real" feature (zero decodable frames)
+        raise ValueError(f"implausible WAV channel count {n_ch}")
     if depth == 16:
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"

@@ -245,6 +245,7 @@ def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_cap: int = 65536,
     n_iters: int = 10,
     seed: int = 42,
@@ -253,17 +254,20 @@ def train_ivf_centroids(
     bounded driver-side sample (the standard IVF recipe — the quantizer
     is tiny and trained once; assignment and search stay distributed).
 
-    The sample is capped (``sample_cap`` rows x dim floats, a few MB at
-    64-dim), seeded, and Lloyd's iterations run in numpy. Centroids are
-    L2-normalized so nearest-centroid-by-dot == nearest-by-cosine.
+    The sample is the ``sample_cap`` LOWEST ids in id order — not
+    ``.sample()``, whose row selection and collect order depend on file
+    splits and parallelism, which would make the trained centroids (and
+    therefore every IVF result) vary across cluster layouts. Lloyd's
+    iterations run in numpy; centroids are L2-normalized so
+    nearest-centroid-by-dot == nearest-by-cosine.
     """
-    n = embeddings.count()
-    frac = min(1.0, sample_cap / max(n, 1))
     sample = (
-        embeddings.select(vec_col).sample(frac, seed=seed)
-        if frac < 1.0
-        else embeddings.select(vec_col)
-    ).toPandas()
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .toPandas()
+        .sort_values(id_col)
+    )
     if sample.empty:
         raise ValueError("cannot train IVF centroids on an empty corpus")
     mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)

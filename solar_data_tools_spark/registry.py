@@ -1881,8 +1881,11 @@ def q91_curation_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = tx.quality_scores(docs).select("doc_id", "quality_score")
     lang = tx.language_id(docs).select("doc_id", "predicted_lang")
+    # group/join the dedup stage on a fixed-width hash of the normalized
+    # text, not the text itself — document-sized shuffle keys double the
+    # shuffled bytes at corpus scale (same pattern as exact_duplicates)
     canon = docs.select(
-        "doc_id", normalize_text(F.col("text")).alias("_norm")
+        "doc_id", F.xxhash64(normalize_text(F.col("text"))).alias("_norm")
     )
     rep = canon.groupBy("_norm").agg(F.min("doc_id").alias("rep_id"))
     return (

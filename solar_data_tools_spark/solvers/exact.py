@@ -816,7 +816,9 @@ def ipm_qp(P, q, G, h, max_iters=100, tol=1e-10, center_iters=0,
         float(np.abs(q).max(), ) if n else 1.0,
         float(np.abs(h).max()) if m else 1.0,
     )
-    rtol = tol * scale * 1e2
+    # relative tolerance scales with the problem data; for scale ~1 it
+    # coincides with the caller's absolute tol (no silent loosening)
+    rtol = tol * scale
     mu_prev = np.inf
     stall = 0
     for _ in range(max_iters):
@@ -824,12 +826,13 @@ def ipm_qp(P, q, G, h, max_iters=100, tol=1e-10, center_iters=0,
         r_p = G @ v + s - h
         mu = s @ z / m
         err = max(np.abs(r_d).max(), np.abs(r_p).max(), mu)
-        if err < tol or err < rtol:
+        if err < max(tol, rtol):
             break
         # stall break: on a degenerate face mu stops contracting long
-        # before the absolute tolerances fire; the centering finish below
-        # still lands the iterate on the analytic center
-        if mu > 0.9 * mu_prev:
+        # before the tolerances fire; only valid once the iterate is
+        # already within a few orders of the requested tolerance — a
+        # mid-solve damped phase must keep iterating, not return garbage
+        if err < 1e3 * max(tol, rtol) and mu > 0.9 * mu_prev:
             stall += 1
             if stall >= 5:
                 break
@@ -840,12 +843,16 @@ def ipm_qp(P, q, G, h, max_iters=100, tol=1e-10, center_iters=0,
         H = P + (G.T * w) @ G
         H[np.arange(n), np.arange(n)] += 1e-13 * (1.0 + np.trace(H) / n)
         # one factorization per iteration, applied to both predictor and
-        # corrector rhs (np.linalg.inv + matvec: 5x fewer LAPACK calls
-        # than cholesky + nested triangular solves, same O(n^3))
+        # corrector rhs. Cholesky FIRST: it is the positive-definiteness
+        # detector (LU-based inv silently "succeeds" on an indefinite
+        # Hessian near convergence); the inverse is then computed from
+        # the (ridged, if needed) PD matrix — 2 LAPACK calls/iter vs the
+        # historical 5.
         try:
-            Hinv = np.linalg.inv(H)
+            np.linalg.cholesky(H)
         except np.linalg.LinAlgError:
-            Hinv = np.linalg.inv(H + 1e-9 * np.trace(H) / n * np.eye(n))
+            H = H + 1e-9 * np.trace(H) / n * np.eye(n)
+        Hinv = np.linalg.inv(H)
 
         grad = P @ v + q
 
@@ -971,6 +978,21 @@ def solve_l1_pwc_smoothper_trend(
             # matching the reference's conic solver.
             x2, z3, beta = _ipm_pwc_pass(
                 yu, use, B, q3, D, tvw, w2, w4, lo, hi)
+            # support polish (same as the ADMM branch): the IPM's
+            # stall-tolerance iterate carries O(1e-2) wiggle along the
+            # weakly-determined plateau directions, which makes the
+            # "piecewise constant" component not exactly constant and
+            # lets bin-edge days flip capacity labels; fixing the
+            # detected jump support and re-solving the restricted
+            # equality-constrained problem restores exact plateaus
+            e_res = yu - (x2 + B @ z3 + beta * t_full)[use]
+            splits = (e_res, np.diff(x2), beta)
+            admm_u = np.concatenate([x2, z3, [beta]])
+            px2, pz3, pbeta, ok = _polish_pwc(
+                yu, use, B, q3, D, tvw, w2, w4, lo, hi, splits,
+                admm_u=admm_u)
+            if ok:
+                x2, z3, beta = px2, pz3, pbeta
         else:
             x2, z3, beta, splits = _admm_pwc_smoothper_trend(
                 yu, use, B, q3, D, tvw, w2, w4, lo, hi, rho, admm_iters)
@@ -1029,7 +1051,11 @@ def _ipm_pwc_pass(yu, use, B, q3, D, tvw, w2, w4, lo, hi):
     h[-2] = hi
     G[-1, nx - 1] = -1.0
     h[-1] = -lo
-    v = ipm_qp(P, q, G, h, center_iters=15, center_mu=1e-8)
+    # tol=1e-8: the consumers round the pwc level into 0.05 capacity
+    # bins (daily_flags custom_round), so 1e-8-relative optimality is
+    # 5+ orders beyond what can move a label, and it lets the plateau
+    # stall-exit fire at 1e-5-relative instead of grinding to 1e-10
+    v = ipm_qp(P, q, G, h, tol=1e-8, center_iters=15, center_mu=1e-8)
     return v[:T], v[T:T + pB], float(v[nx - 1])
 
 

@@ -303,14 +303,18 @@ def fit_soiling_sawtooth_with_trend(
         return float(w_sm[0]), B @ w_sm[1:], Dteeth @ a
 
     Dteeth = make_sawtooth_dictionary(T)
-    # Drop degenerate atoms: the reference's k=2..31 grid is built for
-    # multi-year series; on a short series most atoms span <3 days and
-    # can only fit noise, while the coordinate-descent cost is O(K^2)
-    # in the atom count (observed 0.4 s/site on 27-day fleets, nearly
-    # all spent on ~1000 one-day atoms). Multi-year series keep the
-    # full reference dictionary (every atom spans >=23 days at T=730).
-    support = (Dteeth < 0).sum(axis=0)
-    Dteeth = Dteeth[:, support >= 3]
+    if T < 365:
+        # Short-series perf path only: the reference's k=2..31 grid is
+        # built for multi-year series; on a month-scale series most
+        # atoms span <3 days and can only fit noise, while the
+        # coordinate-descent cost is O(K^2) in the atom count (observed
+        # 0.4 s/site on 27-day fleets, nearly all on ~1000 one-day
+        # atoms). Series of a year or more keep the FULL reference
+        # dictionary — including boundary-clipped partial teeth — so
+        # the parity model space (loss_factor_analysis.py:759-780) is
+        # untouched where the reference is actually used.
+        support = (Dteeth < 0).sum(axis=0)
+        Dteeth = Dteeth[:, support >= 3]
 
     # Stage A — envelope quantile regression identifies the trend and
     # capacity steps (nonpositive soiling cannot pull the tau=0.9

@@ -214,12 +214,25 @@ def test_q61_capacity_labels_consistent(results):
         expect = np.zeros(len(lab), dtype=bool)
         expect[1:] = lab[1:] != lab[:-1]
         assert (chg == expect).all(), f"site {site}: changed != label step"
-        # distinct neighboring regimes differ by at least half a rounding
-        # bin in fitted level (round_base=0.05)
-        steps = np.abs(np.diff(g.cap_level.to_numpy()))[expect[1:]]
-        finite = steps[np.isfinite(steps)]
+        # bin consistency (a theorem of custom_round, round_base=0.05):
+        # adjacent days with the SAME label share a rounding bin, so
+        # their fitted levels differ by at most one bin width. (The old
+        # converse claim — changed neighbors differ by >= half a bin —
+        # is NOT a theorem: a genuine small pwc step straddling a bin
+        # edge flips the label with an arbitrarily small level gap, in
+        # this engine and in the reference's labeling alike.)
+        lvl = g.cap_level.to_numpy()
+        same = ~expect[1:]
+        steps_same = np.abs(np.diff(lvl))[same]
+        finite = steps_same[np.isfinite(steps_same)]
         if len(finite):
-            assert finite.min() >= 0.025 - 1e-9, finite.min()
+            assert finite.max() <= 0.05 + 1e-6, finite.max()
+        # at least one labeled change per site corresponds to a real
+        # level movement (the detector is not firing on pure noise)
+        steps_chg = np.abs(np.diff(lvl))[expect[1:]]
+        fin_chg = steps_chg[np.isfinite(steps_chg)]
+        if len(fin_chg):
+            assert fin_chg.max() >= 0.025 - 1e-9, fin_chg.max()
 
 
 def test_q62_clear_days_shape(results):
