@@ -1086,6 +1086,8 @@ def _admm_pwc_smoothper_trend(yu, use, B, q3, D, tvw, w2, w4, lo, hi,
     alpha = 1.8
     ke = 1.0 / (T * rho)
     kt = w2 * tvw / ((T - 1) * rho)
+    obj_prev = np.inf
+    obj_stable = 0
     for it in range(admm_iters):
         rhs = rho * (Xr.T @ (yu - ze + se) + Gtv.T @ (zt - st) + gb * (zb - sb))
         u = Kinv @ rhs
@@ -1100,14 +1102,31 @@ def _admm_pwc_smoothper_trend(yu, use, B, q3, D, tvw, w2, w4, lo, hi,
         zt = _soft(Dh + st, kt); st += Dh - zt
         bh = alpha * bet + (1.0 - alpha) * zb
         zb = min(max(bh + sb, lo), hi); sb += bh - zb
-        if (
-            it % 25 == 24
-            and _admm_converged(r - ze, ze - ze_prev, rho,
-                                tol=1e-8 * y_scale)
-            and _admm_converged(Dx - zt, zt - zt_prev, rho,
-                                tol=1e-8 * y_scale)
-        ):
-            break
+        if it % 25 == 24:
+            if _admm_converged(r - ze, ze - ze_prev, rho,
+                               tol=1e-8 * y_scale) and _admm_converged(
+                Dx - zt, zt - zt_prev, rho, tol=1e-8 * y_scale
+            ):
+                break
+            # objective-plateau stop (same rationale as the D4 solver):
+            # the support polish downstream recovers the exact optimum
+            # from the detected pattern, so iterating only has to get
+            # the SUPPORT right — once the true objective stops moving,
+            # further fixed-rate dual refinement is wasted wall time
+            # (year-length fleet series otherwise burn all 15k iters).
+            obj_cur = (
+                np.sum(np.abs(r)) / T
+                + np.sum(kt * np.abs(Dx)) * rho
+                + u[T : T + pB] @ (q3 * u[T : T + pB])
+                + w4 * T * bet**2
+            )
+            if abs(obj_prev - obj_cur) < 1e-8 * max(1.0, obj_cur):
+                obj_stable += 1
+                if obj_stable >= 4:
+                    break
+            else:
+                obj_stable = 0
+            obj_prev = obj_cur
     return u[:T], u[T:T + pB], float(zb), (ze, zt, zb)
 
 
