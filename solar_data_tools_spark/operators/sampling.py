@@ -1,0 +1,203 @@
+"""Deterministic sampling, shuffling, and sequence packing for
+training-data pipelines.
+
+LLM pretraining pipelines need three reproducible corpus operations that
+plain ``df.sample()`` cannot give (its output depends on partitioning):
+
+* **hash-based (stratified) sampling** — keep a row iff a uniform value
+  derived *only from its key* falls under the stratum's rate. The same
+  row is kept or dropped regardless of cluster size, partitioning, task
+  retries, or engine — which is what makes ablations and incremental
+  re-runs reproducible, and what lets a DuckDB oracle check the exact
+  same subset.
+* **deterministic global shuffle** — a total order by a seeded hash of
+  the key. Used to decorrelate document order before packing; seeded so
+  a re-run (or a resumed run) sees the identical permutation.
+* **concat-then-chunk sequence packing** — documents are concatenated in
+  a deterministic order and the token stream is cut into fixed-budget
+  packs (context windows). This is the standard pretraining batching
+  scheme; the pack id / offset of every document is a pure window
+  function of the running token total.
+
+All three are built on ``md5`` (available and bit-identical in Spark and
+DuckDB), so every operator here is exactly oracle-checkable.
+
+Scale notes are on each function. No Python UDFs anywhere — everything
+is JVM-side expressions + window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column, seed: int | str = 0) -> Column:
+    """Deterministic U[0,1) from a key column.
+
+    First 8 hex chars of ``md5(seed || ':' || key)`` → 32-bit unsigned
+    int → divide by 2^32. Identical in DuckDB:
+    ``('0x' || substring(md5(seed || ':' || key), 1, 8))::BIGINT
+    / 4294967296.0``.
+
+    md5 is JVM-side (whole-stage codegen); one hash per row, no shuffle.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(4294967296.0)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep each row with probability ``rate``, decided only by
+    ``md5(seed, id)`` — reproducible across partitionings and engines.
+
+    Scale: a pure filter on a per-row expression; pushes to the scan
+    stage, no shuffle, trivially parallel at any corpus size.
+    """
+    return df.where(hash_uniform(F.col(id_col), seed) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling — the *domain-mixing* step of a
+    pretraining pipeline ("2x Wikipedia, 0.3x CommonCrawl, ...").
+
+    ``rates`` maps stratum value → keep probability; strata absent from
+    the map get ``default_rate``. The keep/drop decision for a row never
+    changes when the rate of a *different* stratum changes, so mixture
+    re-weighting re-runs touch only the strata that moved.
+
+    Scale: the rates map is a handful of literals folded into one CASE
+    expression (no join, no broadcast, no shuffle). For thousands of
+    strata, switch to a broadcast join against a rates DataFrame; for
+    the usual dozens of sources, the expression is cheaper.
+    """
+    rate = F.lit(float(default_rate))
+    expr = None
+    for k in sorted(rates):
+        cond = F.col(strata_col) == F.lit(k)
+        v = F.lit(float(rates[k]))
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    rate = expr.otherwise(rate) if expr is not None else rate
+    return df.where(hash_uniform(F.col(id_col), seed) < rate)
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded global permutation: every row gets ``shuffle_rank`` —
+    its 1-based position in the total order by ``md5(seed, id)``.
+
+    The naive plan (``row_number() OVER (ORDER BY key)``) collapses the
+    whole corpus into ONE window partition — a non-starter at 100 TB.
+    This uses the classic two-pass range plan instead:
+
+      1. ``repartitionByRange`` on the hash key (range partitioner:
+         partition *p* holds a contiguous key range, all ranges in
+         partition order) + per-partition local ranks;
+      2. per-partition row counts (a tiny ``n_partitions``-row
+         aggregate) → cumulative offsets, folded back in as a CASE
+         expression on the partition id.
+
+    global_rank = offset[pid] + local_rank. Cost: one range shuffle of
+    the data + one shuffle keyed by pid for the local-rank window (each
+    pid group is exactly one range partition, so parallelism and balance
+    are preserved), plus a num_partitions-row driver aggregate.
+    Ties (md5 collisions) break on the id itself, so the permutation is
+    a total order.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("_shuffle_key", key).repartitionByRange(
+        n, "_shuffle_key", id_col
+    )
+    keyed = keyed.withColumn("_pid", F.spark_partition_id())
+    # tiny: one row per partition
+    counts = sorted(
+        keyed.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off = F.lit(0)
+    for pid in sorted(offsets, reverse=True):
+        off = F.when(F.col("_pid") == pid, F.lit(offsets[pid])).otherwise(off)
+    w = Window.partitionBy("_pid").orderBy("_shuffle_key", id_col)
+    return (
+        keyed.withColumn(
+            "shuffle_rank", (F.row_number().over(w) + off).cast("long")
+        )
+        .drop("_shuffle_key", "_pid")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each ``group_col``
+    stream, documents are concatenated in ``order_col`` order and the
+    token stream is cut every ``budget`` tokens. Each document is
+    assigned the pack (context window) where it *starts*:
+
+        start   = running_total - n_tokens     (tokens before this doc)
+        pack_id = floor(start / budget)
+        offset_in_pack = start % budget
+
+    This is the batching scheme GPT-style pretraining actually uses
+    (concatenate + chunk, documents may straddle chunk boundaries) —
+    not bin packing, which is neither streaming nor order-stable.
+
+    Scale: one window cumsum per group. Groups are corpus sources
+    (dozens to thousands) — each window partition is a source's
+    documents, which is the same per-source skew any per-source
+    aggregate has; for a single gigantic source, pre-split it into
+    ``(source, shard)`` groups upstream. No Python, no second pass.
+
+    ``token_col`` of None derives whitespace token counts from
+    ``text_col`` (same expression as ``text.token_stats``).
+    """
+    if token_col is None:
+        toks = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, 0
+        ).otherwise(
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).cast("long")
+    else:
+        toks = F.col(token_col).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(toks).over(w)
+    start = running - toks
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        toks.alias("n_tokens"),
+        F.floor(start / F.lit(int(budget))).cast("long").alias("pack_id"),
+        (start % F.lit(int(budget))).cast("long").alias("offset_in_pack"),
+    )

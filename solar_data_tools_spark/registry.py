@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from solar_data_tools_spark.session import read_table
 from solar_data_tools_spark.operators import dedup as dd
 from solar_data_tools_spark.operators import similarity as sim
+from solar_data_tools_spark.operators import sampling as sp
 from solar_data_tools_spark.operators import text as tx
 from solar_data_tools_spark.operators.canonical import events_as_measurements
 from solar_data_tools_spark.operators import daily as dy
@@ -1957,6 +1958,81 @@ WHERE q.quality_score >= 0.5 AND l.predicted_lang = 'en' AND c.doc_id = r.rep_id
 )
 
 
+def q92_stratified_sample(spark, sf_dir):
+    """Domain-mixing stratified sample: per-source keep rates decided by
+    a seeded md5 hash of the doc id (``operators/sampling.py``) — the
+    exact subset is reproducible across engines, partitionings, and
+    re-runs, which is what makes the DuckDB oracle possible at all.
+    Plan: a single filter expression on the scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source",
+        seed=42,
+        default_rate=0.1,
+    ).select("doc_id", "source", "lang")
+
+
+Q92_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0
+      < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def q93_global_shuffle(spark, sf_dir):
+    """Seeded deterministic global shuffle: every document's 1-based
+    position in the total order by md5(seed, doc_id). Uses the two-pass
+    range-partitioned rank plan (``sampling.global_shuffle_rank``), NOT
+    a single-partition ``row_number() OVER (ORDER BY ...)`` window."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.global_shuffle_rank(docs, id_col="doc_id", seed=7).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+Q93_SQL = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS shuffle_rank
+FROM documents
+"""
+
+
+def q94_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing at a 2048-token budget: each
+    document's pack (context window) id and token offset within its
+    source stream — one window cumsum per source, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.pack_sequences(docs, budget=2048, group_col="source")
+
+
+Q94_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((running - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       CAST((running - n_tokens) % 2048 AS BIGINT) AS offset_in_pack
+FROM r
+"""
+
+
 def q45_ngram_jaccard(spark, sf_dir):
     """Exact n-gram (unigram) Jaccard near-duplicate pairs via
     inverted-index join, blocked by (lang, source) — blocking is how
@@ -2763,6 +2839,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q91_curation_pipeline": QuerySpec(
         q91_curation_pipeline, Q91_SQL, "curation-e2e"
     ),
+    "q92_stratified_sample": QuerySpec(
+        q92_stratified_sample, Q92_SQL, "sampling-stratified"
+    ),
+    "q93_global_shuffle": QuerySpec(
+        q93_global_shuffle, Q93_SQL, "sampling-shuffle"
+    ),
+    "q94_sequence_packing": QuerySpec(
+        q94_sequence_packing, Q94_SQL, "sampling-packing"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2795,6 +2880,9 @@ _QUERY_ORDER: list[str] = [
     # 1. re-verify the one historical external failure first
     "q76_sessionization",
     # 2. oracles added in round 5
+    "q92_stratified_sample",
+    "q93_global_shuffle",
+    "q94_sequence_packing",
     "q91_curation_pipeline",
     "q89_embedding_dedup",
     "q63_quality_clustering",

@@ -1,0 +1,133 @@
+"""Deterministic sampling / shuffle / packing (operators/sampling.py).
+
+The defining property of every operator here is *partitioning
+invariance*: the result depends only on row keys and the seed, never on
+how the data happens to be split across tasks. Each test perturbs the
+physical layout and asserts the logical result is bit-identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from solar_data_tools_spark.operators import sampling as sp
+from solar_data_tools_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_medium):
+    return read_table(spark, f"{sf_medium}/documents.parquet")
+
+
+def test_hash_sample_partitioning_invariant(spark, docs):
+    a = sorted(
+        r.doc_id for r in sp.hash_sample(docs, 0.3, seed=1).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sp.hash_sample(docs.repartition(13, "lang"), 0.3, seed=1)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_and_seed(docs):
+    n = docs.count()
+    k = sp.hash_sample(docs, 0.3, seed=1).count()
+    # md5 is uniform; at n=500 the binomial 5-sigma band is ~±0.1
+    assert 0.2 * n < k < 0.4 * n
+    k2 = sp.hash_sample(docs, 0.3, seed=2).count()
+    ids1 = {r.doc_id for r in sp.hash_sample(docs, 0.3, seed=1).collect()}
+    ids2 = {r.doc_id for r in sp.hash_sample(docs, 0.3, seed=2).collect()}
+    assert ids1 != ids2  # seed actually changes the subset
+    assert 0.2 * n < k2 < 0.4 * n
+
+
+def test_hash_sample_is_nested(docs):
+    """A row kept at rate r is kept at every rate >= r (same seed) —
+    the property that makes incremental corpus scaling reproducible."""
+    lo = {r.doc_id for r in sp.hash_sample(docs, 0.2, seed=3).collect()}
+    hi = {r.doc_id for r in sp.hash_sample(docs, 0.6, seed=3).collect()}
+    assert lo <= hi
+
+
+def test_stratified_sample_rates(docs):
+    out = sp.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, strata_col="source", seed=5,
+        default_rate=0.5,
+    )
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_src0 = docs.where("source = 'src0'").count()
+    assert by_src.get("src0") == n_src0  # rate 1.0 keeps everything
+    assert "src1" not in by_src  # rate 0.0 keeps nothing
+    n_other = docs.where("source NOT IN ('src0','src1')").count()
+    kept_other = sum(v for k, v in by_src.items() if k not in ("src0",))
+    assert 0.3 * n_other < kept_other < 0.7 * n_other
+
+
+def test_global_shuffle_rank_is_permutation(spark, docs):
+    out = sp.global_shuffle_rank(docs, seed=7, num_partitions=5).select(
+        "doc_id", "shuffle_rank"
+    )
+    rows = out.collect()
+    n = docs.count()
+    assert sorted(r.shuffle_rank for r in rows) == list(range(1, n + 1))
+    # rank order must equal the order of the seeded hash key
+    import hashlib
+
+    def key(doc_id):
+        return hashlib.md5(f"7:{doc_id}".encode()).hexdigest()
+
+    by_rank = [r.doc_id for r in sorted(rows, key=lambda r: r.shuffle_rank)]
+    expected = sorted((r.doc_id for r in rows), key=lambda d: (key(d), d))
+    assert by_rank == expected
+
+
+def test_global_shuffle_rank_partitioning_invariant(docs):
+    a = {(r.doc_id, r.shuffle_rank)
+         for r in sp.global_shuffle_rank(docs, seed=9, num_partitions=3).collect()}
+    b = {(r.doc_id, r.shuffle_rank)
+         for r in sp.global_shuffle_rank(
+             docs.repartition(17), seed=9, num_partitions=8).collect()}
+    assert a == b
+
+
+def test_pack_sequences_invariants(docs):
+    budget = 512
+    out = sp.pack_sequences(docs, budget=budget, group_col="source").collect()
+    assert all(0 <= r.offset_in_pack < budget for r in out)
+    # reconstruct per-source streams and re-derive pack/offset locally
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in out:
+        streams[r.source].append(r)
+    for src, rows in streams.items():
+        rows.sort(key=lambda r: r.doc_id)
+        start = 0
+        for r in rows:
+            assert r.pack_id == start // budget, (src, r.doc_id)
+            assert r.offset_in_pack == start % budget
+            start += r.n_tokens
+    # packs are contiguous: a doc's pack id never decreases along the stream
+    for rows in streams.values():
+        packs = [r.pack_id for r in sorted(rows, key=lambda r: r.doc_id)]
+        assert packs == sorted(packs)
+
+
+def test_pack_sequences_explicit_token_col(spark):
+    pdf = spark.createDataFrame(
+        [(i, "s", 100) for i in range(10)], "doc_id long, source string, toks long"
+    )
+    out = sp.pack_sequences(
+        pdf, budget=250, group_col="source", token_col="toks"
+    ).collect()
+    got = {r.doc_id: (r.pack_id, r.offset_in_pack) for r in out}
+    # starts: 0,100,200,300,... → packs 0,0,0,1,1,2,2,2,3,3
+    assert [got[i][0] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert got[2] == (0, 200) and got[3] == (1, 50)
