@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_shingle_freq: int | None = None,
     block_cols: list[str] | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
 
@@ -123,6 +124,14 @@ def ngram_jaccard_pairs(
     # session-lifetime caches accumulate across invocations and make join
     # timing depend on eviction pressure (at 100 TB, checkpoint explicitly)
     sh = word_ngrams(docs, n, id_col, text_col, carry_cols=blocks)
+    if hash_shingles:
+        # shuffle fixed-width 8-byte keys, not n-word strings: the
+        # inverted-index self-join moves every posting twice, so replacing
+        # a ~20-40 byte shingle with xxhash64 cuts shuffled bytes several-
+        # fold at corpus scale (same pattern as exact_duplicates' group
+        # key). Set sizes stay exact: a collision would need two distinct
+        # shingles of the SAME document pair at p≈2^-64 per pair.
+        sh = sh.withColumn("shingle", F.xxhash64("shingle"))
 
     posting = sh
     if max_shingle_freq is not None:
