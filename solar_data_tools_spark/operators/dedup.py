@@ -316,14 +316,30 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash fingerprint: sign of per-bit weighted sums of token hashes.
 
     Computed as one explode + one groupBy with ``bits`` conditional sums —
     everything stays in whole-stage codegen. Output: (doc_id, simhash).
+
+    ``token_hash``: ``"xxhash64"`` (default — fastest, JVM-side) or
+    ``"md5_60"`` — the low 60 bits of md5, slower but bit-identical in
+    DuckDB, which makes the fingerprint exactly oracle-checkable
+    (pair with ``bits<=60``).
     """
     tokens = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
-    tok = docs.select(F.col(id_col), tokens).withColumn("h", F.xxhash64("tok"))
+    if token_hash == "md5_60":
+        if bits > 60:
+            raise ValueError("md5_60 token hash supports at most 60 bits")
+        # 15 hex chars = 60 bits: fits a signed long on both engines
+        # (16 chars could exceed Long.MAX and casts to NULL in Spark)
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    tok = docs.select(F.col(id_col), tokens).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -2127,6 +2127,44 @@ def q48_simhash(spark, sf_dir):
     return dd.simhash(docs)
 
 
+def q95_simhash_md5(spark, sf_dir):
+    """SimHash with the engine-portable md5_60 token hash — the SAME
+    sign-of-weighted-bit-sums pipeline as q48, but every token hash (and
+    therefore the full 60-bit fingerprint) is bit-identical in DuckDB,
+    so the fingerprint itself is hash-checked, certifying the simhash
+    aggregation logic that q48's rows-only check cannot."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, bits=60, token_hash="md5_60")
+
+
+def _q95_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM documents,
+       unnest(regexp_split_to_array(
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t(tok)
+), agg AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM agg
+"""
+
+
+Q95_SQL = _q95_sql()
+
+
 def q49_lsh_topk(spark, sf_dir):
     """Cosine-LSH bucketed approximate top-k (rows-only: candidate set is
     hash-family-specific; re-rank is exact cosine)."""
@@ -2848,6 +2886,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q94_sequence_packing": QuerySpec(
         q94_sequence_packing, Q94_SQL, "sampling-packing"
     ),
+    "q95_simhash_md5": QuerySpec(
+        q95_simhash_md5, Q95_SQL, "dedup-simhash-oracle"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2883,6 +2924,7 @@ _QUERY_ORDER: list[str] = [
     "q92_stratified_sample",
     "q93_global_shuffle",
     "q94_sequence_packing",
+    "q95_simhash_md5",
     "q91_curation_pipeline",
     "q89_embedding_dedup",
     "q63_quality_clustering",

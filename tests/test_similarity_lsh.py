@@ -290,3 +290,24 @@ def test_ivf_topk_recall_floor(spark, sf_small):
     total = sum(len(v) for v in truth.values())
     recall = hits / total
     assert recall >= 0.5, recall
+
+
+def test_simhash_md5_variant_guards_and_parity(spark, sf_small):
+    """md5_60 token hash: >60 bits raises; fingerprints carry the same
+    identical-text => identical-fingerprint property as the default."""
+    import pytest as _pytest
+
+    from solar_data_tools_spark.operators.dedup import simhash
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    with _pytest.raises(ValueError):
+        simhash(docs, bits=64, token_hash="md5_60")
+    with _pytest.raises(ValueError):
+        simhash(docs, token_hash="sha9000")
+    out = simhash(docs, bits=60, token_hash="md5_60").toPandas()
+    txt = docs.select("doc_id", "text").toPandas()
+    merged = txt.merge(out, on="doc_id")
+    by_text = merged.groupby("text").simhash.nunique()
+    assert (by_text == 1).all()  # same text -> same fingerprint
+    assert (out.simhash >= 0).all()  # 60-bit fits signed long
