@@ -183,6 +183,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry_cols: list[str] | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i).
@@ -193,15 +194,29 @@ def minhash_signatures(
     s -> xxhash64(s, i))))`` evaluated inside codegen per document. The
     only shuffle is the per-doc distinct-shingle collect (~|doc| longs);
     the k x |shingles| hash evaluations never materialize as rows.
+
+    ``token_hash="md5_60"`` swaps the per-permutation hash for the low
+    60 bits of ``md5(i || ':' || shingle)`` — slower, but bit-identical
+    in DuckDB, making the whole signature exactly oracle-checkable
+    (q96). Same higher-order no-explosion plan either way.
     """
     carry = carry_cols or []
     sh = word_ngrams(docs, n, id_col, text_col, carry_cols=carry)
     per_doc = sh.groupBy(id_col, *carry).agg(
         F.collect_list("shingle").alias("_shingles")
     )
+    if token_hash == "md5_60":
+        per_hash = (
+            "cast(conv(substring(md5(concat(cast(i as string), ':', s)), "
+            "1, 15), 16, 10) as bigint)"
+        )
+    elif token_hash == "xxhash64":
+        per_hash = "xxhash64(s, i)"
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     sig = F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
-        "i -> array_min(transform(_shingles, s -> xxhash64(s, i))))"
+        f"i -> array_min(transform(_shingles, s -> {per_hash})))"
     )
     return per_doc.select(
         F.col(id_col), *[F.col(c) for c in carry], sig.alias("signature")

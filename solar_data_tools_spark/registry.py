@@ -2165,6 +2165,45 @@ SELECT doc_id, {fp} AS simhash FROM agg
 Q95_SQL = _q95_sql()
 
 
+def q96_minhash_signatures_md5(spark, sf_dir):
+    """MinHash signatures with the engine-portable md5_60 permutation
+    hash: the same higher-order transform/array_min plan as q47's
+    signature stage, every value hash-checked against DuckDB — this
+    certifies the signature computation (the part of MinHash+LSH that
+    q47's rows-only check cannot pin down). 16 permutations over
+    unigram shingles, one column per permutation."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(
+        docs, num_hashes=16, n=1, token_hash="md5_60"
+    )
+    return sigs.select(
+        "doc_id",
+        *[F.col("signature")[i].alias(f"sig{i}") for i in range(16)],
+    )
+
+
+def _q96_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT)"
+        f" AS sig{i}"
+        for i in range(16)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+       {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+Q96_SQL = _q96_sql()
+
+
 def q49_lsh_topk(spark, sf_dir):
     """Cosine-LSH bucketed approximate top-k (rows-only: candidate set is
     hash-family-specific; re-rank is exact cosine)."""
@@ -2889,6 +2928,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q95_simhash_md5": QuerySpec(
         q95_simhash_md5, Q95_SQL, "dedup-simhash-oracle"
     ),
+    "q96_minhash_signatures_md5": QuerySpec(
+        q96_minhash_signatures_md5, Q96_SQL, "dedup-minhash-oracle"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2925,6 +2967,7 @@ _QUERY_ORDER: list[str] = [
     "q93_global_shuffle",
     "q94_sequence_packing",
     "q95_simhash_md5",
+    "q96_minhash_signatures_md5",
     "q91_curation_pipeline",
     "q89_embedding_dedup",
     "q63_quality_clustering",
