@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Reproducible scale probe: synthesize a fleet / corpus far larger than
+the test tables and time the scale-critical operators on it.
+
+Everything is generated ON THE CLUSTER with JVM-side expressions
+(``spark.range`` + hash-based pseudo-randomness) — no driver-side data,
+no files, deterministic for a given size. This is the evidence that the
+operator plans scale with partition width rather than total volume: run
+with 10x the rows and the per-row cost should hold.
+
+Usage:
+    python tools/scale_probe.py --sites 300 --days 365 --docs 200000
+Prints one JSON line with per-operator wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def synth_fleet(spark, sites: int, days: int, slots_per_day: int = 288):
+    """(site, ts, power): a clear-sky-ish sinusoid + hash noise + clipping,
+    5-min grid. One spark.range, all columns JVM-side."""
+    n = sites * days * slots_per_day
+    base = spark.range(n)
+    slot = (F.col("id") % slots_per_day).cast("double")
+    day = (F.col("id") / slots_per_day).cast("long") % days
+    site = (F.col("id") / (days * slots_per_day)).cast("long")
+    # deterministic noise in [0,1): xxhash64 -> positive fraction
+    noise = (F.abs(F.xxhash64("id", F.lit(1))) % 10000) / 10000.0
+    frac = slot / slots_per_day
+    sun = F.sin((frac - 0.25) * 2 * 3.141592653589793)
+    seasonal = 0.8 + 0.2 * F.cos(
+        (day.cast("double") / 365.2425) * 2 * 3.141592653589793
+    )
+    power = F.greatest(
+        F.lit(0.0), F.least(F.lit(0.95), sun * seasonal * (0.9 + 0.2 * noise))
+    )
+    ts = F.timestamp_seconds(
+        F.lit(1577836800) + day * 86400 + (slot * (86400 / slots_per_day))
+    )
+    from solar_data_tools_spark.operators.canonical import with_time_columns
+
+    raw = base.select(
+        site.alias("site"),
+        ts.alias("ts"),
+        F.col("id").alias("seq"),
+        power.alias("value"),
+    )
+    return with_time_columns(raw, sampling_seconds=86400 // slots_per_day)
+
+
+def synth_corpus(spark, docs: int, dup_frac: float = 0.1, doc_len: int = 60):
+    """(doc_id, text, lang, source, n_chars): random word sequences from a
+    500-word vocabulary; ``dup_frac`` of docs reuse the text of doc_id
+    - (doc_id % 1000) to plant exact + near duplicates."""
+    vocab = ", ".join(f"'w{i}'" for i in range(500))
+    base = spark.range(docs)
+    # words chosen by per-(doc, position) hash; duplicate docs re-derive
+    # from their canonical id so the text matches bit-for-bit
+    canon = F.when(
+        (F.abs(F.xxhash64("id", F.lit(7))) % 100)
+        < int(dup_frac * 100),
+        F.col("id") - (F.col("id") % 1000),
+    ).otherwise(F.col("id"))
+    text = F.expr(
+        f"concat_ws(' ', transform(sequence(1, {doc_len}), "
+        f"i -> element_at(array({vocab}), "
+        "cast(abs(xxhash64(_canon, i)) % 500 as int) + 1)))"
+    )
+    return (
+        base.withColumn("_canon", canon)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.concat(
+                F.lit("l"), (F.abs(F.xxhash64("id", F.lit(3))) % 5)
+            ).alias("lang"),
+            F.concat(
+                F.lit("src"), (F.abs(F.xxhash64("id", F.lit(4))) % 10)
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def timed(label, df, timings):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    timings[label] = round(time.perf_counter() - t0, 2)
+    print(f"  {label}: {timings[label]} s", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", type=int, default=300)
+    ap.add_argument("--days", type=int, default=365)
+    ap.add_argument("--slots", type=int, default=288)
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--skip-solvers", action="store_true")
+    args = ap.parse_args()
+
+    from solar_data_tools_spark.operators import daily as dy
+    from solar_data_tools_spark.operators import dedup as dd
+    from solar_data_tools_spark.operators import sampling as sp
+    from solar_data_tools_spark.session import get_spark
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    spark = get_spark(app_name="sdt-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_package_on_executors(spark)
+    timings: dict[str, float] = {}
+
+    fleet_rows = args.sites * args.days * args.slots
+    print(
+        f"fleet: {args.sites} sites x {args.days} days x {args.slots} slots"
+        f" = {fleet_rows/1e6:.1f}M rows; corpus: {args.docs} docs",
+        file=sys.stderr,
+    )
+
+    meas = synth_fleet(spark, args.sites, args.days, args.slots)
+    timed("fleet_synth_scan", meas, timings)
+    timed(
+        "daily_statistics",
+        dy.daily_statistics(meas, slots_per_day=args.slots, approx_capacity=True),
+        timings,
+    )
+    timed("clipping_stats", dy.clipping_stats(meas), timings)
+    if not args.skip_solvers:
+        from solar_data_tools_spark.solvers.decompositions import (
+            fit_seasonal_quantile,
+        )
+
+        daily_e = dy.daily_statistics(
+            meas, slots_per_day=args.slots, approx_capacity=True
+        ).select("site", "date", "energy")
+        timed(
+            "seasonal_quantile_fit",
+            fit_seasonal_quantile(daily_e, value_col="energy"),
+            timings,
+        )
+
+    docs = synth_corpus(spark, args.docs)
+    timed("corpus_synth_scan", docs, timings)
+    timed("exact_dedup", dd.exact_duplicates(docs), timings)
+    timed(
+        "minhash_near_dups",
+        dd.minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, threshold=0.6, block_cols=["lang"]
+        ),
+        timings,
+    )
+    timed(
+        "ngram_jaccard",
+        dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.6, max_shingle_freq=200, block_cols=["lang"]
+        ),
+        timings,
+    )
+    timed("stratified_sample", sp.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.1), timings)
+    timed("global_shuffle", sp.global_shuffle_rank(docs), timings)
+    timed("sequence_packing", sp.pack_sequences(docs, budget=2048), timings)
+
+    print(json.dumps({
+        "fleet_rows": fleet_rows,
+        "corpus_docs": args.docs,
+        "timings": timings,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
