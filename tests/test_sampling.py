@@ -131,3 +131,27 @@ def test_pack_sequences_explicit_token_col(spark):
     # starts: 0,100,200,300,... → packs 0,0,0,1,1,2,2,2,3,3
     assert [got[i][0] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
     assert got[2] == (0, 200) and got[3] == (1, 50)
+
+
+def test_sampling_plan_shapes(spark, docs):
+    """Plan-shape guards: the sampler is a pure filter (no Exchange at
+    all); the global shuffle rank never collapses to a single
+    partition; packing windows by source, not globally."""
+    plan = (
+        sp.hash_sample(docs, 0.5, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    rank_plan = (
+        sp.global_shuffle_rank(docs, seed=1, num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in rank_plan
+    assert "rangepartitioning" in rank_plan
+
+    pack_plan = (
+        sp.pack_sequences(docs, budget=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in pack_plan
