@@ -12,3 +12,6 @@ from solar_data_tools_spark.streaming.dedup_stream import (  # noqa: F401
     streaming_exact_dedup,
     streaming_first_seen,
 )
+from solar_data_tools_spark.streaming.packing_stream import (  # noqa: F401
+    streaming_pack_sequences,
+)

@@ -679,3 +679,49 @@ def test_embedding_lsh_dedup_rejects_degenerate_planes(spark, sf_small):
         embedding_cosine_duplicates(
             emb, method="lsh", planes=[[1.0] * 64] * 4, max_hamming=6
         )
+
+
+def test_streaming_packing_matches_batch(spark, sf_small, tmp_path):
+    """applyInPandasWithState packing over an in-order stream must
+    reproduce the batch concat-then-chunk assignment exactly, including
+    across micro-batch boundaries (state carries the running total)."""
+    from solar_data_tools_spark.operators.sampling import pack_sequences
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_pack_sequences
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    # two files, doc_id-ordered and range-split so micro-batches arrive
+    # in order_col order -> streaming assignment must equal batch
+    src = str(tmp_path / "pack_src")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    docs.where(F.col("doc_id") <= mid).orderBy("doc_id").coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") > mid).orderBy("doc_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_pack_sequences(stream, budget=512)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"], r["n_tokens"])
+        for r in spark.sql("select * from pack_stream_test").collect()
+    }
+    exp = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=512, group_col="source").collect()
+    }
+    assert got == exp
