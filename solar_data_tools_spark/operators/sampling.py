@@ -201,3 +201,95 @@ def pack_sequences(
         F.floor(start / F.lit(int(budget))).cast("long").alias("pack_id"),
         (start % F.lit(int(budget))).cast("long").alias("offset_in_pack"),
     )
+
+
+def top_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement: the k smallest
+    seeded hash keys. Equivalent to a seeded random permutation's first
+    k rows, but computed as ORDER BY + LIMIT — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k heaps + driver merge of
+    k-row heads), so no global sort and no full shuffle ever happens.
+    Deterministic and engine-portable like every operator here.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_sample_key", key)
+        .orderBy("_sample_key", id_col)
+        .limit(int(k))
+        .drop("_sample_key")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Weighted multi-way split (train/val/test): each row gets the
+    split label whose cumulative-weight interval contains its seeded
+    U[0,1) hash. Weights need not sum to 1 — they are normalized.
+    Splits are stable under corpus growth: adding documents never moves
+    an existing document to a different split.
+
+    Scale: one hash + one CASE expression per row; no shuffle.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = hash_uniform(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Train/val/test split with *duplicate-leakage* protection: the
+    split is decided by the hash of each document's exact-duplicate
+    GROUP (its canonical representative = min id over identical
+    normalized text), so copies of the same document can never straddle
+    train and test — the standard contamination guard in pretraining
+    eval hygiene.
+
+    Plan: one groupBy on a fixed-width hash of the normalized text (the
+    same shuffle shape as exact dedup) + one hash-key aggregate join
+    back; the split decision itself adds no shuffle. Near-duplicate
+    (MinHash/Jaccard) grouping can be slotted in by substituting the
+    group key — exact groups are the deterministic, oracle-checkable
+    core.
+    """
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.xxhash64(normalize_text(F.col(text_col))).alias("_grp"),
+    )
+    reps = keyed.groupBy("_grp").agg(F.min(id_col).alias("_rep_id"))
+    labeled = split_assign(
+        reps.select("_grp", F.col("_rep_id").alias(id_col)),
+        weights,
+        id_col=id_col,
+        seed=seed,
+    ).select("_grp", "split")
+    return (
+        keyed.join(labeled, on="_grp")
+        .select(F.col(id_col), "split")
+    )

@@ -2165,6 +2165,68 @@ SELECT doc_id, {fp} AS simhash FROM agg
 Q95_SQL = _q95_sql()
 
 
+def q97_topk_sample(spark, sf_dir):
+    """Exactly-k uniform sample without replacement: the 100 smallest
+    seeded hash keys (TakeOrderedAndProject — per-partition heaps, no
+    global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.top_k_sample(docs, k=100, seed=11).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+Q97_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY md5('11:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+"""
+
+
+_Q98_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q98_leakage_safe_split(spark, sf_dir):
+    """Train/val/test split decided by the hash of each document's
+    exact-duplicate group representative — identical texts can never
+    straddle train and test (the pretraining contamination guard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sp.leakage_safe_split(docs, _Q98_WEIGHTS, seed=13)
+
+
+def _q98_sql() -> str:
+    # mirror split_assign's cumulative-threshold arithmetic exactly
+    # (float-for-float: 0.1 + 0.8 is 0.9000000000000001, not 0.9)
+    total = float(sum(_Q98_WEIGHTS.values()))
+    items = sorted(_Q98_WEIGHTS.items())
+    case = "CASE"
+    acc = 0.0
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        case += f" WHEN u < {acc!r} THEN '{name}'"
+    case += f" ELSE '{items[-1][0]}' END"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+reps AS (SELECT norm, min(doc_id) AS rep_id FROM keyed GROUP BY norm),
+labeled AS (
+  SELECT norm, {case} AS split
+  FROM (
+    SELECT norm,
+           ('0x' || substring(md5('13:' || CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+    FROM reps
+  )
+)
+SELECT k.doc_id, l.split FROM keyed k JOIN labeled l ON l.norm = k.norm
+"""
+
+
+Q98_SQL = _q98_sql()
+
+
 def q96_minhash_signatures_md5(spark, sf_dir):
     """MinHash signatures with the engine-portable md5_60 permutation
     hash: the same higher-order transform/array_min plan as q47's
@@ -2931,6 +2993,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q96_minhash_signatures_md5": QuerySpec(
         q96_minhash_signatures_md5, Q96_SQL, "dedup-minhash-oracle"
     ),
+    "q97_topk_sample": QuerySpec(
+        q97_topk_sample, Q97_SQL, "sampling-topk"
+    ),
+    "q98_leakage_safe_split": QuerySpec(
+        q98_leakage_safe_split, Q98_SQL, "sampling-split"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -2968,6 +3036,8 @@ _QUERY_ORDER: list[str] = [
     "q94_sequence_packing",
     "q95_simhash_md5",
     "q96_minhash_signatures_md5",
+    "q97_topk_sample",
+    "q98_leakage_safe_split",
     "q91_curation_pipeline",
     "q89_embedding_dedup",
     "q63_quality_clustering",

@@ -155,3 +155,38 @@ def test_sampling_plan_shapes(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in pack_plan
+
+
+def test_split_assign_proportions_and_stability(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sp.split_assign(docs, w, seed=13).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in out}
+    n = sum(by.values())
+    assert n == docs.count()
+    assert 0.7 * n < by.get("train", 0) < 0.9 * n
+    # growth stability: the same doc gets the same split in a subset
+    sub = sp.split_assign(docs.where("doc_id < 100"), w, seed=13)
+    full = {r.doc_id: r.split for r in sp.split_assign(docs, w, seed=13).collect()}
+    for r in sub.collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark, docs):
+    out = sp.leakage_safe_split(docs, {"train": 0.5, "test": 0.5}, seed=3)
+    joined = docs.select("doc_id", "text").join(out, "doc_id").toPandas()
+    by_text = joined.groupby(joined.text.str.strip().str.lower()).split.nunique()
+    assert (by_text == 1).all()
+    assert set(joined.split.unique()) == {"train", "test"}
+    assert len(joined) == docs.count()
+
+
+def test_top_k_sample_plan_and_determinism(docs):
+    out = sp.top_k_sample(docs, k=50, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sp.top_k_sample(docs.repartition(7), k=50, seed=1).collect()
+    )
+    assert a == b and len(a) == 50
