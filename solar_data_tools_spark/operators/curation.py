@@ -1,0 +1,345 @@
+"""Corpus-curation operators for large-scale training-data pipelines
+(north-star extension, no reference analog): duplicate-cluster resolution
+via distributed connected components, benchmark decontamination,
+repetition-based quality statistics, PII redaction, and unigram
+language-model scoring.
+
+Shuffle-consciousness notes per operator:
+
+* connected components — iterative min-label propagation *with pointer
+  jumping* (label(v) <- label(label(v)) each round), so convergence is
+  O(log diameter) rounds even on pathological chain graphs; dedup
+  graphs are near-cliques and converge in 2-3 rounds. Each round is two
+  key-partitioned joins + one agg; lineage is truncated per round with
+  localCheckpoint so plans don't grow unboundedly.
+* decontamination — the eval/benchmark side is tiny by construction
+  (benchmarks are MBs against a 100 TB corpus), so its distinct n-gram
+  set is broadcast; the corpus side never shuffles.
+* repetition stats — computed entirely row-locally with higher-order
+  array folds (sort + neighbor-compare + aggregate), zero shuffles and
+  whole-stage codegen; the classic explode->groupBy plan would shuffle
+  one row per token instance (~corpus bytes x tokens/doc).
+* PII redaction — pure per-row regexp projection, embarrassingly
+  parallel.
+* unigram LM scoring — two passes: a corpus-wide token-count agg
+  (map-side partial, vocabulary-sized result) broadcast back onto the
+  exploded corpus; the only full shuffle is keyed by token with
+  map-side combine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators.dedup import normalize_text, word_ngrams
+
+
+# ------------------------------------------------------------------ CC
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected pair graph.
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``,
+    where ``cluster_id`` is the minimum node id in the component — the
+    canonical-document convention of dedup pipelines ("keep the lowest
+    id of every duplicate cluster").
+
+    Algorithm: min-label propagation plus pointer jumping. Each round,
+
+    1. every node takes the min label over itself and its neighbors
+       (one join edges->labels + one groupBy min), then
+    2. every node takes its label's label (one self-join) — the
+       path-halving step that collapses chains in O(log n) rounds.
+
+    Convergence is detected with a single scalar aggregate: labels only
+    ever decrease, so ``sum(label)`` is strictly decreasing until the
+    fixpoint (exact in int64 — no float drift). The per-round
+    ``localCheckpoint`` keeps the plan depth constant; the driver-side
+    loop touches only two scalars per round, never row data.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        # 1. neighbor propagation: min label over N(v) ∪ {v}
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # 2. pointer jumping: label <- label(label)
+        lab2 = stepped.select(
+            F.col("node").alias("_n2"), F.col("label").alias("_l2")
+        )
+        jumped = (
+            stepped.join(lab2, stepped.label == lab2._n2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = jumped.agg(F.sum("label")).first()[0]
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: for every
+    doc in any pair, its cluster id (min doc id in the connected
+    component) and whether it is the cluster's canonical representative.
+
+    This is the step between pair generation (n-gram Jaccard / MinHash /
+    embedding-cosine) and the actual drop: keep rows where
+    ``is_canonical``; anti-join the rest out of the corpus.
+    """
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# -------------------------------------------------------- decontamination
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the evaluation/benchmark set.
+
+    Returns (doc_id, n_grams, n_contaminated, contamination_frac) for
+    every FLAGGED training doc (>= 1 shared n-gram); anti-join the
+    result against the corpus to drop them, or threshold on
+    ``contamination_frac`` for a softer policy.
+
+    Scale shape: the eval side's distinct n-gram set is broadcast (eval
+    benchmarks are MBs; a 100 TB corpus is not), so the corpus-side
+    shingle stream is filtered map-side — the only shuffle is the
+    per-doc overlap count, keyed by doc id with map-side combine.
+    """
+    tr = word_ngrams(train, n, id_col, text_col)
+    ev = word_ngrams(eval_docs, n, id_col, text_col).select("shingle").distinct()
+    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return hits.join(sizes, id_col).select(
+        F.col(id_col),
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_grams")).alias("contamination_frac"),
+    )
+
+
+# ------------------------------------------------------- repetition stats
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repetition-based quality features (the Gopher-style filters used
+    by pretraining pipelines): type-token ratio, longest single-token
+    run share, and the fraction of bigram instances belonging to a
+    repeated bigram.
+
+    Everything is computed ROW-LOCALLY with higher-order array
+    expressions — sort the token/bigram arrays, then (a) count
+    instances equal to a neighbor (duplicate-gram instances) and (b)
+    fold over the sorted array carrying (current run, best run) to get
+    the most frequent element's count. Zero shuffles, whole-stage
+    codegen; the equivalent explode->groupBy plan would shuffle one row
+    per token of the corpus.
+
+    Output: (doc_id, n_tokens, distinct_token_ratio, top_token_frac,
+    dup_bigram_frac).
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # guard: sequence(1, 0) DESCENDS to [1, 0] in Spark, so short arrays
+    # must take the empty branch explicitly (ANSI mode would then error
+    # on the out-of-bounds slice)
+    bigrams = F.expr(
+        "if(size(_t) < 2, array(), "
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> concat_ws(' ', slice(_t, i, 2))))"
+    )
+    out = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_t"),
+        bigrams.alias("_b"),
+    ).select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        F.array_sort("_t").alias("_st"),
+        F.array_sort("_b").alias("_sb"),
+    )
+    # longest run in a sorted array == max multiplicity of any element
+    max_run = (
+        "if(size(_st) < 2, least(size(_st), 1), "
+        "aggregate(sequence(2, size(_st)), "
+        "named_struct('cur', 1, 'best', 1), "
+        "(acc, i) -> if(element_at(_st, i) = element_at(_st, i - 1), "
+        "  named_struct('cur', acc.cur + 1, "
+        "               'best', greatest(acc.best, acc.cur + 1)), "
+        "  named_struct('cur', 1, 'best', acc.best)), "
+        "acc -> acc.best))"
+    )
+    # an instance belongs to a duplicated bigram iff it equals a neighbor
+    # in the sorted array
+    dup_instances = (
+        "if(size(_sb) = 0, 0, "
+        "size(filter(sequence(1, size(_sb)), i -> "
+        "(i > 1 AND element_at(_sb, i) = element_at(_sb, i - 1)) OR "
+        "(i < size(_sb) AND element_at(_sb, i) = element_at(_sb, i + 1)))))"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("_st")) / F.greatest(F.col("n_tokens"), F.lit(1)))
+        .alias("distinct_token_ratio"),
+        (
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.expr(max_run) / F.col("n_tokens")
+            )
+        ).alias("top_token_frac"),
+        (
+            F.when(F.size("_sb") == 0, F.lit(0.0)).otherwise(
+                F.expr(dup_instances) / F.size("_sb")
+            )
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ----------------------------------------------------------- PII redaction
+# Patterns deliberately restricted to syntax Java regex and RE2 interpret
+# identically (character classes, bounded repetition, \b word boundaries;
+# no lookaround, no backreferences) so a DuckDB oracle can verify the
+# redaction bit-for-bit.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,13}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII spans (emails, IPv4 addresses, phone numbers) from a
+    text column and count the redactions per category.
+
+    Pure per-row regexp projection — no shuffle, embarrassingly
+    parallel; this is how PII scrubbing runs over a 100 TB corpus (one
+    map stage fused into the scan). Patterns are applied in order, each
+    replacing matches with its placeholder token, so later patterns see
+    earlier placeholders (which cannot re-match: placeholders contain
+    no ``@``/digits).
+
+    Output: (doc_id, redacted text, n_<category> counts...).
+    """
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name, pat, repl in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+# -------------------------------------------------------- unigram LM score
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model scoring: fit token frequencies on the
+    corpus itself, then score each document by its mean token
+    log-probability (and bits-per-token) — the cheap perplexity proxy
+    pretraining pipelines use to rank/filter documents.
+
+    Two-pass plan: (1) corpus-wide token counts — one token-keyed
+    shuffle with map-side partial aggregation, producing a
+    vocabulary-sized table; (2) the vocabulary (with its total attached
+    via a 1-row broadcast cross join) is broadcast back onto the
+    exploded corpus, and per-doc means aggregate by doc id. The corpus
+    is never joined to itself and the vocabulary never exceeds
+    |distinct tokens|.
+
+    Output: (doc_id, n_tokens, avg_logprob, bits_per_token).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(logp), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "avg_logprob",
+            (-F.col("avg_logprob") / math.log(2.0)).alias("bits_per_token"),
+        )
+    )

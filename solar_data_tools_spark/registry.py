@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solar_data_tools_spark.session import read_table
+from solar_data_tools_spark.operators import curation as cu
 from solar_data_tools_spark.operators import dedup as dd
 from solar_data_tools_spark.operators import similarity as sim
 from solar_data_tools_spark.operators import sampling as sp
@@ -2266,6 +2267,244 @@ FROM sh GROUP BY doc_id
 Q96_SQL = _q96_sql()
 
 
+# DuckDB mirror of word_ngrams/normalize_text tokenization (shared by the
+# curation-layer oracles below)
+_TOKS_SQL = (
+    "SELECT doc_id, regexp_split_to_array("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t "
+    "FROM documents"
+)
+
+
+def q99_duplicate_clusters(spark, sf_dir):
+    """Near-duplicate PAIRS -> duplicate CLUSTERS: distributed connected
+    components (min-label propagation + pointer jumping) over the q45
+    n-gram-Jaccard pair graph, yielding each doc's cluster id (min doc
+    id in its component) and canonical flag — the step that turns pair
+    lists into an actual dedup decision ("keep one doc per cluster").
+    Oracle: DuckDB recursive CTE reachability over the same pair SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.62, block_cols=["lang", "source"]
+    )
+    return cu.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+Q99_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.62
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (node = min(label)) AS is_canonical
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
+def q100_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
+    the eval/benchmark set; every other doc sharing a word 4-gram with
+    it is flagged with its overlap count and fraction. The eval-side
+    distinct-gram set is broadcast (benchmarks are MBs, the corpus is
+    not), so the corpus side never shuffles for the probe."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    tr = docs.where(F.col("doc_id") % 41 != 0)
+    out = cu.decontaminate(tr, ev, n=4)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contamination_frac", R).alias("contamination_frac"),
+    )
+
+
+Q100_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+tr AS (SELECT * FROM grams WHERE doc_id % 41 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM tr JOIN ev USING (g) GROUP BY doc_id
+)
+SELECT h.doc_id, s.n_grams, h.n_contaminated,
+       round(CAST(h.n_contaminated AS DOUBLE) / s.n_grams, 6)
+         AS contamination_frac
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+def q101_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: type-token ratio, most-frequent-
+    token share, duplicate-bigram instance fraction. Spark computes them
+    ROW-LOCALLY (sorted-array folds, zero shuffle, whole-stage codegen);
+    the oracle recomputes them the classic way (unnest + group-count) —
+    two independent algorithms, same values."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", R).alias("distinct_token_ratio"),
+        F.round("top_token_frac", R).alias("top_token_frac"),
+        F.round("dup_bigram_frac", R).alias("dup_bigram_frac"),
+    )
+
+
+Q101_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokl AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tstats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM tokl GROUP BY doc_id
+),
+tcnt AS (SELECT doc_id, tok, count(*) AS c FROM tokl GROUP BY doc_id, tok),
+ttop AS (SELECT doc_id, max(c) AS top_c FROM tcnt GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstats AS (
+  SELECT doc_id, sum(c) AS m,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM bcnt GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+         AS distinct_token_ratio,
+       round(CAST(tt.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+       round(coalesce(CAST(b.dup AS DOUBLE) / b.m, 0), 6)
+         AS dup_bigram_frac
+FROM tstats t
+JOIN ttop tt USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+def q102_pii_redaction(spark, sf_dir):
+    """PII scrubbing over a corpus with deterministic synthetic PII
+    appended (the raw testdata contains none): emails, IPv4s, and phone
+    numbers are redacted in one per-row regexp projection and counted
+    per category. The redacted text is compared by md5 so the oracle
+    certifies the exact byte output, not just the counts. Patterns are
+    restricted to the Java-regex/RE2 common subset."""
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    out = cu.redact_pii(with_pii)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
+Q102_SQL = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '@example.com from 10.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call +1555'
+           || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text
+  FROM documents
+),
+step1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS text
+  FROM pii
+),
+step2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+  FROM step1
+),
+step3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(text, '\+\d{7,13}\b')) AS n_phone,
+         regexp_replace(text, '\+\d{7,13}\b', '<PHONE>', 'g') AS text
+  FROM step2
+)
+SELECT doc_id, md5(text) AS redacted_md5, n_email, n_ipv4, n_phone
+FROM step3
+"""
+
+
+def q103_unigram_logprob(spark, sf_dir):
+    """Unigram LM document scoring: token frequencies fit on the corpus
+    itself (one token-keyed agg with map-side combine), broadcast back
+    onto the exploded corpus, mean log-prob and bits-per-token per doc —
+    the cheap perplexity proxy used to rank pretraining documents."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", R).alias("avg_logprob"),
+        F.round("bits_per_token", R).alias("bits_per_token"),
+    )
+
+
+Q103_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokl AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tokf AS (SELECT doc_id, tok FROM tokl WHERE length(tok) > 0),
+vocab AS (SELECT tok, count(*) AS cnt FROM tokf GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+lp AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob,
+       round(-avg(logp) / ln(2), 6) AS bits_per_token
+FROM tokf JOIN lp USING (tok) GROUP BY doc_id
+"""
+
+
 def q49_lsh_topk(spark, sf_dir):
     """Cosine-LSH bucketed approximate top-k (rows-only: candidate set is
     hash-family-specific; re-rank is exact cosine)."""
@@ -2999,6 +3238,21 @@ QUERIES: dict[str, QuerySpec] = {
     "q98_leakage_safe_split": QuerySpec(
         q98_leakage_safe_split, Q98_SQL, "sampling-split"
     ),
+    "q99_duplicate_clusters": QuerySpec(
+        q99_duplicate_clusters, Q99_SQL, "dedup-clusters"
+    ),
+    "q100_decontaminate": QuerySpec(
+        q100_decontaminate, Q100_SQL, "curation-decontaminate"
+    ),
+    "q101_repetition_stats": QuerySpec(
+        q101_repetition_stats, Q101_SQL, "curation-repetition"
+    ),
+    "q102_pii_redaction": QuerySpec(
+        q102_pii_redaction, Q102_SQL, "curation-pii"
+    ),
+    "q103_unigram_logprob": QuerySpec(
+        q103_unigram_logprob, Q103_SQL, "curation-lm-score"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3039,6 +3293,11 @@ _QUERY_ORDER: list[str] = [
     "q97_topk_sample",
     "q98_leakage_safe_split",
     "q91_curation_pipeline",
+    "q99_duplicate_clusters",
+    "q100_decontaminate",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
+    "q103_unigram_logprob",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

@@ -1,0 +1,150 @@
+"""Curation-layer operator tests: connected components vs a pure-python
+union-find reference, decontamination self-consistency, repetition stats
+on hand-checked inputs, PII redaction idempotence, unigram LM sanity.
+(The registry queries q99-q103 are additionally hash-checked against
+DuckDB by tests/test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators import curation as cur
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 25), (1, 60, 40), (2, 50, 80)])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _union_find_components(edges)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in cur.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain(spark):
+    # worst case for plain propagation (diameter = n); pointer jumping
+    # must converge well inside the iteration cap
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    out = cur.connected_components(pairs, max_iter=15).collect()
+    assert len(out) == n + 1
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_duplicate_clusters_canonical_flags(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in cur.duplicate_clusters(pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_canonical"]
+    assert rows[3]["cluster_id"] == 1 and not rows[3]["is_canonical"]
+    assert rows[10]["cluster_id"] == 10 and rows[10]["is_canonical"]
+    assert rows[11]["cluster_id"] == 10 and not rows[11]["is_canonical"]
+
+
+def test_decontaminate_exact_copy_fully_contaminated(spark):
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact copy
+            (2, "unrelated words only here nothing shared"),
+            (3, "prefix alpha beta gamma delta suffix"),  # one shared 4-gram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cur.decontaminate(tr, ev, n=4).collect()}
+    assert rows[1]["contamination_frac"] == pytest.approx(1.0)
+    assert 2 not in rows  # nothing shared -> not flagged at all
+    assert rows[3]["n_contaminated"] == 1
+
+
+def test_repetition_stats_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # 4 tokens, 2 distinct, top run 3, bigrams: aa,aa,ab
+            (2, "x y z"),  # no repetition
+            (3, ""),  # degenerate
+            (4, "w"),  # single token
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cur.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_ratio"] == pytest.approx(0.5)
+    assert r1["top_token_frac"] == pytest.approx(3 / 4)
+    # bigrams: "a a", "a a", "a b" -> 2 of 3 instances duplicated
+    assert r1["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["distinct_token_ratio"] == pytest.approx(1.0)
+    # degenerate docs must not error (ANSI mode) and stay sane
+    assert rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[4]["top_token_frac"] == pytest.approx(1.0)
+
+
+def test_redact_pii_idempotent_and_complete(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org and d@e.io ip 192.168.0.1 tel +4915512345678"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cur.redact_pii(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["redacted"] and "@" not in rows[1]["redacted"]
+    assert rows[2]["redacted"] == "no pii here at all"
+    # idempotence: redacting the redacted text finds nothing
+    again = cur.redact_pii(
+        out.select("doc_id", F.col("redacted").alias("text"))
+    ).collect()
+    assert all(
+        r["n_email"] == 0 and r["n_ipv4"] == 0 and r["n_phone"] == 0
+        for r in again
+    )
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # 4 equally frequent tokens -> every doc scores log(1/4), 2 bits/token
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "a b c d")], ["doc_id", "text"]
+    )
+    rows = cur.unigram_logprob(docs).collect()
+    for r in rows:
+        assert r["avg_logprob"] == pytest.approx(math.log(0.25))
+        assert r["bits_per_token"] == pytest.approx(2.0)
