@@ -172,6 +172,31 @@ def main() -> None:
     timed("global_shuffle", sp.global_shuffle_rank(docs), timings)
     timed("sequence_packing", sp.pack_sequences(docs, budget=2048), timings)
 
+    from solar_data_tools_spark.operators import curation as cu
+
+    # pairs -> clusters on the planted-duplicate graph (the step after
+    # pair generation); pair source = the minhash pipeline above.
+    # connected_components runs its iterative actions at CALL time
+    # (localCheckpoint + convergence aggregates), so time the call plus
+    # the final materialization together.
+    pairs = dd.minhash_near_duplicates(
+        docs, num_hashes=64, bands=16, threshold=0.6, block_cols=["lang"]
+    ).localCheckpoint(eager=True)  # pair generation timed separately above
+    t0 = time.perf_counter()
+    cc_out = cu.duplicate_clusters(pairs)
+    cc_out.write.format("noop").mode("overwrite").save()
+    timings["duplicate_clusters_cc"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"  duplicate_clusters_cc: {timings['duplicate_clusters_cc']} s",
+        file=sys.stderr, flush=True,
+    )
+    ev = docs.where(F.col("doc_id") % 997 == 0)  # ~0.1% "benchmark" set
+    tr = docs.where(F.col("doc_id") % 997 != 0)
+    timed("decontaminate_8gram", cu.decontaminate(tr, ev, n=8), timings)
+    timed("repetition_stats", cu.repetition_stats(docs), timings)
+    timed("pii_redaction", cu.redact_pii(docs), timings)
+    timed("unigram_logprob", cu.unigram_logprob(docs), timings)
+
     print(json.dumps({
         "fleet_rows": fleet_rows,
         "corpus_docs": args.docs,
