@@ -296,11 +296,21 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: list[str] | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> banded candidates -> exact
-    Jaccard verification of candidates only."""
+    Jaccard verification of candidates only.
+
+    ``token_hash="md5_60"`` makes the ENTIRE pipeline engine-portable
+    (signatures, banding, and verification all reproducible in DuckDB) —
+    slower than the default JVM ``xxhash64``, but exactly
+    oracle-checkable end-to-end (q104).
+    """
     blocks = block_cols or []
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, carry_cols=blocks)
+    sigs = minhash_signatures(
+        docs, num_hashes, n, id_col, text_col, carry_cols=blocks,
+        token_hash=token_hash,
+    )
     cand = minhash_lsh_candidates(
         sigs, bands, num_hashes=num_hashes, id_col=id_col, block_cols=blocks
     )

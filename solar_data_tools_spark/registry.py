@@ -2492,6 +2492,82 @@ def q103_unigram_logprob(spark, sf_dir):
     )
 
 
+def q104_minhash_pipeline_md5(spark, sf_dir):
+    """The ENTIRE MinHash+LSH near-duplicate pipeline — signatures,
+    banded candidate generation, exact-Jaccard verification — with the
+    engine-portable md5_60 permutation hash, so every stage reproduces
+    bit-for-bit in DuckDB. This closes the certification gap q47's
+    rows-only check leaves: q96 certifies the signature stage alone;
+    this certifies banding + candidate join + verify end-to-end.
+    16 hashes x 4 bands, unigram shingles, (lang, source) blocking."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.minhash_near_duplicates(
+        docs,
+        num_hashes=16,
+        bands=4,
+        n=1,
+        threshold=0.7,
+        block_cols=["lang", "source"],
+        token_hash="md5_60",
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def _q104_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT)"
+        f" AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * r + j} = b.s{b * r + j}" for j in range(r)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, source,
+         {mins}
+  FROM sh GROUP BY doc_id, lang, source
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE {band_eq}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+      >= {threshold}
+"""
+
+
+Q104_SQL = _q104_sql()
+
+
 Q103_SQL = f"""
 WITH toks AS ({_TOKS_SQL}),
 tokl AS (SELECT doc_id, unnest(t) AS tok FROM toks),
@@ -3253,6 +3329,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q103_unigram_logprob": QuerySpec(
         q103_unigram_logprob, Q103_SQL, "curation-lm-score"
     ),
+    "q104_minhash_pipeline_md5": QuerySpec(
+        q104_minhash_pipeline_md5, Q104_SQL, "dedup-minhash-e2e"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3298,6 +3377,7 @@ _QUERY_ORDER: list[str] = [
     "q101_repetition_stats",
     "q102_pii_redaction",
     "q103_unigram_logprob",
+    "q104_minhash_pipeline_md5",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

@@ -148,3 +148,37 @@ def test_unigram_logprob_uniform_corpus(spark):
     for r in rows:
         assert r["avg_logprob"] == pytest.approx(math.log(0.25))
         assert r["bits_per_token"] == pytest.approx(2.0)
+
+
+def test_curation_plan_shapes(spark):
+    """Plan-shape guards for 100 TB behavior: repetition stats and PII
+    redaction are pure projections (no Exchange — they fuse into the
+    scan); decontamination broadcasts the eval gram set (the corpus side
+    must never shuffle for the probe join); the unigram-LM vocab re-join
+    is a broadcast, not a sort-merge over the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    rep_plan = (
+        cur.repetition_stats(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in rep_plan
+
+    pii_plan = (
+        cur.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in pii_plan
+
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    tr = docs.where(F.col("doc_id") % 41 != 0)
+    dec_plan = (
+        cur.decontaminate(tr, ev, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in dec_plan
+
+    lm_plan = (
+        cur.unigram_logprob(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in lm_plan
