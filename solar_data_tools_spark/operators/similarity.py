@@ -115,18 +115,24 @@ def random_hyperplane_signatures(
 ) -> DataFrame:
     """Cosine-LSH bit signature: bit_i = sign(v . plane_i).
 
-    ``planes`` is a small deterministic list (seeded off-line) shipped as
-    literals — no broadcast variable machinery needed for <= 64 planes.
+    ``planes`` (a small deterministic list, seeded off-line) ships as a
+    SINGLE nested-array literal — one plan node carrying the values —
+    not one expression subtree per coefficient (the former ~1k-node form
+    that would bloat every embedding plan at 256 planes). The signature
+    is one higher-order fold over plane indices (JVM-side, codegen); the
+    per-plane dot product is the same sequential zip_with fold as
+    ``dot()``, so signatures are bit-identical to the per-plane form.
     """
-    df = _as_double(embeddings, vec_col)
-    sig = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
+    df = _as_double(embeddings, vec_col).withColumn(
+        "_planes", F.lit([[float(x) for x in p] for p in planes])
+    )
+    sig = F.expr(
+        f"aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, i) -> "
+        "acc + shiftleft(if("
+        f"aggregate(zip_with({vec_col}, element_at(_planes, i + 1), "
+        "(x, y) -> x * y), cast(0.0 as double), (s, t) -> s + t) >= 0, "
+        "1L, 0L), i))"
+    )
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
 
 
