@@ -194,65 +194,59 @@ def repetition_stats(
     codegen; the equivalent explode->groupBy plan would shuffle one row
     per token of the corpus.
 
+    The whole computation is wrapped in ONE ``transform`` over a
+    1-element struct array so the sorted arrays are LAMBDA-BOUND
+    (evaluated once per evaluation of the struct). This matters for
+    correctness-at-speed: if the arrays were plain projection columns,
+    Catalyst's CollapseProject would substitute the array-building
+    expression INTO the per-element lambdas of any downstream filter
+    (e.g. ``where dup_bigram_frac <= x``), re-building and re-sorting
+    the array for every element probe — measured O(m^3)/doc, a 100x+
+    slowdown on filtered plans. Lambda variables are substitution-proof.
+
     Output: (doc_id, n_tokens, distinct_token_ratio, top_token_frac,
     dup_bigram_frac).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    # guard: sequence(1, 0) DESCENDS to [1, 0] in Spark, so short arrays
-    # must take the empty branch explicitly (ANSI mode would then error
-    # on the out-of-bounds slice)
-    bigrams = F.expr(
-        "if(size(_t) < 2, array(), "
-        "transform(sequence(1, size(_t) - 1), "
-        "i -> concat_ws(' ', slice(_t, i, 2))))"
+    # guards: sequence(1, 0) DESCENDS to [1, 0] in Spark, so short
+    # arrays must take the empty branch explicitly (ANSI mode would
+    # then error on the out-of-bounds slice)
+    stats = F.expr(
+        "transform(array(named_struct("
+        "  'st', array_sort(_t), "
+        "  'sb', array_sort(if(size(_t) < 2, array(), "
+        "        transform(sequence(1, size(_t) - 1), "
+        "                  i -> concat_ws(' ', slice(_t, i, 2))))))), "
+        "x -> named_struct("
+        "  'n_tokens', cast(size(x.st) as bigint), "
+        "  'distinct_token_ratio', "
+        "    size(array_distinct(x.st)) / cast(greatest(size(x.st), 1) as double), "
+        "  'top_token_frac', "
+        "    if(size(x.st) = 0, cast(0.0 as double), "
+        "       cast(if(size(x.st) < 2, least(size(x.st), 1), "
+        "         aggregate(sequence(2, size(x.st)), "
+        "           named_struct('cur', 1, 'best', 1), "
+        "           (acc, i) -> if(element_at(x.st, i) = element_at(x.st, i - 1), "
+        "             named_struct('cur', acc.cur + 1, "
+        "                          'best', greatest(acc.best, acc.cur + 1)), "
+        "             named_struct('cur', 1, 'best', acc.best)), "
+        "           acc -> acc.best)) as double) / size(x.st)), "
+        "  'dup_bigram_frac', "
+        "    if(size(x.sb) = 0, cast(0.0 as double), "
+        "       cast(size(filter(sequence(1, size(x.sb)), i -> "
+        "         (i > 1 AND element_at(x.sb, i) = element_at(x.sb, i - 1)) OR "
+        "         (i < size(x.sb) AND element_at(x.sb, i) = element_at(x.sb, i + 1)))) "
+        "       as double) / size(x.sb))))"
+        "[0]"
     )
-    out = docs.select(
-        F.col(id_col),
-        toks.alias("_t"),
+    return docs.select(F.col(id_col), toks.alias("_t")).select(
+        F.col(id_col), stats.alias("_s")
     ).select(
         F.col(id_col),
-        F.col("_t"),
-        bigrams.alias("_b"),
-    ).select(
-        F.col(id_col),
-        F.size("_t").alias("n_tokens"),
-        F.array_sort("_t").alias("_st"),
-        F.array_sort("_b").alias("_sb"),
-    )
-    # longest run in a sorted array == max multiplicity of any element
-    max_run = (
-        "if(size(_st) < 2, least(size(_st), 1), "
-        "aggregate(sequence(2, size(_st)), "
-        "named_struct('cur', 1, 'best', 1), "
-        "(acc, i) -> if(element_at(_st, i) = element_at(_st, i - 1), "
-        "  named_struct('cur', acc.cur + 1, "
-        "               'best', greatest(acc.best, acc.cur + 1)), "
-        "  named_struct('cur', 1, 'best', acc.best)), "
-        "acc -> acc.best))"
-    )
-    # an instance belongs to a duplicated bigram iff it equals a neighbor
-    # in the sorted array
-    dup_instances = (
-        "if(size(_sb) = 0, 0, "
-        "size(filter(sequence(1, size(_sb)), i -> "
-        "(i > 1 AND element_at(_sb, i) = element_at(_sb, i - 1)) OR "
-        "(i < size(_sb) AND element_at(_sb, i) = element_at(_sb, i + 1)))))"
-    )
-    return out.select(
-        F.col(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct("_st")) / F.greatest(F.col("n_tokens"), F.lit(1)))
-        .alias("distinct_token_ratio"),
-        (
-            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-                F.expr(max_run) / F.col("n_tokens")
-            )
-        ).alias("top_token_frac"),
-        (
-            F.when(F.size("_sb") == 0, F.lit(0.0)).otherwise(
-                F.expr(dup_instances) / F.size("_sb")
-            )
-        ).alias("dup_bigram_frac"),
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.distinct_token_ratio").alias("distinct_token_ratio"),
+        F.col("_s.top_token_frac").alias("top_token_frac"),
+        F.col("_s.dup_bigram_frac").alias("dup_bigram_frac"),
     )
 
 
@@ -297,6 +291,82 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, repl)
     return docs.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+# ----------------------------------------------------- end-to-end pipeline
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_mod: int = 41,
+    min_tokens: int = 20,
+    min_ttr: float = 0.2,
+    max_dup_bigram: float = 0.35,
+    jaccard_threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    decontam_n: int = 4,
+    max_contamination: float = 0.25,
+) -> DataFrame:
+    """The canonical pretraining-corpus curation pipeline, one declarative
+    plan: eval holdout → repetition/quality filter → exact dedup (keep
+    lowest id per normalized text) → near-duplicate CLUSTER
+    canonicalization (pairs → connected components → keep cluster min) →
+    benchmark decontamination (drop docs overlapping the eval split).
+
+    Stage order matters and follows production practice: cheap per-row
+    filters first (shrink the corpus before any shuffle), exact dedup
+    before near-dup (don't pay candidate generation for bit-identical
+    copies), decontamination last (its verdict must apply to the corpus
+    actually kept). Every stage is an operator certified on its own
+    (q101, q40, q45/q99, q100); this composition is itself
+    oracle-checked end-to-end (q105).
+
+    Returns the SURVIVING corpus (id, carry columns, n_tokens).
+    """
+    from solar_data_tools_spark.operators.dedup import ngram_jaccard_pairs
+
+    blocks = block_cols or []
+    train = docs.where(F.col(id_col) % eval_mod != 0)
+    eval_docs = docs.where(F.col(id_col) % eval_mod == 0)
+
+    # 1. repetition/quality gate (row-local, fuses into the scan)
+    rep = repetition_stats(train, id_col, text_col)
+    keep = rep.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_token_ratio") >= min_ttr)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram)
+    ).select(id_col, "n_tokens")
+    d1 = train.join(keep, id_col)
+
+    # 2. exact dedup: keep the lowest id of every normalized-text group
+    canon = (
+        d1.groupBy(F.md5(normalize_text(F.col(text_col))).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    d2 = d1.join(canon, id_col, "left_semi")
+
+    # 3. near-dup clusters -> drop non-canonical members
+    pairs = ngram_jaccard_pairs(
+        d2, n=1, threshold=jaccard_threshold,
+        id_col=id_col, text_col=text_col,
+        block_cols=blocks or None,
+    )
+    noncanon = (
+        duplicate_clusters(pairs)
+        .where(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    d3 = d2.join(noncanon, id_col, "left_anti")
+
+    # 4. decontamination against the eval split
+    contaminated = decontaminate(
+        d3, eval_docs, n=decontam_n, id_col=id_col, text_col=text_col
+    ).where(F.col("contamination_frac") > max_contamination).select(id_col)
+    d4 = d3.join(contaminated, id_col, "left_anti")
+
+    carry = [c for c in docs.columns if c not in (text_col,)]
+    return d4.select(*carry, "n_tokens")
 
 
 # -------------------------------------------------------- unigram LM score

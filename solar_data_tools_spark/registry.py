@@ -2492,6 +2492,112 @@ def q103_unigram_logprob(spark, sf_dir):
     )
 
 
+def q105_curated_corpus(spark, sf_dir):
+    """Flagship LLM-data query: the COMPLETE curation pipeline as one
+    declarative composition — eval holdout → repetition/quality gate →
+    exact dedup → near-dup cluster canonicalization (connected
+    components) → benchmark decontamination — returning the surviving
+    corpus. Every stage is certified alone (q101/q40/q45/q99/q100); this
+    certifies the composition end-to-end against one DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.curate_corpus(docs, block_cols=["lang", "source"])
+    return out.select("doc_id", "lang", "source", "n_chars", "n_tokens")
+
+
+Q105_SQL = """
+WITH RECURSIVE
+norm AS (
+  SELECT doc_id, lang, source, n_chars,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+toks AS (SELECT doc_id, regexp_split_to_array(ntext, ' ') AS t FROM norm),
+tokl AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 41 <> 0
+),
+tstats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM tokl GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+  WHERE doc_id % 41 <> 0
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstats AS (
+  SELECT doc_id, sum(c) AS m,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM bcnt GROUP BY doc_id
+),
+d1 AS (
+  SELECT t.doc_id, t.n_tokens
+  FROM tstats t LEFT JOIN bstats b USING (doc_id)
+  WHERE t.n_tokens >= 20
+    AND CAST(t.n_distinct AS DOUBLE) / t.n_tokens >= 0.2
+    AND coalesce(CAST(b.dup AS DOUBLE) / b.m, 0) <= 0.35
+),
+d2 AS (
+  SELECT min(n.doc_id) AS doc_id
+  FROM norm n JOIN d1 ON n.doc_id = d1.doc_id
+  GROUP BY md5(n.ntext)
+),
+sh AS (
+  SELECT DISTINCT tk.doc_id, n.lang, n.source, unnest(tk.t) AS shingle
+  FROM toks tk JOIN d2 ON tk.doc_id = d2.doc_id
+  JOIN norm n ON n.doc_id = tk.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+),
+noncanon AS (
+  SELECT node AS doc_id FROM walk GROUP BY node HAVING node <> min(label)
+),
+d3 AS (
+  SELECT doc_id FROM d2
+  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+trg AS (SELECT g.doc_id, g.g FROM grams g JOIN d3 ON g.doc_id = d3.doc_id),
+gsizes AS (SELECT doc_id, count(*) AS n_g FROM trg GROUP BY doc_id),
+ghits AS (
+  SELECT t2.doc_id, count(*) AS n_c
+  FROM trg t2 JOIN ev ON t2.g = ev.g GROUP BY t2.doc_id
+),
+dropc AS (
+  SELECT h.doc_id FROM ghits h JOIN gsizes s ON h.doc_id = s.doc_id
+  WHERE CAST(h.n_c AS DOUBLE) / s.n_g > 0.25
+)
+SELECT n.doc_id, n.lang, n.source, n.n_chars, t.n_tokens
+FROM d3 JOIN norm n ON d3.doc_id = n.doc_id
+JOIN tstats t ON d3.doc_id = t.doc_id
+WHERE d3.doc_id NOT IN (SELECT doc_id FROM dropc)
+"""
+
+
 def q104_minhash_pipeline_md5(spark, sf_dir):
     """The ENTIRE MinHash+LSH near-duplicate pipeline — signatures,
     banded candidate generation, exact-Jaccard verification — with the
@@ -3332,6 +3438,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q104_minhash_pipeline_md5": QuerySpec(
         q104_minhash_pipeline_md5, Q104_SQL, "dedup-minhash-e2e"
     ),
+    "q105_curated_corpus": QuerySpec(
+        q105_curated_corpus, Q105_SQL, "curation-e2e"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3378,6 +3487,7 @@ _QUERY_ORDER: list[str] = [
     "q102_pii_redaction",
     "q103_unigram_logprob",
     "q104_minhash_pipeline_md5",
+    "q105_curated_corpus",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",
