@@ -78,6 +78,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         # 1. neighbor propagation: min label over N(v) ∪ {v}
         nbr = (
@@ -111,9 +112,17 @@ def connected_components(
         cur_sum = jumped.agg(F.sum("label")).first()[0]
         labels = jumped
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
 
+    if not converged:
+        # with pointer jumping, rounds-to-converge is O(log n); hitting
+        # the cap means something is structurally wrong — returning
+        # partially-propagated labels would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

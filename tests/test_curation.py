@@ -182,3 +182,36 @@ def test_curation_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in lm_plan
+
+
+def test_repetition_stats_random_reference(spark):
+    """Randomized cross-check of the sorted-array fold logic against a
+    plain-Python Counter implementation (50 docs, small vocab so runs
+    and duplicate bigrams are dense)."""
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(50)
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in cur.repetition_stats(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    for i, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        tc = Counter(toks)
+        bigrams = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+        bc = Counter(bigrams)
+        dup = sum(c for c in bc.values() if c > 1)
+        r = rows[i]
+        assert r["n_tokens"] == n
+        assert r["distinct_token_ratio"] == pytest.approx(len(tc) / n)
+        assert r["top_token_frac"] == pytest.approx(max(tc.values()) / n)
+        expected_dup = dup / len(bigrams) if bigrams else 0.0
+        assert r["dup_bigram_frac"] == pytest.approx(expected_dup)
