@@ -293,3 +293,63 @@ def leakage_safe_split(
         keyed.join(labeled, on="_grp")
         .select(F.col(id_col), "split")
     )
+
+
+def budget_mix(
+    docs: DataFrame,
+    token_budgets: dict[str, float],
+    default_budget: float | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Token-budget domain mixing: sample each stratum DOWN to a target
+    token budget computed from the corpus itself.
+
+    Two passes, both distributed: (1) per-stratum token totals (one
+    map-side-combined agg producing a strata-sized table); (2) keep rate
+    ``min(1, budget/total)`` per stratum, broadcast back, and the same
+    partitioning-invariant md5 keep/drop rule as :func:`hash_sample` —
+    so the realized token count concentrates on the budget (exact in
+    expectation; binomial concentration at corpus scale) and the kept
+    set is reproducible across engines and re-runs.
+
+    ``token_budgets`` maps stratum → target token count; strata absent
+    from the map keep everything (``default_budget=None``) or are
+    budgeted at ``default_budget``. Tokens are whitespace tokens of the
+    normalized text (identical to the DuckDB oracle in q106).
+
+    Returns the kept rows as (id, stratum, n_tokens, rate).
+    """
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = per_doc.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    budget_map = F.create_map(
+        *[
+            lit
+            for k, v in token_budgets.items()
+            for lit in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    budget = F.element_at(budget_map, F.col(strata_col))
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(float(default_budget)))
+    rate = F.when(
+        budget.isNull() | (F.col("_total") <= 0), F.lit(1.0)
+    ).otherwise(F.least(F.lit(1.0), budget / F.col("_total")))
+    rates = totals.select(F.col(strata_col), rate.alias("rate"))
+    return (
+        per_doc.join(F.broadcast(rates), strata_col)
+        .where(hash_uniform(F.col(id_col), seed) < F.col("rate"))
+        .select(id_col, strata_col, "n_tokens", "rate")
+    )

@@ -2598,6 +2598,51 @@ WHERE d3.doc_id NOT IN (SELECT doc_id FROM dropc)
 """
 
 
+def q106_budget_mix(spark, sf_dir):
+    """Token-budget domain mixing: per-source token totals computed from
+    the corpus, keep rate min(1, budget/total) per source, then the
+    md5 partitioning-invariant keep rule — the "N tokens of Wikipedia,
+    M of CommonCrawl" step of assembling a pretraining mixture. Two
+    sources are budgeted below their totals, the rest keep everything."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sp.budget_mix(
+        docs, {"src0": 500.0, "src1": 1200.0}, default_budget=None
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", F.round("rate", R).alias("rate")
+    )
+
+
+Q106_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT source, sum(n_tokens) AS total FROM toks GROUP BY source
+),
+rates AS (
+  SELECT source,
+         CASE
+           WHEN CASE source WHEN 'src0' THEN 500.0
+                            WHEN 'src1' THEN 1200.0 END IS NULL
+                OR total <= 0 THEN 1.0
+           ELSE least(1.0,
+                CASE source WHEN 'src0' THEN 500.0
+                            WHEN 'src1' THEN 1200.0 END / total)
+         END AS rate
+  FROM totals
+)
+SELECT t.doc_id, t.source, t.n_tokens, round(r.rate, 6) AS rate
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE ('0x' || substring(md5('0:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < r.rate
+"""
+
+
 def q104_minhash_pipeline_md5(spark, sf_dir):
     """The ENTIRE MinHash+LSH near-duplicate pipeline — signatures,
     banded candidate generation, exact-Jaccard verification — with the
@@ -3441,6 +3486,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q105_curated_corpus": QuerySpec(
         q105_curated_corpus, Q105_SQL, "curation-e2e"
     ),
+    "q106_budget_mix": QuerySpec(
+        q106_budget_mix, Q106_SQL, "sampling-budget-mix"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3488,6 +3536,7 @@ _QUERY_ORDER: list[str] = [
     "q103_unigram_logprob",
     "q104_minhash_pipeline_md5",
     "q105_curated_corpus",
+    "q106_budget_mix",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

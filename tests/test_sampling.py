@@ -190,3 +190,47 @@ def test_top_k_sample_plan_and_determinism(docs):
         for r in sp.top_k_sample(docs.repartition(7), k=50, seed=1).collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_budget_mix_hits_budgets_and_keeps_unbudgeted(docs):
+    out = sp.budget_mix(docs, {"src0": 500.0, "src1": 1200.0}).cache()
+    kept = {
+        r["source"]: (r["tok"], r["n"])
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r["source"]: (r["tok"], r["n"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))).alias("tok"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    # budgeted strata: realized tokens concentrate on the budget
+    # (binomial; ~25 docs/source at sf0.01, so allow a wide band)
+    for src, budget in [("src0", 500.0), ("src1", 1200.0)]:
+        realized = kept.get(src, (0, 0))[0]
+        assert realized < totals[src][0]  # actually sampled down
+        assert realized < 3 * budget
+    # unbudgeted strata keep every row
+    for src, (tok, n) in totals.items():
+        if src not in ("src0", "src1"):
+            assert kept[src][1] == n
+    out.unpersist()
+
+
+def test_budget_mix_partitioning_invariant(docs):
+    a = sorted(
+        r.doc_id
+        for r in sp.budget_mix(docs, {"src0": 500.0}).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sp.budget_mix(docs.repartition(17, "lang"), {"src0": 500.0})
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
