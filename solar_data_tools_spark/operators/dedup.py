@@ -485,3 +485,74 @@ def embedding_cosine_duplicates(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: every (id_a < id_b) whose
+    fingerprints differ in at most ``max_hamming`` bits, with the exact
+    Hamming distance.
+
+    Scale shape — banded Hamming join, NOT an all-pairs comparison: the
+    fingerprint is split into ``max_hamming + 1`` contiguous bit-bands;
+    by pigeonhole, any pair within ``max_hamming`` bits agrees EXACTLY
+    on at least one band, so candidates come from an equi-join on
+    (band_ix, band_value) and the final ``bit_count(xor) <= k`` verify
+    filters candidates only. The result is therefore EXACTLY the
+    all-pairs answer (the banding is lossless, unlike similarity LSH) —
+    which is what the q107 oracle checks against.
+
+    ``token_hash="md5_60"`` (with ``bits<=60``) makes the fingerprints
+    — and hence the whole pair set — bit-identical in DuckDB.
+    """
+    fp = simhash(docs, id_col, text_col, bits, token_hash)
+    bands = max_hamming + 1
+    base, extra = divmod(bits, bands)
+    layout, start = [], 0
+    for i in range(bands):
+        width = base + (1 if i < extra else 0)
+        layout.append((start, width))
+        start += width
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), s).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+            for s, w in layout
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_vals).alias("band_ix", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("_fa"),
+        "band_ix",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("_fb"),
+        "band_ix",
+        "band_val",
+    )
+    cand = (
+        a.join(b, on=["band_ix", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2166,6 +2166,34 @@ SELECT doc_id, {fp} AS simhash FROM agg
 Q95_SQL = _q95_sql()
 
 
+def q107_simhash_near_dups(spark, sf_dir):
+    """SimHash near-duplicate pairs via the banded Hamming join
+    (pigeonhole: 7 bands over 60 bits guarantee any pair within
+    Hamming 6 shares one exact band). The oracle is the ALL-PAIRS
+    Hamming query — passing proves the banding is lossless, not just
+    that the candidate join runs. md5_60 token hash for cross-engine
+    bit-parity of the fingerprints themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.simhash_near_duplicates(
+        docs, max_hamming=6, bits=60, token_hash="md5_60"
+    )
+    return out.select("id_a", "id_b", "hamming")
+
+
+def _q107_sql() -> str:
+    body = _q95_sql()
+    return f"""
+WITH fps AS ({body})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+Q107_SQL = _q107_sql()
+
+
 def q97_topk_sample(spark, sf_dir):
     """Exactly-k uniform sample without replacement: the 100 smallest
     seeded hash keys (TakeOrderedAndProject — per-partition heaps, no
@@ -3489,6 +3517,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q106_budget_mix": QuerySpec(
         q106_budget_mix, Q106_SQL, "sampling-budget-mix"
     ),
+    "q107_simhash_near_dups": QuerySpec(
+        q107_simhash_near_dups, Q107_SQL, "dedup-simhash-e2e"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3537,6 +3568,7 @@ _QUERY_ORDER: list[str] = [
     "q104_minhash_pipeline_md5",
     "q105_curated_corpus",
     "q106_budget_mix",
+    "q107_simhash_near_dups",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

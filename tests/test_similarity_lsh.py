@@ -311,3 +311,37 @@ def test_simhash_md5_variant_guards_and_parity(spark, sf_small):
     by_text = merged.groupby("text").simhash.nunique()
     assert (by_text == 1).all()  # same text -> same fingerprint
     assert (out.simhash >= 0).all()  # 60-bit fits signed long
+
+
+def test_simhash_banded_join_is_lossless(spark, sf_small):
+    """The banded Hamming join must return EXACTLY the all-pairs answer
+    (pigeonhole over max_hamming+1 bands) — here with the default
+    xxhash64 fingerprints, complementing q107's md5-variant oracle."""
+    from solar_data_tools_spark.operators import dedup as dd
+    from solar_data_tools_spark.session import read_table
+    import pyspark.sql.functions as F
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.simhash_near_duplicates(
+            docs, max_hamming=5, bits=64
+        ).collect()
+    )
+    fp = dd.simhash(docs)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("long")
+            .alias("h"),
+        )
+        .where(F.col("h") <= 5)
+        .collect()
+    )
+    assert got == expected and len(got) > 0
