@@ -172,6 +172,12 @@ def main() -> None:
     timed("global_shuffle", sp.global_shuffle_rank(docs), timings)
     timed("sequence_packing", sp.pack_sequences(docs, budget=2048), timings)
 
+    timed(
+        "simhash_near_dups_banded",
+        dd.simhash_near_duplicates(docs, max_hamming=3),
+        timings,
+    )
+
     from solar_data_tools_spark.operators import curation as cu
 
     # pairs -> clusters on the planted-duplicate graph (the step after
