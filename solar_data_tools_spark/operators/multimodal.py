@@ -13,8 +13,13 @@ for formats that need no codec library:
   gray/RGB/palette/alpha, feeding real pixel-statistics features.
 - PCM decode (``decode_wav_pcm``): 8/16-bit PCM WAV to float samples,
   feeding real waveform features.
+- BMP decode (``decode_bmp``): uncompressed 8/24/32-bit BI_RGB rows
+  (bottom-up or top-down, 4-byte row padding, palette lookup).
+- GIF decode (``decode_gif``): first-frame LZW decompression with
+  variable code width, clear/EOI codes, global/local color tables and
+  Adam-style interlace reordering.
 
-Only codec-bound formats (JPEG entropy decode, GIF LZW, video) fall
+Only genuinely codec-bound formats (JPEG entropy decode, video) fall
 back to a deterministic byte-histogram feature; swap PIL/ffmpeg into
 ``DECODERS``/``media_feature`` without touching the Spark plan.
 """
@@ -250,6 +255,178 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Pure-stdlib BMP pixel decode: BITMAPINFOHEADER, uncompressed
+    BI_RGB, 8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or
+    top-down rows, 4-byte row padding -> (h, w, channels) uint8 RGB.
+    Raises ValueError on RLE/bitfield compression or other depths."""
+    import struct
+
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", buf[10:14])[0]
+    hdr_size = struct.unpack("<I", buf[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack("<ii", buf[18:26])
+    planes, depth = struct.unpack("<HH", buf[26:30])
+    compression = struct.unpack("<I", buf[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if depth not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {depth}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bad BMP dimensions")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    palette = None
+    if depth == 8:
+        n_colors = struct.unpack("<I", buf[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            buf, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)
+        palette = pal[:, [2, 1, 0]].copy()  # BGRA entries -> RGB
+    bytes_per_px = depth // 8
+    stride = (w * bytes_per_px + 3) & ~3  # rows padded to 4 bytes
+    if len(buf) < data_off + stride * h:
+        raise ValueError("truncated BMP data")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * bytes_per_px]
+    if bottom_up:
+        rows = rows[::-1]
+    if depth == 8:
+        return palette[rows]
+    px = rows.reshape(h, w, bytes_per_px)
+    # stored as BGR(A); drop alpha, reorder to RGB
+    return px[:, :, [2, 1, 0]].copy()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    clear/EOI codes, dictionary capped at 4096 entries -> uint8 indices."""
+    clear_code = 1 << min_code_size
+    eoi_code = clear_code + 1
+    # bit reader: GIF packs codes little-endian, LSB first
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    pos = 0
+    n_bits = len(bits)
+
+    def fresh_table() -> list[bytes]:
+        return [bytes([i]) for i in range(clear_code)] + [b"", b""]
+
+    table = fresh_table()
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + code_size <= n_bits:
+        code = 0
+        for k in range(code_size):
+            code |= int(bits[pos + k]) << k
+        pos += code_size
+        if code == clear_code:
+            table = fresh_table()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi_code:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decode of the FIRST image frame: logical screen
+    descriptor, global/local color table, sub-block reassembly, LZW
+    decompression (variable code width, clear/EOI), interlace
+    reordering -> (h, w, 3) uint8 RGB. Raises ValueError on truncated
+    or malformed streams."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = buf[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            buf, dtype=np.uint8, count=gct_size * 3, offset=13
+        ).reshape(-1, 3)
+        i = 13 + gct_size * 3
+    while i < len(buf):
+        block = buf[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(buf) and buf[i] != 0:
+                i += 1 + buf[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h = struct.unpack("<HHHH", buf[i + 1 : i + 9])
+            img_flags = buf[i + 9]
+            i += 10
+            table = gct
+            if img_flags & 0x80:
+                lct_size = 2 << (img_flags & 0x07)
+                table = np.frombuffer(
+                    buf, dtype=np.uint8, count=lct_size * 3, offset=i
+                ).reshape(-1, 3)
+                i += lct_size * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = buf[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(buf) and buf[i] != 0:
+                n = buf[i]
+                lzw.extend(buf[i + 1 : i + 1 + n])
+                i += 1 + n
+            idx = _gif_lzw_decode(bytes(lzw), min_code_size)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            idx = idx[: w * h].reshape(h, w)
+            if img_flags & 0x40:  # interlaced: 4-pass row shuffle
+                deinter = np.empty_like(idx)
+                rows = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deinter[rows] = idx
+                idx = deinter
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF palette index out of range")
+            return table[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     """Pure-stdlib WAV decode: RIFF chunk walk -> PCM frames as a MONO
     float64 array in [-1, 1] (16-bit and 8-bit PCM; multi-channel audio
@@ -345,8 +522,8 @@ def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
 
 def media_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Content feature: REAL pixel/PCM statistics for formats the pure-
-    stdlib decoders cover (PNG, PCM WAV), byte-histogram fallback for
-    the rest. Deterministic either way."""
+    stdlib decoders cover (PNG, BMP, GIF, PCM WAV), byte-histogram
+    fallback for the rest (JPEG/video). Deterministic either way."""
     import struct
     import zlib
 
@@ -354,6 +531,10 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
         try:
             if buf[:8] == b"\x89PNG\r\n\x1a\n":
                 return image_feature(decode_png(buf), dim)
+            if buf[:2] == b"BM":
+                return image_feature(decode_bmp(buf), dim)
+            if buf[:6] in (b"GIF87a", b"GIF89a"):
+                return image_feature(decode_gif(buf), dim)
             if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
                 samples, rate = decode_wav_pcm(buf)
                 return audio_feature(samples, rate, dim)
@@ -365,7 +546,12 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
     return _fake_feature(buf, dim)
 
 
-DECODERS = {"image": decode_png, "audio": decode_wav_pcm}
+DECODERS = {
+    "image/png": decode_png,
+    "image/bmp": decode_bmp,
+    "image/gif": decode_gif,
+    "audio/wav": decode_wav_pcm,
+}
 
 
 def extract_features(media: DataFrame, batch_feature_dim: int = 8) -> DataFrame:

@@ -139,6 +139,180 @@ def test_decode_wav_pcm_roundtrip():
     assert np.allclose(dec, samples / 32768.0)
 
 
+def _encode_bmp(img, depth=24, bottom_up=True):
+    """Minimal BMP writer (BITMAPINFOHEADER, BI_RGB) for round-trip
+    tests: 24-bit BGR or 8-bit palette, 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    if depth == 24:
+        rows = img[:, :, [2, 1, 0]].reshape(h, -1)  # RGB -> BGR
+        palette = b""
+    else:  # 8-bit: image IS the index array; identity gray palette
+        rows = img.reshape(h, w)
+        palette = b"".join(
+            struct.pack("<BBBB", i, i, i, 0) for i in range(256)
+        )
+    stride = (rows.shape[1] + 3) & ~3
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : rows.shape[1]] = rows
+    if bottom_up:
+        padded = padded[::-1]
+    data_off = 14 + 40 + len(palette)
+    pixel_bytes = padded.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(pixel_bytes), 0, 0, data_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h if bottom_up else -h, 1, depth, 0,
+        len(pixel_bytes), 2835, 2835,
+        256 if depth == 8 else 0, 0,
+    )
+    return header + info + palette + pixel_bytes
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder (greedy longest match, variable code
+    width, clear code first) used only to build test payloads."""
+    clear_code = 1 << min_code_size
+    eoi_code = clear_code + 1
+    table = {bytes([i]): i for i in range(clear_code)}
+    next_code = eoi_code + 1
+    code_size = min_code_size + 1
+    out_bits = []
+
+    def emit(code):
+        for k in range(code_size):
+            out_bits.append((code >> k) & 1)
+
+    emit(clear_code)
+    run = b""
+    for v in bytes(indices):
+        cand = run + bytes([v])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        run = bytes([v])
+    if run:
+        emit(table[run])
+    emit(eoi_code)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for k, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << k
+        by.append(b)
+    return bytes(by)
+
+
+def _encode_gif(img, interlaced=False):
+    """Minimal GIF89a writer: 256-entry global color table built from
+    the image's unique colors, single LZW-compressed frame."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    colors, idx = np.unique(
+        img.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    assert len(colors) <= 256
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    idx = idx.reshape(h, w).astype(np.uint8)
+    if interlaced:
+        rows = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        idx = idx[rows]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-color GCT
+    out += table.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
+    )
+    min_code_size = 8
+    out.append(min_code_size)
+    lzw = _gif_lzw_encode(idx.reshape(-1), min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_bmp_roundtrip():
+    """24-bit (both row orders) and 8-bit palette BMPs decode
+    bit-exactly; compressed BMPs raise."""
+    import numpy as np
+    import pytest
+
+    from solar_data_tools_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for bottom_up in (True, False):
+        out = decode_bmp(_encode_bmp(img, bottom_up=bottom_up))
+        assert np.array_equal(out, img), f"bottom_up={bottom_up}"
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)
+    out = decode_bmp(_encode_bmp(gray, depth=8))
+    assert np.array_equal(out[:, :, 0], gray)  # identity gray palette
+    rle = bytearray(_encode_bmp(img))
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(rle))
+
+
+def test_decode_gif_roundtrip():
+    """LZW-compressed GIF frames (sequential and interlaced, incl. a
+    low-color image that exercises code-width growth) decode to the
+    exact source pixels."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_gif
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(16, 11, 1), dtype=np.uint8).repeat(
+        3, axis=2
+    )  # gray RGB: <=256 unique colors guaranteed
+    for interlaced in (False, True):
+        out = decode_gif(_encode_gif(img, interlaced=interlaced))
+        assert np.array_equal(out, img), f"interlaced={interlaced}"
+    # long runs of few colors: dictionary growth + width bumps
+    flat = np.zeros((32, 40, 3), dtype=np.uint8)
+    flat[8:24, 10:30] = 200
+    assert np.array_equal(decode_gif(_encode_gif(flat)), flat)
+
+
+def test_media_feature_uses_real_bmp_gif_pixels():
+    """media_feature must route BMP/GIF through the real decoders: a
+    pure-green image's channel-mean features are exact."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import media_feature
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, :, 1] = 255
+    for buf in (_encode_bmp(img), _encode_gif(img)):
+        feat = media_feature(buf)
+        assert feat[0] == 0.0 and feat[1] == 255.0 and feat[2] == 0.0
+
+
 def test_media_feature_uses_real_pixels():
     """Feature vector must be computed from DECODED pixels, not byte
     histograms: a pure-red image's first three features are exactly the
