@@ -556,3 +556,86 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (suffix-array dedup, re-expressed
+    relationally — the "exact substring" method of Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*).
+
+    A token window of length ``k`` that occurs in >= ``min_doc_freq``
+    DISTINCT documents marks a verbatim cross-document copy; overlapping
+    and adjacent duplicated windows merge into maximal spans. This finds
+    the copied REGIONS inside otherwise-distinct documents (boilerplate,
+    licenses, quoted passages) that whole-doc dedup (exact or MinHash)
+    cannot see.
+
+    Plan (all built-ins, no Python in the hot path):
+      1. one projection explodes each doc into (pos, xxhash64(window))
+         postings — positions matter, so no array_distinct here;
+      2. windows present in >= min_doc_freq distinct docs survive a
+         hash-keyed aggregate (map-side partial combine; the 8-byte
+         xxhash64 key keeps shuffle width constant, same trick as
+         ngram_jaccard_pairs — a false merge needs a 2^-64 collision);
+      3. postings re-join the surviving hashes on the same key (both
+         sides already hash-partitioned by whash: co-located join);
+      4. per-doc interval merge via gaps-and-islands — windows starting
+         within k tokens overlap/touch, so a new island begins where
+         pos - lag(pos) > k; the per-doc window is bounded by document
+         length, never corpus size.
+
+    Output: one row per maximal span —
+    (doc_id, span_start, span_end, n_dup_tokens), token positions
+    1-based inclusive. 100 TB note: stage 2's aggregate and stage 3's
+    join shuffle ~8+8 bytes per posting; total work is O(total tokens),
+    the same cost class as the n-gram Jaccard index, with no all-pairs
+    term anywhere.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
+        f"i -> named_struct('pos', i, 'whash', "
+        f"xxhash64(concat_ws(' ', slice(_toks, i, {k})))))"
+    )
+    posting = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.whash").alias("whash"))
+    )
+    dup_hashes = (
+        posting.groupBy("whash")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_doc_freq)
+        .select("whash")
+    )
+    hits = posting.join(dup_hashes, "whash").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_dup_tokens"),
+        )
+    )

@@ -2194,6 +2194,60 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 Q107_SQL = _q107_sql()
 
 
+def q108_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022's "exact
+    substring" dedup re-expressed relationally): 8-token windows shared
+    verbatim across >=2 documents, merged per-doc into maximal spans via
+    gaps-and-islands. Finds copied REGIONS (boilerplate, quoted
+    passages) inside otherwise-distinct docs — the case whole-doc
+    dedup can't see. The oracle recomputes over the literal window
+    STRINGS where Spark joins on xxhash64 keys, so a hash-match also
+    certifies the hashed join loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.substring_duplicate_spans(docs, k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_dup_tokens").cast("long").alias("n_dup_tokens"),
+    )
+
+
+Q108_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w
+  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS n_dup_tokens
+FROM grp
+GROUP BY doc_id, island
+"""
+
+
 def q97_topk_sample(spark, sf_dir):
     """Exactly-k uniform sample without replacement: the 100 smallest
     seeded hash keys (TakeOrderedAndProject — per-partition heaps, no
@@ -3520,6 +3574,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q107_simhash_near_dups": QuerySpec(
         q107_simhash_near_dups, Q107_SQL, "dedup-simhash-e2e"
     ),
+    "q108_substring_spans": QuerySpec(
+        q108_substring_spans, Q108_SQL, "dedup-substring"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3569,6 +3626,7 @@ _QUERY_ORDER: list[str] = [
     "q105_curated_corpus",
     "q106_budget_mix",
     "q107_simhash_near_dups",
+    "q108_substring_spans",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

@@ -215,3 +215,62 @@ def test_repetition_stats_random_reference(spark):
         assert r["top_token_frac"] == pytest.approx(max(tc.values()) / n)
         expected_dup = dup / len(bigrams) if bigrams else 0.0
         assert r["dup_bigram_frac"] == pytest.approx(expected_dup)
+
+
+def test_substring_duplicate_spans_planted(spark):
+    """Planted verbatim passages: two docs share an 10-token run, a
+    third shares nothing; spans must cover exactly the copied region
+    (merged across overlapping windows) with 1-based inclusive bounds."""
+    from solar_data_tools_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 tokens
+    rows = [
+        # doc 1: 5 unique tokens, then the passage (positions 6-15)
+        (1, "alpha beta gamma delta epsilon " + shared),
+        # doc 2: passage at the very start (positions 1-10)
+        (2, shared + " zeta eta theta"),
+        # doc 3: no 8-token overlap with anyone
+        (3, "completely different words with no overlap at all here today"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = substring_duplicate_spans(docs, k=8)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_tokens"])
+        for r in out.collect()
+    }
+    assert got == {1: (6, 15, 10), 2: (1, 10, 10)}
+
+
+def test_substring_spans_merge_and_gap(spark):
+    """Two copied passages separated by MORE than k unique tokens stay
+    separate spans; separated by fewer they merge into one."""
+    from solar_data_tools_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    p1 = " ".join(f"p{i}" for i in range(8))  # 8 tokens
+    p2 = " ".join(f"q{i}" for i in range(8))
+    far = " ".join(f"u{i}" for i in range(12))  # unique separator
+    rows = [
+        (1, f"{p1} {far} {p2}"),
+        (2, f"{p1} {p2}"),  # adjacent: duplicated windows at pos 1 and 9
+        (3, f"{p1} x1 x2 {p2}"),  # 2 unique tokens between passages
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = substring_duplicate_spans(docs, k=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # doc 1: p1 at 1-8, p2 at 21-28, separated by 12 unique tokens ->
+    # two spans (the separator is NOT duplicated and must stay outside)
+    assert sorted(by_doc[1]) == [(1, 8), (21, 28)]
+    # doc 2: adjacent passages -> window starts 1 and 9 differ by k=8,
+    # the covered intervals touch, single merged span over all 16 tokens
+    assert by_doc[2] == [(1, 16)]
+    # doc 3: the 2 unique tokens between the passages are not duplicated
+    # -> spans stay separate and exclude them
+    assert sorted(by_doc[3]) == [(1, 8), (11, 18)]
