@@ -51,3 +51,23 @@ def test_q10_daily_energy_single_shuffle(spark, sf_small):
     # one wide groupBy(site, date): partial agg + exactly one exchange
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") <= 2  # agg shuffle (+ optional AQE read)
+
+
+def test_q45_self_join_reuses_posting_exchange(spark, sf_small):
+    """The dedup self-joins must compute the exploded posting ONCE: the
+    executed plan has to contain a ReusedExchange (both join sides share
+    one shuffle subplan) — the pre-fix plan planned the Generate per
+    side (and broadcast one full posting at small scale)."""
+    df = QUERIES["q45_ngram_jaccard"].fn(spark, sf_small)
+    df.collect()  # AQE finalizes reuse only on execution
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in exec_plan
+
+
+def test_q47_banded_join_reuses_signature_exchange(spark, sf_small):
+    """Same reuse contract for the MinHash banded self-join: the 64-hash
+    signature computation must not run once per join side."""
+    df = QUERIES["q47_minhash_near_dups"].fn(spark, sf_small)
+    df.collect()
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in exec_plan

@@ -167,6 +167,11 @@ def main() -> None:
         ),
         timings,
     )
+    timed(
+        "substring_spans_8tok",
+        dd.substring_duplicate_spans(docs, k=8),
+        timings,
+    )
     timed("stratified_sample", sp.stratified_sample(
         docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.1), timings)
     timed("global_shuffle", sp.global_shuffle_rank(docs), timings)
