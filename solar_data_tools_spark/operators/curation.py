@@ -422,3 +422,100 @@ def unigram_logprob(
             (-F.col("avg_logprob") / math.log(2.0)).alias("bits_per_token"),
         )
     )
+
+
+def excise_contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping a whole training
+    document that overlaps the eval/benchmark set (``decontaminate``),
+    remove only the verbatim-overlapping token spans and keep the rest.
+
+    A k-token window of a training doc whose hash appears among the
+    eval set's k-gram hashes marks contamination; overlapping/adjacent
+    contaminated windows merge into maximal spans (gaps-and-islands,
+    same interval semantics as ``substring_duplicate_spans``), and the
+    clean text is rebuilt from the tokens OUTSIDE those spans. This is
+    the surgical policy for high-value documents where whole-doc
+    removal wastes data.
+
+    Scale shape: the eval gram-hash set is broadcast (benchmarks are
+    MBs); the corpus-side posting stream is filtered map-side, so the
+    only shuffles are the per-doc island window and the span collect —
+    both keyed by doc id and bounded by document length. Text
+    reconstruction is one higher-order projection (filter over the
+    token array against the collected span list), no Python.
+
+    Returns every training doc: (doc_id, clean_text, n_tokens,
+    n_removed_tokens, n_spans); untouched docs pass through with
+    n_removed_tokens = 0.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        word_ngrams(eval_docs, k, id_col, text_col)
+        .select(F.xxhash64("shingle").alias("whash"))
+        .distinct()
+    )
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
+        f"i -> named_struct('pos', i, 'whash', "
+        f"xxhash64(concat_ws(' ', slice(_toks, i, {k})))))"
+    )
+    posting = (
+        train.select(F.col(id_col), tokens.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            F.col(id_col),
+            F.col("g.pos").alias("pos"),
+            F.col("g.whash").alias("whash"),
+        )
+    )
+    hits = posting.join(F.broadcast(ev), "whash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+    )
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).alias("n_removed_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    joined = train.select(F.col(id_col), tokens.alias("_toks")).join(
+        span_lists, on=id_col, how="left"
+    )
+    kept = F.expr(
+        "transform(filter(transform(_toks, (x, i) -> "
+        "named_struct('t', x, 'p', i + 1)), s -> _spans IS NULL OR NOT "
+        "exists(_spans, r -> s.p >= r.span_start AND s.p <= r.span_end)), "
+        "s -> s.t)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        F.coalesce(F.col("n_removed_tokens"), F.lit(0)).alias(
+            "n_removed_tokens"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+    )

@@ -2213,6 +2213,92 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q109_span_decontaminate(spark, sf_dir):
+    """Span-level decontamination: training docs keep everything EXCEPT
+    the token spans that verbatim-overlap the eval set's 4-grams (the
+    surgical alternative to q100's whole-doc flagging). Eval set =
+    doc_id % 41 = 0, as in q100. clean_md5 certifies the rebuilt text
+    byte-for-byte; the oracle recomputes spans over literal gram
+    strings and reassembles with string_agg."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    tr = docs.where(F.col("doc_id") % 41 != 0)
+    out = cu.excise_contaminated_spans(tr, ev, k=4)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
+Q109_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+ev AS (
+  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS w
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+  WHERE doc_id % 41 = 0 AND len(t) >= 4
+),
+tr AS (SELECT doc_id, t FROM toks WHERE doc_id % 41 <> 0),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS w
+  FROM tr, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+  WHERE len(t) >= 4
+),
+hits AS (SELECT doc_id, pos FROM wins JOIN ev USING (w)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+  FROM grp GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, t[p] AS tok, p
+  FROM tr, unnest(range(1, len(t) + 1)) u(p)
+),
+kept AS (
+  SELECT tp.doc_id, tp.tok, tp.p
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.p BETWEEN sp.s AND sp.e
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, sum(e - s + 1) AS n_removed, count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       md5(coalesce(c.clean_text, '')) AS clean_md5,
+       len(tr.t) AS n_tokens,
+       CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+FROM tr
+LEFT JOIN clean c ON c.doc_id = tr.doc_id
+LEFT JOIN stats st ON st.doc_id = tr.doc_id
+"""
+
+
 Q108_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -3577,6 +3663,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q108_substring_spans": QuerySpec(
         q108_substring_spans, Q108_SQL, "dedup-substring"
     ),
+    "q109_span_decontaminate": QuerySpec(
+        q109_span_decontaminate, Q109_SQL, "curation-span-decontaminate"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3627,6 +3716,7 @@ _QUERY_ORDER: list[str] = [
     "q106_budget_mix",
     "q107_simhash_near_dups",
     "q108_substring_spans",
+    "q109_span_decontaminate",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

@@ -274,3 +274,35 @@ def test_substring_spans_merge_and_gap(spark):
     # doc 3: the 2 unique tokens between the passages are not duplicated
     # -> spans stay separate and exclude them
     assert sorted(by_doc[3]) == [(1, 8), (11, 18)]
+
+
+def test_excise_contaminated_spans_planted(spark):
+    """Planted eval passage inside a training doc: exactly that span is
+    excised, surrounding text survives byte-for-byte, untouched docs
+    pass through whole."""
+    bench = "què serà serà whatever will be will be"  # 8 tokens
+    rows_ev = [(100, f"intro words {bench} outro")]
+    rows_tr = [
+        (1, f"keep one two three {bench} keep four five six"),
+        (2, "nothing shared with the benchmark here at all"),
+    ]
+    ev = spark.createDataFrame(rows_ev, ["doc_id", "text"])
+    tr = spark.createDataFrame(rows_tr, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in cur.excise_contaminated_spans(tr, ev, k=8).collect()
+    }
+    assert out[1]["clean_text"] == "keep one two three keep four five six"
+    assert out[1]["n_removed_tokens"] == 8 and out[1]["n_spans"] == 1
+    assert out[2]["clean_text"] == "nothing shared with the benchmark here at all"
+    assert out[2]["n_removed_tokens"] == 0 and out[2]["n_spans"] == 0
+
+
+def test_excise_full_document(spark):
+    """A training doc that IS an eval doc verbatim excises to empty."""
+    text = " ".join(f"tok{i}" for i in range(20))
+    ev = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    tr = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = cur.excise_contaminated_spans(tr, ev, k=8).collect()[0]
+    assert row["clean_text"] == ""
+    assert row["n_removed_tokens"] == 20 and row["n_spans"] == 1
