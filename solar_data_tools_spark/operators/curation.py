@@ -170,7 +170,21 @@ def decontaminate(
     """
     tr = word_ngrams(train, n, id_col, text_col)
     ev = word_ngrams(eval_docs, n, id_col, text_col).select("shingle").distinct()
-    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # per-doc distinct-gram count is row-local — size(array_distinct(grams))
+    # — so don't re-explode and shuffle the corpus a second time for it
+    _tokens = F.split(normalize_text(F.col(text_col)), " ")
+    _grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    sizes = (
+        train.select(F.col(id_col), _tokens.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.size(F.array_distinct(_grams)).alias("n_grams"),
+        )
+    )
     hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy(id_col)
