@@ -255,6 +255,263 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
+def _jpeg_zigzag() -> np.ndarray:
+    """Standard JPEG zigzag order, generated by the diagonal walk (no
+    hand-transcribed table): zz[k] = linear index into the 8x8 block of
+    the k-th coefficient in transmission order."""
+    order = []
+    for s in range(15):  # anti-diagonals r+c = s
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - c, c) for c in rng]  # ascending column
+        if s % 2 == 1:
+            diag = diag[::-1]  # odd diagonals run top-right -> bottom-left
+        order.extend(r * 8 + c for r, c in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+# orthonormal DCT-II basis: IDCT(block) = C.T @ block @ C
+_DCT_C = np.array(
+    [
+        [
+            (1.0 / np.sqrt(8.0) if k == 0 else 0.5)
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte-stuffing removal and restart-marker awareness."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.i = start
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.i >= len(d):
+            raise ValueError("JPEG entropy data exhausted")
+        byte = d[self.i]
+        if byte == 0xFF:
+            nxt = d[self.i + 1] if self.i + 1 < len(d) else None
+            if nxt != 0x00:
+                raise ValueError("marker inside entropy data")
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 1 + (1 if byte == 0xFF else 0)  # skip stuffed 0x00
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        if self.bit != 0:
+            self.bit = 0
+            self.i += 1 + (1 if self.data[self.i] == 0xFF else 0)
+        if not (
+            self.i + 1 < len(self.data)
+            and self.data[self.i] == 0xFF
+            and 0xD0 <= self.data[self.i + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.i += 2
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    # magnitude category decode: leading 0 bit means negative
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Pure-stdlib BASELINE JPEG decode (SOF0, Huffman, 8-bit): marker
+    walk -> DQT/DHT/SOF0/SOS(+DRI) -> per-MCU Huffman entropy decode
+    (byte-stuffing, restart markers, DC prediction) -> dequantize ->
+    de-zigzag -> vectorized orthonormal IDCT -> chroma upsample (any
+    integer sampling factors incl. 4:2:0/4:2:2) -> YCbCr->RGB ->
+    (h, w, channels) uint8. Raises ValueError on progressive (SOF2),
+    arithmetic-coded, 12-bit, or truncated streams — callers fall back
+    to the byte-histogram feature. JPEG is lossy: output equals the
+    encoder's pixels only to quantization tolerance."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    ri = 0
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant table unsupported")
+                q = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
+                tbl = np.zeros(64, np.int32)
+                tbl[_JPEG_ZZ] = q  # DQT is stored in zigzag order
+                qtables[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = seg[j + 1 : j + 17]
+                vals = seg[j + 17 : j + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, vi = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                j += 17 + len(vals)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG SOF 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            ri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 0x0F)
+            return _jpeg_decode_scan(
+                buf, i + 2 + seg_len, frame, sel, qtables, htables, ri
+            )
+        i += 2 + seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_decode_scan(buf, start, frame, sel, qtables, htables, ri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _JpegBitReader(buf, start)
+    # coefficient storage per component: (blocks_y, blocks_x, 8, 8)
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 8, 8), np.float64)
+        )
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                reader.align_and_expect_rst()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = htables.get((0, sel[c["id"]][0]))
+                ac_t = htables.get((1, sel[c["id"]][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing JPEG Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, np.float64)
+                        s = _jpeg_huff_decode(reader, dc_t)
+                        diff = _jpeg_extend(reader.read_bits(s), s)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, ac_t)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[k] = _jpeg_extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[_JPEG_ZZ] = coeffs
+                        planes[ci][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = block.reshape(8, 8)
+            n_mcu += 1
+    # dequantize + IDCT, vectorized per component
+    out_planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing JPEG quant table")
+        blk = planes[ci] * q[None, None]
+        px = np.einsum("ij,abjk,kl->abil", _DCT_C.T, blk, _DCT_C) + 128.0
+        by, bx = px.shape[:2]
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full resolution and crop
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )[:h, :w]
+        out_planes.append(plane)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_bmp(buf: bytes) -> np.ndarray:
     """Pure-stdlib BMP pixel decode: BITMAPINFOHEADER, uncompressed
     BI_RGB, 8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or
@@ -522,8 +779,9 @@ def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
 
 def media_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Content feature: REAL pixel/PCM statistics for formats the pure-
-    stdlib decoders cover (PNG, BMP, GIF, PCM WAV), byte-histogram
-    fallback for the rest (JPEG/video). Deterministic either way."""
+    stdlib decoders cover (PNG, baseline JPEG, BMP, GIF, PCM WAV);
+    byte-histogram fallback for the rest (progressive JPEG, video).
+    Deterministic either way."""
     import struct
     import zlib
 
@@ -531,6 +789,8 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
         try:
             if buf[:8] == b"\x89PNG\r\n\x1a\n":
                 return image_feature(decode_png(buf), dim)
+            if buf[:2] == b"\xff\xd8":
+                return image_feature(decode_jpeg(buf), dim)
             if buf[:2] == b"BM":
                 return image_feature(decode_bmp(buf), dim)
             if buf[:6] in (b"GIF87a", b"GIF89a"):
@@ -548,6 +808,7 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
 
 DECODERS = {
     "image/png": decode_png,
+    "image/jpeg": decode_jpeg,
     "image/bmp": decode_bmp,
     "image/gif": decode_gif,
     "audio/wav": decode_wav_pcm,

@@ -899,3 +899,230 @@ def test_streaming_packing_matches_batch(spark, sf_small, tmp_path):
         for r in pack_sequences(docs, budget=512, group_col="source").collect()
     }
     assert got == exp
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, length):
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits
+
+
+def _jpeg_huff_spec():
+    """Single-length canonical tables: DC = 12 symbols at 4 bits, AC =
+    162 symbols at 8 bits (all-ones code never assigned)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac = {s: (i, 8) for i, s in enumerate(ac_syms)}
+    return dc_syms, ac_syms, dc, ac
+
+
+def _jpeg_magnitude(v):
+    size = 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_jpeg(img, subsample=False, restart_interval=0):
+    """Minimal baseline JPEG encoder for round-trip tests: flat (all-1)
+    quant tables, single-length canonical Huffman tables, 4:4:4 or
+    4:2:0, optional restart markers. Gray input (h, w) -> 1-component."""
+    import struct
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import _DCT_C, _JPEG_ZZ
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        px = img.astype(np.float64)
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        cb = -0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2] + 128.0
+        cr = 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2] + 128.0
+        if subsample:
+            # 4:2:0 — average chroma over 2x2 (image must be even-sized)
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            comps, samp, qids = [y, cb, cr], [(2, 2), (1, 1), (1, 1)], [0, 1, 1]
+        else:
+            comps, samp, qids = [y, cb, cr], [(1, 1), (1, 1), (1, 1)], [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad each component plane to its block grid by edge replication
+    planes = []
+    for c, (sh, sv) in zip(comps, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        p = np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge")
+        planes.append(p)
+    dc_syms, ac_syms, dc_map, ac_map = _jpeg_huff_spec()
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: two flat tables (zigzag order of all-ones is all-ones)
+    for tq in (0, 1):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + b"\x01" * 64
+    # SOF0
+    ncomp = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 (12 syms @ len 4), AC table 0 (162 syms @ len 8)
+    counts_dc = bytes(12 if L == 4 else 0 for L in range(1, 17))
+    counts_ac = bytes(162 if L == 8 else 0 for L in range(1, 17))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" + counts_dc + bytes(dc_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 162) + b"\x10" + counts_ac + bytes(ac_syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    n_mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        r0 = (my * sv + by) * 8
+                        c0 = (mx * sh + bx) * 8
+                        blk = planes[ci][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                        coef = _DCT_C @ blk @ _DCT_C.T
+                        q = np.round(coef).astype(np.int64).reshape(-1)[_JPEG_ZZ]
+                        diff = int(q[0]) - pred[ci]
+                        pred[ci] = int(q[0])
+                        size, bits = _jpeg_magnitude(diff)
+                        code, ln = dc_map[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        run = 0
+                        last_nz = max(np.nonzero(q[1:])[0]) + 1 if np.any(q[1:]) else 0
+                        for k in range(1, last_nz + 1):
+                            v = int(q[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_map[0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _jpeg_magnitude(v)
+                            code, ln = ac_map[(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_map[0x00]
+                            bw.write(code, ln)
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_roundtrip_444():
+    """Baseline 4:4:4 JPEG with flat quant tables decodes back to the
+    source within DCT-rounding tolerance; a flat color field is near
+    exact."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    # smooth gradient + mild noise (extreme per-pixel noise would be
+    # outside flat-quant tolerance anyway)
+    yy, xx = np.mgrid[0:24, 0:17]
+    base = (yy * 5 + xx * 7) % 256
+    img = np.stack([base, 255 - base, (base * 2) % 256], axis=2)
+    img = np.clip(img + rng.integers(-8, 9, img.shape), 0, 255).astype(np.uint8)
+    out = decode_jpeg(_encode_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 8, f"max err {err}"
+
+    flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(_encode_jpeg(flat))
+    assert np.abs(out.astype(int) - 200).max() <= 2
+
+
+def test_decode_jpeg_420_and_restart():
+    """4:2:0 chroma subsampling (2x2-constant chroma -> lossless
+    subsample) and restart markers both decode correctly."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(22)
+    # chroma constant on 2x2 blocks: build at half res then upsample
+    half = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    img = half.repeat(2, axis=0).repeat(2, axis=1)  # 32 x 24
+    out = decode_jpeg(_encode_jpeg(img, subsample=True))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 8, f"max err {err}"
+
+    out = decode_jpeg(_encode_jpeg(img, subsample=True, restart_interval=1))
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 8, f"restart max err {err}"
+
+
+def test_decode_jpeg_grayscale():
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_jpeg
+
+    yy, xx = np.mgrid[0:10, 0:13]
+    img = ((yy * 11 + xx * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(_encode_jpeg(img))
+    assert out.shape == (10, 13, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 6
+
+
+def test_media_feature_uses_real_jpeg_pixels():
+    """JPEG now routes through the real decoder: a flat mid-gray image
+    yields channel means within quantization error of 180."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import media_feature
+
+    img = np.full((16, 16, 3), 180, dtype=np.uint8)
+    feat = media_feature(_encode_jpeg(img))
+    assert abs(feat[0] - 180.0) <= 2 and abs(feat[3] - 180.0) <= 2
