@@ -347,30 +347,43 @@ def minhash_near_duplicates(
     cand = minhash_lsh_candidates(
         sigs, bands, num_hashes=num_hashes, id_col=id_col, block_cols=blocks
     )
-    sh = word_ngrams(docs, n, id_col, text_col)
-    # |A| is row-local (size of the distinct gram array) — no need to
-    # explode and shuffle the shingle lists twice just to count them
+    # exact verification WITHOUT re-exploding the corpus: each doc's
+    # distinct gram set is a ROW-LOCAL array (hashed to 8-byte keys so
+    # the arrays ride the two candidate joins cheaply — a collision
+    # would need two distinct shingles of the same pair at p~2^-64),
+    # and |A n B| becomes one codegen array_intersect per candidate
+    # pair. The old posting x posting join shuffled every gram instance
+    # a third and fourth time just to count intersections.
     _tokens = F.split(normalize_text(F.col(text_col)), " ")
-    _grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    _gram_hashes = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {n})))))"
     )
-    sizes = (
+    doc_sets = (
         docs.select(F.col(id_col), _tokens.alias("_toks"))
         .where(F.size("_toks") >= n)
-        .select(F.col(id_col), F.size(F.array_distinct(_grams)).alias("n_sh"))
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, on="id_a")
-        .join(b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col(id_col), _gram_hashes.alias("_gset"))
     )
     return (
-        inter.join(F.broadcast(sizes.selectExpr(f"{id_col} id_a", "n_sh n_a")), "id_a")
-        .join(F.broadcast(sizes.selectExpr(f"{id_col} id_b", "n_sh n_b")), "id_b")
+        cand.join(
+            doc_sets.select(
+                F.col(id_col).alias("id_a"), F.col("_gset").alias("_ga")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("id_b"), F.col("_gset").alias("_gb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("n_common"),
+            F.size("_ga").alias("n_a"),
+            F.size("_gb").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
