@@ -365,3 +365,43 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def centroid_assign(
+    vectors: DataFrame,
+    centroid_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — the cell-assignment step
+    of an IVF quantizer (and of Lloyd's algorithm) as one broadcast
+    join: centroid table broadcast, per-vector scores in codegen, one
+    row_number window keyed by the vector id. Ties break toward the
+    smallest cluster id, making the assignment fully deterministic and
+    engine-portable (the oracle replays it in SQL — q110).
+
+    Returns (id_col, cluster, cosine). The corpus never shuffles except
+    for the per-vector top-1 window, which AQE keeps partition-local
+    cheap (k rows per vector, k = |centroids|).
+    """
+    from pyspark.sql import Window
+
+    vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
+    cents = _as_double(
+        centroid_df.select(cluster_col, centroid_vec_col), centroid_vec_col
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_cos"), F.asc(cluster_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(cluster_col), F.col("_cos").alias("cosine"))
+    )

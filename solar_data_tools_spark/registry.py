@@ -2213,6 +2213,47 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q110_centroid_assignment(spark, sf_dir):
+    """Nearest-centroid (cosine) assignment — the IVF/Lloyd cell-
+    assignment step, oracle-certified: seed centroids are the first 8
+    embeddings by id, every vector joins the broadcast centroid table,
+    ties break toward the smaller cluster id. Complements the rows-only
+    iterative quantizer of q90 with an exactly SQL-replayable
+    assignment."""
+    from solar_data_tools_spark.operators.similarity import centroid_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    out = centroid_assign(emb, seeds)
+    return out.select(
+        "vec_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
+Q110_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, s.cluster,
+         list_dot_product(e.v, s.c)
+         / sqrt(list_dot_product(e.v, e.v) * list_dot_product(s.c, s.c))
+           AS cos
+  FROM e CROSS JOIN seeds s
+),
+best AS (
+  SELECT vec_id, cluster, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster, round(cos, 6) AS cosine FROM best WHERE rn = 1
+"""
+
+
 def q109_span_decontaminate(spark, sf_dir):
     """Span-level decontamination: training docs keep everything EXCEPT
     the token spans that verbatim-overlap the eval set's 4-grams (the
@@ -3666,6 +3707,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q109_span_decontaminate": QuerySpec(
         q109_span_decontaminate, Q109_SQL, "curation-span-decontaminate"
     ),
+    "q110_centroid_assignment": QuerySpec(
+        q110_centroid_assignment, Q110_SQL, "similarity-centroid-assign"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3717,6 +3761,7 @@ _QUERY_ORDER: list[str] = [
     "q107_simhash_near_dups",
     "q108_substring_spans",
     "q109_span_decontaminate",
+    "q110_centroid_assignment",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

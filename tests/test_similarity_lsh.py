@@ -345,3 +345,32 @@ def test_simhash_banded_join_is_lossless(spark, sf_small):
         .collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_centroid_assign_matches_numpy(spark):
+    """centroid_assign reproduces the numpy argmax assignment (with
+    smaller-cluster tie-break) on random unit vectors."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.similarity import centroid_assign
+
+    rng = np.random.default_rng(33)
+    vecs = rng.normal(size=(40, 16))
+    cents = rng.normal(size=(5, 16))
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(len(cents))],
+        ["cluster", "cvec"],
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in centroid_assign(vdf, cdf).collect()
+    }
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = vn @ cn.T
+    expected = {i: int(np.argmax(sims[i])) for i in range(len(vecs))}
+    assert got == expected
