@@ -382,12 +382,13 @@ def centroid_assign(
     smallest cluster id, making the assignment fully deterministic and
     engine-portable (the oracle replays it in SQL — q110).
 
-    Returns (id_col, cluster, cosine). The corpus never shuffles except
-    for the per-vector top-1 window, which AQE keeps partition-local
-    cheap (k rows per vector, k = |centroids|).
+    Returns (id_col, cluster, cosine). Scale shape: the k scored rows
+    per vector reduce through a ``max(struct(cos, -cluster))`` aggregate
+    — lexicographic struct ordering gives the same argmax+tie-break as a
+    top-1 window, but with MAP-SIDE partial aggregation, so the shuffle
+    carries one row per vector instead of k (a window would shuffle all
+    k×N scored rows before ranking).
     """
-    from pyspark.sql import Window
-
     vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
     cents = _as_double(
         centroid_df.select(cluster_col, centroid_vec_col), centroid_vec_col
@@ -397,11 +398,16 @@ def centroid_assign(
         F.col(cluster_col),
         cosine(F.col(vec_col), F.col(centroid_vec_col)).alias("_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_cos"), F.asc(cluster_col)
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_cos").alias("cos"),
+                (-F.col(cluster_col)).alias("neg_cluster"),
+            )
+        ).alias("_best")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(cluster_col), F.col("_cos").alias("cosine"))
+    return best.select(
+        F.col(id_col),
+        (-F.col("_best.neg_cluster")).alias(cluster_col),
+        F.col("_best.cos").alias("cosine"),
     )
