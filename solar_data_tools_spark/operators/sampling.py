@@ -28,6 +28,8 @@ is JVM-side expressions + window functions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -200,6 +202,94 @@ def pack_sequences(
         toks.alias("n_tokens"),
         F.floor(start / F.lit(int(budget))).cast("long").alias("pack_id"),
         (start % F.lit(int(budget))).cast("long").alias("offset_in_pack"),
+    )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Doc-preserving sequence packing via first-fit-decreasing bin
+    packing — the complement of ``pack_sequences`` (concat-then-chunk):
+    no document straddles a context-window boundary, at the cost of
+    some padding waste (FFD is within 11/9·OPT + 1 bins per bucket).
+
+    Bin packing is inherently sequential, so it is made deterministic
+    AND parallel by hash-bucketing: ``bucket = xxhash64(id, seed) mod
+    n_buckets`` (partition-layout independent), then FFD runs
+    independently inside each bucket over (tokens desc, id asc) order.
+    Global ``pack_id = bucket << 32 | bin`` — stable across cluster
+    layouts and re-runs. Documents longer than ``budget`` get a
+    dedicated bin and ``oversize = true`` (the caller decides whether
+    to truncate or split upstream).
+
+    Scale shape: only (id, n_tokens, bucket) rides the grouped map —
+    never the text — and each bucket's doc count is ~corpus/n_buckets,
+    so driver memory is never involved and skew is bounded by the hash.
+    Raise ``n_buckets`` for larger corpora; packing quality is
+    per-bucket so the waste bound is unchanged.
+    """
+    if token_col is None:
+        toks = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, 0
+        ).otherwise(
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).cast("long")
+    else:
+        toks = F.col(token_col).cast("long")
+    slim = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign = np.empty(len(pdf), dtype=np.int64)
+        oversize = np.zeros(len(pdf), dtype=bool)
+        for i, t in enumerate(pdf["n_tokens"].to_numpy()):
+            if t > budget:
+                assign[i] = len(bins)
+                bins.append(0)  # dedicated, full
+                oversize[i] = True
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= t:
+                    assign[i] = b
+                    bins[b] = rem - t
+                    break
+            else:
+                assign[i] = len(bins)
+                bins.append(budget - t)
+        bucket = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "bucket": pdf["bucket"],
+                "pack_id": (bucket << 32) | assign,
+                "oversize": oversize,
+            }
+        )
+
+    return slim.groupBy("bucket").applyInPandas(
+        _ffd,
+        schema=f"{id_col} long, n_tokens long, bucket int, "
+        "pack_id long, oversize boolean",
     )
 
 

@@ -2213,6 +2213,21 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q111_ffd_packing(spark, sf_dir):
+    """Doc-preserving sequence packing: deterministic hash-bucketed
+    first-fit-decreasing bin packing (no doc straddles a context
+    window, unlike q94's concat-then-chunk). Rows-only: FFD is
+    sequential per bucket and not SQL-expressible; exact parity with a
+    pure-Python FFD reference, the capacity invariant, and
+    partitioning-invariance are pinned by
+    tests/test_sampling.py::test_ffd_packing_invariants_and_reference_parity."""
+    from solar_data_tools_spark.operators.sampling import pack_sequences_ffd
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences_ffd(docs, budget=512, n_buckets=16)
+    return out.select("doc_id", "n_tokens", "bucket", "pack_id", "oversize")
+
+
 def q110_centroid_assignment(spark, sf_dir):
     """Nearest-centroid (cosine) assignment — the IVF/Lloyd cell-
     assignment step, oracle-certified: seed centroids are the first 8
@@ -3710,6 +3725,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q110_centroid_assignment": QuerySpec(
         q110_centroid_assignment, Q110_SQL, "similarity-centroid-assign"
     ),
+    "q111_ffd_packing": QuerySpec(
+        q111_ffd_packing, None, "sampling-packing-ffd"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3762,6 +3780,7 @@ _QUERY_ORDER: list[str] = [
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q110_centroid_assignment",
+    "q111_ffd_packing",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

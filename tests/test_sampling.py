@@ -234,3 +234,71 @@ def test_budget_mix_partitioning_invariant(docs):
         .collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_ffd_packing_invariants_and_reference_parity(spark):
+    """FFD bin packing: every doc packed exactly once, no bin over
+    budget (except dedicated oversize bins), assignment matches a pure-
+    Python FFD reference exactly, and is invariant to input
+    partitioning."""
+    import random
+
+    from solar_data_tools_spark.operators.sampling import pack_sequences_ffd
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 120))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    budget = 100
+    out = pack_sequences_ffd(docs, budget=budget, n_buckets=8).collect()
+    assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
+    # capacity invariant
+    fill: dict[int, int] = {}
+    for r in out:
+        if r["oversize"]:
+            assert r["n_tokens"] > budget
+            continue
+        fill[r["pack_id"]] = fill.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= budget for v in fill.values())
+    # oversize docs never share their bin
+    packs_oversize = {r["pack_id"] for r in out if r["oversize"]}
+    for r in out:
+        if not r["oversize"]:
+            assert r["pack_id"] not in packs_oversize
+
+    # exact parity with an independent FFD reference per bucket
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, members in by_bucket.items():
+        members_sorted = sorted(
+            members, key=lambda r: (-r["n_tokens"], r["doc_id"])
+        )
+        bins = []
+        expected = {}
+        for r in members_sorted:
+            t = r["n_tokens"]
+            if t > budget:
+                expected[r["doc_id"]] = len(bins)
+                bins.append(0)
+                continue
+            for b in range(len(bins)):
+                if bins[b] >= t:
+                    expected[r["doc_id"]] = b
+                    bins[b] -= t
+                    break
+            else:
+                expected[r["doc_id"]] = len(bins)
+                bins.append(budget - t)
+        for r in members:
+            assert r["pack_id"] == (bucket << 32) | expected[r["doc_id"]]
+
+    # partitioning invariance
+    out2 = pack_sequences_ffd(
+        docs.repartition(13), budget=budget, n_buckets=8
+    ).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in out2} == {
+        (r["doc_id"], r["pack_id"]) for r in out
+    }
