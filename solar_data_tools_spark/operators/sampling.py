@@ -315,6 +315,33 @@ def top_k_sample(
     )
 
 
+def stratified_top_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement PER STRATUM: rank
+    rows inside each stratum by the seeded md5 key and keep rank <= k —
+    the per-domain counterpart of ``top_k_sample`` (global) and
+    ``stratified_sample`` (per-stratum RATE, not exact count).
+
+    Scale shape: one shuffle keyed by the stratum; rank is a window
+    inside each stratum partition. Stratum skew is the usual per-source
+    skew — for one gigantic stratum, pre-shard to (stratum, shard) and
+    take k/shards per shard. Deterministic and engine-portable: the
+    DuckDB oracle replays the same md5 ranking (q112).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= int(k))
+        .drop("_rank")
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],

@@ -2213,6 +2213,33 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q112_stratified_topk(spark, sf_dir):
+    """Exactly-k uniform sample per stratum: seeded md5 ranking inside
+    each (source) group, rank <= 20 — the per-domain counterpart of
+    q97's global exact-k sample, reproducible across engines and
+    partitionings."""
+    from solar_data_tools_spark.operators.sampling import (
+        stratified_top_k_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_top_k_sample(docs, k=20, strata_col="source", seed=7)
+    return out.select("doc_id", "source", "n_chars")
+
+
+Q112_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 20
+"""
+
+
 def q111_ffd_packing(spark, sf_dir):
     """Doc-preserving sequence packing: deterministic hash-bucketed
     first-fit-decreasing bin packing (no doc straddles a context
@@ -3728,6 +3755,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q111_ffd_packing": QuerySpec(
         q111_ffd_packing, None, "sampling-packing-ffd"
     ),
+    "q112_stratified_topk": QuerySpec(
+        q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3781,6 +3811,7 @@ _QUERY_ORDER: list[str] = [
     "q109_span_decontaminate",
     "q110_centroid_assignment",
     "q111_ffd_packing",
+    "q112_stratified_topk",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",
