@@ -170,31 +170,30 @@ def decontaminate(
     """
     tr = word_ngrams(train, n, id_col, text_col)
     ev = word_ngrams(eval_docs, n, id_col, text_col).select("shingle").distinct()
-    # per-doc distinct-gram count is row-local — size(array_distinct(grams))
-    # — so don't re-explode and shuffle the corpus a second time for it
-    _tokens = F.split(normalize_text(F.col(text_col)), " ")
-    _grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    # single-pass shape: LEFT broadcast join tags each posting, ONE
+    # groupBy(doc) counts both the posting size and the tagged hits —
+    # no second corpus pass for |grams| and no post-aggregation join.
+    # This also makes the operator streamable (stream-static left join
+    # + one streaming aggregation; joining two stream-derived aggregates
+    # is not, see test_streaming_decontaminate_matches_batch).
+    tagged = tr.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), on="shingle", how="left"
     )
-    sizes = (
-        train.select(F.col(id_col), _tokens.alias("_toks"))
-        .where(F.size("_toks") >= n)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") >= 1)
         .select(
             F.col(id_col),
-            F.size(F.array_distinct(_grams)).alias("n_grams"),
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
         )
-    )
-    hits = (
-        tr.join(F.broadcast(ev), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    return hits.join(sizes, id_col).select(
-        F.col(id_col),
-        "n_grams",
-        "n_contaminated",
-        (F.col("n_contaminated") / F.col("n_grams")).alias("contamination_frac"),
     )
 
 

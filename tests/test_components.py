@@ -1126,3 +1126,74 @@ def test_media_feature_uses_real_jpeg_pixels():
     img = np.full((16, 16, 3), 180, dtype=np.uint8)
     feat = media_feature(_encode_jpeg(img))
     assert abs(feat[0] - 180.0) <= 2 and abs(feat[3] - 180.0) <= 2
+
+
+def test_streaming_simhash_matches_batch(spark, sf_small, tmp_path):
+    """SimHash fingerprinting (explode + 64 conditional sums = a
+    streaming aggregation) runs unchanged under Structured Streaming in
+    complete mode — the streamed fingerprints must equal the batch
+    operator's bit-for-bit (ingestion-time near-dup indexing)."""
+    from solar_data_tools_spark.operators.dedup import simhash
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_simhash_stream")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        simhash(stream)
+        .writeStream.format("memory")
+        .queryName("simhash_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["simhash"]
+        for r in spark.sql("select * from simhash_stream_test").collect()
+    }
+    batch = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
+    """Decontamination runs as a stream-static broadcast join (eval
+    gram set static, corpus streaming) + streaming aggregation in
+    complete mode: streamed flags must equal the batch operator's —
+    ingestion-time benchmark filtering."""
+    from solar_data_tools_spark.operators import curation as cur
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    tr = docs.where(F.col("doc_id") % 41 != 0)
+    src = str(tmp_path / "docs_decon_stream")
+    tr.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        cur.decontaminate(stream, ev, n=4)
+        .writeStream.format("memory")
+        .queryName("decon_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in spark.sql("select * from decon_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+        for r in cur.decontaminate(tr, ev, n=4).collect()
+    }
+    assert streamed == batch and len(batch) > 0
