@@ -505,3 +505,21 @@ def test_q90_ivf_topk_contract(results, sf_small):
         for _, r in g.iterrows():
             true = float(unit[row[r.vec_id]] @ unit[row[qid]])
             assert abs(true - r.cosine_sim) < 1e-4
+
+
+def test_q111_ffd_packing_capacity(results):
+    """FFD packing: every doc packed exactly once; no non-oversize bin
+    exceeds the 512-token budget; oversize bins hold exactly one doc
+    (exact FFD-reference parity is pinned in tests/test_sampling.py)."""
+    df = results("q111_ffd_packing")
+    assert not df.duplicated(["doc_id"]).any()
+    normal = df[~df.oversize]
+    fill = normal.groupby("pack_id").n_tokens.sum()
+    assert (fill <= 512).all()
+    assert (df[df.oversize].n_tokens > 512).all()
+    oversize_packs = set(df[df.oversize].pack_id)
+    assert not normal.pack_id.isin(oversize_packs).any()
+    # pack ids embed their bucket: high 32 bits == bucket column
+    assert (
+        (df.pack_id.astype("int64") // (1 << 32)) == df.bucket.astype("int64")
+    ).all()
