@@ -532,3 +532,53 @@ def excise_contaminated_spans(
         ),
         F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF (smoothed:
+    ``idf = ln((N + 1) / (df + 1)) + 1``) — the classic corpus-analysis
+    primitive for topic/domain inspection and keyword-based routing.
+
+    Plan: one token-keyed aggregate for document frequencies (map-side
+    combine, vocabulary-sized result) broadcast back onto the per-doc
+    term counts; top-k per doc via a window bounded by the doc's
+    distinct-term count. The corpus text is read once; N rides a 1-row
+    broadcast cross join. Ties break deterministically (score desc,
+    token asc) so results are engine-portable (q113 oracle).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    idf = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        (
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        F.col(id_col),
+        "tok",
+        "tf",
+        (F.col("tf") * F.col("idf")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "rank", "tok", "tf", "score")
+    )

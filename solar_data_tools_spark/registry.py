@@ -2213,6 +2213,53 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q113_tfidf_terms(spark, sf_dir):
+    """Per-document top-5 characteristic terms by smoothed TF-IDF —
+    corpus-analysis primitive for topic inspection / keyword routing.
+    Token-keyed DF aggregate broadcast back onto per-doc term counts;
+    deterministic (score desc, token asc) tie-break."""
+    from solar_data_tools_spark.operators.curation import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        F.round("score", R).alias("score"),
+    )
+
+
+Q113_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks WHERE len(tok) > 0 GROUP BY doc_id, tok
+),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         tf.tf * (ln((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, tok, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, tf, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q112_stratified_topk(spark, sf_dir):
     """Exactly-k uniform sample per stratum: seeded md5 ranking inside
     each (source) group, rank <= 20 — the per-domain counterpart of
@@ -3758,6 +3805,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
+    "q113_tfidf_terms": QuerySpec(
+        q113_tfidf_terms, Q113_SQL, "curation-tfidf"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3812,6 +3862,7 @@ _QUERY_ORDER: list[str] = [
     "q110_centroid_assignment",
     "q111_ffd_packing",
     "q112_stratified_topk",
+    "q113_tfidf_terms",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

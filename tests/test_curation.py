@@ -306,3 +306,35 @@ def test_excise_full_document(spark):
     row = cur.excise_contaminated_spans(tr, ev, k=8).collect()[0]
     assert row["clean_text"] == ""
     assert row["n_removed_tokens"] == 20 and row["n_spans"] == 1
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """Hand-checked TF-IDF: a term unique to one doc outranks corpus-
+    wide terms; ranks are dense 1..k with deterministic tie-break."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common other"),
+            (3, "common other thing"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = cur.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r["rank"])[0] for d, rs in by_doc.items()}
+    # doc 1: "rare" (df=1) beats "common" (df=3) despite tf 1 vs 2:
+    # 1*(ln(4/2)+1) = 1.693 > 2*(ln(4/4)+1) = 2.0? No: 2.0 > 1.693 —
+    # tf wins here, so top1 is "common"; "rare" is rank 2.
+    assert top1[1]["tok"] == "common"
+    r1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["tok"] for r in r1] == ["common", "rare"]
+    assert r1[0]["score"] == pytest.approx(2 * (math.log(4 / 4) + 1))
+    assert r1[1]["score"] == pytest.approx(math.log(4 / 2) + 1)
+    # doc 2: "other" (df=2) beats "common" (df=3)
+    assert top1[2]["tok"] == "other"
+    # doc 3: "thing" (df=1) has the highest idf
+    assert top1[3]["tok"] == "thing"
