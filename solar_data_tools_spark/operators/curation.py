@@ -582,3 +582,46 @@ def tfidf_top_terms(
         .where(F.col("rank") <= int(k))
         .select(id_col, "rank", "tok", "tf", "score")
     )
+
+
+def contamination_attribution(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """For every contaminated training doc, WHICH benchmark doc leaked
+    into it: the eval doc sharing the most n-grams (ties toward the
+    smaller eval id). ``decontaminate`` answers *whether* to drop;
+    this answers *which benchmark* is compromised — the report a
+    benchmark owner actually needs.
+
+    Scale shape: the eval posting list (gram -> eval id) is broadcast,
+    the corpus posting stream probes it map-side, and the
+    (train, eval) overlap counts reduce by composite key with map-side
+    combine; top-1 per train doc via max(struct) — one partially
+    aggregated row per doc rides the final shuffle.
+    """
+    tr = word_ngrams(train, n, id_col, text_col)
+    ev = word_ngrams(eval_docs, n, id_col, text_col).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    overlap = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    best = overlap.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("n_shared").alias("n"),
+                (-F.col("eval_id")).alias("neg_eval"),
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_best.neg_eval")).alias("eval_id"),
+        F.col("_best.n").alias("n_shared"),
+    )

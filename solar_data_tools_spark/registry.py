@@ -2213,6 +2213,58 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q114_contamination_attribution(spark, sf_dir):
+    """Which benchmark doc leaked into which training doc: per
+    contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
+    sharing the most 4-grams, ties toward the smaller eval id — the
+    report a benchmark owner needs, not just the drop list."""
+    from solar_data_tools_spark.operators.curation import (
+        contamination_attribution,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 41 == 0)
+    tr = docs.where(F.col("doc_id") % 41 != 0)
+    out = contamination_attribution(tr, ev, n=4)
+    return out.select(
+        "doc_id",
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+Q114_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+evg AS (
+  SELECT DISTINCT doc_id AS eval_id, array_to_string(t[i:i+3], ' ') AS w
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+  WHERE doc_id % 41 = 0 AND len(t) >= 4
+),
+trg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS w
+  FROM toks, unnest(range(1, greatest(len(t) - 3, 0) + 1)) u(i)
+  WHERE doc_id % 41 <> 0 AND len(t) >= 4
+),
+overlap AS (
+  SELECT trg.doc_id, evg.eval_id, count(*) AS n_shared
+  FROM trg JOIN evg USING (w)
+  GROUP BY trg.doc_id, evg.eval_id
+),
+ranked AS (
+  SELECT doc_id, eval_id, n_shared,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_shared DESC, eval_id) AS rn
+  FROM overlap
+)
+SELECT doc_id, eval_id, n_shared FROM ranked WHERE rn = 1
+"""
+
+
 def q113_tfidf_terms(spark, sf_dir):
     """Per-document top-5 characteristic terms by smoothed TF-IDF —
     corpus-analysis primitive for topic inspection / keyword routing.
@@ -3808,6 +3860,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q113_tfidf_terms": QuerySpec(
         q113_tfidf_terms, Q113_SQL, "curation-tfidf"
     ),
+    "q114_contamination_attribution": QuerySpec(
+        q114_contamination_attribution, Q114_SQL, "curation-attribution"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3863,6 +3918,7 @@ _QUERY_ORDER: list[str] = [
     "q111_ffd_packing",
     "q112_stratified_topk",
     "q113_tfidf_terms",
+    "q114_contamination_attribution",
     "q89_embedding_dedup",
     "q63_quality_clustering",
     "q72_pv_quantiles",

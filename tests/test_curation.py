@@ -338,3 +338,26 @@ def test_tfidf_top_terms_hand_checked(spark):
     assert top1[2]["tok"] == "other"
     # doc 3: "thing" (df=1) has the highest idf
     assert top1[3]["tok"] == "thing"
+
+
+def test_contamination_attribution_planted(spark):
+    """The train doc copying benchmark B must attribute to B (not to
+    another benchmark sharing fewer grams); clean docs are absent."""
+    b1 = "alpha beta gamma delta epsilon zeta eta theta"
+    b2 = "one two three four five six seven eight"
+    ev = spark.createDataFrame([(100, b1), (200, b2)], ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [
+            (1, f"prefix {b1} suffix one two three four"),  # mostly b1
+            (2, f"{b2} trailing words here"),  # only b2
+            (3, "totally unrelated content with nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cur.contamination_attribution(tr, ev, n=4).collect()
+    }
+    assert rows[1]["eval_id"] == 100
+    assert rows[2]["eval_id"] == 200
+    assert 3 not in rows
