@@ -250,6 +250,7 @@ def pack_sequences_ffd(
         .alias("bucket"),
     )
 
+    from solar_data_tools_spark.parallel import grouped_apply
     from solar_data_tools_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
@@ -286,7 +287,13 @@ def pack_sequences_ffd(
             }
         )
 
-    return slim.groupBy("bucket").applyInPandas(
+    # grouped_apply, not groupBy().applyInPandas: plan-owned parallelism
+    # on any session (AQE never coalesces a REPARTITION_BY_NUM shuffle)
+    # and one Python round-trip per partition — the repo-wide grouped-map
+    # convention (see parallel.py module docstring)
+    return grouped_apply(
+        slim,
+        ["bucket"],
         _ffd,
         schema=f"{id_col} long, n_tokens long, bucket int, "
         "pack_id long, oversize boolean",
