@@ -67,7 +67,15 @@ def scd2_merge(
     sides shuffle once on the key; at scale this is the standard
     pre-lakehouse CDC pattern.
     """
-    latest_w = Window.partitionBy(key_col).orderBy(F.desc(update_ts_col))
+    # deterministic latest-row choice: ties in update_ts (two updates of
+    # the same key in one batch/date) break on the compared values
+    # themselves, so the pick is engine- and partitioning-independent;
+    # any ties still left are value-identical in every output column.
+    # (Caught at sf0.1, where same-date orders per customer are common —
+    # an untie-broken row_number diverged from the oracle on 11k keys.)
+    latest_w = Window.partitionBy(key_col).orderBy(
+        F.desc(update_ts_col), *[F.desc(c) for c in compare_cols]
+    )
     latest = (
         updates.withColumn("_rn", F.row_number().over(latest_w))
         .where(F.col("_rn") == 1)

@@ -3403,7 +3403,9 @@ Q77_SQL = """
 WITH latest AS (
   SELECT key, balance, update_ts FROM (
     SELECT o_custkey AS key, round(o_totalprice, 4) AS balance, o_orderdate AS update_ts,
-           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rn
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC,
+                                       round(o_totalprice, 4) DESC) AS rn
     FROM orders) WHERE rn = 1
 ),
 dim AS (
