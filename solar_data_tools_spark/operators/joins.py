@@ -101,10 +101,15 @@ def asof_nearest_join(
     )
 
     left_keys = [c for c in left.columns]
+    # total order: distance, then timestamp, then the carried right
+    # VALUES — so even a right side with duplicate timestamps (same key,
+    # same ts, different payload) yields an engine- and partitioning-
+    # independent pick (same bug class as the sf0.1 SCD2 tie divergence)
     w = Window.partitionBy("_lid").orderBy(
         F.when(F.col("_dist").isNull(), F.lit(1)).otherwise(F.lit(0)),
         F.col("_dist").asc(),
         F.col("_rts").asc(),
+        *[F.col(c).asc_nulls_last() for c in rcols],
     )
     ranked = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     matched = F.col("_dist").isNotNull()
