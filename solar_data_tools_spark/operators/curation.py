@@ -437,6 +437,81 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model scoring with add-alpha smoothing: fit
+    P(w2 | w1) = (c(w1,w2) + alpha) / (c(w1·) + alpha·V) on the corpus
+    itself, then score each document by its mean bigram log-probability
+    — the next step up from :func:`unigram_logprob` as a perplexity
+    proxy (repetitive or boilerplate docs score HIGH, incoherent
+    word-salad docs score LOW, which the unigram model cannot see).
+
+    Scale shape: (1) bigram counts — one shuffle keyed by (w1, w2) with
+    map-side partial aggregation, result bounded by |distinct bigrams|;
+    context totals c(w1·) derive from that same table (a second, smaller
+    keyed agg — no extra corpus pass); the vocabulary size V is a scalar
+    aggregate. (2) per-doc bigrams join the count table keyed by
+    (w1, w2) — a plain shuffle join, deliberately NOT broadcast: unlike
+    the unigram vocabulary, |bigrams| grows ~quadratically with
+    vocabulary and would not fit an executor at corpus scale (AQE may
+    still elect a broadcast when it measures the table small). The
+    corpus is never joined to itself.
+
+    Output: (doc_id, n_bigrams, avg_logprob, bits_per_token).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_t"),
+    ).where(F.size("_t") >= 2)
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    ctx = counts.groupBy("w1").agg(F.sum("cbg").alias("cctx"))
+    vocab_n = (
+        toks.select(F.explode("_t").alias("tok"))
+        .where(F.length("tok") > 0)
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    logp = (
+        counts.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("cbg") + F.lit(alpha))
+                / (F.col("cctx") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "avg_logprob",
+            (-F.col("avg_logprob") / math.log(2.0)).alias("bits_per_token"),
+        )
+    )
+
+
 def excise_contaminated_spans(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -699,3 +699,57 @@ def substring_duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("n_dup_tokens"),
         )
     )
+
+
+def snapshot_incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW snapshot against an already-ingested corpus — the
+    incremental-crawl operation ("drop everything we already have, and
+    the internal copies within this dump") that production pipelines
+    run on every new CommonCrawl snapshot instead of re-deduplicating
+    the whole corpus from scratch.
+
+    Verdict per new doc, on the normalized-text md5 content key:
+
+    * ``corpus_dup``  — the content already exists in ``corpus``;
+    * ``snapshot_dup`` — first seen in THIS snapshot, but a lower-id
+      new doc carries the same content (lowest id wins, the layer's
+      canonicalization convention);
+    * ``new``          — first occurrence anywhere → ``keep``.
+
+    Scale shape: the corpus side reduces to DISTINCT content hashes
+    before the join (one keyed agg over the — much larger — corpus,
+    map-side combine), then a hash-keyed LEFT SEMI-shaped join marks
+    corpus dups; deliberately NOT broadcast (the corpus hash set at
+    100 TB is itself TB-scale; AQE will still broadcast when a small
+    corpus measures small). Within-snapshot canonicalization is one
+    min-id agg keyed by the same hash. Text never shuffles — only
+    (id, md5) pairs ride every exchange.
+    """
+    key = F.md5(normalize_text(F.col(text_col))).alias("_h")
+    new_keyed = new_docs.select(F.col(id_col), key)
+    corpus_hashes = corpus.select(key).distinct()
+
+    in_corpus = (
+        new_keyed.join(
+            corpus_hashes.withColumn("_in_corpus", F.lit(True)), "_h", "left"
+        )
+    )
+    first_ids = new_keyed.groupBy("_h").agg(F.min(id_col).alias("_first_id"))
+    verdicts = (
+        in_corpus.join(first_ids, "_h")
+        .select(
+            F.col(id_col),
+            F.col("_h").alias("content_md5"),
+            F.when(F.col("_in_corpus"), F.lit("corpus_dup"))
+            .when(F.col(id_col) > F.col("_first_id"), F.lit("snapshot_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+        .withColumn("keep", F.col("verdict") == "new")
+    )
+    return verdicts

@@ -411,3 +411,71 @@ def centroid_assign(
         (-F.col("_best.neg_cluster")).alias(cluster_col),
         F.col("_best.cos").alias("cosine"),
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroid_df: DataFrame,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    within each cluster mark a point as a duplicate when some
+    LOWER-ID member lies within cosine >= tau — "keep the first
+    representative of every semantic neighborhood". Lower-id-wins is the
+    same canonicalization convention as the exact/MinHash dedup layers,
+    so verdicts are deterministic and engine-portable.
+
+    Scale shape: assignment is :func:`centroid_assign` (broadcast
+    centroids, map-side top-1 reduce — one shuffle of one row per
+    vector). The pairwise stage equi-joins the corpus to itself ON THE
+    CLUSTER KEY ONLY — both sides repartitioned by cluster from the same
+    upstream so the planner can reuse one exchange — and is therefore
+    quadratic only within a cell, never across the corpus: exactly the
+    O(sum k_i^2) bound the SemDeDup paper exploits (cells are ~n/k and
+    the global all-pairs comparison is avoided). The reduction to a
+    per-point verdict is a max-aggregate with map-side combine, so the
+    second shuffle also carries one row per vector.
+
+    Returns (id_col, cluster, max_prior_cos, is_dup) — one row per
+    input vector; ``max_prior_cos`` is NULL for the cluster's lowest id
+    (no prior member exists).
+    """
+    vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
+    assign = centroid_assign(
+        vectors, centroid_df, vec_col, id_col, cluster_col, centroid_vec_col
+    ).select(id_col, cluster_col)
+    member = vecs.join(assign, id_col).repartition(F.col(cluster_col))
+
+    a = member.select(
+        F.col(id_col).alias("_ida"),
+        F.col(cluster_col).alias(cluster_col),
+        F.col(vec_col).alias("_va"),
+    )
+    b = member.select(
+        F.col(id_col).alias("_idb"),
+        F.col(cluster_col).alias(cluster_col),
+        F.col(vec_col).alias("_vb"),
+    )
+    pair_max = (
+        a.join(b, cluster_col)
+        .where(F.col("_idb") < F.col("_ida"))
+        .groupBy("_ida")
+        .agg(F.max(cosine(F.col("_va"), F.col("_vb"))).alias("max_prior_cos"))
+    )
+    return (
+        member.select(id_col, cluster_col)
+        .join(pair_max, F.col(id_col) == F.col("_ida"), "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col("max_prior_cos"),
+            F.coalesce(
+                F.col("max_prior_cos") >= F.lit(tau), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )

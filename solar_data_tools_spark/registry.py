@@ -58,6 +58,14 @@ def _meas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R = 6  # float rounding digits for hash-stable comparison
 
+# DuckDB-side tokenization shared by the text/curation oracles — must
+# mirror operators.dedup.normalize_text + split(" ") exactly
+_TOKS_SQL = (
+    "SELECT doc_id, regexp_split_to_array("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t "
+    "FROM documents"
+)
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational coverage (scan/filter/project/agg/join/window)
 # ---------------------------------------------------------------------------
@@ -2213,6 +2221,158 @@ def q108_substring_spans(spark, sf_dir):
     )
 
 
+def q115_bigram_logprob(spark, sf_dir):
+    """Bigram LM document scoring with add-0.5 smoothing, fit on the
+    corpus itself — the next perplexity proxy up from q103's unigram
+    model (sees word-order incoherence that unigram frequencies miss).
+    Bigram counts are one (w1,w2)-keyed agg with map-side combine;
+    the count table joins back by key (NOT broadcast — |bigrams| grows
+    ~quadratically with vocabulary at corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.bigram_logprob(docs, alpha=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logprob", R).alias("avg_logprob"),
+        F.round("bits_per_token", R).alias("bits_per_token"),
+    )
+
+
+Q115_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tt, unnest(range(1, len(t))) u(i)
+),
+counts AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cbg) AS cctx FROM counts GROUP BY w1),
+vq AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM tt) u
+  WHERE length(tok) > 0
+),
+lp AS (
+  SELECT w1, w2,
+         ln((cbg + 0.5) / (cctx + 0.5 * v)) AS logp
+  FROM counts JOIN ctx USING (w1) CROSS JOIN vq
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logprob,
+       round(-avg(logp) / ln(2), 6) AS bits_per_token
+FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
+"""
+
+
+def q116_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantize embeddings to the
+    q110 seed centroids, then within each cell mark every vector with a
+    lower-id neighbor at cosine >= tau as a semantic duplicate.
+    Pairwise work is quadratic only WITHIN a cell — the corpus never
+    all-pairs joins. tau=0.35 suits this synthetic corpus's cosine
+    range (natural text embeddings would use ~0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    out = sim.semdedup(emb, seeds, tau=0.35)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("max_prior_cos", R).alias("max_prior_cos"),
+        "is_dup",
+    )
+
+
+Q116_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, s.cluster,
+         list_dot_product(e.v, s.c)
+         / sqrt(list_dot_product(e.v, e.v) * list_dot_product(s.c, s.c))
+           AS cos
+  FROM e CROSS JOIN seeds s
+),
+best AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster) AS rn
+  FROM scored
+),
+asg AS (SELECT vec_id, cluster FROM best WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cluster, e.v FROM asg a JOIN e USING (vec_id)),
+mx AS (
+  SELECT a.vec_id,
+         max(list_dot_product(a.v, b.v)
+             / sqrt(list_dot_product(a.v, a.v)
+                    * list_dot_product(b.v, b.v))) AS max_prior_cos
+  FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT m.vec_id, m.cluster,
+       round(mx.max_prior_cos, 6) AS max_prior_cos,
+       coalesce(mx.max_prior_cos >= 0.35, FALSE) AS is_dup
+FROM m LEFT JOIN mx ON m.vec_id = mx.vec_id
+"""
+
+
+def q117_snapshot_dedup(spark, sf_dir):
+    """Incremental-snapshot dedup — dedupe a new crawl dump against the
+    already-ingested corpus without re-deduplicating the corpus
+    (corpus side reduces to distinct content hashes; only (id, md5)
+    pairs shuffle). Snapshot is built from the documents table so all
+    three verdicts fire: even ids = corpus; odd ids = fresh snapshot
+    docs; +1000000 copies of corpus docs => corpus_dup; +2000000
+    copies of fresh docs => snapshot_dup (lowest id wins)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    fresh = docs.where(F.col("doc_id") % 2 == 1)
+    snap = (
+        fresh.unionByName(
+            corpus.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            fresh.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = dd.snapshot_incremental_dedup(snap, corpus)
+    return out.select("doc_id", "content_md5", "verdict", "keep")
+
+
+Q117_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+snap AS (
+  SELECT doc_id, h FROM d WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, h FROM d WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, h FROM d WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+),
+firsts AS (SELECT h, min(doc_id) AS first_id FROM snap GROUP BY h),
+v AS (
+  SELECT s.doc_id, s.h AS content_md5,
+         CASE WHEN c.h IS NOT NULL THEN 'corpus_dup'
+              WHEN s.doc_id > f.first_id THEN 'snapshot_dup'
+              ELSE 'new' END AS verdict
+  FROM snap s
+  LEFT JOIN corpus c ON s.h = c.h
+  JOIN firsts f ON s.h = f.h
+)
+SELECT doc_id, content_md5, verdict, verdict = 'new' AS keep FROM v
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -2619,13 +2779,6 @@ Q96_SQL = _q96_sql()
 
 # DuckDB mirror of word_ngrams/normalize_text tokenization (shared by the
 # curation-layer oracles below)
-_TOKS_SQL = (
-    "SELECT doc_id, regexp_split_to_array("
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t "
-    "FROM documents"
-)
-
-
 def q99_duplicate_clusters(spark, sf_dir):
     """Near-duplicate PAIRS -> duplicate CLUSTERS: distributed connected
     components (min-label propagation + pointer jumping) over the q45
@@ -3865,6 +4018,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q114_contamination_attribution": QuerySpec(
         q114_contamination_attribution, Q114_SQL, "curation-attribution"
     ),
+    "q115_bigram_logprob": QuerySpec(
+        q115_bigram_logprob, Q115_SQL, "curation-bigram-lm"
+    ),
+    "q116_semdedup": QuerySpec(q116_semdedup, Q116_SQL, "dedup-semantic"),
+    "q117_snapshot_dedup": QuerySpec(
+        q117_snapshot_dedup, Q117_SQL, "dedup-incremental"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -3909,6 +4069,9 @@ _QUERY_ORDER: list[str] = [
     "q105_curated_corpus",
     "q110_centroid_assignment",
     # 3. oracles NEW in round 5, never externally hash-checked
+    "q115_bigram_logprob",
+    "q116_semdedup",
+    "q117_snapshot_dedup",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",

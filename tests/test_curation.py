@@ -361,3 +361,91 @@ def test_contamination_attribution_planted(spark):
     assert rows[1]["eval_id"] == 100
     assert rows[2]["eval_id"] == 200
     assert 3 not in rows
+
+
+# ----------------------------------------------------- bigram LM scoring
+def test_bigram_logprob_closed_form(spark):
+    """Tiny corpus with hand-computable counts: doc A repeats one bigram,
+    doc B is a one-off word sequence — A must score strictly higher, and
+    A's score must equal the closed-form add-alpha value."""
+    docs = spark.createDataFrame(
+        [
+            (0, "x y x y x y"),  # bigrams: (x,y)x3, (y,x)x2
+            (1, "p q r s"),      # (p,q) (q,r) (r,s), all singletons
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in cur.bigram_logprob(docs, alpha=0.5).collect()
+    }
+    assert out[0]["n_bigrams"] == 5 and out[1]["n_bigrams"] == 3
+    # corpus: V = 6 distinct tokens; contexts c(x·)=3, c(y·)=2, c(p·)=c(q·)=c(r·)=1
+    v = 6.0
+    lp_xy = math.log((3 + 0.5) / (3 + 0.5 * v))
+    lp_yx = math.log((2 + 0.5) / (2 + 0.5 * v))
+    exp_a = (3 * lp_xy + 2 * lp_yx) / 5
+    assert abs(out[0]["avg_logprob"] - exp_a) < 1e-12
+    lp_one = math.log((1 + 0.5) / (1 + 0.5 * v))
+    assert abs(out[1]["avg_logprob"] - lp_one) < 1e-12
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+    assert abs(
+        out[0]["bits_per_token"] + out[0]["avg_logprob"] / math.log(2)
+    ) < 1e-12
+
+
+def test_bigram_logprob_short_docs_dropped(spark):
+    docs = spark.createDataFrame(
+        [(0, "lonely"), (1, "two words")], ["doc_id", "text"]
+    )
+    rows = cur.bigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+# ------------------------------------------- snapshot incremental dedup
+def test_snapshot_incremental_dedup_verdicts(spark):
+    from solar_data_tools_spark.operators.dedup import (
+        snapshot_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], ["doc_id", "text"]
+    )
+    snap = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta GAMMA"),   # corpus dup modulo normalization
+            (11, "zeta eta"),             # new, duplicated below
+            (12, "zeta eta"),             # snapshot dup of 11
+            (13, "unique payload"),       # new
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["keep"])
+        for r in snapshot_incremental_dedup(snap, corpus).collect()
+    }
+    assert out == {
+        10: ("corpus_dup", False),
+        11: ("new", True),
+        12: ("snapshot_dup", False),
+        13: ("new", True),
+    }
+
+
+def test_snapshot_incremental_dedup_corpus_wins_over_snapshot(spark):
+    """Content present in BOTH the corpus and (twice) in the snapshot is
+    corpus_dup for every snapshot copy — corpus membership outranks the
+    within-snapshot lowest-id rule."""
+    from solar_data_tools_spark.operators.dedup import (
+        snapshot_incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame([(0, "shared text")], ["doc_id", "text"])
+    snap = spark.createDataFrame(
+        [(5, "shared text"), (6, "shared text")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in snapshot_incremental_dedup(snap, corpus).collect()
+    }
+    assert out == {5: "corpus_dup", 6: "corpus_dup"}

@@ -374,3 +374,67 @@ def test_centroid_assign_matches_numpy(spark):
     sims = vn @ cn.T
     expected = {i: int(np.argmax(sims[i])) for i in range(len(vecs))}
     assert got == expected
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Planted semantic near-dups: two tight groups around orthogonal
+    directions plus one isolated vector. Within a group every vector but
+    the lowest id is flagged; group representatives and the isolated
+    vector are kept; max_prior_cos is NULL only for cluster-lowest ids."""
+    from solar_data_tools_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(0)
+    base_a = np.array([10.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 10.0, 0.0, 0.0])
+    vecs = {
+        0: base_a + rng.normal(0, 0.01, 4),
+        1: base_a + rng.normal(0, 0.01, 4),
+        2: base_a + rng.normal(0, 0.01, 4),
+        3: base_b + rng.normal(0, 0.01, 4),
+        4: base_b + rng.normal(0, 0.01, 4),
+        5: np.array([0.0, 0.0, 10.0, 0.0]),  # isolated
+    }
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        ["vec_id", "embedding"],
+    )
+    cdf = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        ["cluster", "cvec"],
+    )
+    rows = {r["vec_id"]: r.asDict() for r in semdedup(vdf, cdf, tau=0.99).collect()}
+    assert len(rows) == 6
+    assert {i: rows[i]["is_dup"] for i in range(6)} == {
+        0: False, 1: True, 2: True, 3: False, 4: True, 5: False,
+    }
+    for i in (0, 3, 5):  # cluster-lowest ids have no prior member
+        assert rows[i]["max_prior_cos"] is None
+    for i in (1, 2, 4):
+        assert rows[i]["max_prior_cos"] > 0.99
+
+
+def test_semdedup_cross_cell_blindness_is_by_design(spark):
+    """Identical vectors assigned to DIFFERENT cells are NOT compared —
+    the documented SemDeDup approximation (quadratic work only within a
+    cell). Forcing distinct cells via tie-break keeps both copies."""
+    from solar_data_tools_spark.operators.similarity import semdedup
+
+    # both vectors equidistant from the two centroids -> tie-break puts
+    # both in cluster 0; verify the contract instead with two clearly
+    # separated centroids and copies placed NEAR DIFFERENT centroids:
+    # cosine to own centroid dominates, so the (identical) vectors land
+    # in different cells and are never compared.
+    vdf = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0]), (1, [0.05, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cluster", "cvec"]
+    )
+    rows = {r["vec_id"]: r.asDict() for r in semdedup(vdf, cdf, tau=0.5).collect()}
+    assert rows[0]["cluster"] != rows[1]["cluster"]
+    assert not rows[0]["is_dup"] and not rows[1]["is_dup"]
