@@ -6,8 +6,10 @@ shape, UDF signatures — is real and tested, and so is the decode layer
 for formats that need no codec library:
 
 - CONTAINER inspection (``sniff_media``): PNG / JPEG / GIF / BMP
-  headers and WAV fmt chunks parsed in pure Python (public file-format
-  specs) — true mime type, dimensions, bit depth, sample rate, duration.
+  headers, WAV fmt chunks, and MP4/ISO-BMFF box trees (moov -> mvhd
+  duration, trak -> tkhd dimensions) parsed in pure Python (public
+  file-format specs) — true mime type, dimensions, bit depth, sample
+  rate, duration.
 - PIXEL decode (``decode_png``): full PNG decode in pure stdlib — zlib
   inflate + per-scanline unfilter (all five PNG filters) — for 8-bit
   gray/RGB/palette/alpha, feeding real pixel-statistics features.
@@ -19,7 +21,11 @@ for formats that need no codec library:
   variable code width, clear/EOI codes, global/local color tables and
   Adam-style interlace reordering.
 
-Only genuinely codec-bound formats (JPEG entropy decode, video) fall
+Transform stages (``resize_media``: bilinear resize to fixed RGB24
+buffers; ``sample_frames``: uniform temporal sampling with REAL
+animated-GIF frame decode + composition, metadata-true MP4 timestamps)
+run as the same Arrow-batched mapInPandas plan. Only genuinely
+codec-bound paths (progressive-JPEG / video-codec entropy decode) fall
 back to a deterministic byte-histogram feature; swap PIL/ffmpeg into
 ``DECODERS``/``media_feature`` without touching the Spark plan.
 """
@@ -35,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -157,6 +164,62 @@ def sniff_media(buf: bytes) -> dict:
             i += 8 + clen + (clen % 2)
         if byte_rate and data_len is not None:
             out["duration_s"] = float(data_len) / float(byte_rate)
+        return out
+    # MP4 / ISO-BMFF: ftyp box first, then walk moov -> mvhd (timescale,
+    # duration) and trak -> tkhd (16.16 fixed-point width/height; audio
+    # tracks carry 0x0 so the max over tracks is the video size)
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        out["mime_type"] = "video/mp4"
+
+        def walk(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                size = struct.unpack(">I", buf[i : i + 4])[0]
+                btype = buf[i + 4 : i + 8]
+                body = i + 8
+                if size == 1:  # 64-bit largesize follows the type
+                    if i + 16 > hi:
+                        return
+                    size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+                    body = i + 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - i
+                if size < 8 or i + size > hi:
+                    return
+                yield btype, body, i + size
+                i += size
+
+        for btype, body, end in walk(0, len(buf)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in walk(body, end):
+                if ctype == b"mvhd" and cbody + 4 <= cend:
+                    ver = buf[cbody]
+                    if ver == 1 and cbody + 32 <= cend:
+                        ts, dur = struct.unpack(
+                            ">IQ", buf[cbody + 20 : cbody + 32]
+                        )
+                    elif cbody + 20 <= cend:
+                        ts, dur = struct.unpack(
+                            ">II", buf[cbody + 12 : cbody + 20]
+                        )
+                    else:
+                        continue
+                    if ts:
+                        out["duration_s"] = float(dur) / float(ts)
+                elif ctype == b"trak":
+                    for ttype, tbody, tend in walk(cbody, cend):
+                        if ttype != b"tkhd":
+                            continue
+                        off = tbody + (88 if buf[tbody] == 1 else 76)
+                        if off + 8 <= tend:
+                            w_fp, h_fp = struct.unpack(
+                                ">II", buf[off : off + 8]
+                            )
+                            w, h = w_fp >> 16, h_fp >> 16
+                            if w and h:
+                                out["width"] = max(out["width"] or 0, w)
+                                out["height"] = max(out["height"] or 0, h)
         return out
     return out
 
@@ -612,17 +675,22 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
-def decode_gif(buf: bytes) -> np.ndarray:
-    """Pure-stdlib GIF decode of the FIRST image frame: logical screen
-    descriptor, global/local color table, sub-block reassembly, LZW
-    decompression (variable code width, clear/EOI), interlace
-    reordering -> (h, w, 3) uint8 RGB. Raises ValueError on truncated
-    or malformed streams."""
+def _gif_parse(buf: bytes):
+    """Shared GIF block walk: logical screen + every frame.
+
+    Returns (screen_w, screen_h, bg_index, gct, frames) where each frame
+    is a dict {x, y, w, h, idx (h x w palette indices, de-interlaced),
+    table (n x 3 uint8), delay_cs, transparent_idx, disposal} with the
+    animation attributes taken from the frame's preceding Graphic
+    Control Extension (delay in 1/100 s). Raises ValueError on
+    truncated or malformed streams."""
     import struct
 
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    screen_w, screen_h = struct.unpack("<HH", buf[6:10])
     flags = buf[10]
+    bg_index = buf[11]
     gct = None
     i = 13
     if flags & 0x80:
@@ -631,15 +699,26 @@ def decode_gif(buf: bytes) -> np.ndarray:
             buf, dtype=np.uint8, count=gct_size * 3, offset=13
         ).reshape(-1, 3)
         i = 13 + gct_size * 3
+    frames = []
+    gce = {"delay_cs": 0, "transparent_idx": None, "disposal": 0}
     while i < len(buf):
         block = buf[i]
         if block == 0x21:  # extension: label + sub-blocks
+            label = buf[i + 1] if i + 1 < len(buf) else 0
             i += 2
+            if label == 0xF9 and i + 5 <= len(buf) and buf[i] >= 4:
+                packed = buf[i + 1]
+                delay = struct.unpack("<H", buf[i + 2 : i + 4])[0]
+                gce = {
+                    "delay_cs": delay,
+                    "transparent_idx": buf[i + 4] if packed & 0x01 else None,
+                    "disposal": (packed >> 2) & 0x07,
+                }
             while i < len(buf) and buf[i] != 0:
                 i += 1 + buf[i]
             i += 1
         elif block == 0x2C:  # image descriptor
-            _x, _y, w, h = struct.unpack("<HHHH", buf[i + 1 : i + 9])
+            x, y, w, h = struct.unpack("<HHHH", buf[i + 1 : i + 9])
             img_flags = buf[i + 9]
             i += 10
             table = gct
@@ -658,6 +737,7 @@ def decode_gif(buf: bytes) -> np.ndarray:
                 n = buf[i]
                 lzw.extend(buf[i + 1 : i + 1 + n])
                 i += 1 + n
+            i += 1  # block terminator
             idx = _gif_lzw_decode(bytes(lzw), min_code_size)
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
@@ -676,12 +756,66 @@ def decode_gif(buf: bytes) -> np.ndarray:
                 idx = deinter
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
-            return table[idx]
+            frames.append({"x": x, "y": y, "w": w, "h": h, "idx": idx,
+                           "table": table, **gce})
+            gce = {"delay_cs": 0, "transparent_idx": None, "disposal": 0}
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image frame")
+    return screen_w, screen_h, bg_index, gct, frames
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decode of the FIRST image frame: logical screen
+    descriptor, global/local color table, sub-block reassembly, LZW
+    decompression (variable code width, clear/EOI), interlace
+    reordering -> (h, w, 3) uint8 RGB. Raises ValueError on truncated
+    or malformed streams."""
+    _sw, _sh, _bg, _gct, frames = _gif_parse(buf)
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    f = frames[0]
+    return f["table"][f["idx"]]
+
+
+def decode_gif_frames(buf: bytes) -> list[tuple[float, np.ndarray]]:
+    """Decode EVERY frame of a (possibly animated) GIF, composed onto
+    the logical screen per the GIF89a animation model: frames draw at
+    their (x, y) offset, transparent palette indices leave the canvas
+    untouched, and disposal methods 2 (restore-to-background) and 3
+    (restore-to-previous) reset the frame rect before the next draw.
+
+    Returns [(t_seconds, canvas_rgb)] where t is the frame's display
+    START time (cumulative preceding delays; Graphic Control Extension
+    delay is in 1/100 s)."""
+    screen_w, screen_h, bg_index, gct, frames = _gif_parse(buf)
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    out = []
+    t_cs = 0
+    for f in frames:
+        y0, y1 = f["y"], min(f["y"] + f["h"], screen_h)
+        x0, x1 = f["x"], min(f["x"] + f["w"], screen_w)
+        prev_rect = canvas[y0:y1, x0:x1].copy()
+        idx = f["idx"][: y1 - y0, : x1 - x0]
+        rgb = f["table"][idx]
+        if f["transparent_idx"] is not None:
+            keep = idx == f["transparent_idx"]
+            rgb = np.where(keep[:, :, None], canvas[y0:y1, x0:x1], rgb)
+        canvas[y0:y1, x0:x1] = rgb
+        out.append((t_cs / 100.0, canvas.copy()))
+        t_cs += f["delay_cs"]
+        if f["disposal"] == 2:
+            canvas[y0:y1, x0:x1] = bg_rgb
+        elif f["disposal"] == 3:
+            canvas[y0:y1, x0:x1] = prev_rect
+    return out
 
 
 def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
@@ -730,6 +864,32 @@ def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         n_frames = len(samples) // n_ch
         samples = samples[: n_frames * n_ch].reshape(-1, n_ch).mean(axis=1)
     return samples, int(rate)
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize to (out_h, out_w[, C]) uint8.
+
+    Pixel centers are aligned (the `(i + 0.5) * scale - 0.5` convention,
+    matching OpenCV/PIL bilinear), edges clamped. Pure numpy — one
+    gather of the four neighbor grids plus two lerps, no Python loop
+    over pixels."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    h, w = img.shape[:2]
+    px = img.reshape(h, w, -1).astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = px[y0[:, None], x0[None, :]] * (1 - wx) + px[y0[:, None], x1[None, :]] * wx
+    bot = px[y1[:, None], x0[None, :]] * (1 - wx) + px[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out.reshape((out_h, out_w) + img.shape[2:])
 
 
 def image_feature(img: np.ndarray, dim: int = 8) -> list[float]:
@@ -858,6 +1018,174 @@ def extract_features(media: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sniffed_mime", StringType()),
+        StructField("decoded", BooleanType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("pixels", BinaryType()),  # raw RGB24, row-major
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, out_h: int, out_w: int, feature_dim: int = 8
+) -> DataFrame:
+    """Decode -> bilinear-resize -> re-emit as raw RGB24 bytes + a
+    content feature computed at the TARGET resolution (mapInPandas,
+    Arrow-batched — same distribution plan as ``extract_features``).
+
+    Formats the pure-stdlib decoders cover (PNG, baseline JPEG, BMP,
+    GIF, see module docstring) are resized for real; undecodable
+    payloads yield decoded=false with NULL pixels and the byte-histogram
+    fallback feature, so one bad file degrades instead of failing the
+    task. Output pixel buffers are fixed-size (out_h*out_w*3), making
+    downstream batch shapes predictable regardless of source sizes —
+    the property a training-data pipeline needs from a resize stage."""
+    import struct
+    import zlib
+
+    def _resize_one(buf):
+        if not buf:
+            return None
+        try:
+            for magic, dec in (
+                (b"\x89PNG\r\n\x1a\n", decode_png),
+                (b"\xff\xd8", decode_jpeg),
+                (b"BM", decode_bmp),
+                (b"GIF8", decode_gif),
+            ):
+                if buf[: len(magic)] == magic:
+                    img = dec(buf)
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    if img.shape[2] == 1:
+                        img = img.repeat(3, axis=2)
+                    return resize_image(img[:, :, :3], out_h, out_w)
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return None
+        return None
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                img = _resize_one(buf)
+                sniffed = sniff_media(buf)["mime_type"]
+                if img is None:
+                    rows.append(
+                        (mid, sniffed, False, None, None, None,
+                         _fake_feature(buf, feature_dim))
+                    )
+                else:
+                    rows.append(
+                        (mid, sniffed, True, out_h, out_w,
+                         img.tobytes(), image_feature(img, feature_dim))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sniffed_mime", "decoded",
+                    "height", "width", "pixels", "feature",
+                ],
+            )
+
+    return media.mapInPandas(_gen, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames_total", LongType()),
+        StructField("t_s", DoubleType()),
+        StructField("decoded", BooleanType()),
+        StructField("height", LongType()),
+        StructField("width", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, feature_dim: int = 8
+) -> DataFrame:
+    """Uniform temporal frame sampling over time-based media
+    (mapInPandas; one input row fans out to <= n_frames output rows, so
+    a task's output stays bounded by n_frames x its input rows — safe to
+    size partitions by input bytes exactly as for ``extract_features``).
+
+    - Animated GIF: REAL — every frame is LZW-decoded and composed per
+      the GIF89a animation model (``decode_gif_frames``), n_frames
+      sampled uniformly by index, t_s from the cumulative GCE delays,
+      per-frame pixel features.
+    - MP4 video: container metadata (duration via mvhd) is real; frame
+      TIMESTAMPS are spaced uniformly across that duration, but the
+      codec decode is stubbed (decoded=false, byte-histogram feature) —
+      swap a real decoder into ``_video_frames`` without touching the
+      plan.
+    - Still images: a single frame at t=0 (their own pixels, real
+      features where decodable).
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                rows.extend(_frame_rows(mid, buf, n_frames, feature_dim))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames_total", "t_s",
+                    "decoded", "height", "width", "feature",
+                ],
+            )
+
+    return media.mapInPandas(_gen, schema=FRAME_SCHEMA)
+
+
+def _frame_rows(mid, buf, n_frames: int, dim: int) -> list[tuple]:
+    """Per-payload frame rows for ``sample_frames`` (see its contract)."""
+    import struct
+    import zlib
+
+    if not buf:
+        return [(mid, 0, 0, 0.0, False, None, None, _fake_feature(buf, dim))]
+    if buf[:4] == b"GIF8":
+        try:
+            frames = decode_gif_frames(buf)
+            total = len(frames)
+            picks = np.unique(
+                np.linspace(0, total - 1, min(n_frames, total)).round()
+            ).astype(int)
+            return [
+                (mid, int(k), total, frames[k][0], True,
+                 frames[k][1].shape[0], frames[k][1].shape[1],
+                 image_feature(frames[k][1], dim))
+                for k in picks
+            ]
+        except (ValueError, IndexError, struct.error, zlib.error):
+            return [(mid, 0, 0, 0.0, False, None, None, _fake_feature(buf, dim))]
+    info = sniff_media(buf)
+    if info["mime_type"] == "video/mp4":
+        dur = info["duration_s"] or 0.0
+        ts = np.linspace(0.0, dur, n_frames + 1)[:-1] if dur > 0 else [0.0]
+        return [
+            (mid, int(k), len(ts), float(t), False,
+             info["height"], info["width"], _fake_feature(buf, dim))
+            for k, t in enumerate(ts)
+        ]
+    # still image / audio / unknown: one frame at t=0
+    return [
+        (mid, 0, 1, 0.0,
+         info["mime_type"] in DECODERS, info["height"], info["width"],
+         media_feature(buf, dim))
+    ]
 
 
 def read_binary_files(spark, path: str, modality: str) -> DataFrame:
