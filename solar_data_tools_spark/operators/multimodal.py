@@ -24,9 +24,11 @@ for formats that need no codec library:
 Transform stages (``resize_media``: bilinear resize to fixed RGB24
 buffers; ``sample_frames``: uniform temporal sampling with REAL
 animated-GIF frame decode + composition, metadata-true MP4 timestamps)
-run as the same Arrow-batched mapInPandas plan. Only genuinely
-codec-bound paths (progressive-JPEG / video-codec entropy decode) fall
-back to a deterministic byte-histogram feature; swap PIL/ffmpeg into
+run as the same Arrow-batched mapInPandas plan. JPEG decode covers
+baseline (SOF0/1) AND progressive (SOF2, full successive-approximation
+refinement). The ONLY remaining fallback is video-codec entropy decode
+(H.264 etc. — genuinely impossible without a codec library), which
+degrades to a deterministic byte-histogram feature; swap ffmpeg into
 ``DECODERS``/``media_feature`` without touching the Spark plan.
 """
 
@@ -83,7 +85,8 @@ def sniff_media(buf: bytes) -> dict:
     Returns {mime_type, width, height, duration_s, bit_depth,
     sample_rate_hz, channels} with None where not applicable/parseable.
     Formats: PNG (IHDR), JPEG (SOF0/1/2 markers), GIF (logical screen
-    descriptor), BMP (BITMAPINFOHEADER), WAV (RIFF fmt + data chunks).
+    descriptor), BMP (BITMAPINFOHEADER), WAV (RIFF fmt + data chunks),
+    MP4/ISO-BMFF (ftyp; moov/mvhd duration, trak/tkhd dimensions).
     """
     import struct
 
@@ -226,9 +229,9 @@ def sniff_media(buf: bytes) -> dict:
 
 def _fake_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Deterministic fallback feature for payloads no stdlib decoder
-    covers (JPEG/GIF/video): byte histogram moments. Decodable payloads
-    (PNG pixels, WAV PCM) get REAL content features — see
-    ``image_feature`` / ``audio_feature``."""
+    covers (video codecs, corrupt streams): byte histogram moments.
+    Decodable payloads (PNG/JPEG/BMP/GIF pixels, WAV PCM) get REAL
+    content features — see ``image_feature`` / ``audio_feature``."""
     if buf is None or len(buf) == 0:
         return [0.0] * dim
     arr = np.frombuffer(buf, dtype=np.uint8)
@@ -409,13 +412,16 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Pure-stdlib BASELINE JPEG decode (SOF0, Huffman, 8-bit): marker
-    walk -> DQT/DHT/SOF0/SOS(+DRI) -> per-MCU Huffman entropy decode
-    (byte-stuffing, restart markers, DC prediction) -> dequantize ->
+    """Pure-stdlib JPEG decode, BASELINE (SOF0/1) and PROGRESSIVE
+    (SOF2, ITU T.81 Annex G): marker walk -> DQT/DHT/SOF/SOS(+DRI) ->
+    Huffman entropy decode (byte-stuffing, restart markers, DC
+    prediction; for progressive: spectral-selection bands, EOB runs,
+    and successive-approximation first/refinement passes accumulated
+    into persistent coefficient planes across scans) -> dequantize ->
     de-zigzag -> vectorized orthonormal IDCT -> chroma upsample (any
     integer sampling factors incl. 4:2:0/4:2:2) -> YCbCr->RGB ->
-    (h, w, channels) uint8. Raises ValueError on progressive (SOF2),
-    arithmetic-coded, 12-bit, or truncated streams — callers fall back
+    (h, w, channels) uint8. Raises ValueError on arithmetic-coded,
+    hierarchical, 12-bit, or truncated streams — callers fall back
     to the byte-histogram feature. JPEG is lossy: output equals the
     encoder's pixels only to quantization tolerance."""
     if buf[:2] != b"\xff\xd8":
@@ -423,6 +429,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coef = None  # progressive: per-comp zigzag coefficient planes
     ri = 0
     i = 2
     while i + 4 <= len(buf):
@@ -460,7 +468,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     code <<= 1
                 htables[(tc, th)] = table
                 j += 17 + len(vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("non-8-bit JPEG unsupported")
             h = int.from_bytes(seg[1:3], "big")
@@ -473,9 +481,21 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                frame["hmax"], frame["vmax"] = hmax, vmax
+                frame["mcux"], frame["mcuy"] = mcux, mcuy
+                coef = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline JPEG SOF 0x{marker:02x}")
+            raise ValueError(f"unsupported JPEG SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             ri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
@@ -483,13 +503,26 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 0x0F)
-            return _jpeg_decode_scan(
-                buf, i + 2 + seg_len, frame, sel, qtables, htables, ri
+                order.append(cid)
+            if not progressive:
+                return _jpeg_decode_scan(
+                    buf, i + 2 + seg_len, frame, sel, qtables, htables, ri
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _jpeg_progressive_scan(
+                buf, i + 2 + seg_len, frame, order, sel, ss, se,
+                ahal >> 4, ahal & 0x0F, htables, ri, coef,
             )
+            i = end
+            continue
         i += 2 + seg_len
+    if progressive and coef is not None:
+        return _jpeg_reconstruct(frame, coef, qtables)
     raise ValueError("JPEG has no scan")
 
 
@@ -562,6 +595,10 @@ def _jpeg_decode_scan(buf, start, frame, sel, qtables, htables, ri):
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )[:h, :w]
         out_planes.append(plane)
+    return _jpeg_planes_to_rgb(out_planes)
+
+
+def _jpeg_planes_to_rgb(out_planes: list) -> np.ndarray:
     if len(out_planes) == 1:
         g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return g[:, :, None]
@@ -573,6 +610,193 @@ def _jpeg_decode_scan(buf, start, frame, sel, qtables, htables, ri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_refine_nonzero(reader, vec, k, al):
+    """Successive-approximation correction bit for an already-nonzero
+    coefficient (T.81 G.1.2.3: append bit Al if the stream says so,
+    pushing the magnitude away from zero)."""
+    if reader.read_bit() and (int(vec[k]) & (1 << al)) == 0:
+        vec[k] += (1 << al) if vec[k] >= 0 else -(1 << al)
+
+
+def _jpeg_comp_blocks(frame, c):
+    """Non-interleaved block grid of one component (T.81 A.1.1/A.2.4):
+    ceil over the component's own sample dimensions."""
+    comp_h = -(-frame["h"] * c["v"] // frame["vmax"])
+    comp_w = -(-frame["w"] * c["h"] // frame["hmax"])
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _jpeg_progressive_scan(
+    buf, start, frame, order, sel, ss, se, ah, al, htables, ri, coef
+):
+    """Decode ONE progressive scan (T.81 Annex G) into the persistent
+    per-component zigzag coefficient planes ``coef``. Four scan kinds:
+    DC first / DC refine (Ss=0, possibly interleaved), AC first / AC
+    refine (spectral band of a single component, EOB-run coded).
+    Returns the buffer offset of the next marker after the scan."""
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    reader = _JpegBitReader(buf, start)
+    scan_ci = [next(i for i, c in enumerate(comps) if c["id"] == cid)
+               for cid in order]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = [0] * len(scan_ci)
+        if len(scan_ci) > 1:  # interleaved DC scan: MCU order
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for si, ci in enumerate(scan_ci):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mcu.append(
+                                    (si, ci, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                    units.append(mcu)
+        else:
+            ci = scan_ci[0]
+            c = comps[ci]
+            nby, nbx = _jpeg_comp_blocks(frame, c)
+            units = [[(0, ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+        n_unit = 0
+        for mcu in units:
+            if ri and n_unit and n_unit % ri == 0:
+                reader.align_and_expect_rst()
+                pred = [0] * len(scan_ci)
+            for si, ci, by, bx in mcu:
+                vec = coef[ci][by, bx]
+                if ah == 0:  # DC first: Huffman diff, shifted by Al
+                    dc_t = htables.get((0, sel[comps[ci]["id"]][0]))
+                    if dc_t is None:
+                        raise ValueError("missing JPEG Huffman table")
+                    s = _jpeg_huff_decode(reader, dc_t)
+                    pred[si] += _jpeg_extend(reader.read_bits(s), s)
+                    vec[0] = pred[si] << al
+                else:  # DC refine: one appended bit per block
+                    if reader.read_bit():
+                        vec[0] = int(vec[0]) | (1 << al)
+            n_unit += 1
+    else:
+        if len(scan_ci) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci = scan_ci[0]
+        c = comps[ci]
+        ac_t = htables.get((1, sel[c["id"]][1]))
+        if ac_t is None:
+            raise ValueError("missing JPEG Huffman table")
+        nby, nbx = _jpeg_comp_blocks(frame, c)
+        eobrun = 0
+        n_blk = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and n_blk and n_blk % ri == 0:
+                    reader.align_and_expect_rst()
+                    eobrun = 0
+                n_blk += 1
+                vec = coef[ci][by, bx]
+                if ah == 0:  # AC first pass over the band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(reader, ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:  # EOBn: run of end-of-bands
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        vec[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refinement pass (T.81 G.1.2.3)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            if vec[k] != 0:
+                                _jpeg_refine_nonzero(reader, vec, k, al)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(reader, ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:  # EOBn: refine the rest, then run
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                while k <= se:
+                                    if vec[k] != 0:
+                                        _jpeg_refine_nonzero(reader, vec, k, al)
+                                    k += 1
+                                break
+                            # r == 15: ZRL — skip 16 zero-history slots
+                        elif s == 1:
+                            newval = (1 << al) if reader.read_bit() else -(1 << al)
+                        else:
+                            raise ValueError("bad AC refinement size")
+                        # advance past r zero-history coefficients,
+                        # refining the nonzero ones passed over
+                        while k <= se:
+                            if vec[k] != 0:
+                                _jpeg_refine_nonzero(reader, vec, k, al)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            vec[k] = newval
+                        k += 1
+    # scan forward from the reader position to the next true marker
+    # (skipping stuffed 0xFF00 and any RSTn the loop didn't consume)
+    i = reader.i
+    while i + 1 < len(buf):
+        if (
+            buf[i] == 0xFF
+            and buf[i + 1] != 0x00
+            and not (0xD0 <= buf[i + 1] <= 0xD7)
+        ):
+            return i
+        i += 1
+    return len(buf)
+
+
+def _jpeg_reconstruct(frame, coef, qtables):
+    """Progressive finish: de-zigzag + dequantize the accumulated
+    coefficient planes, IDCT, upsample, color-convert (same math as the
+    baseline path)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    out_planes = []
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("missing JPEG quant table")
+        by, bx = coef[ci].shape[:2]
+        blk = np.zeros((by, bx, 64), np.float64)
+        blk[:, :, _JPEG_ZZ] = coef[ci]
+        blk = blk.reshape(by, bx, 8, 8) * q[None, None]
+        px = np.einsum("ij,abjk,kl->abil", _DCT_C.T, blk, _DCT_C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )[:h, :w]
+        out_planes.append(plane)
+    return _jpeg_planes_to_rgb(out_planes)
 
 
 def decode_bmp(buf: bytes) -> np.ndarray:
@@ -939,8 +1163,8 @@ def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
 
 def media_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Content feature: REAL pixel/PCM statistics for formats the pure-
-    stdlib decoders cover (PNG, baseline JPEG, BMP, GIF, PCM WAV);
-    byte-histogram fallback for the rest (progressive JPEG, video).
+    stdlib decoders cover (PNG, baseline + progressive JPEG, BMP, GIF,
+    PCM WAV); byte-histogram fallback for the rest (video codecs).
     Deterministic either way."""
     import struct
     import zlib

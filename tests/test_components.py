@@ -1441,3 +1441,289 @@ def test_resize_media_spark(spark):
     bad = got[2]
     assert not bad["decoded"] and bad["pixels"] is None
     assert len(bad["feature"]) == 8
+
+
+# ------------------------------------------------ progressive JPEG (SOF2)
+def _jpeg_prog_huff_spec():
+    """AC table for progressive scans needs the EOBn symbols (r<<4 for
+    r=0..14) on top of the baseline set; single canonical length of 9
+    bits covers all 176 symbols with the all-ones code unassigned."""
+    dc_syms = list(range(12))
+    ac_syms = (
+        [(r << 4) for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    dc = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac = {s: (i, 9) for i, s in enumerate(ac_syms)}
+    return dc_syms, ac_syms, dc, ac
+
+
+def _encode_jpeg_progressive(img, al=1, band_split=5):
+    """Progressive JPEG encoder (T.81 Annex G) for decoder tests:
+    4:4:4, flat quant, successive approximation with ``al`` refinement
+    levels and the AC spectrum split at ``band_split``. Scan script:
+      1. DC first, interleaved, Al=al
+      2. DC refine x al (one bit per scan)
+      3. per component: AC first [1..band_split] and [band_split+1..63]
+         at Al=al (exercises EOB runs across blocks)
+      4. per component: AC refine [1..63] x al
+    Encodes the SAME quantized coefficients as ``_encode_jpeg``, so the
+    decode must match the baseline decode bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import _DCT_C, _JPEG_ZZ
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img.astype(np.float64)]
+    else:
+        px = img.astype(np.float64)
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        cb = (-0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1]
+              + 0.5 * px[:, :, 2] + 128.0)
+        cr = (0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1]
+              - 0.081312 * px[:, :, 2] + 128.0)
+        comps = [y, cb, cr]
+    ncomp = len(comps)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    coefs = []
+    for plane in comps:
+        p = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        cz = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                cz[by, bx] = np.round(_DCT_C @ blk @ _DCT_C.T).astype(
+                    np.int64
+                ).reshape(-1)[_JPEG_ZZ]
+        coefs.append(cz)
+    dc_syms, ac_syms, dc_map, ac_map = _jpeg_prog_huff_spec()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    counts_dc = bytes(12 if L == 4 else 0 for L in range(1, 17))
+    counts_ac = bytes(len(ac_syms) if L == 9 else 0 for L in range(1, 17))
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + b"\x00"
+            + counts_dc + bytes(dc_syms))
+    out += (b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(ac_syms)) + b"\x10"
+            + counts_ac + bytes(ac_syms))
+
+    def sos_header(comp_ids, ss, se, ah, al_):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00 if ss == 0 else 0x00 | 0x00])
+        # DC scans use table (0,0); AC scans table (x,0) -> selector 0x00
+        seg += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # --- scan 1: DC first, interleaved, point transform Al=al (floor shift)
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                v = int(coefs[ci][by, bx, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                size, bits = _jpeg_magnitude(diff)
+                code, ln = dc_map[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+    bw.flush()
+    out += bw.out
+
+    # --- DC refinement scans: one appended bit per block per scan
+    for bit in range(al - 1, -1, -1):
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, bit + 1, bit)
+        bw = _JpegBitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(ncomp):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> bit) & 1, 1)
+        bw.flush()
+        out += bw.out
+
+    def ac_first_scan(ci, ss, se, al_):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_map[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [
+                    int(np.sign(c)) * (abs(int(c)) >> al_)
+                    for c in coefs[ci][by, bx, ss : se + 1]
+                ]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(k for k, v in enumerate(band) if v)
+                for k, v in enumerate(band):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_map[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, ln = ac_map[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                    if k == last_nz and k < len(band) - 1:
+                        eobrun += 1
+                        break
+        flush_eob()
+        bw.flush()
+        return bw.out
+
+    def ac_refine_scan(ci, ss, se, al_):
+        """T.81 G.1.2.3: corrections under an EOB run buffer with the
+        run (be_run); a block's own corrections ride just after its
+        next emitted symbol (br)."""
+        bw = _JpegBitWriter()
+        eobrun = 0
+        be_run: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_map[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+                for b in be_run:
+                    bw.write(b, 1)
+                be_run.clear()
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [int(c) for c in coefs[ci][by, bx, ss : se + 1]]
+                t = [abs(v) >> al_ for v in band]
+                newly = [k for k, tv in enumerate(t) if tv == 1]
+                eob_k = newly[-1] if newly else -1
+                run = 0
+                br: list[int] = []
+                for k, v in enumerate(band):
+                    if t[k] == 0:
+                        run += 1
+                        continue
+                    if t[k] > 1:  # already significant: correction bit
+                        br.append(t[k] & 1)
+                        continue
+                    while run >= 16:  # k <= eob_k here by construction
+                        flush_eob()
+                        code, ln = ac_map[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    flush_eob()
+                    code, ln = ac_map[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be_run.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return bw.out
+
+    for ci in range(ncomp):
+        for ss, se in ((1, band_split), (band_split + 1, 63)):
+            out += sos_header([ci + 1], ss, se, 0, al)
+            out += ac_first_scan(ci, ss, se, al)
+    for bit in range(al - 1, -1, -1):
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 1, 63, bit + 1, bit)
+            out += ac_refine_scan(ci, 1, 63, bit)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_matches_baseline():
+    """A progressive (SOF2) stream carrying the SAME quantized
+    coefficients as the baseline encoding decodes bit-identically to
+    the baseline decode — DC/AC first passes, EOB runs, and both
+    successive-approximation refinement paths all reconstruct
+    exactly."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:24, 0:17]
+    base = (yy * 5 + xx * 7) % 256
+    img = np.stack([base, 255 - base, (base * 2) % 256], axis=2)
+    img = np.clip(img + rng.integers(-8, 9, img.shape), 0, 255).astype(np.uint8)
+    want = decode_jpeg(_encode_jpeg(img))
+    got = decode_jpeg(_encode_jpeg_progressive(img, al=1))
+    assert np.array_equal(got, want)
+    # deeper successive approximation (2 refinement levels)
+    got2 = decode_jpeg(_encode_jpeg_progressive(img, al=2, band_split=9))
+    assert np.array_equal(got2, want)
+    # grayscale single-component path
+    g = ((yy * 11 + xx * 3) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(_encode_jpeg_progressive(g, al=1)),
+        decode_jpeg(_encode_jpeg(g)),
+    )
+    # sparse image: long EOB runs across blocks, ZRL paths inside blocks
+    sparse = np.zeros((40, 40, 3), dtype=np.uint8)
+    sparse[13, 29] = [255, 0, 0]
+    sparse[37, 2] = [0, 0, 255]
+    assert np.array_equal(
+        decode_jpeg(_encode_jpeg_progressive(sparse, al=1)),
+        decode_jpeg(_encode_jpeg(sparse)),
+    )
+
+
+def test_media_feature_uses_progressive_jpeg_pixels():
+    """Progressive JPEG payloads now produce REAL pixel features (the
+    former byte-histogram fallback would be nowhere near the channel
+    means)."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import (
+        media_feature,
+        sniff_media,
+    )
+
+    img = np.full((16, 16, 3), 180, dtype=np.uint8)
+    buf = _encode_jpeg_progressive(img, al=1)
+    assert sniff_media(buf)["mime_type"] == "image/jpeg"
+    feat = media_feature(buf)
+    assert abs(feat[0] - 180.0) <= 2 and abs(feat[3] - 180.0) <= 2

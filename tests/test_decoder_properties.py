@@ -115,3 +115,31 @@ def test_jpeg_roundtrip_property_420(h2, w2, seed, restart):
     )
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(4, 28),
+    w=st.integers(4, 28),
+    seed=st.integers(0, 10_000),
+    al=st.integers(1, 2),
+    band_split=st.integers(1, 62),
+)
+def test_jpeg_progressive_matches_baseline_property(h, w, seed, al, band_split):
+    """For ANY image and scan script, the progressive stream (same
+    quantized coefficients) decodes bit-identically to the baseline
+    stream."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_jpeg
+    from tests.test_components import _encode_jpeg, _encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    # mix of smooth + blocky content exercises EOB runs and ZRL paths
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((yy * 7 + xx * 13) % 256).astype(np.uint8)
+    img = np.stack([img, 255 - img, rng.integers(0, 256, (h, w))], axis=2)
+    img = img.astype(np.uint8)
+    want = decode_jpeg(_encode_jpeg(img))
+    got = decode_jpeg(_encode_jpeg_progressive(img, al=al, band_split=band_split))
+    assert np.array_equal(got, want)
