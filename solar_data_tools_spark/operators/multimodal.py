@@ -1042,6 +1042,93 @@ def decode_gif_frames(buf: bytes) -> list[tuple[float, np.ndarray]]:
     return out
 
 
+def _gif_lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compression (GIF89a spec appendix): variable code
+    width growing at table-full, clear + end-of-information codes,
+    LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for v in indices.astype(np.uint8).tobytes():
+        cand = run + bytes([v])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        run = bytes([v])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delays_cs: list[int] | None = None
+) -> bytes:
+    """Re-encode RGB frames as an animated GIF89a (the write-side
+    partner of ``decode_gif_frames`` — e.g. a thumbnail sink after
+    ``resize_media``). Full-screen frames, one global color table built
+    from the union of frame colors (<= 256 distinct colors required),
+    per-frame Graphic Control Extension delays in 1/100 s. Pure stdlib."""
+    import struct
+
+    if not frames:
+        raise ValueError("no frames to encode")
+    delays = delays_cs or [0] * len(frames)
+    if len(delays) != len(frames):
+        raise ValueError("delays_cs length must match frames")
+    h, w = frames[0].shape[:2]
+    stacked = np.stack(
+        [f.reshape(h, w, -1)[:, :, :3] for f in frames]
+    ).reshape(-1, 3)
+    colors, inv = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors exceed GIF's 256")
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    idx_frames = inv.reshape(len(frames), h, w).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += table.tobytes()
+    for fi, idx in enumerate(idx_frames):
+        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delays[fi], 0)
+        out.append(0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(8)
+        lzw = _gif_lzw_compress(idx.reshape(-1), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     """Pure-stdlib WAV decode: RIFF chunk walk -> PCM frames as a MONO
     float64 array in [-1, 1] (16-bit and 8-bit PCM; multi-channel audio
@@ -1209,6 +1296,10 @@ def extract_features(media: DataFrame, batch_feature_dim: int = 8) -> DataFrame:
     the distribution plan is production-shaped.
     """
 
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -1273,6 +1364,10 @@ def resize_media(
     the property a training-data pipeline needs from a resize stage."""
     import struct
     import zlib
+
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
 
     def _resize_one(buf):
         if not buf:
@@ -1356,6 +1451,10 @@ def sample_frames(
     - Still images: a single frame at t=0 (their own pixels, real
       features where decodable).
     """
+
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

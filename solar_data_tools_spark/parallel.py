@@ -72,8 +72,16 @@ def grouped_apply(
     parallelism and per-partition Python round-trips (see module
     docstring). ``fn`` receives each group as a pandas DataFrame exactly
     as ``applyInPandas`` would (key columns included, index reset).
+
+    Ships the package to executors BEFORE creating the mapInPandas
+    closure: a UDF's python-includes list is captured into its
+    PythonFunction at creation time, so an ``addPyFile`` issued after
+    building the closure never reaches the tasks that run it.
     """
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
     spark = df.sparkSession
+    ensure_package_on_executors(spark)
     n = max(spark.sparkContext.defaultParallelism * tasks_per_core, 1)
     prepared = df.repartition(n, *keys)
     key_list = list(keys)

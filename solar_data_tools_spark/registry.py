@@ -2373,6 +2373,96 @@ SELECT doc_id, content_md5, verdict, verdict = 'new' AS keep FROM v
 """
 
 
+def q118_media_frames(spark, sf_dir):
+    """Oracle-certified multimodal pipeline: per document, SYNTHESIZE a
+    deterministic solid-color animated GIF (2 + doc_id%5 frames, 16x12,
+    frame k color = (doc_id*37 + k*101)%256, delay 10+5*(k%3) cs), then
+    run the REAL media path — GIF89a LZW encode -> full decode +
+    animation composition -> uniform 3-frame temporal sampling ->
+    per-frame pixel features (operators/multimodal.py). Because the
+    payloads are analytically constructed, DuckDB can predict every
+    output value (frame picks, cumulative start times, channel means)
+    WITHOUT decoding a byte — so the hash check certifies the whole
+    encode/decode/compose/sample/feature chain, not just row shape.
+
+    Scale: one mapInPandas projection builds payloads row-locally (no
+    shuffle), sample_frames fans out <= 3 rows per doc in the same
+    task — media bytes never shuffle at all."""
+    from solar_data_tools_spark.operators import multimodal as mmod
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    # MUST precede the mapInPandas below: a UDF's python-includes list is
+    # captured into its PythonFunction at CREATION time, so shipping after
+    # building the closure leaves executors unable to import the package.
+    ensure_package_on_executors(spark)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from solar_data_tools_spark.operators.multimodal import (
+            encode_gif_animation,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                total = 2 + did % 5
+                frames = [
+                    np.full((12, 16, 3), (did * 37 + k * 101) % 256, np.uint8)
+                    for k in range(total)
+                ]
+                delays = [10 + 5 * (k % 3) for k in range(total)]
+                rows.append(
+                    (did, "video", encode_gif_animation(frames, delays),
+                     None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "modality", "content",
+                    "mime_type", "width", "height", "duration_s",
+                ],
+            )
+
+    media = docs.mapInPandas(_gen, schema=mmod.MEDIA_SCHEMA)
+    out = mmod.sample_frames(media, n_frames=3)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames_total",
+        F.round("t_s", R).alias("t_s"),
+        "height",
+        "width",
+        F.round(F.element_at("feature", 1), R).alias("c_mean"),
+    )
+
+
+Q118_SQL = """
+WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS total FROM documents),
+picks AS (
+  SELECT doc_id, total, CAST(k AS BIGINT) AS k
+  FROM d, unnest(CASE total
+      WHEN 2 THEN [0, 1]
+      WHEN 3 THEN [0, 1, 2]
+      WHEN 4 THEN [0, 2, 3]  -- np.round(1.5) = 2 (banker's)
+      WHEN 5 THEN [0, 2, 4]
+      ELSE [0, 2, 5]         -- np.round(2.5) = 2
+    END) u(k)
+)
+SELECT doc_id AS media_id, k AS frame_idx, total AS n_frames_total,
+       -- start of frame k = sum of delays 10+5*(j%3) over j < k
+       round((10 * k + 15 * (k // 3)
+              + CASE WHEN k % 3 = 2 THEN 5 ELSE 0 END) / 100.0, 6) AS t_s,
+       CAST(12 AS BIGINT) AS height, CAST(16 AS BIGINT) AS width,
+       round(CAST((doc_id * 37 + k * 101) % 256 AS DOUBLE), 6) AS c_mean
+FROM picks
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4025,6 +4115,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q117_snapshot_dedup": QuerySpec(
         q117_snapshot_dedup, Q117_SQL, "dedup-incremental"
     ),
+    "q118_media_frames": QuerySpec(
+        q118_media_frames, Q118_SQL, "multimodal-frames"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4072,6 +4165,7 @@ _QUERY_ORDER: list[str] = [
     "q115_bigram_logprob",
     "q116_semdedup",
     "q117_snapshot_dedup",
+    "q118_media_frames",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",
