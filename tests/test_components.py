@@ -1727,3 +1727,52 @@ def test_media_feature_uses_progressive_jpeg_pixels():
     assert sniff_media(buf)["mime_type"] == "image/jpeg"
     feat = media_feature(buf)
     assert abs(feat[0] - 180.0) <= 2 and abs(feat[3] - 180.0) <= 2
+
+
+def test_streaming_media_features_matches_batch(spark, tmp_path):
+    """extract_features is stream-legal (stateless mapInPandas): an
+    availableNow file stream over a media parquet produces the same
+    per-payload features as the batch path — the ingest-time shape for
+    continuous crawl processing."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif_animation,
+        extract_features,
+    )
+
+    rows = []
+    for mid in range(20):
+        total = 2 + mid % 3
+        frames = [
+            np.full((6, 8, 3), (mid * 37 + k * 101) % 256, np.uint8)
+            for k in range(total)
+        ]
+        rows.append(
+            (mid, "video", encode_gif_animation(frames, [10] * total),
+             None, None, None, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    src = str(tmp_path / "media_src")
+    media.write.parquet(src)
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    q = (
+        extract_features(stream)
+        .writeStream.format("memory")
+        .queryName("media_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["media_id"]: (r["content_hash"], tuple(r["feature"]))
+        for r in spark.sql("select * from media_stream_test").collect()
+    }
+    batch = {
+        r["media_id"]: (r["content_hash"], tuple(r["feature"]))
+        for r in extract_features(media).collect()
+    }
+    assert streamed == batch and len(batch) == 20

@@ -107,6 +107,7 @@ def main() -> None:
     ap.add_argument("--days", type=int, default=365)
     ap.add_argument("--slots", type=int, default=288)
     ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--media", type=int, default=50_000)
     ap.add_argument("--skip-solvers", action="store_true")
     args = ap.parse_args()
 
@@ -208,9 +209,53 @@ def main() -> None:
     timed("pii_redaction", cu.redact_pii(docs), timings)
     timed("unigram_logprob", cu.unigram_logprob(docs), timings)
 
+    # --- media layer: N real animated-GIF payloads synthesized ON the
+    # executors (q118 recipe), then the decode-bearing operators. Payload
+    # bytes are born and consumed inside one task — never shuffled.
+    from solar_data_tools_spark.operators import multimodal as mmod
+
+    def _gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from solar_data_tools_spark.operators.multimodal import (
+            encode_gif_animation,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                total = 2 + mid % 5
+                frames = [
+                    np.full((12, 16, 3), (mid * 37 + k * 101) % 256, np.uint8)
+                    for k in range(total)
+                ]
+                rows.append(
+                    (mid, "video",
+                     encode_gif_animation(frames, [10] * total),
+                     None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "modality", "content",
+                         "mime_type", "width", "height", "duration_s"],
+            )
+
+    media = (
+        spark.range(args.media)
+        .repartition(spark.sparkContext.defaultParallelism * 4)
+        .mapInPandas(_gen_media, schema=mmod.MEDIA_SCHEMA)
+    )
+    timed("media_synth_encode_gif", media, timings)
+    timed("media_extract_features", mmod.extract_features(media), timings)
+    timed("media_sample_frames", mmod.sample_frames(media, 3), timings)
+    timed("media_resize_bilinear", mmod.resize_media(media, 8, 8), timings)
+
     print(json.dumps({
         "fleet_rows": fleet_rows,
         "corpus_docs": args.docs,
+        "media_payloads": args.media,
         "timings": timings,
     }))
     spark.stop()
