@@ -700,3 +700,58 @@ def contamination_attribution(
         (-F.col("_best.neg_eval")).alias("eval_id"),
         F.col("_best.n").alias("n_shared"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preparation
+    step of a RAG / pretraining pipeline: each document becomes
+    overlapping chunks of ``window`` tokens advancing by ``stride``.
+
+    Chunk starts are 0, stride, 2*stride, ... up to the first start
+    whose window reaches the end of the document; the tail chunk is
+    truncated to the remaining tokens (n_tok < window) rather than
+    re-reading earlier text, so every token lands in >= 1 chunk and
+    chunk boundaries are a pure function of token count. Documents
+    shorter than ``window`` yield one whole-doc chunk.
+
+    One narrow pass: tokenization + sequence + posexplode + slice, all
+    built-in expressions (the chunk text itself never leaves the row's
+    task — only its md5 and bounds are emitted, so chunking a 100 TB
+    corpus shuffles hashes, not text).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_t"),
+    ).where((F.size("_t") > 0) & (F.col(text_col).isNotNull()))
+    # number of chunks: 1 + ceil(max(n - window, 0) / stride)
+    n = F.size("_t")
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(window), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = toks.select(
+        id_col,
+        "_t",
+        n.alias("_n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_c"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("_c") * stride).alias("start_tok"),
+        F.least(F.lit(window), F.col("_n") - F.col("_c") * stride).alias(
+            "n_tok"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("_t", F.col("_c") * stride + 1, window)
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunks

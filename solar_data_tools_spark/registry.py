@@ -2463,6 +2463,152 @@ FROM picks
 """
 
 
+def q119_media_resize(spark, sf_dir):
+    """Oracle-certified bilinear resize: per document, a 1x2 two-color
+    GIF (c0 = 4*(doc_id%50), c1 = 4*((doc_id*7)%50)+1 — chosen so no
+    lerp lands on .5, keeping numpy's banker's rounding and SQL's
+    half-away rounding identical) is decoded and bilinearly resized to
+    1x4 by ``resize_media``. With center-aligned sampling the resized
+    row is exactly [c0, round(.75*c0+.25*c1), round(.25*c0+.75*c1), c1],
+    so DuckDB predicts the post-resize channel mean analytically —
+    hash-certifying the decode -> resize -> feature chain."""
+    from solar_data_tools_spark.operators import multimodal as mmod
+    from solar_data_tools_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)  # BEFORE creating the closure below
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from solar_data_tools_spark.operators.multimodal import (
+            encode_gif_animation,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c0 = 4 * (did % 50)
+                c1 = 4 * ((did * 7) % 50) + 1
+                img = np.array([[[c0] * 3, [c1] * 3]], dtype=np.uint8)
+                rows.append(
+                    (did, "image", encode_gif_animation([img]),
+                     None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "modality", "content",
+                    "mime_type", "width", "height", "duration_s",
+                ],
+            )
+
+    media = docs.mapInPandas(_gen, schema=mmod.MEDIA_SCHEMA)
+    out = mmod.resize_media(media, out_h=1, out_w=4)
+    return out.select(
+        "media_id",
+        "decoded",
+        "height",
+        "width",
+        F.round(F.element_at("feature", 1), R).alias("c_mean"),
+    )
+
+
+Q119_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(4 * (doc_id % 50) AS DOUBLE) AS c0,
+         CAST(4 * ((doc_id * 7) % 50) + 1 AS DOUBLE) AS c1
+  FROM documents
+)
+SELECT doc_id AS media_id, TRUE AS decoded,
+       CAST(1 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
+       round((c0 + round(0.75 * c0 + 0.25 * c1)
+              + round(0.25 * c0 + 0.75 * c1) + c1) / 4.0, 6) AS c_mean
+FROM d
+"""
+
+
+def q120_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding store (the compression
+    step in front of a large ANN index) — per-vector min/max scaling,
+    floor(x+0.5) rounding so engines agree on halves, reconstruction
+    error stats. Entirely built-in higher-order expressions (transform/
+    zip_with/aggregate) in one codegen pass; the quantized vector is
+    emitted as an md5 over its comma-joined values so the hash check
+    covers every element without array-canonicalization concerns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.quantize_embeddings(emb, bits=8)
+    return out.select(
+        "vec_id",
+        F.round("vmin", R).alias("vmin"),
+        F.round("vmax", R).alias("vmax"),
+        F.md5(F.concat_ws(",", F.col("quantized"))).alias("quantized_md5"),
+        F.round("mean_abs_err", R).alias("mean_abs_err"),
+        F.round("max_abs_err", R).alias("max_abs_err"),
+    )
+
+
+Q120_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) > 0
+),
+s AS (
+  SELECT vec_id, v, list_min(v) AS lo, list_max(v) - list_min(v) AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, lo, scale,
+         list_transform(
+           v, x -> CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(floor((x - lo) * 255 / scale + 0.5) AS INT)
+                   END) AS qv
+  FROM s
+),
+err AS (
+  SELECT vec_id, lo, scale, qv,
+         abs(v[u.i] - (lo + CAST(qv[u.i] AS DOUBLE) * scale / 255)) AS e1
+  FROM q, unnest(range(1, len(v) + 1)) AS u(i)
+)
+SELECT vec_id, round(lo, 6) AS vmin, round(lo + scale, 6) AS vmax,
+       md5(array_to_string(qv, ',')) AS quantized_md5,
+       round(sum(e1) / count(*), 6) AS mean_abs_err,
+       round(max(e1), 6) AS max_abs_err
+FROM err GROUP BY vec_id, lo, scale, qv
+"""
+
+
+def q121_doc_chunking(spark, sf_dir):
+    """Sliding-window token chunking (RAG / pretraining context prep):
+    32-token windows, stride 24, truncated tail — chunk bounds and an
+    md5 of each chunk's text. Chunk text never shuffles (only hashes
+    and bounds leave the scan task)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.chunk_documents(docs, window=32, stride=24)
+    return out.select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_md5")
+
+
+Q121_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+t2 AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n,
+         CAST(u.c AS BIGINT) AS chunk_id
+  FROM t2, unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT)))
+       AS u(c)
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 24 AS start_tok,
+       least(32, n - chunk_id * 24) AS n_tok,
+       md5(array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+         AS chunk_md5
+FROM c
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4118,6 +4264,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q118_media_frames": QuerySpec(
         q118_media_frames, Q118_SQL, "multimodal-frames"
     ),
+    "q119_media_resize": QuerySpec(
+        q119_media_resize, Q119_SQL, "multimodal-resize"
+    ),
+    "q120_embedding_quantize": QuerySpec(
+        q120_embedding_quantize, Q120_SQL, "embedding-quantize"
+    ),
+    "q121_doc_chunking": QuerySpec(
+        q121_doc_chunking, Q121_SQL, "chunking"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4166,6 +4321,9 @@ _QUERY_ORDER: list[str] = [
     "q116_semdedup",
     "q117_snapshot_dedup",
     "q118_media_frames",
+    "q119_media_resize",
+    "q120_embedding_quantize",
+    "q121_doc_chunking",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",

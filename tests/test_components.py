@@ -1634,10 +1634,14 @@ def _encode_jpeg_progressive(img, al=1, band_split=5):
                     if t[k] == 0:
                         run += 1
                         continue
-                    if t[k] > 1:  # already significant: correction bit
-                        br.append(t[k] & 1)
-                        continue
-                    while run >= 16:  # k <= eob_k here by construction
+                    # ZRL window check at EVERY nonzero magnitude (T.81
+                    # G.1.2.3 / libjpeg): buffered correction bits may
+                    # never cross a 16-zero window boundary, so the run
+                    # must flush before buffering this position — but
+                    # only while a newly-significant coefficient is
+                    # still ahead (k <= eob_k); trailing runs fold into
+                    # the EOB instead.
+                    while run > 15 and k <= eob_k:
                         flush_eob()
                         code, ln = ac_map[0xF0]
                         bw.write(code, ln)
@@ -1645,6 +1649,9 @@ def _encode_jpeg_progressive(img, al=1, band_split=5):
                         for b in br:
                             bw.write(b, 1)
                         br = []
+                    if t[k] > 1:  # already significant: correction bit
+                        br.append(t[k] & 1)
+                        continue
                     flush_eob()
                     code, ln = ac_map[(run << 4) | 1]
                     bw.write(code, ln)
@@ -1776,3 +1783,59 @@ def test_streaming_media_features_matches_batch(spark, tmp_path):
         for r in extract_features(media).collect()
     }
     assert streamed == batch and len(batch) == 20
+
+
+def test_quantize_embeddings_semantics(spark):
+    """Known vectors quantize exactly: endpoints map to 0/255, the
+    reconstruction error is bounded by half a quantization step, and a
+    constant vector degrades to all-zeros with zero error."""
+    from solar_data_tools_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 1.0, 0.5]),          # clean endpoints + midpoint
+        (2, [3.25, 3.25, 3.25]),       # constant vector
+        (3, [-2.0, 2.0]),              # negative range
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert got[1]["quantized"][0] == 0 and got[1]["quantized"][1] == 255
+    assert got[1]["quantized"][2] == 128  # floor(127.5 + .5)
+    assert got[2]["quantized"] == [0, 0, 0]
+    assert got[2]["mean_abs_err"] == 0.0
+    assert got[3]["quantized"] == [0, 255]
+    for r in got.values():
+        step = (r["vmax"] - r["vmin"]) / 255.0 if r["vmax"] > r["vmin"] else 0.0
+        assert r["max_abs_err"] <= step / 2 + 1e-12
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunk bounds tile the token stream: starts advance by stride,
+    the tail truncates, every token is covered, and a short doc yields
+    one whole-doc chunk."""
+    from solar_data_tools_spark.operators.curation import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(80))   # 80 tokens
+    edge_text = " ".join(f"w{i}" for i in range(33))   # window+1
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "just five little words here"), (3, edge_text)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=32, stride=24)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"])
+         for r in out.collect()]
+    )
+    assert rows == [
+        (1, 0, 0, 32), (1, 1, 24, 32), (1, 2, 48, 32),  # 48+32 == 80 exactly
+        (2, 0, 0, 5),
+        (3, 0, 0, 32), (3, 1, 24, 9),                   # truncated tail
+    ]
+    # md5 is over the actual chunk text (spot-check one)
+    import hashlib
+
+    toks = long_text.split(" ")
+    want = hashlib.md5(" ".join(toks[24:56]).encode()).hexdigest()
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_md5"] for r in out.collect()
+    }
+    assert got[(1, 1)] == want

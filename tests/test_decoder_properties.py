@@ -143,3 +143,40 @@ def test_jpeg_progressive_matches_baseline_property(h, w, seed, al, band_split):
     want = decode_jpeg(_encode_jpeg(img))
     got = decode_jpeg(_encode_jpeg_progressive(img, al=al, band_split=band_split))
     assert np.array_equal(got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    oh=st.integers(1, 17),
+    ow=st.integers(1, 17),
+    seed=st.integers(0, 10_000),
+)
+def test_resize_bilinear_matches_bruteforce(h, w, oh, ow, seed):
+    """The vectorized bilinear resize agrees exactly with a per-pixel
+    reference implementation of center-aligned bilinear sampling."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import resize_image
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    want = np.empty((oh, ow, 3), dtype=np.uint8)
+    ry, rx = h / oh, w / ow  # same precomputed ratios as the product
+    for i in range(oh):
+        for j in range(ow):
+            ys = (i + 0.5) * ry - 0.5
+            xs = (j + 0.5) * rx - 0.5
+            y0 = min(max(int(np.floor(ys)), 0), h - 1)
+            x0 = min(max(int(np.floor(xs)), 0), w - 1)
+            y1 = min(y0 + 1, h - 1)
+            x1 = min(x0 + 1, w - 1)
+            wy = min(max(ys - y0, 0.0), 1.0)
+            wx = min(max(xs - x0, 0.0), 1.0)
+            for c in range(3):
+                top = img[y0, x0, c] * (1 - wx) + img[y0, x1, c] * wx
+                bot = img[y1, x0, c] * (1 - wx) + img[y1, x1, c] * wx
+                want[i, j, c] = np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255)
+    got = resize_image(img, oh, ow)
+    assert np.array_equal(got, want)

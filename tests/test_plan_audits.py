@@ -71,3 +71,18 @@ def test_q47_banded_join_reuses_signature_exchange(spark, sf_small):
     df.collect()
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in exec_plan
+
+
+def test_q118_media_chain_is_shuffle_free(spark, sf_small):
+    """Payload synthesis and frame sampling chain inside ONE stage: the
+    media bytes must never cross an exchange (the property that keeps
+    the multimodal layer viable when payloads are MBs, not KBs)."""
+    plan = _formatted_plan(QUERIES["q118_media_frames"].fn(spark, sf_small))
+    assert "Exchange" not in plan
+    # 2 nodes (synth + sample), each printed twice by formatted mode
+    assert plan.count("MapInPandas") == 4
+
+
+def test_q119_resize_chain_is_shuffle_free(spark, sf_small):
+    plan = _formatted_plan(QUERIES["q119_media_resize"].fn(spark, sf_small))
+    assert "Exchange" not in plan
