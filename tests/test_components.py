@@ -1335,6 +1335,35 @@ def test_decode_gif_frames_animation():
     assert np.array_equal(decode_gif(gif), f0)
 
 
+def test_decode_gif_frames_disposal_previous():
+    """Disposal method 3 (restore-to-previous): the frame's rect
+    reverts to its pre-draw content before the NEXT frame composes."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import decode_gif_frames
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    base = np.full((6, 6), 1, dtype=np.uint8)        # red screen
+    overlay = np.full((3, 3), 2, dtype=np.uint8)     # green patch, disp 3
+    final = np.full((2, 2), 3, dtype=np.uint8)       # blue corner
+    gif = _encode_animated_gif(
+        pal,
+        [
+            {"idx": base, "x": 0, "y": 0, "delay_cs": 10, "disposal": 1},
+            {"idx": overlay, "x": 1, "y": 1, "delay_cs": 10, "disposal": 3},
+            {"idx": final, "x": 4, "y": 4, "delay_cs": 10},
+        ],
+    )
+    frames = decode_gif_frames(gif)
+    _, f1 = frames[1]
+    _, f2 = frames[2]
+    assert (f1[2, 2] == [0, 255, 0]).all()   # overlay visible in frame 1
+    assert (f2[2, 2] == [255, 0, 0]).all()   # ...restored to red after
+    assert (f2[4, 4] == [0, 0, 255]).all()   # final corner drawn
+
+
 def test_resize_image_bilinear():
     import numpy as np
 
