@@ -14,11 +14,12 @@ pandas groupby, which fixes two things the naive form gets wrong:
 1. **Parallelism is plan-owned, not config-owned.** A user repartition
    with an explicit partition count is a ``REPARTITION_BY_NUM`` shuffle,
    which AQE's partition coalescing never touches — on ANY session,
-   including externally created vanilla ones. (``applyInPandas`` inserts
-   its own exchange via EnsureRequirements, and keeping that exchange at
-   fleet parallelism required globally overriding
-   ``spark.sql.adaptive.coalescePartitions.minPartitionSize`` — a config
-   side effect on the whole session; see the round-4 review.)
+   including externally created vanilla ones, with NO session-config
+   override (``applyInPandas`` would instead insert its own coalescible
+   exchange via EnsureRequirements, which once forced a global
+   ``minPartitionSize`` override; that config side effect is gone now
+   that every solver stage routes through ``grouped_apply`` — asserted
+   by ``test_plan_audits.py::test_grouped_apply_survives_aqe``).
 2. **One Python worker round-trip per PARTITION, not per group.** Arrow
    transfer + per-task setup is ~10 ms; at one task per tiny group a
    100k-site fleet pays 100k round-trips. Groups in a partition run
@@ -49,11 +50,11 @@ def partition_for_grouped_map(
     150-site fleet at 8 cores).
 
     NOTE: for ``groupBy().applyInPandas`` consumers this alone is not
-    sufficient on sessions without
-    ``spark.sql.adaptive.coalescePartitions.minPartitionSize=1b`` (set in
-    :func:`session.get_spark`): EnsureRequirements replaces the explicit
-    repartition with its own coalescible exchange. Prefer
-    :func:`grouped_apply`, which does not depend on session config.
+    sufficient: EnsureRequirements replaces the explicit repartition
+    with its own coalescible exchange, which AQE may fold into one task
+    unless ``minPartitionSize`` is globally overridden. Prefer
+    :func:`grouped_apply`, whose ``repartition(n, keys) -> mapInPandas``
+    shape keeps the REPARTITION_BY_NUM hint and needs no session config.
     """
     spark = df.sparkSession
     sc = spark.sparkContext

@@ -44,10 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # keep AQE's parallelism-first coalescing binding: CPU-heavy
-        # grouped-map (solver) stages shuffle only a few hundred KB, and
-        # the default 1 MB minPartitionSize would fold them into one task.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+        # NOTE: no minPartitionSize override. CPU-heavy grouped-map
+        # (solver) stages keep their parallelism because grouped_apply /
+        # partition_for_grouped_map use repartition(n, keys), whose
+        # REPARTITION_BY_NUM hint AQE never coalesces (verified by
+        # tests/test_plan_audits.py::test_grouped_apply_survives_aqe);
+        # relational stages get normal small-partition coalescing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are on by default;

@@ -86,3 +86,36 @@ def test_q118_media_chain_is_shuffle_free(spark, sf_small):
 def test_q119_resize_chain_is_shuffle_free(spark, sf_small):
     plan = _formatted_plan(QUERIES["q119_media_resize"].fn(spark, sf_small))
     assert "Exchange" not in plan
+
+
+def test_grouped_apply_survives_aqe(spark):
+    """grouped_apply's plan-owned parallelism must survive AQE partition
+    coalescing WITHOUT any minPartitionSize override: the explicit
+    repartition(n, keys) carries a REPARTITION_BY_NUM hint that AQE
+    never coalesces, so a tiny (few-hundred-KB) solver shuffle still
+    fans out to the requested task count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.parallel import grouped_apply
+
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        == "true"
+    )
+    df = spark.range(2000).select(
+        (F.col("id") % 64).alias("site"), F.col("id").cast("double").alias("v")
+    )
+    out = grouped_apply(
+        df, ["site"],
+        lambda g: pd.DataFrame({"site": [g["site"].iloc[0]], "n": [len(g)]}),
+        "site long, n long",
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    # AQE must not have rewritten the exchange into a coalesced read
+    assert "AQEShuffleRead" not in plan or "coalesced" not in plan
