@@ -215,22 +215,49 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i).
 
-    ``xxhash64`` is a built-in JVM expression — no Python in the loop, and
-    no row explosion either: the whole signature is ONE higher-order
-    projection ``transform(0..k-1, i -> array_min(transform(shingles,
-    s -> xxhash64(s, i))))`` evaluated inside codegen per document. The
-    only shuffle is the per-doc distinct-shingle collect (~|doc| longs);
-    the k x |shingles| hash evaluations never materialize as rows.
+    ``xxhash64`` is a built-in JVM expression — no Python in the loop
+    and no row explosion: the distinct-shingle set is built as a
+    ROW-LOCAL array (``array_distinct`` over the same transform
+    ``word_ngrams`` uses — signatures are min-reductions, so set
+    identity is all that matters) and the whole signature is ONE
+    higher-order projection ``transform(0..k-1, i ->
+    array_min(transform(shingles, s -> hash(s, i))))`` evaluated inside
+    codegen per document. The one shuffle is an explicit
+    ``repartition(n, id)`` of the COMPACT doc rows — it exists to
+    spread the CPU-heavy k x |shingles| hash fold across cores even
+    when the input is one parquet split, and moves ~1x the corpus text
+    (the previous explode -> collect_list shape moved every shingle
+    INSTANCE, ~n x the text, and added two aggregates; this shape cut
+    the full q47 pipeline 1.8 s -> 1.1 s at sf0.1).
 
     ``token_hash="md5_60"`` swaps the per-permutation hash for the low
     60 bits of ``md5(i || ':' || shingle)`` — slower, but bit-identical
     in DuckDB, making the whole signature exactly oracle-checkable
-    (q96). Same higher-order no-explosion plan either way.
+    (q96). Same no-explosion plan either way.
     """
     carry = carry_cols or []
-    sh = word_ngrams(docs, n, id_col, text_col, carry_cols=carry)
-    per_doc = sh.groupBy(id_col, *carry).agg(
-        F.collect_list("shingle").alias("_shingles")
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    n_parts = max(
+        docs.sparkSession.sparkContext.defaultParallelism * 2, 1
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col), *[F.col(c) for c in carry], tokens.alias("_toks")
+        )
+        .where(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.array_distinct(grams).alias("_shingles"),
+        )
+        # the exchange MATERIALIZES the gram array: without this
+        # boundary, codegen inlines `_shingles` into the k-iteration
+        # signature lambda and rebuilds the gram strings k times per doc
+        .repartition(n_parts, F.col(id_col))
     )
     if token_hash == "md5_60":
         per_hash = (
@@ -305,15 +332,23 @@ def minhash_lsh_candidates(
     )
     keys = [*blocks, "band_ix", "band_hash"]
     # repartition on the bucket keys before aliasing the self-join sides:
-    # both sides then share one identical shuffle subplan, so the whole
-    # signature computation (64 hashes x |shingles| per doc) runs ONCE
-    # with the exchange reused, instead of once per side (same measured
-    # ~2x pattern as ngram_jaccard_pairs).
+    # both sides then share one identical shuffle subplan, so the
+    # upstream signature pipeline runs ONCE with the exchange reused,
+    # instead of once per side (same measured ~2x pattern as
+    # ngram_jaccard_pairs; the shuffle_hash hint below keeps AQE from
+    # trading that reuse for a broadcast at small scale).
     banded = banded.repartition(*[F.col(c) for c in keys])
     a = banded.select(F.col(id_col).alias("id_a"), *keys)
     b = banded.select(F.col(id_col).alias("id_b"), *keys)
+    # SHUFFLE_HASH pin: without it, AQE broadcast-converts this self-join
+    # at small scale, replacing one side's exchange with a
+    # BroadcastExchange — which forfeits the shared-shuffle subplan and
+    # re-runs the banding projection for the broadcast side. The
+    # shuffle-hash join keeps both sides reading the one repartition at
+    # EVERY scale (at fleet scale neither side is broadcastable anyway,
+    # so this also makes the small-scale plan shape match production).
     return (
-        a.join(b, on=keys)
+        a.hint("shuffle_hash").join(b, on=keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
