@@ -1868,3 +1868,37 @@ def test_chunk_documents_semantics(spark):
         (r["doc_id"], r["chunk_id"]): r["chunk_md5"] for r in out.collect()
     }
     assert got[(1, 1)] == want
+
+
+def test_streaming_chunking_matches_batch(spark, sf_small, tmp_path):
+    """chunk_documents is stream-legal (stateless narrow ops): an
+    availableNow file stream over the documents parquet yields exactly
+    the batch chunking — the shape for chunking a continuously
+    ingested corpus."""
+    from solar_data_tools_spark.operators.curation import chunk_documents
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        chunk_documents(stream, window=32, stride=24)
+        .writeStream.format("memory")
+        .queryName("chunk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tok"], r["chunk_md5"])
+        for r in spark.sql("select * from chunk_stream_test").collect()
+    }
+    batch = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tok"], r["chunk_md5"])
+        for r in chunk_documents(docs, window=32, stride=24).collect()
+    }
+    assert streamed == batch and len(batch) > 0
