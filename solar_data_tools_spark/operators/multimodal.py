@@ -5,9 +5,9 @@ structs. The Spark-side plumbing — schema, partitioning, Arrow batch
 shape, UDF signatures — is real and tested, and so is the decode layer
 for formats that need no codec library:
 
-- CONTAINER inspection (``sniff_media``): PNG / JPEG / GIF / BMP
-  headers, WAV fmt chunks, and MP4/ISO-BMFF box trees (moov -> mvhd
-  duration, trak -> tkhd dimensions) parsed in pure Python (public
+- CONTAINER inspection (``sniff_media``): PNG / JPEG / GIF / BMP /
+  WebP headers, WAV fmt chunks, and MP4/ISO-BMFF box trees (moov ->
+  mvhd duration, trak -> tkhd dimensions) parsed in pure Python (public
   file-format specs) — true mime type, dimensions, bit depth, sample
   rate, duration.
 - PIXEL decode (``decode_png``): full PNG decode in pure stdlib — zlib
@@ -86,7 +86,8 @@ def sniff_media(buf: bytes) -> dict:
     sample_rate_hz, channels} with None where not applicable/parseable.
     Formats: PNG (IHDR), JPEG (SOF0/1/2 markers), GIF (logical screen
     descriptor), BMP (BITMAPINFOHEADER), WAV (RIFF fmt + data chunks),
-    MP4/ISO-BMFF (ftyp; moov/mvhd duration, trak/tkhd dimensions).
+    WebP (RIFF; VP8/VP8L/VP8X headers), MP4/ISO-BMFF (ftyp; moov/mvhd
+    duration, trak/tkhd dimensions).
     """
     import struct
 
@@ -143,6 +144,36 @@ def sniff_media(buf: bytes) -> dict:
         out["mime_type"] = "image/bmp"
         w, h = struct.unpack("<ii", buf[18:26])
         out["width"], out["height"] = int(w), abs(int(h))
+        return out
+    # WebP: RIFF container; dimensions from VP8 (lossy keyframe), VP8L
+    # (lossless) or VP8X (extended canvas) chunk headers
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        out["mime_type"] = "image/webp"
+        i = 12
+        while i + 8 <= len(buf):
+            cid = buf[i : i + 4]
+            clen = struct.unpack("<I", buf[i + 4 : i + 8])[0]
+            body = i + 8
+            if cid == b"VP8X" and body + 10 <= len(buf):
+                w = int.from_bytes(buf[body + 4 : body + 7], "little") + 1
+                h = int.from_bytes(buf[body + 7 : body + 10], "little") + 1
+                out["width"], out["height"] = w, h
+                return out
+            if cid == b"VP8 " and body + 10 <= len(buf):
+                # keyframe: 3-byte frame tag, 0x9d012a start code, then
+                # 14-bit width / height (low 14 of the 16-bit LE fields)
+                if buf[body + 3 : body + 6] == b"\x9d\x01\x2a":
+                    w = struct.unpack("<H", buf[body + 6 : body + 8])[0]
+                    h = struct.unpack("<H", buf[body + 8 : body + 10])[0]
+                    out["width"], out["height"] = w & 0x3FFF, h & 0x3FFF
+                return out
+            if cid == b"VP8L" and body + 5 <= len(buf):
+                if buf[body] == 0x2F:  # lossless signature byte
+                    bits = int.from_bytes(buf[body + 1 : body + 5], "little")
+                    out["width"] = (bits & 0x3FFF) + 1
+                    out["height"] = ((bits >> 14) & 0x3FFF) + 1
+                return out
+            i += 8 + clen + (clen % 2)
         return out
     # WAV: RIFF container, fmt chunk carries rate/channels/depth, data
     # chunk length gives the duration

@@ -1902,3 +1902,35 @@ def test_streaming_chunking_matches_batch(spark, sf_small, tmp_path):
         for r in chunk_documents(docs, window=32, stride=24).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_sniff_webp_container():
+    """All three WebP header variants (VP8 lossy keyframe, VP8L
+    lossless, VP8X extended canvas) sniff to mime + exact dimensions."""
+    import struct
+
+    from solar_data_tools_spark.operators.multimodal import sniff_media
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cid + struct.pack("<I", len(pl)) + pl + (b"\x00" if len(pl) % 2 else b"")
+            for cid, pl in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # VP8 lossy: 3-byte frame tag + start code + 16-bit LE w/h (14 bits)
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    info = sniff_media(riff([(b"VP8 ", vp8)]))
+    assert info["mime_type"] == "image/webp"
+    assert (info["width"], info["height"]) == (320, 240)
+    # VP8L lossless: 0x2f then 14+14 bits of (w-1, h-1)
+    bits = (99 - 1) | ((77 - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits)
+    info = sniff_media(riff([(b"VP8L", vp8l)]))
+    assert (info["width"], info["height"]) == (99, 77)
+    # VP8X extended: 24-bit (w-1, h-1) canvas at bytes 4..9
+    vp8x = b"\x00" * 4 + (640 - 1).to_bytes(3, "little") + (360 - 1).to_bytes(3, "little")
+    info = sniff_media(riff([(b"VP8X", vp8x)]))
+    assert (info["width"], info["height"]) == (640, 360)
+    # WAV still sniffs as WAV (same RIFF magic, different form type)
+    assert sniff_media(riff([]))["mime_type"] == "image/webp"
