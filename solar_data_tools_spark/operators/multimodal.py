@@ -1259,9 +1259,14 @@ def image_feature(img: np.ndarray, dim: int = 8) -> list[float]:
 
 
 def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
-    """Deterministic 8-dim feature from decoded PCM: rms, peak, mean,
-    zero-crossing rate, mean abs delta (spectral-tilt proxy), duration,
-    rate, dynamic range."""
+    """Deterministic feature from decoded PCM.
+
+    Dims 0-7 (the stable 8-dim contract): rms, peak, mean, zero-crossing
+    rate, mean abs delta (spectral-tilt proxy), duration, rate, dynamic
+    range. Dims 8-11, filled only when ``dim > 8``: spectral centroid
+    (Hz), spectral bandwidth (Hz), 85% rolloff (Hz), spectral flatness —
+    computed from one rfft over the first 65 536 samples (cost cap; a
+    one-hour file costs the same as a two-second clip)."""
     if len(samples) == 0:
         return [0.0] * dim
     zc = float(np.mean(np.abs(np.diff(np.sign(samples))) > 0)) if len(samples) > 1 else 0.0
@@ -1276,6 +1281,19 @@ def audio_feature(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
         float(rate),
         float(samples.max() - samples.min()),
     ]
+    if dim > 8 and rate and len(samples) > 1:
+        win = samples[:65536].astype(np.float64)
+        win = win - win.mean()  # drop DC so centroid reflects content
+        power = np.abs(np.fft.rfft(win)) ** 2
+        freqs = np.fft.rfftfreq(len(win), d=1.0 / rate)
+        total = power.sum()
+        if total > 0:
+            centroid = float((freqs * power).sum() / total)
+            bandwidth = float(np.sqrt((power * (freqs - centroid) ** 2).sum() / total))
+            rolloff = float(freqs[np.searchsorted(np.cumsum(power), 0.85 * total)])
+            nz = power[power > 0]
+            flatness = float(np.exp(np.mean(np.log(nz))) / np.mean(power))
+            feat += [centroid, bandwidth, rolloff, flatness]
     return feat[:dim] + [0.0] * max(0, dim - len(feat))
 
 

@@ -1934,3 +1934,33 @@ def test_sniff_webp_container():
     assert (info["width"], info["height"]) == (640, 360)
     # WAV still sniffs as WAV (same RIFF magic, different form type)
     assert sniff_media(riff([]))["mime_type"] == "image/webp"
+
+
+def test_audio_spectral_features():
+    """dim>8 adds FFT spectral features: a pure tone's centroid lands on
+    the tone frequency with near-zero flatness; white noise is flat; the
+    8-dim prefix is bit-identical to the dim=8 contract."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import audio_feature
+
+    rate = 8000
+    t = np.arange(4 * rate)
+    tone = 0.5 * np.sin(2 * np.pi * 1000 * t / rate)
+    feat = audio_feature(tone, rate, dim=12)
+    centroid, bandwidth, rolloff, flatness = feat[8:12]
+    assert abs(centroid - 1000.0) < 5.0
+    assert bandwidth < 50.0
+    assert abs(rolloff - 1000.0) < 5.0
+    assert flatness < 1e-6
+    # white noise: centroid near band middle, flatness near 1
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(4 * rate)
+    nfeat = audio_feature(noise, rate, dim=12)
+    assert 1600 < nfeat[8] < 2400  # ~rate/4 for flat spectrum
+    assert nfeat[11] > 0.5
+    # the stable 8-dim prefix is unchanged by asking for more dims
+    assert feat[:8] == audio_feature(tone, rate, dim=8)
+    # degenerate inputs keep the zero-padding contract
+    assert audio_feature(np.zeros(16), rate, dim=12)[8:] == [0.0] * 4
+    assert audio_feature(np.array([]), rate, dim=12) == [0.0] * 12
