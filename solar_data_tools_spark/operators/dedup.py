@@ -788,3 +788,71 @@ def snapshot_incremental_dedup(
         .withColumn("keep", F.col("verdict") == "new")
     )
     return verdicts
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Cross-document LINE deduplication (CCNet-style boilerplate
+    removal): a line whose trimmed text appears in >= ``min_doc_freq``
+    DISTINCT documents is boilerplate (nav bars, cookie banners, license
+    footers) and is dropped from every document that carries it; lines
+    shorter than ``min_line_chars`` after trimming are kept as-is (too
+    short to be meaningful dedup evidence).
+
+    Output: (id, text, n_lines, n_dropped) with ``text`` rebuilt from
+    the surviving lines in original order.
+
+    Scale shape: the line TEXT never rides a hash shuffle — the explode
+    happens inside the scan task and only (doc_id, pos, md5) triples
+    leave it; the doc-frequency agg and the frequent-hash join are
+    keyed on the 16-byte hash. Dropped positions fold back to one small
+    int-array row per affected doc, and the rebuild is a ROW-LOCAL
+    positional filter over the original text column, so full documents
+    move through at most the one doc-id join shuffle (zero when AQE
+    measures the drop-list side small enough to broadcast — no hint,
+    because at crawl scale the boilerplate set can itself be huge).
+    """
+    split_col = F.split(F.col(text_col), "\n")
+    keyed = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(split_col, lambda x: F.trim(x))
+        ).alias("_pos", "_t"),
+    ).select(
+        id_col,
+        "_pos",
+        F.when(F.length("_t") >= min_line_chars, F.md5(F.col("_t"))).alias(
+            "_h"
+        ),
+    )
+    frequent = (
+        keyed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_doc_freq)
+        .select("_h")
+    )
+    drops = (
+        keyed.join(frequent, "_h")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_dropped"))
+    )
+    kept = F.filter(
+        split_col,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("_dropped"), i), F.lit(False)
+        ),
+    )
+    return docs.join(drops, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(split_col).cast("long").alias("n_lines"),
+        F.coalesce(F.size("_dropped"), F.lit(0)).cast("long").alias(
+            "n_dropped"
+        ),
+    )

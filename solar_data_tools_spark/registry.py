@@ -2609,6 +2609,68 @@ FROM c
 """
 
 
+def q122_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document LINE dedup (boilerplate removal).
+    Docs are synthesized as 5 analytic lines — a banner shared by ALL
+    docs, the doc's first 80 chars, a footer shared by doc_id%7
+    cohorts, a unique id line, and a too-short line — so the oracle
+    predicts exactly which lines clear the doc-frequency bar (banner +
+    footers dropped, content/id/short kept) and what every rebuilt
+    text, n_lines, n_dropped must be. Certifies the full explode ->
+    doc-frequency agg -> hash join -> ordered rebuild chain; line text
+    only shuffles in the final per-doc rebuild."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SHARED COOKIE BANNER TEXT"),
+            F.substring("text", 1, 80),
+            F.concat(F.lit("FOOTER-"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("id "), F.col("doc_id").cast("string")),
+            F.lit("x"),
+        ).alias("text"),
+    )
+    out = dd.line_dedup(multi, min_doc_freq=3)
+    return out.select("doc_id", "text", "n_lines", "n_dropped")
+
+
+Q122_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         ['SHARED COOKIE BANNER TEXT',
+          substr(text, 1, 80),
+          'FOOTER-' || CAST(doc_id % 7 AS VARCHAR),
+          'id ' || CAST(doc_id AS VARCHAR),
+          'x'] AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id, p.pos, ls[p.pos] AS line
+  FROM m, (SELECT unnest([1, 2, 3, 4, 5]) AS pos) p
+),
+k AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(trim(line)) >= 4 THEN md5(trim(line)) END AS h
+  FROM l
+),
+freq AS (
+  SELECT h FROM k WHERE h IS NOT NULL
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 3
+),
+mk AS (
+  SELECT k.doc_id, k.pos, k.line, (freq.h IS NOT NULL) AS dropped
+  FROM k LEFT JOIN freq ON k.h = freq.h
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM mk GROUP BY doc_id
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4273,6 +4335,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q121_doc_chunking": QuerySpec(
         q121_doc_chunking, Q121_SQL, "chunking"
     ),
+    "q122_line_dedup": QuerySpec(q122_line_dedup, Q122_SQL, "dedup-line"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4324,6 +4387,7 @@ _QUERY_ORDER: list[str] = [
     "q119_media_resize",
     "q120_embedding_quantize",
     "q121_doc_chunking",
+    "q122_line_dedup",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",

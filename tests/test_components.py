@@ -1964,3 +1964,30 @@ def test_audio_spectral_features():
     # degenerate inputs keep the zero-padding contract
     assert audio_feature(np.zeros(16), rate, dim=12)[8:] == [0.0] * 4
     assert audio_feature(np.array([]), rate, dim=12) == [0.0] * 12
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Frequent lines drop everywhere, order is preserved, short lines
+    are exempt, and a doc whose every line is boilerplate rebuilds to
+    an empty string (not NULL)."""
+    from solar_data_tools_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "BANNER LINE\nunique to one\nok"),
+        (2, "BANNER LINE\nsecond doc body\nok"),
+        (3, "BANNER LINE"),
+        (4, "  BANNER LINE  \nalso fourth"),  # trims to the same key
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            min_doc_freq=3,
+        ).collect()
+    }
+    assert out[1]["text"] == "unique to one\nok"  # 'ok' short -> exempt
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "second doc body\nok"
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+    # the raw (untrimmed) line is what gets dropped in doc 4
+    assert out[4]["text"] == "also fourth" and out[4]["n_dropped"] == 1
