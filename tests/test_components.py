@@ -1991,3 +1991,62 @@ def test_line_dedup_boilerplate_removal(spark):
     assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
     # the raw (untrimmed) line is what gets dropped in doc 4
     assert out[4]["text"] == "also fourth" and out[4]["n_dropped"] == 1
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: a day-window emits once the
+    watermark passes its end, and a row arriving LATER than the
+    watermark bound must not change the already-emitted aggregate."""
+    from datetime import datetime
+
+    from solar_data_tools_spark.streaming import streaming_daily_stats
+
+    src = str(tmp_path / "late_src")
+    schema = "site long, ts timestamp, value double"
+
+    def stage(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: two on-time day-1 rows, plus a day-5 row that advances the
+    # max event time to Jan 5 -> watermark Jan 3 -> day-1 window closes
+    stage(
+        [
+            (1, datetime(2020, 1, 1, 10, 0), 2.0),
+            (1, datetime(2020, 1, 1, 11, 0), 4.0),
+            (1, datetime(2020, 1, 5, 12, 0), 8.0),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_daily_stats(stream, slots_per_day=288, watermark="2 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE day-1 row (behind the Jan 3 watermark) plus a
+        # far-future row that closes every remaining window
+        stage(
+            [
+                (1, datetime(2020, 1, 1, 12, 0), 100.0),
+                (1, datetime(2020, 2, 1, 12, 0), 1.0),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        str(r["date"]): (r["n_obs"], round(r["energy"], 6))
+        for r in spark.sql("select * from late_stream_test").collect()
+    }
+    # day 1 emitted exactly once, from the two ON-TIME rows only (the
+    # late 100.0 was dropped by the watermark, not merged or re-emitted)
+    assert rows["2020-01-01"] == (2, round(6.0 * 24.0 / 288.0, 6))
+    assert rows["2020-01-05"] == (1, round(8.0 * 24.0 / 288.0, 6))
