@@ -58,6 +58,18 @@ def _meas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 R = 6  # float rounding digits for hash-stable comparison
 
+
+def _pround(col, digits: int = R):
+    """Engine-portable fixed-point rounding for NON-NEGATIVE values:
+    floor(x*10^d + 0.5)/10^d, the exact same FP ops the oracle SQL spells
+    out. Engine round() builtins disagree on half-boundary doubles (Spark
+    rounds the exact binary expansion via BigDecimal; DuckDB multiplies
+    first, which can carry the product up to the .5 tick) — at sf0.1 that
+    flipped 1-in-40k rows of q30/q37. Identical expressions on both sides
+    make the outputs bit-equal at any scale."""
+    p = F.lit(float(10**digits))
+    return F.floor(col * p + F.lit(0.5)) / p
+
 # DuckDB-side tokenization shared by the text/curation oracles — must
 # mirror operators.dedup.normalize_text + split(" ") exactly
 _TOKS_SQL = (
@@ -792,8 +804,8 @@ def q30_clipping_stats(spark, sf_dir):
     return out.select(
         "site",
         "date",
-        F.round("clip_stat_1", R).alias("clip_stat_1"),
-        F.round("clip_stat_2", R).alias("clip_stat_2"),
+        _pround(F.col("clip_stat_1")).alias("clip_stat_1"),
+        _pround(F.col("clip_stat_2")).alias("clip_stat_2"),
     )
 
 
@@ -802,8 +814,8 @@ WITH m AS ({_EV}),
 dm AS (SELECT site, date, max(value) AS day_max FROM m GROUP BY site, date),
 sm AS (SELECT site, max(value) AS site_max FROM m GROUP BY site)
 SELECT m.site, m.date,
-       round(min(dm.day_max) / min(sm.site_max), 6) AS clip_stat_1,
-       round(sum(CASE WHEN m.value >= 0.995 * dm.day_max THEN m.value END) / sum(m.value), 6) AS clip_stat_2
+       floor(min(dm.day_max) / min(sm.site_max) * 1000000 + 0.5) / 1000000 AS clip_stat_1,
+       floor(sum(CASE WHEN m.value >= 0.995 * dm.day_max THEN m.value END) / sum(m.value) * 1000000 + 0.5) / 1000000 AS clip_stat_2
 FROM m
 JOIN dm ON m.site = dm.site AND m.date = dm.date
 JOIN sm ON m.site = sm.site
@@ -1113,7 +1125,7 @@ def q37_cdf_resample(spark, sf_dir):
     )
     return per_site.select(
         "site", F.posexplode("cdf").alias("q_ix", "v")
-    ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
+    ).select("site", "q_ix", _pround(F.col("v")).alias("cdf_value"))
 
 
 def q88_cdf_resample_approx(spark, sf_dir):
@@ -1213,7 +1225,7 @@ per_site AS (
 ),
 g AS (SELECT unnest(range(0, 101)) AS q_ix)
 SELECT p.site, CAST(g.q_ix AS INT) AS q_ix,
-       round(p.cdf[CAST(g.q_ix AS INT) + 1], 6) AS cdf_value
+       floor(p.cdf[CAST(g.q_ix AS INT) + 1] * 1000000 + 0.5) / 1000000 AS cdf_value
 FROM per_site p CROSS JOIN g
 """
 )

@@ -173,6 +173,18 @@ def main() -> None:
         dd.substring_duplicate_spans(docs, k=8),
         timings,
     )
+    # line dedup needs multi-line docs: banner shared by all, footer by
+    # doc_id%7 cohorts (both cross the doc-frequency bar and drop)
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("SHARED BANNER LINE"),
+            F.col("text"),
+            F.concat(F.lit("FOOTER-"), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    timed("line_dedup", dd.line_dedup(multi, min_doc_freq=3), timings)
     timed("stratified_sample", sp.stratified_sample(
         docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.1), timings)
     timed("global_shuffle", sp.global_shuffle_rank(docs), timings)
