@@ -1,0 +1,200 @@
+"""URL-level curation: canonicalization, URL dedup, per-domain caps.
+
+Web-crawl pretraining pipelines (C4, CCNet, RefinedWeb) run three URL
+steps before any content-level dedup: canonicalize each record's URL,
+keep one record per canonical URL (crawls re-fetch the same page many
+times), and cap how many pages any one registered domain contributes
+(a handful of mega-domains otherwise dominate the corpus).
+
+Everything here is built-in string/array expressions — one codegen pass
+per row, no UDFs, no shuffle until the keyed aggregation itself:
+
+* ``canonicalize_url``     — pure per-row expression (scan-stage).
+* ``registered_domain``    — pure per-row expression (scan-stage).
+* ``url_dedup``            — one hash groupBy on the canonical URL with a
+  ``max(struct(...))`` keep-best reduction: map-side combine means a URL
+  fetched a billion times costs one partial per task, never a
+  billion-row group in memory.
+* ``domain_cap``           — exact-k per domain via seeded md5 ranking
+  (reuses :func:`sampling.stratified_top_k_sample` semantics); the md5
+  order is reproducible across engines and partitionings.
+
+Scale notes: canonicalization and domain extraction stay in the scan
+stage (predicate/column pruning unaffected). ``url_dedup``'s single
+aggregation shuffles only (canon_url, best-struct) pairs after partial
+aggregation. ``domain_cap`` sorts within domains, so one mega-domain is
+one sort partition — fine for the usual cap≈1e4–1e6 rows/domain; for a
+pathological domain holding >~1e8 rows, pre-filter with
+``hash_uniform(id) < (margin * cap / approx_count)`` before ranking so
+the per-domain sort sees ~cap rows instead of the full domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators.sampling import hash_uniform
+
+# Exact-match tracking parameter names; any "utm_*" key is also dropped.
+TRACKING_PARAMS = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+# Common two-level public suffixes for the approximate eTLD+1 below. A
+# production system would ship the full Mozilla public-suffix list as a
+# broadcast lookup; the expression form keeps the hot path join-free.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.kr", "co.in", "com.br", "com.cn", "com.mx",
+)
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def _hostport(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+
+def canonical_host(url: Column) -> Column:
+    """Lower-cased host with any leading ``www.`` and a scheme-default
+    port (``:80`` for http, ``:443`` for https) removed."""
+    scheme = _scheme(url)
+    host = F.regexp_replace(_hostport(url), r"^www\.", "")
+    host = (
+        F.when(
+            (scheme == "http") & host.endswith(":80"),
+            F.substring(host, 1, F.length(host) - 3),
+        )
+        .when(
+            (scheme == "https") & host.endswith(":443"),
+            F.substring(host, 1, F.length(host) - 4),
+        )
+        .otherwise(host)
+    )
+    return host
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL, as one codegen expression:
+
+    1. scheme and host lower-cased (path/query stay case-sensitive);
+    2. leading ``www.`` stripped from the host;
+    3. scheme-default port removed (``:80`` http / ``:443`` https);
+    4. fragment dropped;
+    5. tracking query params dropped (``utm_*`` prefix plus
+       :data:`TRACKING_PARAMS`), the survivors sorted lexicographically
+       and re-joined — param ORDER never distinguishes two URLs;
+    6. a single trailing ``/`` dropped from the path (so
+       ``…/a/`` == ``…/a`` and a bare host needs no path at all).
+
+    Mirrors the DuckDB SQL used by the q123+ oracles step for step.
+    """
+    scheme = _scheme(url)
+    host = canonical_host(url)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.split(query, "&")
+
+    def _keep(p: Column) -> Column:
+        key = F.regexp_extract(p, r"^([^=]*)", 1)
+        return (
+            (p != "")
+            & ~key.startswith("utm_")
+            & ~key.isin(*TRACKING_PARAMS)
+        )
+
+    canon_q = F.array_join(F.array_sort(F.filter(params, _keep)), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(url: Column) -> Column:
+    """Approximate eTLD+1 of a URL's host: the last two labels, or the
+    last three when the last two form a common two-level public suffix
+    (:data:`TWO_LEVEL_SUFFIXES`). ``example.co.uk`` and
+    ``a.b.example.com`` both map to their registrable domain; hosts with
+    fewer labels pass through unchanged."""
+    host = canonical_host(url)
+    # strip any residual :port before domain math
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per canonical URL: the row with the highest
+    ``quality_col`` (ties → lowest ``id_col``) survives.
+
+    The reduction is ``max(struct(quality, -id))`` — an ordinary
+    aggregate with map-side partials, so duplicate cardinality per URL
+    is unbounded without any per-group memory concern (contrast a
+    window `row_number`, which sorts every group).
+
+    Returns (canon_url, n_dups, kept ``id_col``, kept ``quality_col``).
+    """
+    canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    ).alias("best")
+    out = canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_dups"), best
+    )
+    return out.select(
+        "canon_url",
+        "n_dups",
+        (-F.col("best.neg_id")).alias(id_col),
+        F.col("best.q").alias(quality_col),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per registered domain, chosen by the
+    seeded md5 order (``hash_uniform``) with ``id_col`` as tie-break —
+    an unbiased, engine-reproducible uniform pick, identical however
+    the input is partitioned.
+
+    Adds a ``domain`` column. Rows whose URL yields no parseable host
+    group under their literal host string (still capped).
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("domain", registered_domain(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy(
+        hash_uniform(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

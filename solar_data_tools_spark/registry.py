@@ -2683,6 +2683,215 @@ FROM mk GROUP BY doc_id
 """
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy URL per document, exercising every
+    canonicalization rule: mixed-case scheme/host, www. prefix, default
+    ports (:80/:443), a .CO.UK public-suffix cohort, trailing-slash
+    variation, unsorted query params, utm_/gclid tracking params, and a
+    fragment — each keyed off doc_id residues so the oracle rebuilds the
+    same strings analytically."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", "n_chars",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+                F.lit("https://")
+            ),
+            F.lit("WWW."),
+            F.upper("source"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".Example"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".CO.UK")).otherwise(
+                F.lit(".COM")
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+                F.lit(":443")
+            ),
+            F.lit("/Docs/"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b="), (F.col("doc_id") % 6).cast("string"),
+            F.lit("&a=1"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("&gclid=xyz")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#sec2")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+
+
+def q123_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registered-domain extraction (the first
+    step of every web-crawl curation pipeline, cf. C4/CCNet/RefinedWeb).
+    One codegen expression per row — lowercased scheme/host, www. strip,
+    default-port strip, fragment drop, tracking-param drop with the
+    survivors sorted, trailing-slash normalization — plus an
+    approximate eTLD+1 (two-level-suffix aware). The DuckDB oracle
+    re-derives the canonical form rule by rule, so a hash match
+    certifies every branch of the expression tree."""
+    from solar_data_tools_spark.operators import urls as ur
+
+    raw = _messy_urls(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "url",
+        ur.canonicalize_url(F.col("url")).alias("canon_url"),
+        ur.registered_domain(F.col("url")).alias("domain"),
+    )
+
+
+Q123_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'WWW.' || upper(source) || CAST(doc_id % 3 AS VARCHAR)
+         || '.Example' || (CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.COM' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         || '?utm_source=feed&b=' || CAST(doc_id % 6 AS VARCHAR) || '&a=1'
+         || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+           AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM raw
+), canon AS (
+  SELECT doc_id, url, scheme,
+         CASE
+           WHEN scheme = 'http'  AND h LIKE '%:80'
+             THEN substring(h, 1, length(h) - 3)
+           WHEN scheme = 'https' AND h LIKE '%:443'
+             THEN substring(h, 1, length(h) - 4)
+           ELSE h
+         END AS host,
+         regexp_replace(path0, '/$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(query0, '&'),
+             p -> p <> ''
+                  AND NOT starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_')
+                  AND regexp_extract(p, '^([^=]*)', 1)
+                      NOT IN ('gclid','fbclid','ref','mc_cid','mc_eid'))),
+           '&') AS cq
+  FROM (SELECT *, regexp_replace(hostport, '^www\\.', '') AS h FROM parsed)
+), dom AS (
+  SELECT doc_id, url, scheme, host, path, cq,
+         regexp_replace(host, ':[0-9]+$', '') AS hostnp
+  FROM canon
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+         || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canon_url,
+       CASE
+         WHEN len(string_split(hostnp, '.')) <= 2 THEN hostnp
+         WHEN array_to_string(string_split(hostnp, '.')[-2:], '.') IN
+              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+               'co.jp','co.kr','co.in','com.br','com.cn','com.mx')
+              AND len(string_split(hostnp, '.')) >= 3
+           THEN array_to_string(string_split(hostnp, '.')[-3:], '.')
+         ELSE array_to_string(string_split(hostnp, '.')[-2:], '.')
+       END AS domain
+FROM dom
+"""
+
+
+def q124_url_dedup(spark, sf_dir):
+    """URL-level dedup: crawls re-fetch the same page under many raw
+    URLs (tracking params, www./case variants, trailing slashes); keep
+    the best-quality record per canonical URL. Raw URLs here differ per
+    doc but collapse onto (source, doc_id%50) canonically, so every
+    group has ~5 members. The keep-best reduction is max(struct(quality,
+    -id)) — an aggregate with map-side partials, no per-group sort, so a
+    URL crawled a billion times costs one partial per task. Oracle
+    ranks with a window; same survivor by construction."""
+    from solar_data_tools_spark.operators import urls as ur
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"), F.lit(".example.com/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 1, F.lit("?utm_campaign=x")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return ur.url_dedup(raw, url_col="url", quality_col="n_chars",
+                        id_col="doc_id")
+
+
+Q124_SQL = """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.com/page/'
+           || CAST(doc_id % 50 AS VARCHAR) AS canon_url
+  FROM documents
+), ranked AS (
+  SELECT canon_url, doc_id, n_chars,
+         count(*) OVER (PARTITION BY canon_url) AS n_dups,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM raw
+)
+SELECT canon_url, n_dups, doc_id, n_chars FROM ranked WHERE rn = 1
+"""
+
+
+def q125_domain_cap(spark, sf_dir):
+    """Per-registered-domain contribution cap (mega-domain
+    downweighting, cf. RefinedWeb/C4): keep at most 20 docs per eTLD+1,
+    chosen by seeded md5 order so the pick is uniform, engine-
+    reproducible, and partitioning-invariant. Hosts carry cdnN
+    subdomains and a .co.uk cohort, so the cap groups on the registrable
+    domain, not the raw host."""
+    from solar_data_tools_spark.operators import urls as ur
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id", "n_chars",
+        F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("."), F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/x/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = ur.domain_cap(raw, cap=20, url_col="url", id_col="doc_id", seed=7)
+    return out.select("doc_id", "domain", "n_chars")
+
+
+Q125_SQL = """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         source || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+           AS domain
+  FROM documents
+), ranked AS (
+  SELECT doc_id, domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+            ORDER BY ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT / 4294967296.0,
+                     doc_id) AS rn
+  FROM raw
+)
+SELECT doc_id, domain, n_chars FROM ranked WHERE rn <= 20
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4348,6 +4557,11 @@ QUERIES: dict[str, QuerySpec] = {
         q121_doc_chunking, Q121_SQL, "chunking"
     ),
     "q122_line_dedup": QuerySpec(q122_line_dedup, Q122_SQL, "dedup-line"),
+    "q123_url_canonicalize": QuerySpec(
+        q123_url_canonicalize, Q123_SQL, "curation-url"
+    ),
+    "q124_url_dedup": QuerySpec(q124_url_dedup, Q124_SQL, "dedup-url"),
+    "q125_domain_cap": QuerySpec(q125_domain_cap, Q125_SQL, "curation-url"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4400,6 +4614,9 @@ _QUERY_ORDER: list[str] = [
     "q120_embedding_quantize",
     "q121_doc_chunking",
     "q122_line_dedup",
+    "q123_url_canonicalize",
+    "q124_url_dedup",
+    "q125_domain_cap",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",

@@ -1,0 +1,110 @@
+"""URL curation layer: canonicalization edge cases, keep-best dedup,
+per-domain caps, and plan-shape (no Python in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from solar_data_tools_spark.operators import urls as ur
+
+
+def _canon(spark, raw: str) -> str:
+    df = spark.createDataFrame([Row(url=raw)])
+    return df.select(ur.canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+def _domain(spark, raw: str) -> str:
+    df = spark.createDataFrame([Row(url=raw)])
+    return df.select(ur.registered_domain(F.col("url")).alias("d")).first()["d"]
+
+
+def test_canonicalize_edge_cases(spark):
+    # bare host, no path/query/fragment
+    assert _canon(spark, "https://Example.COM") == "https://example.com"
+    # root path collapses onto bare host
+    assert _canon(spark, "https://example.com/") == "https://example.com"
+    # non-default port survives
+    assert (
+        _canon(spark, "http://example.com:8080/a") == "http://example.com:8080/a"
+    )
+    # default port for the OTHER scheme survives
+    assert (
+        _canon(spark, "http://example.com:443/a") == "http://example.com:443/a"
+    )
+    # path case preserved, query sorted, fragment dropped
+    assert (
+        _canon(spark, "https://a.com/PaTh?z=1&y=2#frag")
+        == "https://a.com/PaTh?y=2&z=1"
+    )
+    # all params tracking -> no '?'
+    assert (
+        _canon(spark, "https://a.com/x?utm_a=1&gclid=2") == "https://a.com/x"
+    )
+    # empty params from '&&' dropped
+    assert _canon(spark, "https://a.com/x?&&b=1") == "https://a.com/x?b=1"
+    # 'utm' without underscore is NOT a tracking prefix
+    assert _canon(spark, "https://a.com/x?utma=1") == "https://a.com/x?utma=1"
+
+
+def test_registered_domain_suffixes(spark):
+    assert _domain(spark, "https://a.b.Example.com/x") == "example.com"
+    assert _domain(spark, "https://www.example.co.uk/x") == "example.co.uk"
+    assert _domain(spark, "https://cdn.shop.example.co.uk/") == "example.co.uk"
+    # bare registrable domain passes through
+    assert _domain(spark, "https://example.com") == "example.com"
+    # two-label host that IS a public suffix pair: nothing to strip
+    assert _domain(spark, "https://co.uk/") == "co.uk"
+    # port never leaks into the domain
+    assert _domain(spark, "https://a.example.com:8443/x") == "example.com"
+
+
+def test_url_dedup_keep_best_and_ties(spark):
+    rows = [
+        # same canonical URL, different quality -> max quality wins
+        Row(doc_id=1, n_chars=10, url="https://www.a.com/p?utm_x=1"),
+        Row(doc_id=2, n_chars=30, url="https://a.com/p/"),
+        # quality tie -> smallest id wins
+        Row(doc_id=5, n_chars=7, url="https://b.com/q"),
+        Row(doc_id=4, n_chars=7, url="https://b.com/q#frag"),
+    ]
+    out = ur.url_dedup(spark.createDataFrame(rows)).orderBy("canon_url")
+    got = [(r["canon_url"], r["n_dups"], r["doc_id"], r["n_chars"])
+           for r in out.collect()]
+    assert got == [
+        ("https://a.com/p", 2, 2, 30),
+        ("https://b.com/q", 2, 4, 7),
+    ]
+
+
+def test_domain_cap_exact_k_and_determinism(spark):
+    rows = [
+        Row(doc_id=i, url=f"https://s{i % 4}.dom{i % 3}.com/{i}")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows)
+    out = ur.domain_cap(df, cap=5, seed=3)
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"dom0.com": 5, "dom1.com": 5, "dom2.com": 5}
+    # partitioning-invariant: same survivors from a repartitioned input
+    kept1 = sorted(r["doc_id"] for r in out.collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in ur.domain_cap(df.repartition(7), cap=5, seed=3).collect()
+    )
+    assert kept1 == kept2
+    # under-cap domains keep everything
+    small = ur.domain_cap(df.where(F.col("doc_id") < 3), cap=5, seed=3)
+    assert small.count() == 3
+
+
+def test_canonicalize_is_codegen_only(spark):
+    """The canonicalization/domain path must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython stage in the physical plan."""
+    df = spark.createDataFrame([Row(url="https://a.com/x?b=1")])
+    out = df.select(
+        ur.canonicalize_url(F.col("url")).alias("c"),
+        ur.registered_domain(F.col("url")).alias("d"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
