@@ -135,3 +135,127 @@ def fingerprint(
         F.md5(norm).alias("fingerprint_md5"),
         F.xxhash64(norm).alias("fingerprint_64"),
     )
+
+
+def strip_html(text):
+    """HTML → text extraction (the step in front of every web-crawl
+    quality filter), as one chain of codegen regexp/replace expressions
+    — RE2-compatible (no backreferences), so the q126 oracle runs the
+    IDENTICAL rule chain in DuckDB:
+
+    1. drop ``<script>…</script>`` and ``<style>…</style>`` blocks
+       (case-insensitive, dotall, non-greedy);
+    2. drop HTML comments;
+    3. every remaining tag → one space;
+    4. unescape the common entities (``&lt; &gt; &quot; &#39; &nbsp;``
+       first, ``&amp;`` LAST so ``&amp;lt;`` single-unescapes to
+       ``&lt;``, not ``<``);
+    5. collapse whitespace runs to single spaces and trim.
+
+    ``text`` is a Column; returns the extracted text Column.
+    """
+    t = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# Gopher (Rae et al. 2021, Table A1) repetition-free quality rules that
+# are expressible per-row; thresholds as published.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean word
+    length bounds, symbol-to-word ratio (``#`` / ``...``), bullet-line
+    and ellipsis-line fractions, and the ≥2-of-8 required-stopword rule.
+    Emits each measured feature, each rule verdict, and the composite
+    ``gopher_pass`` — row-local expressions only, zero shuffle (the
+    filter runs in the scan stage of whatever plan consumes it).
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    mean_wl = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words.cast("double"), F.lit(1.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / 3
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(
+        n_words.cast("double"), F.lit(1.0)
+    )
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("- ")
+                | F.trim(l).startswith("* "),
+            )
+        )
+        / F.greatest(n_lines, F.lit(1.0))
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+        / F.greatest(n_lines, F.lit(1.0))
+    )
+    lower_words = F.transform(words, F.lower)
+    req_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            lambda w: F.array_contains(lower_words, w),
+        )
+    ).cast("long")
+
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        req_hits.alias("required_hits"),
+    )
+    checks = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_bullets": F.col("bullet_ratio") <= max_bullet_ratio,
+        "ok_ellipsis": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "ok_stopwords": F.col("required_hits") >= min_required_hits,
+    }
+    for name, c in checks.items():
+        out = out.withColumn(name, c)
+    return out.withColumn(
+        "gopher_pass",
+        F.lit(True) if not checks else
+        F.aggregate(
+            F.array(*[F.col(n) for n in checks]),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        ),
+    )

@@ -2892,6 +2892,214 @@ SELECT doc_id, domain, n_chars FROM ranked WHERE rn <= 20
 """
 
 
+def q126_html_extract(spark, sf_dir):
+    """HTML → text extraction (the step in front of every web-crawl
+    quality filter). Docs are wrapped in a deterministic HTML shell —
+    title, style block, comment, header, paragraph with entities, and a
+    script whose BODY contains a ``</p>`` tag (the classic naive-strip
+    trap) — then run through ``strip_html``, a chain of RE2-compatible
+    codegen regexes. The oracle applies the IDENTICAL rule chain in
+    DuckDB; the md5 column certifies the extracted text byte-for-byte."""
+    from solar_data_tools_spark.operators import text as txo
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style type="text/css">p{color:red}</style></head>'
+            '<body><!-- nav --><h1 class="x">Header '
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h1><p>"), F.substring("text", 1, 120),
+        F.lit(
+            ' &amp; more&nbsp;text</p><script>var x="</p>";</script>'
+            "</body></html>"
+        ),
+    )
+    raw = docs.select("doc_id", html.alias("html"))
+    extracted = txo.strip_html(F.col("html"))
+    return raw.select(
+        "doc_id",
+        extracted.alias("text"),
+        F.md5(extracted).alias("text_md5"),
+    )
+
+
+Q126_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style type="text/css">p{color:red}</style></head>'
+         || '<body><!-- nav --><h1 class="x">Header '
+         || CAST(doc_id % 7 AS VARCHAR)
+         || '</h1><p>' || substr(text, 1, 120)
+         || ' &amp; more&nbsp;text</p><script>var x="</p>";</script></body></html>'
+           AS html
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS text
+  FROM raw
+)
+SELECT doc_id, text, md5(text) AS text_md5 FROM s
+"""
+
+
+def q127_gopher_rules(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021, Table A1) per-document quality
+    rules: word-count and mean-word-length bounds, symbol-to-word ratio,
+    bullet-/ellipsis-line fractions, the ≥2-of-8 required-stopword rule,
+    and the composite verdict. Docs get deterministic bullet/ellipsis/
+    hash lines appended so every rule fires on a known cohort. Row-local
+    higher-order expressions, zero shuffle; the oracle recomputes each
+    feature independently via DuckDB list functions."""
+    from solar_data_tools_spark.operators import text as txo
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("- item one")).otherwise(
+                F.lit("plain line")
+            ),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("read more...")).otherwise(
+                F.lit("end line")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("## section #tag")
+            ).otherwise(F.lit("closing words")),
+        ).alias("text"),
+    )
+    g = txo.gopher_rules(multi)
+    return g.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        F.round("symbol_ratio", R).alias("symbol_ratio"),
+        F.round("bullet_ratio", R).alias("bullet_ratio"),
+        F.round("ellipsis_ratio", R).alias("ellipsis_ratio"),
+        "required_hits", "ok_word_count", "ok_mean_word_len", "ok_symbols",
+        "ok_bullets", "ok_ellipsis", "ok_stopwords", "gopher_pass",
+    )
+
+
+Q127_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         text || chr(10)
+         || (CASE WHEN doc_id % 3 = 0 THEN '- item one'
+                  ELSE 'plain line' END) || chr(10)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'read more...'
+                  ELSE 'end line' END) || chr(10)
+         || (CASE WHEN doc_id % 5 = 0 THEN '## section #tag'
+                  ELSE 'closing words' END) AS text
+  FROM documents
+), f AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM m
+), feat AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))
+           / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+         (length(text) - length(replace(text, '#', ''))
+          + floor((length(text) - length(replace(text, '...', ''))) / 3))
+           / greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_ratio,
+         CAST(len(list_filter(lines, l -> starts_with(trim(l), '- ')
+                                          OR starts_with(trim(l), '* ')))
+              AS DOUBLE)
+           / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS bullet_ratio,
+         CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE)
+           / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ellipsis_ratio,
+         CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               w -> list_contains(list_transform(words, x -> lower(x)), w)))
+              AS BIGINT) AS required_hits
+  FROM f
+)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_ratio, 6) AS bullet_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_ratio, required_hits,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (bullet_ratio <= 0.9) AS ok_bullets,
+       (ellipsis_ratio <= 0.3) AS ok_ellipsis,
+       (required_hits >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+        AND (ellipsis_ratio <= 0.3) AND (required_hits >= 2)) AS gopher_pass
+FROM feat
+"""
+
+
+def q128_domain_split(spark, sf_dir):
+    """Domain-grouped train/val/test split: the split label is decided
+    by the hash of each page's REGISTERED DOMAIN, so a domain's pages
+    can never straddle train and test (the URL-level counterpart of
+    q98's duplicate-group leakage guard — near-identical pages cluster
+    within sites). Pure composition of ``registered_domain`` +
+    ``split_assign``; exact-binary weights (0.75/0.125/0.125) keep the
+    cumulative thresholds float-identical across engines."""
+    from solar_data_tools_spark.operators import urls as ur
+    from solar_data_tools_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("."), F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/x/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    d = raw.withColumn("domain", ur.registered_domain(F.col("url")))
+    out = split_assign(
+        d, {"train": 0.75, "val": 0.125, "test": 0.125},
+        id_col="domain", seed=11,
+    )
+    return out.select("doc_id", "domain", "split")
+
+
+Q128_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         source || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+           AS domain
+  FROM documents
+), u AS (
+  SELECT doc_id, domain,
+         ('0x' || substring(md5('11:' || domain), 1, 8))::BIGINT
+           / 4294967296.0 AS uu
+  FROM raw
+)
+SELECT doc_id, domain,
+       CASE WHEN uu < 0.125 THEN 'test'
+            WHEN uu < 0.875 THEN 'train'
+            ELSE 'val' END AS split
+FROM u
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4562,6 +4770,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q124_url_dedup": QuerySpec(q124_url_dedup, Q124_SQL, "dedup-url"),
     "q125_domain_cap": QuerySpec(q125_domain_cap, Q125_SQL, "curation-url"),
+    "q126_html_extract": QuerySpec(q126_html_extract, Q126_SQL, "curation-html"),
+    "q127_gopher_rules": QuerySpec(q127_gopher_rules, Q127_SQL, "curation-quality"),
+    "q128_domain_split": QuerySpec(q128_domain_split, Q128_SQL, "curation-split"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4617,6 +4828,9 @@ _QUERY_ORDER: list[str] = [
     "q123_url_canonicalize",
     "q124_url_dedup",
     "q125_domain_cap",
+    "q126_html_extract",
+    "q127_gopher_rules",
+    "q128_domain_split",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",
