@@ -196,6 +196,51 @@ def main() -> None:
         timings,
     )
 
+    # URL layer: deterministic messy URL per doc (subdomain skew via
+    # doc_id%4, two-level-suffix cohort, tracking params)
+    from solar_data_tools_spark.operators import urls as ur
+
+    with_urls = docs.select(
+        "doc_id", "n_chars",
+        F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("."), F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/p/"), (F.col("doc_id") % 5000).cast("string"),
+            F.lit("?utm_source=x&b=1&a=2"),
+        ).alias("url"),
+    )
+    timed(
+        "url_canonicalize",
+        with_urls.select(
+            "doc_id",
+            ur.canonicalize_url(F.col("url")).alias("canon_url"),
+            ur.registered_domain(F.col("url")).alias("domain"),
+        ),
+        timings,
+    )
+    timed("url_dedup", ur.url_dedup(with_urls), timings)
+    timed("domain_cap_1000", ur.domain_cap(with_urls, cap=1000), timings)
+
+    from solar_data_tools_spark.operators import text as txp
+
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{}</style></head><body><p>"),
+            F.col("text"),
+            F.lit(' &amp; tail</p><script>var x="</p>";</script></body></html>'),
+        ).alias("html"),
+    )
+    timed(
+        "html_extract",
+        html.select("doc_id", txp.strip_html(F.col("html")).alias("text")),
+        timings,
+    )
+    timed("gopher_rules", txp.gopher_rules(docs), timings)
+
     from solar_data_tools_spark.operators import curation as cu
 
     # pairs -> clusters on the planted-duplicate graph (the step after
