@@ -103,3 +103,52 @@ def write_result(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_training_shards(
+    df,
+    path: str,
+    rows_per_shard: int,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    fmt: str = "parquet",
+) -> int:
+    """Training-shard sink: write the corpus as globally-shuffled,
+    fixed-size shards — the layout training data loaders consume
+    (uniform shard sizes => uniform loader work; a seeded permutation
+    => epoch-reproducible example order without a loader-side shuffle
+    buffer that would have to span the corpus).
+
+    Plan: seeded md5 permutation via :func:`~solar_data_tools_spark.
+    operators.sampling.global_shuffle_rank` (two-pass range plan — no
+    single-partition window), ``shard = (rank-1) // rows_per_shard``,
+    explicit ``repartition(n_shards, shard)`` (REPARTITION_BY_NUM, so
+    AQE never folds shard files together), rows sorted by rank within
+    each shard, one ``shard=N`` directory per shard via partitionBy.
+    Every shard except the last holds exactly ``rows_per_shard`` rows.
+
+    Returns the number of shards written.
+    """
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.sampling import global_shuffle_rank
+
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    ranked = global_shuffle_rank(df, id_col=id_col, seed=seed)
+    sharded = ranked.withColumn(
+        "shard",
+        ((F.col("shuffle_rank") - 1) / rows_per_shard).cast("long"),
+    )
+    # total rows is known from the rank pass; cheap driver-side scalar
+    n_rows = ranked.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("shard")
+        .save(path)
+    )
+    return n_shards

@@ -1,0 +1,43 @@
+"""write_training_shards: fixed-size, seed-reproducible shard layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from solar_data_tools_spark.sources.readers import write_training_shards
+
+
+def test_training_shards_layout(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(103)]
+    )
+    out = str(tmp_path / "shards")
+    n = write_training_shards(docs, out, rows_per_shard=25, seed=5)
+    assert n == 5  # ceil(103 / 25)
+
+    back = spark.read.parquet(out)
+    # partition column round-trips; every doc exactly once
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25, 4: 3}
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(103))
+
+    # shard assignment is the seeded md5 permutation: recompute expected
+    import hashlib
+
+    order = sorted(
+        range(103), key=lambda i: (hashlib.md5(f"5:{i}".encode()).hexdigest(), i)
+    )
+    expected_shard = {doc: pos // 25 for pos, doc in enumerate(order)}
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expected_shard
+
+    # determinism: a repartitioned input writes identical shards
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(7), out2, rows_per_shard=25, seed=5)
+    got2 = {
+        r["doc_id"]: r["shard"] for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == got
