@@ -3100,6 +3100,56 @@ FROM u
 """
 
 
+def q129_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-style embedding truncation (Kusupati et al. 2022):
+    first-8-dims prefix, L2 renormalization, retained-energy ratio —
+    the storage/latency knob of an MRL embedding store. One codegen
+    pass of slice/aggregate/transform; the renormalized vector is
+    emitted as md5 over engine-portable fixed-point ints
+    (floor(x*1e6+0.5)) so the hash certifies every element."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.truncate_embeddings(emb, dim=8)
+    return out.select(
+        "vec_id",
+        F.round("trunc_norm", R).alias("trunc_norm"),
+        F.round("energy_ratio", R).alias("energy_ratio"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "renormed",
+                    lambda x: F.floor(x * 1e6 + 0.5).cast("long"),
+                ),
+            )
+        ).alias("renormed_md5"),
+    )
+
+
+Q129_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+  FROM embeddings WHERE len(embedding) >= 8
+), s AS (
+  SELECT vec_id, v[1:8] AS p,
+         list_sum(list_transform(v[1:8], x -> x * x)) AS pss,
+         list_sum(list_transform(v, x -> x * x)) AS fss
+  FROM e
+), r AS (
+  SELECT vec_id, sqrt(pss) AS trunc_norm,
+         CASE WHEN fss = 0 THEN 0.0 ELSE pss / fss END AS energy_ratio,
+         CASE WHEN pss = 0 THEN list_transform(p, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     p, x -> CAST(floor(x / sqrt(pss) * 1e6 + 0.5) AS BIGINT))
+         END AS rq
+  FROM s
+)
+SELECT vec_id, round(trunc_norm, 6) AS trunc_norm,
+       round(energy_ratio, 6) AS energy_ratio,
+       md5(array_to_string(rq, ',')) AS renormed_md5
+FROM r
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4773,6 +4823,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q126_html_extract": QuerySpec(q126_html_extract, Q126_SQL, "curation-html"),
     "q127_gopher_rules": QuerySpec(q127_gopher_rules, Q127_SQL, "curation-quality"),
     "q128_domain_split": QuerySpec(q128_domain_split, Q128_SQL, "curation-split"),
+    "q129_matryoshka_truncate": QuerySpec(
+        q129_matryoshka_truncate, Q129_SQL, "similarity-truncate"
+    ),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4831,6 +4884,7 @@ _QUERY_ORDER: list[str] = [
     "q126_html_extract",
     "q127_gopher_rules",
     "q128_domain_split",
+    "q129_matryoshka_truncate",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",

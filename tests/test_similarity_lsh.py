@@ -438,3 +438,31 @@ def test_semdedup_cross_cell_blindness_is_by_design(spark):
     rows = {r["vec_id"]: r.asDict() for r in semdedup(vdf, cdf, tau=0.5).collect()}
     assert rows[0]["cluster"] != rows[1]["cluster"]
     assert not rows[0]["is_dup"] and not rows[1]["is_dup"]
+
+
+def test_truncate_embeddings_semantics(spark):
+    from pyspark.sql import Row
+    import math
+
+    from solar_data_tools_spark.operators import similarity as sim
+
+    rows = [
+        Row(vec_id=1, embedding=[3.0, 4.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 5.0, 12.0]),  # zero prefix
+        Row(vec_id=3, embedding=[1.0]),                   # too short, dropped
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in sim.truncate_embeddings(
+            spark.createDataFrame(rows), dim=2
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert abs(out[1]["trunc_norm"] - 5.0) < 1e-12
+    assert abs(out[1]["energy_ratio"] - 1.0) < 1e-12
+    assert out[1]["renormed"] == [0.6, 0.8]
+    # zero prefix: all-zero renorm, zero energy ratio, no NaN
+    assert out[2]["trunc_norm"] == 0.0
+    assert out[2]["energy_ratio"] == 0.0
+    assert out[2]["renormed"] == [0.0, 0.0]
+    assert not any(math.isnan(x) for x in out[2]["renormed"])
