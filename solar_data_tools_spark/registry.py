@@ -3150,6 +3150,42 @@ FROM r
 """
 
 
+def q130_json_metadata(spark, sf_dir):
+    """Semi-structured metadata extraction: ``events.props`` is a JSON
+    string; extract ``$.k`` JVM-side (``get_json_object`` — codegen, no
+    UDF), filter on it, and aggregate per event type. The pattern every
+    pipeline uses for filtering on crawl/source metadata riding along
+    as JSON. Extraction happens in the scan stage, so only the three
+    needed columns survive into the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum((F.col("k") % 7 == 0).cast("long")).alias("n_k_div7"),
+            F.round(F.avg("value"), R).alias("avg_value"),
+        )
+    )
+
+
+Q130_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_div7,
+       round(avg(value), 6) AS avg_value
+FROM e WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
 def q114_contamination_attribution(spark, sf_dir):
     """Which benchmark doc leaked into which training doc: per
     contaminated train doc, the eval doc (doc_id % 41 = 0, as q100)
@@ -4826,6 +4862,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q129_matryoshka_truncate": QuerySpec(
         q129_matryoshka_truncate, Q129_SQL, "similarity-truncate"
     ),
+    "q130_json_metadata": QuerySpec(q130_json_metadata, Q130_SQL, "F-json"),
     "q52_make_time_series": QuerySpec(q52_make_time_series, Q52_SQL, "S5"),
     "q53_annotation_rejoin": QuerySpec(q53_annotation_rejoin, Q53_SQL, "J1,J2,U1"),
     "q56_pivot_wide": QuerySpec(q56_pivot_wide, Q56_SQL, "S5-pivot,A16"),
@@ -4885,6 +4922,7 @@ _QUERY_ORDER: list[str] = [
     "q127_gopher_rules",
     "q128_domain_split",
     "q129_matryoshka_truncate",
+    "q130_json_metadata",
     "q108_substring_spans",
     "q109_span_decontaminate",
     "q112_stratified_topk",
