@@ -178,6 +178,7 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     seed: int | str = 0,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per registered domain, chosen by the
     seeded md5 order (``hash_uniform``) with ``id_col`` as tie-break —
@@ -186,13 +187,36 @@ def domain_cap(
 
     Adds a ``domain`` column. Rows whose URL yields no parseable host
     group under their literal host string (still capped).
+
+    **Mega-domain path** (``prefilter_margin``, e.g. ``2.0``): the
+    per-domain ``row_number`` sort sees every row of its domain, so one
+    domain holding 10⁸ pages is one 10⁸-row sort partition. With a
+    margin set, a per-domain count (tiny aggregate) joins back on the
+    SAME domain partitioning and rows of over-cap domains are
+    pre-filtered to ``hash < margin*cap/n_domain`` BEFORE the rank —
+    the sort then sees ~margin*cap rows per domain instead of n_domain.
+    Because the prefilter keeps a superset of the hash-smallest ``cap``
+    rows whenever ≥cap rows survive, the result is IDENTICAL to the
+    exact path unless the binomial survivor count dips below ``cap``
+    (P < exp(-cap·(1−1/margin)²/2) per domain by Chernoff — ~1e-27 at
+    cap=1000, margin=2; under-cap domains skip the prefilter entirely,
+    so they are never at risk).
     """
     from pyspark.sql import Window
 
     d = df.withColumn("domain", registered_domain(F.col(url_col)))
-    w = Window.partitionBy("domain").orderBy(
-        hash_uniform(F.col(id_col), seed), F.col(id_col)
-    )
+    u = hash_uniform(F.col(id_col), seed)
+    if prefilter_margin is not None:
+        if prefilter_margin <= 1.0:
+            raise ValueError("prefilter_margin must be > 1")
+        counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_nd"))
+        # plain (non-broadcast) join: co-partitions by domain, the same
+        # distribution the window needs — one shuffle of the big side
+        d = d.join(counts, on="domain").where(
+            (F.col("_nd") <= F.lit(float(prefilter_margin * cap)))
+            | (u < F.lit(float(prefilter_margin * cap)) / F.col("_nd"))
+        ).drop("_nd")
+    w = Window.partitionBy("domain").orderBy(u, F.col(id_col))
     return (
         d.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)

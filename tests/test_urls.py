@@ -108,3 +108,42 @@ def test_canonicalize_is_codegen_only(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_domain_cap_prefilter_equals_exact(spark):
+    """The mega-domain prefilter path must return EXACTLY the same rows
+    as the plain path (margin keeps a superset of the hash-smallest cap
+    rows), on a skewed corpus where one domain holds 80% of rows."""
+    rows = [
+        Row(doc_id=i,
+            url=f"https://www.big.com/{i}" if i < 800
+            else f"https://s.small{i % 5}.org/{i}")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = ur.domain_cap(df, cap=20, seed=9)
+    fast = ur.domain_cap(df, cap=20, seed=9, prefilter_margin=2.0)
+    a = sorted((r["doc_id"], r["domain"]) for r in exact.collect())
+    b = sorted((r["doc_id"], r["domain"]) for r in fast.collect())
+    assert a == b
+    # under-cap domains are untouched by the prefilter
+    doms = {d for _, d in b}
+    assert {"big.com"} | {f"small{k}.org" for k in range(5)} == doms
+
+
+def test_domain_cap_prefilter_plan_shape(spark):
+    """The prefilter must not add a second shuffle of the big side: at
+    most two hash exchanges total (the corpus by domain + the tiny
+    count aggregate; AQE broadcasts the count side at this scale), and
+    Spark's rank-limit pushdown (WindowGroupLimit) must survive, so the
+    per-domain sort is a top-k heap, not a full sort."""
+    rows = [Row(doc_id=i, url=f"https://d{i % 3}.com/{i}") for i in range(60)]
+    out = ur.domain_cap(spark.createDataFrame(rows), cap=5,
+                        prefilter_margin=2.0)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString() prints the final plan AND the initial
+    # plan; count shuffles only in the executed (final) section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in final
