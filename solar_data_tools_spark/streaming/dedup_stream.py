@@ -79,3 +79,28 @@ def streaming_first_seen(
             "n_copies",
         )
     )
+
+
+def streaming_url_dedup(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    url_col: str = "url",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time URL dedup: keep the first arrival per CANONICAL URL
+    within the watermark horizon — the streaming face of the batch
+    ``urls.url_dedup`` (a crawler re-fetching a page under tracking-param
+    / www. / trailing-slash variants produces one ingested record).
+
+    Same bounded-state argument as ``streaming_exact_dedup``: state is
+    one 64-bit key per distinct canonical URL inside the watermark
+    window, evicted as event time advances."""
+    from solar_data_tools_spark.operators.urls import canonicalize_url
+
+    return (
+        stream.withColumn(
+            "canon_hash", F.xxhash64(canonicalize_url(F.col(url_col)))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canon_hash"])
+    )

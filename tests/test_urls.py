@@ -147,3 +147,57 @@ def test_domain_cap_prefilter_plan_shape(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 2
     assert "WindowGroupLimit" in final
+
+
+def test_streaming_url_dedup_matches_batch_contract(spark, sf_small, tmp_path):
+    """Ingest-time canonical-URL dedup keeps exactly one record per
+    canonical URL — the FIRST arrival (min doc_id here, since ingest_ts
+    increases with doc_id), even though raw URLs differ by tracking
+    params / www. / trailing slashes."""
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_url_dedup
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"), F.lit(".example.com/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("?utm_campaign=x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("ingest_ts"),
+    )
+    src = str(tmp_path / "url_stream")
+    staged.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, ingest_ts timestamp")
+        .parquet(src)
+    )
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql(
+        "select doc_id from url_dedup_stream_test"
+    ).toPandas()["doc_id"]
+
+    expected = {
+        r["m"]
+        for r in staged.withColumn("c", ur.canonicalize_url(F.col("url")))
+        .groupBy("c").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert set(kept) == expected
