@@ -119,9 +119,22 @@ def global_shuffle_rank(
     global_rank = offset[pid] + local_rank. Cost: one range shuffle of
     the data + one shuffle keyed by pid for the local-rank window (each
     pid group is exactly one range partition, so parallelism and balance
-    are preserved), plus a num_partitions-row driver aggregate.
-    Ties (md5 collisions) break on the id itself, so the permutation is
-    a total order.
+    are preserved), plus a num_partitions-row offset cumsum broadcast
+    back. Ties (md5 collisions) break on the id itself, so the
+    permutation is a total order.
+
+    BOTH passes live in ONE plan/action: the per-partition counts feed a
+    tiny single-partition cumsum window and broadcast-join back onto the
+    ranked rows, so the range exchange is computed once and shared
+    (ReusedExchange) by the count branch and the rank branch. This is
+    not just a latency optimization — ``repartitionByRange`` picks its
+    boundaries by reservoir sampling whose seed involves the RDD id,
+    which CHANGES between separately executed jobs; a driver-side
+    ``collect`` of the counts in one job followed by the window in a
+    second job can therefore rank against offsets measured on a
+    DIFFERENT partitioning, producing duplicate/missing ranks (observed
+    at 5000 rows × 16 partitions; guarded by the permutation assertion
+    in tests/test_sampling.py).
     """
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -129,24 +142,21 @@ def global_shuffle_rank(
         n, "_shuffle_key", id_col
     )
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
-    # tiny: one row per partition
-    counts = sorted(
-        keyed.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    off = F.lit(0)
-    for pid in sorted(offsets, reverse=True):
-        off = F.when(F.col("_pid") == pid, F.lit(offsets[pid])).otherwise(off)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
     w = Window.partitionBy("_pid").orderBy("_shuffle_key", id_col)
     return (
-        keyed.withColumn(
-            "shuffle_rank", (F.row_number().over(w) + off).cast("long")
-        )
-        .drop("_shuffle_key", "_pid")
+        keyed.withColumn("_lr", F.row_number().over(w))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn("shuffle_rank", (F.col("_lr") + F.col("_off")).cast("long"))
+        .drop("_shuffle_key", "_pid", "_lr", "_off")
     )
 
 

@@ -252,7 +252,6 @@ def gopher_rules(
         out = out.withColumn(name, c)
     return out.withColumn(
         "gopher_pass",
-        F.lit(True) if not checks else
         F.aggregate(
             F.array(*[F.col(n) for n in checks]),
             F.lit(True),

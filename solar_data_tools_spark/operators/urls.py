@@ -15,9 +15,11 @@ per row, no UDFs, no shuffle until the keyed aggregation itself:
   ``max(struct(...))`` keep-best reduction: map-side combine means a URL
   fetched a billion times costs one partial per task, never a
   billion-row group in memory.
-* ``domain_cap``           — exact-k per domain via seeded md5 ranking
-  (reuses :func:`sampling.stratified_top_k_sample` semantics); the md5
-  order is reproducible across engines and partitionings.
+* ``domain_cap``           — exact-k per domain ranked by the seeded
+  ``hash_uniform`` md5 key (same family as
+  :func:`sampling.stratified_top_k_sample`, which ranks by the full md5
+  hex string; the two orders agree except on 8-hex-prefix collisions);
+  reproducible across engines and partitionings.
 
 Scale notes: canonicalization and domain extraction stay in the scan
 stage (predicate/column pruning unaffected). ``url_dedup``'s single
@@ -89,13 +91,21 @@ def canonicalize_url(url: Column) -> Column:
     6. a single trailing ``/`` dropped from the path (so
        ``…/a/`` == ``…/a`` and a bare host needs no path at all).
 
+    URLs with no parseable ``scheme://`` (protocol-relative ``//host``,
+    bare ``host/path``) pass through UNCHANGED — collapsing every
+    unparseable record onto one constant would merge them into a single
+    dedup group (silent mass data loss downstream).
+
     Mirrors the DuckDB SQL used by the q123+ oracles step for step.
     """
     scheme = _scheme(url)
     host = canonical_host(url)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment ('/x#sec?b=1', SPA hash-routes) is not a query string
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
     params = F.split(query, "&")
 
     def _keep(p: Column) -> Column:
@@ -107,13 +117,14 @@ def canonicalize_url(url: Column) -> Column:
         )
 
     canon_q = F.array_join(F.array_sort(F.filter(params, _keep)), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", url).otherwise(canon)
 
 
 def registered_domain(url: Column) -> Column:
@@ -121,7 +132,11 @@ def registered_domain(url: Column) -> Column:
     last three when the last two form a common two-level public suffix
     (:data:`TWO_LEVEL_SUFFIXES`). ``example.co.uk`` and
     ``a.b.example.com`` both map to their registrable domain; hosts with
-    fewer labels pass through unchanged."""
+    fewer labels pass through unchanged. IPv4-literal hosts are NOT
+    dotted names — they pass through whole (label-suffix math would
+    merge every host sharing its last two octets into one "domain");
+    URLs with no parseable host fall back to the literal URL string, so
+    each unparseable record stays its own group."""
     host = canonical_host(url)
     # strip any residual :port before domain math
     host = F.regexp_replace(host, r":[0-9]+$", "")
@@ -132,7 +147,9 @@ def registered_domain(url: Column) -> Column:
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
     return (
-        F.when(n <= 2, host)
+        F.when(host == "", url)
+        .when(host.rlike(r"^[0-9.]+$"), host)
+        .when(n <= 2, host)
         .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
         .otherwise(last2)
     )

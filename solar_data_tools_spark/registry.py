@@ -2760,7 +2760,8 @@ WITH raw AS (
            AS hostport,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
            AS path0,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query0
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1)
+           AS query0
   FROM raw
 ), canon AS (
   SELECT doc_id, url, scheme,

@@ -135,17 +135,21 @@ def write_training_shards(
 
     if rows_per_shard <= 0:
         raise ValueError("rows_per_shard must be positive")
+    # row count from the RAW input (a scan-only job) — counting the
+    # ranked frame instead would re-execute the whole permutation plan
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
     ranked = global_shuffle_rank(df, id_col=id_col, seed=seed)
     sharded = ranked.withColumn(
         "shard",
         ((F.col("shuffle_rank") - 1) / rows_per_shard).cast("long"),
     )
-    # total rows is known from the rank pass; cheap driver-side scalar
-    n_rows = ranked.count()
-    n_shards = max(1, -(-n_rows // rows_per_shard))
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shuffle_rank")
+        # the rank did its job (shard id + in-shard order); don't leak
+        # 8 bytes/row of helper column into every shard file
+        .drop("shuffle_rank")
         .write.mode("overwrite")
         .format(fmt)
         .partitionBy("shard")

@@ -87,10 +87,14 @@ def streaming_url_dedup(
     url_col: str = "url",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Ingest-time URL dedup: keep the first arrival per CANONICAL URL
-    within the watermark horizon — the streaming face of the batch
+    """Ingest-time URL dedup: keep ONE record per CANONICAL URL within
+    the watermark horizon — the streaming face of the batch
     ``urls.url_dedup`` (a crawler re-fetching a page under tracking-param
     / www. / trailing-slash variants produces one ingested record).
+    Across microbatches the earlier batch's record wins; WITHIN a
+    microbatch ``dropDuplicatesWithinWatermark`` keeps an arbitrary
+    (processing-order) copy, not necessarily the earliest event time —
+    use the batch ``url_dedup`` when a specific survivor matters.
 
     Same bounded-state argument as ``streaming_exact_dedup``: state is
     one 64-bit key per distinct canonical URL inside the watermark

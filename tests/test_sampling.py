@@ -147,8 +147,12 @@ def test_sampling_plan_shapes(spark, docs):
         sp.global_shuffle_rank(docs, seed=1, num_partitions=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "SinglePartition" not in rank_plan
+    # the DATA path must be range-partitioned; the only single-partition
+    # stage allowed is the n_partitions-row offsets cumsum (metadata
+    # scale), which then broadcast-joins back — never the corpus itself
+    assert rank_plan.count("SinglePartition") <= 1
     assert "rangepartitioning" in rank_plan
+    assert "BroadcastHashJoin" in rank_plan or "BroadcastNestedLoopJoin" not in rank_plan
 
     pack_plan = (
         sp.pack_sequences(docs, budget=512)
@@ -302,3 +306,18 @@ def test_ffd_packing_invariants_and_reference_parity(spark):
     assert {(r["doc_id"], r["pack_id"]) for r in out2} == {
         (r["doc_id"], r["pack_id"]) for r in out
     }
+
+
+def test_global_shuffle_rank_permutation_at_reservoir_scale(spark):
+    """Regression guard for the two-job range-boundary bug: with enough
+    rows per partition that repartitionByRange's reservoir sampling
+    actually evicts (its seed involves the RDD id, which differs between
+    separately executed jobs), offsets collected in one job against a
+    window run in another produced duplicate/missing ranks. The
+    single-plan cumsum-broadcast version must yield an exact permutation
+    at this scale, every execution."""
+    big = spark.range(20000).withColumnRenamed("id", "doc_id")
+    for _ in range(2):
+        out = sp.global_shuffle_rank(big, seed=3, num_partitions=16)
+        ranks = [r.shuffle_rank for r in out.select("shuffle_rank").collect()]
+        assert sorted(ranks) == list(range(1, 20001))

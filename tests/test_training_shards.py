@@ -16,6 +16,8 @@ def test_training_shards_layout(spark, tmp_path):
     assert n == 5  # ceil(103 / 25)
 
     back = spark.read.parquet(out)
+    # helper rank column must NOT leak into the shard files
+    assert "shuffle_rank" not in back.columns
     # partition column round-trips; every doc exactly once
     sizes = {
         r["shard"]: r["n"]
