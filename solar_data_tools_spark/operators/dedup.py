@@ -183,13 +183,20 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    # NO broadcast hint on `sizes`: it is per-DOCUMENT cardinality (one row
+    # per doc), so at 10^8-10^9 docs a forced broadcast pins tens of GB on
+    # the driver and every executor. Left as plain equi-joins: the candidate
+    # side is already shuffled on id_a/id_b, and AQE broadcast-converts the
+    # sizes build side automatically when it measures small — the right
+    # physical choice at every scale without hard-coding the 100 TB-unsafe
+    # one (plan-audited: test_q45_sizes_join_not_forced_broadcast).
     out = (
         common.join(
-            F.broadcast(sizes.selectExpr(f"{id_col} as id_a", "n_shingles as n_a")),
+            sizes.selectExpr(f"{id_col} as id_a", "n_shingles as n_a"),
             on="id_a",
         )
         .join(
-            F.broadcast(sizes.selectExpr(f"{id_col} as id_b", "n_shingles as n_b")),
+            sizes.selectExpr(f"{id_col} as id_b", "n_shingles as n_b"),
             on="id_b",
         )
         .withColumn(

@@ -64,6 +64,22 @@ def test_q45_self_join_reuses_posting_exchange(spark, sf_small):
     assert "ReusedExchange" in exec_plan
 
 
+def test_q45_sizes_join_not_forced_broadcast(spark, sf_small):
+    """The per-document `sizes` table must NOT carry a mandatory broadcast
+    hint: one row per doc means tens of GB at 10^8-10^9 docs, which a
+    forced F.broadcast() would pin on the driver and every executor. The
+    optimized logical plan therefore must contain no broadcast join hint —
+    AQE is still free to broadcast-convert at runtime when the side
+    measures small (which is the correct, scale-adaptive behavior)."""
+    df = QUERIES["q45_ngram_jaccard"].fn(spark, sf_small)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    df.collect()
+    # reuse contract from the companion test still holds post-change
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in exec_plan
+
+
 def test_q47_banded_join_reuses_signature_exchange(spark, sf_small):
     """Same reuse contract for the MinHash banded self-join: the 64-hash
     signature computation must not run once per join side."""
