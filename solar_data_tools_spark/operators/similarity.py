@@ -260,16 +260,27 @@ def train_ivf_centroids(
     bounded driver-side sample (the standard IVF recipe — the quantizer
     is tiny and trained once; assignment and search stay distributed).
 
-    The sample is the ``sample_cap`` LOWEST ids in id order — not
-    ``.sample()``, whose row selection and collect order depend on file
-    splits and parallelism, which would make the trained centroids (and
-    therefore every IVF result) vary across cluster layouts. Lloyd's
-    iterations run in numpy; centroids are L2-normalized so
+    The sample is the ``sample_cap`` rows with the SMALLEST
+    ``md5(seed, id)`` values — a bottom-k by seeded hash. Because the
+    hash order is a pseudorandom permutation of the ids, this is a
+    simple random sample of the corpus (unbiased — early ids carry no
+    privilege, unlike the previous lowest-id rule, which at corpus
+    scale meant "train on whatever was ingested first"), yet it is
+    still fully deterministic and invariant to file splits, partition
+    layout, and task retries — the properties ``.sample()`` lacks and
+    the reason IVF results must not vary across cluster layouts.
+    Lloyd's iterations run in numpy; centroids are L2-normalized so
     nearest-centroid-by-dot == nearest-by-cosine.
+
+    For corpora where even an unbiased 65k sample under-represents the
+    cell structure, use :func:`train_ivf_centroids_distributed` — full-
+    corpus Lloyd's with one assignment job per iteration.
     """
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
     sample = (
         embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(hash_uniform(F.col(id_col), seed), F.col(id_col))
         .limit(sample_cap)
         .toPandas()
         .sort_values(id_col)
@@ -290,6 +301,94 @@ def train_ivf_centroids(
             if len(members):
                 c = members.sum(axis=0)
                 cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def train_ivf_centroids_distributed(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Full-corpus spherical k-means (Lloyd's) — the scale path when even
+    an unbiased driver sample under-represents the cell structure (the
+    SemDeDup regime, where cell COUNT should grow with corpus size and
+    the quantizer must see the whole distribution).
+
+    Per iteration, everything stays distributed except the k x d centroid
+    table itself:
+
+    * **assignment** — :func:`centroid_assign`: centroids broadcast,
+      per-vector cosine in codegen, map-side ``max(struct)`` top-1
+      reduce; the shuffle carries ONE row per vector.
+    * **mean update** — ``posexplode`` the unit vectors and
+      ``groupBy(cluster, dim).sum`` : map-side partial aggregation
+      collapses each task's contribution to k x d partial sums, so the
+      update shuffle moves O(tasks * k * d) rows regardless of corpus
+      size. Only the aggregated k x d table is collected.
+
+    Initialization is deterministic farthest-point (greedy max-min
+    cosine distance) over a small bottom-by-seeded-hash pool — unbiased
+    like the sampled trainer, diverse like k-means++ without its RNG, so
+    seeds don't collapse into one dense region and results are
+    reproducible and partitioning-invariant. Empty clusters keep their
+    previous centroid. Centroids are L2-normalized; returns the same
+    ``np.ndarray`` contract as :func:`train_ivf_centroids`, drop-in for
+    :func:`ivf_topk`.
+    """
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    spark = embeddings.sparkSession
+    vecs = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    # spherical k-means averages UNIT vectors; normalize once up front
+    unit = vecs.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> x / greatest(sqrt(aggregate("
+            f"{vec_col}, cast(0.0 as double), (a, v) -> a + v * v)), 1e-12))"
+        ).alias(vec_col),
+    )
+    pool_pdf = (
+        unit.orderBy(hash_uniform(F.col(id_col), seed), F.col(id_col))
+        .limit(max(16 * n_centroids, 256))
+        .toPandas()
+    )
+    if pool_pdf.empty:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    pool = np.stack(pool_pdf[vec_col].to_numpy()).astype(np.float64)
+    k = min(n_centroids, len(pool))
+    # farthest-point: start from the hash-smallest row, greedily add the
+    # pool point with the lowest max-cosine to any chosen seed
+    chosen = [0]
+    max_sim = pool @ pool[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, pool @ pool[nxt])
+    cent = pool[chosen].copy()
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(
+            [(int(j), [float(x) for x in cent[j]]) for j in range(k)],
+            schema="cluster int, cvec array<double>",
+        )
+        assign = centroid_assign(
+            unit, cdf, vec_col=vec_col, id_col=id_col
+        ).select(id_col, "cluster")
+        sums = (
+            unit.join(assign, id_col)
+            .select(F.col("cluster"), F.posexplode(F.col(vec_col)))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        new = np.zeros_like(cent)
+        for r in sums:
+            new[r["cluster"], r["pos"]] = r["s"]
+        for j in range(k):
+            nrm = np.linalg.norm(new[j])
+            cent[j] = new[j] / nrm if nrm > 1e-12 else cent[j]
     return cent
 
 
@@ -421,6 +520,8 @@ def semdedup(
     id_col: str = "vec_id",
     cluster_col: str = "cluster",
     centroid_vec_col: str = "cvec",
+    max_cell_size: int | None = None,
+    on_mega_cell: str = "error",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
@@ -444,25 +545,87 @@ def semdedup(
     Returns (id_col, cluster, max_prior_cos, is_dup) — one row per
     input vector; ``max_prior_cos`` is NULL for the cluster's lowest id
     (no prior member exists).
+
+    **Mega-cell guard** (``max_cell_size``): the O(sum k_i^2) bound only
+    holds when cell count scales with the corpus (the paper uses ~0.1%·n
+    clusters). A too-coarse quantizer produces a mega-cell whose within-
+    cell join is quadratic-in-cell — at 10^9 docs and 16 cells that is a
+    6e7-wide self-join per cell, a silent scale-killer. With
+    ``max_cell_size`` set, cell sizes are counted first (one cheap agg)
+    and any cell above the bound either
+
+    * ``on_mega_cell="error"`` — raises with the offending cell sizes
+      (re-train with more centroids, or raise the bound), or
+    * ``on_mega_cell="subsplit"`` — splits the cell by a deterministic
+      secondary hash of the id into ``ceil(size / max_cell_size)``
+      sub-cells and dedups WITHIN sub-cells only. This bounds every
+      join group by ``max_cell_size`` at a documented recall cost:
+      duplicate pairs straddling two sub-cells of a mega-cell are not
+      compared (normal cells are untouched — sub-cell 0 — so results
+      there are bit-identical to the unguarded path, q116's oracle).
     """
+    if on_mega_cell not in ("error", "subsplit"):
+        raise ValueError(
+            f"on_mega_cell must be 'error' or 'subsplit', got {on_mega_cell!r}"
+        )
     vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
     assign = centroid_assign(
         vectors, centroid_df, vec_col, id_col, cluster_col, centroid_vec_col
     ).select(id_col, cluster_col)
-    member = vecs.join(assign, id_col).repartition(F.col(cluster_col))
+
+    if max_cell_size is not None:
+        sizes = assign.groupBy(cluster_col).agg(F.count("*").alias("_csz"))
+        if on_mega_cell == "error":
+            mega = sizes.where(F.col("_csz") > max_cell_size).collect()
+            if mega:
+                detail = ", ".join(
+                    f"cell {r[cluster_col]}: {r['_csz']} rows" for r in mega
+                )
+                raise ValueError(
+                    f"semdedup mega-cell(s) exceed max_cell_size="
+                    f"{max_cell_size} ({detail}); re-train the quantizer "
+                    "with more centroids or pass on_mega_cell='subsplit'"
+                )
+        else:
+            # secondary-hash sub-split: n_sub = ceil(size/max_cell_size);
+            # sub-cell id from xxhash64(id) so membership is deterministic
+            # and partitioning-invariant. Normal cells get n_sub == 1 →
+            # sub-cell 0 → behavior identical to the unguarded path.
+            assign = (
+                assign.join(sizes, cluster_col)
+                .withColumn(
+                    "_nsub",
+                    F.ceil(F.col("_csz") / F.lit(max_cell_size)).cast("int"),
+                )
+                .withColumn(
+                    "_subcell",
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub")).cast(
+                        "int"
+                    ),
+                )
+                .select(id_col, cluster_col, "_subcell")
+            )
+    if "_subcell" not in assign.columns:
+        assign = assign.withColumn("_subcell", F.lit(0))
+
+    member = vecs.join(assign, id_col).repartition(
+        F.col(cluster_col), F.col("_subcell")
+    )
 
     a = member.select(
         F.col(id_col).alias("_ida"),
         F.col(cluster_col).alias(cluster_col),
+        F.col("_subcell"),
         F.col(vec_col).alias("_va"),
     )
     b = member.select(
         F.col(id_col).alias("_idb"),
         F.col(cluster_col).alias(cluster_col),
+        F.col("_subcell"),
         F.col(vec_col).alias("_vb"),
     )
     pair_max = (
-        a.join(b, cluster_col)
+        a.join(b, [cluster_col, "_subcell"])
         .where(F.col("_idb") < F.col("_ida"))
         .groupBy("_ida")
         .agg(F.max(cosine(F.col("_va"), F.col("_vb"))).alias("max_prior_cos"))

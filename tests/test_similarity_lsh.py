@@ -440,6 +440,115 @@ def test_semdedup_cross_cell_blindness_is_by_design(spark):
     assert not rows[0]["is_dup"] and not rows[1]["is_dup"]
 
 
+def test_semdedup_mega_cell_error_and_subsplit(spark):
+    """Mega-cell guard: a planted 8-row cell with max_cell_size=4 must
+    (a) raise in 'error' mode naming the cell, (b) bound every join
+    group to <= max_cell_size in 'subsplit' mode (pair count strictly
+    below the unguarded within-cell quadratic), and (c) leave a normal
+    cell's verdicts bit-identical to the unguarded path."""
+    import pytest as _pytest
+
+    from solar_data_tools_spark.operators.similarity import semdedup
+
+    # cell 0: 8 identical vectors (mega); cell 1: 3 identical (normal)
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(8)] + [
+        (i, [0.0, 1.0, 0.0]) for i in range(100, 103)
+    ]
+    vdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["cluster", "cvec"]
+    )
+    with _pytest.raises(ValueError, match="mega-cell"):
+        semdedup(vdf, cdf, tau=0.9, max_cell_size=4).collect()
+    with _pytest.raises(ValueError, match="on_mega_cell"):
+        semdedup(vdf, cdf, tau=0.9, max_cell_size=4, on_mega_cell="bogus")
+
+    unguarded = {
+        r["vec_id"]: r.asDict() for r in semdedup(vdf, cdf, tau=0.9).collect()
+    }
+    split = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup(
+            vdf, cdf, tau=0.9, max_cell_size=4, on_mega_cell="subsplit"
+        ).collect()
+    }
+    # (c) normal cell (size 3 <= 4): identical verdicts
+    for i in (100, 101, 102):
+        assert split[i] == unguarded[i]
+    # (b) mega-cell: every sub-cell keeps exactly one representative;
+    # with 8 identical vectors in <=2 sub-cells, 1-2 survivors (vs 1
+    # unguarded) and at least ceil(8/2)=4 dups per the pigeonhole bound
+    survivors = [i for i in range(8) if not split[i]["is_dup"]]
+    assert 1 <= len(survivors) <= 2
+    assert sum(split[i]["is_dup"] for i in range(8)) >= 6
+    assert 0 in survivors  # lowest id always survives
+
+
+def test_train_ivf_centroids_sample_is_unbiased_and_invariant(spark):
+    """The quantizer's bottom-k-by-seeded-hash sample must (a) span the
+    id range rather than privileging the lowest ids, and (b) produce
+    identical centroids under a different partitioning of the corpus."""
+    import numpy as np_
+
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+    from solar_data_tools_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    import pyspark.sql.functions as F
+
+    n = 2000
+    rng = np_.random.default_rng(7)
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    cap = 200
+    sampled_ids = [
+        r["vec_id"]
+        for r in vdf.orderBy(hash_uniform(F.col("vec_id"), 42), "vec_id")
+        .limit(cap)
+        .collect()
+    ]
+    # unbiased draw: both halves of the id range represented, and the
+    # sample is NOT the lowest-id prefix (the old biased rule)
+    assert sum(1 for i in sampled_ids if i >= n // 2) > cap // 4
+    assert sorted(sampled_ids) != list(range(cap))
+
+    c1 = train_ivf_centroids(vdf, n_centroids=8, sample_cap=cap)
+    c2 = train_ivf_centroids(
+        vdf.repartition(13, "vec_id"), n_centroids=8, sample_cap=cap
+    )
+    assert np_.allclose(c1, c2)
+
+
+def test_train_ivf_centroids_distributed(spark):
+    """Distributed Lloyd's: unit-norm centroids, deterministic under
+    repartitioning, and recovers planted orthogonal cluster directions."""
+    import numpy as np_
+
+    from solar_data_tools_spark.operators.similarity import (
+        train_ivf_centroids_distributed,
+    )
+
+    rng = np_.random.default_rng(3)
+    dirs = np_.eye(4)
+    rows = []
+    for i in range(400):
+        v = dirs[i % 4] * 5 + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    vdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = train_ivf_centroids_distributed(vdf, n_centroids=4, n_iters=5)
+    assert cent.shape == (4, 4)
+    assert np_.allclose(np_.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    # every planted direction is some centroid (cosine > 0.99)
+    sims = cent @ dirs.T
+    assert (sims.max(axis=0) > 0.99).all()
+    cent2 = train_ivf_centroids_distributed(
+        vdf.repartition(17, "vec_id"), n_centroids=4, n_iters=5
+    )
+    assert np_.allclose(cent, cent2)
+
+
 def test_truncate_embeddings_semantics(spark):
     from pyspark.sql import Row
     import math
