@@ -727,6 +727,15 @@ def chunk_documents(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # a stride beyond the window leaves the tokens between windows in
+        # NO chunk (and the chunk-count formula would emit a final chunk
+        # with non-positive n_tok over an empty slice) — the every-token-
+        # covered guarantee above cannot hold, so reject loudly
+        raise ValueError(
+            f"stride ({stride}) must be <= window ({window}): gaps between "
+            "windows would leave tokens uncovered"
+        )
     toks = docs.select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("_t"),

@@ -107,41 +107,50 @@ def global_shuffle_rank(
 
     The naive plan (``row_number() OVER (ORDER BY key)``) collapses the
     whole corpus into ONE window partition — a non-starter at 100 TB.
-    This uses the classic two-pass range plan instead:
+    This uses the classic two-pass range plan, with the range bucket
+    COMPUTED from the key rather than sampled:
 
-      1. ``repartitionByRange`` on the hash key (range partitioner:
-         partition *p* holds a contiguous key range, all ranges in
-         partition order) + per-partition local ranks;
-      2. per-partition row counts (a tiny ``n_partitions``-row
-         aggregate) → cumulative offsets, folded back in as a CASE
-         expression on the partition id.
+      1. bucket ``_pid = floor(u * n)`` where ``u`` is the key's
+         leading-32-bit uniform value — md5 is uniform, so buckets are
+         balanced (±√ fluctuations) AND each bucket is a contiguous key
+         range by construction; local ranks via a window partitioned by
+         ``_pid``;
+      2. per-bucket row counts (a tiny ``n_partitions``-row aggregate)
+         → cumulative offsets, broadcast-joined back on ``_pid``.
 
-    global_rank = offset[pid] + local_rank. Cost: one range shuffle of
-    the data + one shuffle keyed by pid for the local-rank window (each
-    pid group is exactly one range partition, so parallelism and balance
-    are preserved), plus a num_partitions-row offset cumsum broadcast
-    back. Ties (md5 collisions) break on the id itself, so the
-    permutation is a total order.
+    global_rank = offset[pid] + local_rank. Cost: one hash shuffle of
+    the data for the per-bucket window, plus a num_partitions-row
+    offset cumsum broadcast back. Ties (md5 collisions) break on the id
+    itself, so the permutation is a total order.
 
-    BOTH passes live in ONE plan/action: the per-partition counts feed a
-    tiny single-partition cumsum window and broadcast-join back onto the
-    ranked rows, so the range exchange is computed once and shared
-    (ReusedExchange) by the count branch and the rank branch. This is
-    not just a latency optimization — ``repartitionByRange`` picks its
-    boundaries by reservoir sampling whose seed involves the RDD id,
-    which CHANGES between separately executed jobs; a driver-side
-    ``collect`` of the counts in one job followed by the window in a
-    second job can therefore rank against offsets measured on a
-    DIFFERENT partitioning, producing duplicate/missing ranks (observed
-    at 5000 rows × 16 partitions; guarded by the permutation assertion
-    in tests/test_sampling.py).
+    Why a computed bucket and NOT ``repartitionByRange`` +
+    ``spark_partition_id()``: the range partitioner picks boundaries by
+    reservoir sampling whose seed involves the RDD id, so two range
+    exchanges — separate jobs, OR the count/rank branches of one plan
+    whenever anything (column pruning, disabled
+    ``spark.sql.exchange.reuse``) stops Catalyst from deduplicating the
+    two subtrees — can measure offsets on a DIFFERENT partitioning than
+    the ranks, producing duplicate/missing ranks. That failure was
+    observed in both forms: two-job at 5000 rows × 16 partitions, and
+    single-plan the moment the input carried a payload column (pruning
+    made the subtrees differ, defeating ReusedExchange). A bucket that
+    is a pure function of the key cannot diverge between branches, no
+    matter how Catalyst plans them; determinism needs no physical-plan
+    cooperation. Guarded by the payload-column permutation test in
+    tests/test_sampling.py.
     """
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keyed = df.withColumn("_shuffle_key", key).repartitionByRange(
-        n, "_shuffle_key", id_col
+    # leading 8 hex chars = uniform 32-bit value; floor(u32 * n / 2^32)
+    # in exact integer arithmetic (u32 * n < 2^63 for any sane n).
+    # md5 hex strings are fixed-width lowercase, so lexicographic key
+    # order == numeric order of the prefix: bucket id is monotone in the
+    # key and each bucket holds a contiguous key range — the property
+    # the offset construction needs.
+    u32 = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    keyed = df.withColumn("_shuffle_key", key).withColumn(
+        "_pid", F.floor(u32 * F.lit(int(n)) / F.lit(2**32)).cast("int")
     )
-    keyed = keyed.withColumn("_pid", F.spark_partition_id())
     counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.orderBy("_pid")

@@ -164,18 +164,21 @@ def url_dedup(
     """One row per canonical URL: the row with the highest
     ``quality_col`` (ties → lowest ``id_col``) survives.
 
-    The reduction is ``max(struct(quality, -id))`` — an ordinary
+    The reduction is ``min(struct(-quality, id))`` — an ordinary
     aggregate with map-side partials, so duplicate cardinality per URL
     is unbounded without any per-group memory concern (contrast a
-    window `row_number`, which sorts every group).
+    window `row_number`, which sorts every group). Only ``quality_col``
+    must be numeric (it is negated to express "highest quality" under a
+    min); the tie-break compares ``id_col`` directly, so ids can be any
+    orderable type — numeric row ids, WARC record ids, UUID strings.
 
     Returns (canon_url, n_dups, kept ``id_col``, kept ``quality_col``).
     """
     canon = df.withColumn("canon_url", canonicalize_url(F.col(url_col)))
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col(quality_col).alias("q"),
-            (-F.col(id_col)).alias("neg_id"),
+            (-F.col(quality_col)).alias("neg_q"),
+            F.col(id_col).alias("id"),
         )
     ).alias("best")
     out = canon.groupBy("canon_url").agg(
@@ -184,8 +187,8 @@ def url_dedup(
     return out.select(
         "canon_url",
         "n_dups",
-        (-F.col("best.neg_id")).alias(id_col),
-        F.col("best.q").alias(quality_col),
+        F.col("best.id").alias(id_col),
+        (-F.col("best.neg_q")).alias(quality_col),
     )
 
 
@@ -215,10 +218,20 @@ def domain_cap(
     Because the prefilter keeps a superset of the hash-smallest ``cap``
     rows whenever ≥cap rows survive, the result is IDENTICAL to the
     exact path unless the binomial survivor count dips below ``cap``
-    (P < exp(-cap·(1−1/margin)²/2) per domain by Chernoff — ~1e-27 at
-    cap=1000, margin=2; under-cap domains skip the prefilter entirely,
-    so they are never at risk).
+    (P < exp(-cap·(1−1/margin)²/2) per domain by Chernoff; under-cap
+    domains skip the prefilter entirely, so they are never at risk).
+
+    **The bound is cap-dependent**: the exponent is cap·(1−1/margin)²/2,
+    so ~1e-27 at cap=1000/margin=2 but ~8% at cap=20/margin=2 — small
+    caps with a thin margin can silently under-fill over-cap domains.
+    When the per-domain divergence bound exceeds ~1e-9 (exponent < 20)
+    this function emits a ``UserWarning`` telling you the margin (or
+    cap) needed to restore the guarantee; pass a larger
+    ``prefilter_margin`` or drop the prefilter for small caps.
     """
+    import math
+    import warnings
+
     from pyspark.sql import Window
 
     d = df.withColumn("domain", registered_domain(F.col(url_col)))
@@ -226,6 +239,23 @@ def domain_cap(
     if prefilter_margin is not None:
         if prefilter_margin <= 1.0:
             raise ValueError("prefilter_margin must be > 1")
+        exponent = cap * (1.0 - 1.0 / prefilter_margin) ** 2 / 2.0
+        if exponent < 20.0:
+            # margin needed for a 1e-9 per-domain bound at this cap
+            need = 1.0 / (1.0 - math.sqrt(2.0 * 20.0 / cap)) if cap > 40 else None
+            hint = (
+                f"use prefilter_margin >= {need:.2f}"
+                if need
+                else "this cap is too small for any margin; drop the prefilter"
+            )
+            warnings.warn(
+                f"domain_cap prefilter divergence bound is exp(-{exponent:.2f})"
+                f" ≈ {math.exp(-exponent):.2e} per over-cap domain at cap="
+                f"{cap}, margin={prefilter_margin} — the 'identical to exact'"
+                f" guarantee is weak; {hint}",
+                UserWarning,
+                stacklevel=2,
+            )
         counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_nd"))
         # plain (non-broadcast) join: co-partitions by domain, the same
         # distribution the window needs — one shuffle of the big side

@@ -1870,6 +1870,20 @@ def test_chunk_documents_semantics(spark):
     assert got[(1, 1)] == want
 
 
+def test_chunk_documents_rejects_gapping_stride(spark):
+    """stride > window would leave inter-window tokens in NO chunk,
+    violating the every-token-covered guarantee — rejected loudly."""
+    import pytest as _pytest
+
+    from solar_data_tools_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=8, stride=9)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, window=0, stride=1)
+
+
 def test_streaming_chunking_matches_batch(spark, sf_small, tmp_path):
     """chunk_documents is stream-legal (stateless narrow ops): an
     availableNow file stream over the documents parquet yields exactly

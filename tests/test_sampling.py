@@ -88,6 +88,29 @@ def test_global_shuffle_rank_is_permutation(spark, docs):
     assert by_rank == expected
 
 
+def test_global_shuffle_rank_permutation_with_payload_columns(spark):
+    """Regression guard for the pruning-defeats-ReusedExchange bug: with
+    a payload column, column pruning makes the count branch's exchange
+    subtree differ from the rank branch's, so the old
+    repartitionByRange plan sampled TWO independent sets of range
+    boundaries (no ReusedExchange) and could emit duplicate/missing
+    ranks at reservoir-eviction scale. The computed-bucket plan derives
+    the partition id from the key itself, so it must yield an exact
+    permutation regardless of payload columns or exchange reuse."""
+    import pyspark.sql.functions as F
+
+    big = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+    )
+    out = sp.global_shuffle_rank(big, seed=3, num_partitions=16)
+    ranks = [r.shuffle_rank for r in out.select("shuffle_rank").collect()]
+    assert sorted(ranks) == list(range(1, 20001))
+    # and no ReusedExchange is REQUIRED for that to hold
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in exec_plan
+
+
 def test_global_shuffle_rank_partitioning_invariant(docs):
     a = {(r.doc_id, r.shuffle_rank)
          for r in sp.global_shuffle_rank(docs, seed=9, num_partitions=3).collect()}
@@ -147,11 +170,14 @@ def test_sampling_plan_shapes(spark, docs):
         sp.global_shuffle_rank(docs, seed=1, num_partitions=4)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the DATA path must be range-partitioned; the only single-partition
-    # stage allowed is the n_partitions-row offsets cumsum (metadata
-    # scale), which then broadcast-joins back — never the corpus itself
+    # the DATA path must be partitioned by the computed key bucket; the
+    # only single-partition stage allowed is the n_partitions-row
+    # offsets cumsum (metadata scale), which then broadcast-joins back —
+    # never the corpus itself. No rangepartitioning: the bucket is a
+    # pure function of the key (no sampled boundaries to diverge).
     assert rank_plan.count("SinglePartition") <= 1
-    assert "rangepartitioning" in rank_plan
+    assert "rangepartitioning" not in rank_plan
+    assert "hashpartitioning(_pid" in rank_plan
     assert "BroadcastHashJoin" in rank_plan or "BroadcastNestedLoopJoin" not in rank_plan
 
     pack_plan = (

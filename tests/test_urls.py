@@ -76,6 +76,42 @@ def test_url_dedup_keep_best_and_ties(spark):
     ]
 
 
+def test_url_dedup_string_ids(spark):
+    """The tie-break must work for NON-numeric ids (WARC record ids,
+    UUIDs): lexicographically smallest id wins on a quality tie."""
+    rows = [
+        Row(doc_id="warc-b", n_chars=7, url="https://b.com/q"),
+        Row(doc_id="warc-a", n_chars=7, url="https://b.com/q#frag"),
+        Row(doc_id="warc-z", n_chars=9, url="https://c.com/r"),
+    ]
+    out = ur.url_dedup(spark.createDataFrame(rows)).orderBy("canon_url")
+    got = [(r["canon_url"], r["n_dups"], r["doc_id"], r["n_chars"])
+           for r in out.collect()]
+    assert got == [
+        ("https://b.com/q", 2, "warc-a", 7),
+        ("https://c.com/r", 1, "warc-z", 9),
+    ]
+
+
+def test_domain_cap_small_cap_prefilter_warns(spark):
+    """cap=20, margin=2 puts the Chernoff divergence bound at
+    exp(-2.5) ≈ 8% per over-cap domain — the prefilter must warn that
+    the 'identical to exact' guarantee is weak at this setting."""
+    import warnings as _warnings
+
+    rows = [Row(doc_id=i, url=f"https://big.com/p{i}") for i in range(50)]
+    df = spark.createDataFrame(rows)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        ur.domain_cap(df, cap=20, seed=9, prefilter_margin=2.0).collect()
+    assert any("divergence bound" in str(w.message) for w in caught)
+    # a healthy setting (cap=1000, margin=2 → exp(-125)) must NOT warn
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        ur.domain_cap(df, cap=1000, seed=9, prefilter_margin=2.0).collect()
+    assert not any("divergence bound" in str(w.message) for w in caught2)
+
+
 def test_domain_cap_exact_k_and_determinism(spark):
     rows = [
         Row(doc_id=i, url=f"https://s{i % 4}.dom{i % 3}.com/{i}")
