@@ -2007,7 +2007,7 @@ WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 def q93_global_shuffle(spark, sf_dir):
     """Seeded deterministic global shuffle: every document's 1-based
     position in the total order by md5(seed, doc_id). Uses the two-pass
-    range-partitioned rank plan (``sampling.global_shuffle_rank``), NOT
+    computed-bucket rank plan (``sampling.global_shuffle_rank``), NOT
     a single-partition ``row_number() OVER (ORDER BY ...)`` window."""
     docs = _t(spark, sf_dir, "documents")
     return sp.global_shuffle_rank(docs, id_col="doc_id", seed=7).select(
@@ -4883,135 +4883,32 @@ QUERIES: dict[str, QuerySpec] = {
 # indefinitely; the full registry is additionally swept locally every
 # session (tests/test_oracle_parity.py, no window). Priority rationale,
 # front to back: (1) the one historical external failure; (2) oracle
-# queries whose CODE changed this round; (3) oracles new this round,
-# never externally hash-checked; (4) oracles whose last external pass is
-# oldest; (5) recently re-verified relational oracles. Rows-only queries
-# sit behind the window this round — their external check is only a
-# schema/rows smoke while every one of them carries a local invariant,
-# fixture, or golden test, so window slots go to hash-checkable queries;
-# they all ran inside the r4 window and rotate back in future rounds.
+# queries whose CODE changed this round; (3) the 22 rows-only queries,
+# rotated BACK into the window this round (they sat behind it in r5 so
+# its slots could go to never-hash-checked oracles; the no-starvation
+# promise below is honored here — last external run r4); (4) oracles
+# whose last external pass is oldest; (5) recently re-verified oracles.
 # The full registry is additionally verified locally every session by
 # tests/test_oracle_parity.py (all oracle queries vs DuckDB, no window).
 _QUERY_ORDER: list[str] = [
     # 1. the one historical external failure (r3 ingest regression, fixed)
     "q76_sessionization",
     # 2. oracle queries whose CODE changed this round — re-verify first
-    #    (q77: SCD2 tie-break fix; q45: exchange-reuse + row-local sizes;
-    #    q26/q27: as-of tie-break hardening; q91/q100/q105: decontaminate
-    #    single-pass rewrite; q110: max-struct top-1 rewrite)
-    "q77_scd2_merge",
+    #    (q45: forced per-doc broadcast dropped; q93: computed-bucket
+    #    rank rewrite replacing sampled range boundaries; q124:
+    #    min-struct tie-break for arbitrary id types; q116: mega-cell
+    #    guard plumbing; q121: stride validation; q125: margin warning)
     "q45_ngram_jaccard",
-    "q26_asof_join",
-    "q27_standardize_grid",
-    "q91_curation_pipeline",
-    "q100_decontaminate",
-    "q105_curated_corpus",
-    "q110_centroid_assignment",
-    # 3. oracles NEW in round 5, never externally hash-checked
-    "q115_bigram_logprob",
-    "q116_semdedup",
-    "q117_snapshot_dedup",
-    "q118_media_frames",
-    "q119_media_resize",
-    "q120_embedding_quantize",
-    "q121_doc_chunking",
-    "q122_line_dedup",
-    "q123_url_canonicalize",
-    "q124_url_dedup",
-    "q125_domain_cap",
-    "q126_html_extract",
-    "q127_gopher_rules",
-    "q128_domain_split",
-    "q129_matryoshka_truncate",
-    "q130_json_metadata",
-    "q108_substring_spans",
-    "q109_span_decontaminate",
-    "q112_stratified_topk",
-    "q113_tfidf_terms",
-    "q114_contamination_attribution",
-    "q92_stratified_sample",
     "q93_global_shuffle",
-    "q94_sequence_packing",
-    "q95_simhash_md5",
-    "q96_minhash_signatures_md5",
-    "q97_topk_sample",
-    "q98_leakage_safe_split",
-    "q99_duplicate_clusters",
-    "q101_repetition_stats",
-    "q102_pii_redaction",
-    "q103_unigram_logprob",
-    "q104_minhash_pipeline_md5",
-    "q106_budget_mix",
-    "q107_simhash_near_dups",
-    "q89_embedding_dedup",
-    "q63_quality_clustering",
-    "q72_pv_quantiles",
-    "q73_performance_index",
-    # 4. oracles whose last external hash pass is oldest (round 2)
-    "q40_exact_dup_groups",
-    "q44_language_id",
-    "q46_knn_bruteforce",
-    "q70_cos_theta_geometry",
-    "q71_declination_binned_mean",
-    "q78_rollup",
-    "q81_profile_normalization",
-    "q82_quality_counts",
-    "q83_doy_model_join",
-    "q84_string_ops",
-    # 5. round-4-verified relational oracles, numeric order (fills the
-    #    50-query window with hash-checked rows instead of weaker
-    #    rows-only runs; the rows-only solver queries all ran in the r4
-    #    window and keep their local invariant/golden tests)
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_window_topk",
-    "q06_conditional_pivot",
-    "q07_group_having",
-    "q08_correlated_subquery",
-    # ---- driver window boundary (first 50) ----
-    "q09_monthly_rollup",
-    "q10_daily_energy",
-    "q11_daily_stats",
-    "q12_site_capacity",
-    "q13_daily_density",
-    "q14_sampling_inference",
-    "q15_first_diff",
-    "q16_rolling_mean",
-    "q17_run_length",
-    "q18_dedup_timestamps",
-    "q19_gap_fill",
-    "q20_range_clamp",
-    "q21_iqr_filter",
-    "q22_daytime_detection",
-    "q23_future_filter",
-    "q24_resample_hourly",
-    "q25_avg_day_profile",
-    "q28_daily_smoothness",
-    "q29_sunrise_sunset",
-    "q30_clipping_stats",
-    "q31_binned_mean",
-    "q32_rayleigh",
-    "q33_solar_geometry",
-    "q34_longitude_estimate",
-    "q35_latitude_estimate",
-    "q36_linearity_mode",
-    "q37_cdf_resample",
-    "q38_train_test_split",
-    "q39_doy_median_profile",
-    "q41_fingerprint",
-    "q42_token_stats",
-    "q43_quality_scores",
-    "q52_make_time_series",
-    "q53_annotation_rejoin",
-    "q56_pivot_wide",
-    "q57_segment_pooled_diffs",
-    "q58_daily_median_delta",
-    "q59_set_ops",
-    # rows-only queries (external run = schema/rows smoke; each carries a
-    # local semantic-invariant, fixture, or golden test — see
-    # tests/test_semantic_invariants.py and COVERAGE.md)
+    "q124_url_dedup",
+    "q116_semdedup",
+    "q121_doc_chunking",
+    "q125_domain_cap",
+    # 3. the 22 rows-only queries, rotated back into the external
+    #    window as promised by this order's rationale: last externally
+    #    run in r4; each carries a local invariant/fixture/golden test,
+    #    and q90's quantizer sample CHANGED this round (unbiased
+    #    seeded-hash draw)
     "q47_minhash_near_dups",
     "q48_simhash",
     "q49_lsh_topk",
@@ -5034,6 +4931,109 @@ _QUERY_ORDER: list[str] = [
     "q88_cdf_resample_approx",
     "q90_ivf_topk",
     "q111_ffd_packing",
+    # 4. hash-checkable oracles whose last external pass is oldest
+    #    (round 4) — fills the remaining window slots
+    "q09_monthly_rollup",
+    "q10_daily_energy",
+    "q11_daily_stats",
+    "q12_site_capacity",
+    "q13_daily_density",
+    "q14_sampling_inference",
+    "q15_first_diff",
+    "q16_rolling_mean",
+    "q17_run_length",
+    "q18_dedup_timestamps",
+    "q19_gap_fill",
+    "q20_range_clamp",
+    "q21_iqr_filter",
+    "q22_daytime_detection",
+    "q23_future_filter",
+    "q24_resample_hourly",
+    "q25_avg_day_profile",
+    "q28_daily_smoothness",
+    "q29_sunrise_sunset",
+    "q30_clipping_stats",
+    "q31_binned_mean",
+    # ---- driver window boundary (first 50) ----
+    # remaining round-4-verified oracles, next-oldest first
+    "q32_rayleigh",
+    "q33_solar_geometry",
+    "q34_longitude_estimate",
+    "q35_latitude_estimate",
+    "q36_linearity_mode",
+    "q37_cdf_resample",
+    "q38_train_test_split",
+    "q39_doy_median_profile",
+    "q41_fingerprint",
+    "q42_token_stats",
+    "q43_quality_scores",
+    "q52_make_time_series",
+    "q53_annotation_rejoin",
+    "q56_pivot_wide",
+    "q57_segment_pooled_diffs",
+    "q58_daily_median_delta",
+    "q59_set_ops",
+    # round-5-verified oracles (freshest external pass; all re-swept
+    #    locally every session by tests/test_oracle_parity.py)
+    "q77_scd2_merge",
+    "q26_asof_join",
+    "q27_standardize_grid",
+    "q91_curation_pipeline",
+    "q100_decontaminate",
+    "q105_curated_corpus",
+    "q110_centroid_assignment",
+    "q115_bigram_logprob",
+    "q117_snapshot_dedup",
+    "q118_media_frames",
+    "q119_media_resize",
+    "q120_embedding_quantize",
+    "q122_line_dedup",
+    "q123_url_canonicalize",
+    "q126_html_extract",
+    "q127_gopher_rules",
+    "q128_domain_split",
+    "q129_matryoshka_truncate",
+    "q130_json_metadata",
+    "q108_substring_spans",
+    "q109_span_decontaminate",
+    "q112_stratified_topk",
+    "q113_tfidf_terms",
+    "q114_contamination_attribution",
+    "q92_stratified_sample",
+    "q94_sequence_packing",
+    "q95_simhash_md5",
+    "q96_minhash_signatures_md5",
+    "q97_topk_sample",
+    "q98_leakage_safe_split",
+    "q99_duplicate_clusters",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
+    "q103_unigram_logprob",
+    "q104_minhash_pipeline_md5",
+    "q106_budget_mix",
+    "q107_simhash_near_dups",
+    "q89_embedding_dedup",
+    "q63_quality_clustering",
+    "q72_pv_quantiles",
+    "q73_performance_index",
+    "q40_exact_dup_groups",
+    "q44_language_id",
+    "q46_knn_bruteforce",
+    "q70_cos_theta_geometry",
+    "q71_declination_binned_mean",
+    "q78_rollup",
+    "q81_profile_normalization",
+    "q82_quality_counts",
+    "q83_doy_model_join",
+    "q84_string_ops",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_window_topk",
+    "q06_conditional_pivot",
+    "q07_group_having",
+    "q08_correlated_subquery",
 ]
 
 assert sorted(_QUERY_ORDER) == sorted(QUERIES), (
