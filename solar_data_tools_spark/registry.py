@@ -4298,6 +4298,68 @@ def q75_orientation_fit(spark, sf_dir):
     )
 
 
+def q131_longitude_study(spark, sf_dir):
+    """Profiler LongitudeStudy sweep (pvsystemprofiler/longitude_study.py
+    :32) — method-grid x site fan-out: one longitude per (site,
+    estimator, eot, solar-noon method, day selection). Rows-only: the
+    huber leg is an IRLS M-estimate."""
+    from solar_data_tools_spark.algorithms.profiler_studies import (
+        longitude_study,
+    )
+
+    m = _meas(spark, sf_dir)
+    out = longitude_study(m, gmt_offset=0.0)
+    return out.select(
+        "site",
+        "estimator",
+        "eot_calculation",
+        "solar_noon_method",
+        "day_selection_method",
+        F.round("longitude", 4).alias("longitude"),
+    )
+
+
+def q132_latitude_study(spark, sf_dir):
+    """Profiler LatitudeStudy sweep (pvsystemprofiler/latitude_study.py
+    :29) — declination x daylight-method x day-selection grid, one
+    latitude per configuration. Rows-only (grid + percentile sweep)."""
+    from solar_data_tools_spark.algorithms.profiler_studies import (
+        latitude_study,
+    )
+
+    m = _meas(spark, sf_dir)
+    out = latitude_study(m)
+    return out.select(
+        "site",
+        "declination_method",
+        "daylight_calculation",
+        "day_selection_method",
+        F.round("latitude", 4).alias("latitude"),
+    )
+
+
+def q133_tilt_azimuth_study(spark, sf_dir):
+    """Profiler TiltAzimuthStudy sweep (pvsystemprofiler/
+    tilt_azimuth_study.py:39) — declination x init-value grid over the
+    M4 Gauss-Newton cosθ fit. Rows-only (iterative NLS)."""
+    from solar_data_tools_spark.algorithms.profiler_studies import (
+        tilt_azimuth_study,
+    )
+
+    m = _meas(spark, sf_dir)
+    out = tilt_azimuth_study(
+        m, lat_deg=37.45, init_values=((20.0, 0.0), (40.0, 30.0))
+    )
+    return out.select(
+        "site",
+        "declination_method",
+        "init_tilt",
+        "init_azimuth",
+        F.round("tilt_deg", 2).alias("tilt_deg"),
+        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+    )
+
+
 def q76_sessionization(spark, sf_dir):
     """Gap-based sessionization per user (30-min gap) — the W4 run-id
     recipe applied to time gaps."""
@@ -4823,6 +4885,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q111_ffd_packing": QuerySpec(
         q111_ffd_packing, None, "sampling-packing-ffd"
     ),
+    "q131_longitude_study": QuerySpec(
+        q131_longitude_study, None, "profiler-longitude-study"
+    ),
+    "q132_latitude_study": QuerySpec(
+        q132_latitude_study, None, "profiler-latitude-study"
+    ),
+    "q133_tilt_azimuth_study": QuerySpec(
+        q133_tilt_azimuth_study, None, "profiler-tilt-azimuth-study"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -4973,6 +5044,11 @@ _QUERY_ORDER: list[str] = [
     "q57_segment_pooled_diffs",
     "q58_daily_median_delta",
     "q59_set_ops",
+    # rows-only profiler-study queries NEW this round (local golden +
+    #    recovery tests; external check is a schema/rows smoke)
+    "q131_longitude_study",
+    "q132_latitude_study",
+    "q133_tilt_azimuth_study",
     # round-5-verified oracles (freshest external pass; all re-swept
     #    locally every session by tests/test_oracle_parity.py)
     "q77_scd2_merge",
