@@ -223,6 +223,11 @@ def main() -> None:
     )
     timed("url_dedup", ur.url_dedup(with_urls), timings)
     timed("domain_cap_1000", ur.domain_cap(with_urls, cap=1000), timings)
+    timed(
+        "domain_cap_1000_prefilter",
+        ur.domain_cap(with_urls, cap=1000, prefilter_margin=2.0),
+        timings,
+    )
 
     from solar_data_tools_spark.operators import text as txp
 
