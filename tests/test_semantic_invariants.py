@@ -434,6 +434,47 @@ def test_q86_clear_sky_counts(results):
     assert (df.n_slots > 0).all()
 
 
+def test_q131_longitude_study_grid_complete(results):
+    """Full grid: one row per (site, estimator, eot, noon, day-sel);
+    within every cell group the four estimators are finite and the
+    closed-form pair (calculated == fit_l1, both medians) agrees
+    exactly. Recovery accuracy is pinned by the planted-site golden in
+    test_profiler_studies.py."""
+    df = results("q131_longitude_study")
+    keys = ["site", "estimator", "eot_calculation", "solar_noon_method",
+            "day_selection_method"]
+    assert not df.duplicated(keys).any()
+    n_sites = df["site"].nunique()
+    # clear/cloudy legs may drop for degenerate sites, but 'all' is full
+    all_leg = df[df.day_selection_method == "all"]
+    assert len(all_leg) == n_sites * 4 * 2 * 2
+    assert df["longitude"].notna().all()
+    piv = all_leg.pivot_table(
+        index=["site", "eot_calculation", "solar_noon_method"],
+        columns="estimator", values="longitude",
+    )
+    assert (piv["calculated"] == piv["fit_l1"]).all()
+
+
+def test_q132_latitude_study_grid_complete(results):
+    df = results("q132_latitude_study")
+    keys = ["site", "declination_method", "daylight_calculation",
+            "day_selection_method"]
+    assert not df.duplicated(keys).any()
+    n_sites = df["site"].nunique()
+    all_leg = df[df.day_selection_method == "all"]
+    assert len(all_leg) == n_sites * 2 * 2
+    assert df["latitude"].between(-90, 90).all()
+
+
+def test_q133_tilt_azimuth_study_grid_complete(results):
+    df = results("q133_tilt_azimuth_study")
+    keys = ["site", "declination_method", "init_tilt", "init_azimuth"]
+    assert not df.duplicated(keys).any()
+    assert df["tilt_deg"].between(0, 90).all()
+    assert df["azimuth_deg"].between(-180, 180).all()
+
+
 def test_every_rows_only_query_has_an_invariant():
     covered = {
         name[len("test_"):].split("_")[0]
