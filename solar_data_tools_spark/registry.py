@@ -4360,6 +4360,26 @@ def q133_tilt_azimuth_study(spark, sf_dir):
     )
 
 
+def q134_system_parameters(spark, sf_dir):
+    """ConfigurationEstimator chain (pvsystemprofiler/estimator.py:36-184)
+    fleet-wide: per-site longitude -> latitude -> Gauss-Newton cosθ
+    orientation, each estimate feeding the next. Rows-only (iterative
+    NLS)."""
+    from solar_data_tools_spark.algorithms.estimator import (
+        estimate_system_parameters,
+    )
+
+    m = _meas(spark, sf_dir)
+    out = estimate_system_parameters(m, gmt_offset=0.0)
+    return out.select(
+        "site",
+        F.round("longitude", 4).alias("longitude"),
+        F.round("latitude", 4).alias("latitude"),
+        F.round("tilt_deg", 2).alias("tilt_deg"),
+        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+    )
+
+
 def q76_sessionization(spark, sf_dir):
     """Gap-based sessionization per user (30-min gap) — the W4 run-id
     recipe applied to time gaps."""
@@ -4894,6 +4914,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q133_tilt_azimuth_study": QuerySpec(
         q133_tilt_azimuth_study, None, "profiler-tilt-azimuth-study"
     ),
+    "q134_system_parameters": QuerySpec(
+        q134_system_parameters, None, "profiler-configuration-estimator"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5049,6 +5072,7 @@ _QUERY_ORDER: list[str] = [
     "q131_longitude_study",
     "q132_latitude_study",
     "q133_tilt_azimuth_study",
+    "q134_system_parameters",
     # round-5-verified oracles (freshest external pass; all re-swept
     #    locally every session by tests/test_oracle_parity.py)
     "q77_scd2_merge",

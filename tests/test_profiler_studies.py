@@ -166,3 +166,42 @@ def test_study_day_selection_and_flags_join(spark, planted_flat):
         ]
     assert "clear" not in by_sel  # no clear days -> no rows for that leg
     assert by_sel["cloudy"] == by_sel["all"]
+
+
+def test_estimate_system_parameters_end_to_end(spark):
+    """ConfigurationEstimator-chain golden, structured like the
+    reference's test_system_profiler: (a) location estimates asserted on
+    a flat site (their lat/lon assertions), (b) orientation asserted
+    with surveyed coordinates supplied (their
+    estimate_orientation(latitude=..., longitude=...) call)."""
+    from solar_data_tools_spark.algorithms.estimator import (
+        estimate_location,
+        estimate_system_parameters,
+    )
+
+    flat = _planted_meas(spark, tilt=0.0, az=0.0, n_sites=1)
+    loc = estimate_location(flat, gmt_offset=GMT).collect()[0]
+    # reference tolerances: longitude atol=0.2, latitude atol=2
+    assert abs(loc["longitude"] - LON) < 0.2, loc.asDict()
+    assert abs(loc["latitude"] - LAT) < 2.0, loc.asDict()
+
+    full_flat = estimate_system_parameters(flat, gmt_offset=GMT).collect()[0]
+    assert abs(full_flat["longitude"] - LON) < 0.2
+    # ~1 degree residual from the estimated-latitude error feeding the
+    # fit plus the p99.9 normalization — the self-estimated chain's
+    # honest noise floor on clean data
+    assert full_flat["tilt_deg"] == pytest.approx(0.0, abs=1.5)
+
+    # tilted site: orientation through SURVEYED coordinates (reference
+    # golden: estimate_orientation_real_loc, atol=0.5)
+    tilted = _planted_meas(spark, tilt=25.0, az=10.0, n_sites=1)
+    r = estimate_system_parameters(
+        tilted, gmt_offset=GMT, latitude=LAT, longitude=LON
+    ).collect()[0]
+    assert abs(r["tilt_deg"] - 25.0) < 0.5, r.asDict()
+    assert abs(r["azimuth_deg"] - 10.0) < 0.5, r.asDict()
+
+    # and the self-estimated chain still lands in the right region on
+    # pure-beam tilted data (documented cosθ>0 onset bias)
+    auto = estimate_system_parameters(tilted, gmt_offset=GMT).collect()[0]
+    assert abs(auto["longitude"] - LON) < 3.0, auto.asDict()

@@ -475,6 +475,18 @@ def test_q133_tilt_azimuth_study_grid_complete(results):
     assert df["azimuth_deg"].between(-180, 180).all()
 
 
+def test_q134_system_parameters_one_row_per_site(results):
+    """ConfigurationEstimator chain: one row per site, angles in their
+    documented ranges, coordinates finite. Recovery accuracy is pinned
+    by the planted-site golden in test_profiler_studies.py."""
+    df = results("q134_system_parameters")
+    assert not df.duplicated(["site"]).any()
+    assert df["longitude"].between(-180, 180).all()
+    assert df["latitude"].between(-90, 90).all()
+    assert df["tilt_deg"].between(0, 90).all()
+    assert df["azimuth_deg"].between(-180, 180).all()
+
+
 def test_every_rows_only_query_has_an_invariant():
     covered = {
         name[len("test_"):].split("_")[0]
