@@ -4322,7 +4322,9 @@ def q131_longitude_study(spark, sf_dir):
 def q132_latitude_study(spark, sf_dir):
     """Profiler LatitudeStudy sweep (pvsystemprofiler/latitude_study.py
     :29) — declination x daylight-method x day-selection grid, one
-    latitude per configuration. Rows-only (grid + percentile sweep)."""
+    latitude per configuration. Oracle-checked: the whole sweep is
+    built-in expressions (window second-diff, threshold spans, grid
+    cross join, trig inversion, percentile), replicated in Q132_SQL."""
     from solar_data_tools_spark.algorithms.profiler_studies import (
         latitude_study,
     )
@@ -4336,6 +4338,68 @@ def q132_latitude_study(spark, sf_dir):
         "day_selection_method",
         F.round("latitude", 4).alias("latitude"),
     )
+
+
+Q132_SQL = f"""
+WITH m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS cap FROM m GROUP BY site),
+j AS (SELECT m.site, m.date, m.hod, m.value, cap.cap
+      FROM m JOIN cap USING (site)),
+d2 AS (
+  SELECT site, date, hod, value, cap,
+         lead(value) OVER w - 2*value + lag(value) OVER w AS dd
+  FROM j WINDOW w AS (PARTITION BY site, date ORDER BY hod)
+),
+daily AS (
+  SELECT site, date,
+         max(CASE WHEN value > 0.001*cap THEN hod END)
+           - min(CASE WHEN value > 0.001*cap THEN hod END)
+           + 24.0 / count(*) AS rss_h,
+         sum(CASE WHEN value > 0.001*cap THEN 1 ELSE 0 END)
+           * (24.0 / count(*)) AS raw_h,
+         sum(abs(dd)) AS smooth
+  FROM d2 GROUP BY site, date
+),
+flags AS (
+  SELECT *, smooth <= median(smooth) OVER (PARTITION BY site) AS clear
+  FROM daily
+),
+grid AS (
+  SELECT * FROM (VALUES ('cooper'), ('spencer')) dm(declination_method)
+  CROSS JOIN (VALUES ('sunrise-sunset'), ('raw daylight'))
+             dl(daylight_calculation)
+  CROSS JOIN (VALUES ('all'), ('clear'), ('cloudy'))
+             ds(day_selection_method)
+),
+samples AS (
+  SELECT f.site, g.declination_method, g.daylight_calculation,
+         g.day_selection_method,
+         degrees(atan(
+           -cos(radians(15.0 * (CASE WHEN g.daylight_calculation
+                                     = 'raw daylight'
+                                THEN f.raw_h ELSE f.rss_h END) / 2.0))
+           / tan(radians(CASE WHEN g.declination_method = 'spencer'
+             THEN degrees(0.006918
+                  - 0.399912*cos(2*pi()*(date_part('doy', f.date)-1)/365.0)
+                  + 0.070257*sin(2*pi()*(date_part('doy', f.date)-1)/365.0)
+                  - 0.006758*cos(4*pi()*(date_part('doy', f.date)-1)/365.0)
+                  + 0.000907*sin(4*pi()*(date_part('doy', f.date)-1)/365.0)
+                  - 0.002697*cos(6*pi()*(date_part('doy', f.date)-1)/365.0)
+                  + 0.00148*sin(6*pi()*(date_part('doy', f.date)-1)/365.0))
+             ELSE 23.45*sin(2*pi()*(284 + date_part('doy', f.date))/365.0)
+             END))
+         )) AS lat_day
+  FROM flags f CROSS JOIN grid g
+  WHERE g.day_selection_method = 'all'
+     OR (g.day_selection_method = 'clear' AND f.clear)
+     OR (g.day_selection_method = 'cloudy' AND NOT f.clear)
+)
+SELECT site, declination_method, daylight_calculation, day_selection_method,
+       round(quantile_cont(lat_day, 0.5), 4) AS latitude
+FROM samples
+WHERE lat_day IS NOT NULL
+GROUP BY site, declination_method, daylight_calculation, day_selection_method
+"""
 
 
 def q133_tilt_azimuth_study(spark, sf_dir):
@@ -4909,7 +4973,7 @@ QUERIES: dict[str, QuerySpec] = {
         q131_longitude_study, None, "profiler-longitude-study"
     ),
     "q132_latitude_study": QuerySpec(
-        q132_latitude_study, None, "profiler-latitude-study"
+        q132_latitude_study, Q132_SQL, "profiler-latitude-study"
     ),
     "q133_tilt_azimuth_study": QuerySpec(
         q133_tilt_azimuth_study, None, "profiler-tilt-azimuth-study"
@@ -5047,9 +5111,12 @@ _QUERY_ORDER: list[str] = [
     "q28_daily_smoothness",
     "q29_sunrise_sunset",
     "q30_clipping_stats",
-    "q31_binned_mean",
+    # new-this-round oracle, never externally hash-checked (priority
+    # class 3): the latitude-study sweep
+    "q132_latitude_study",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q31_binned_mean",
     "q32_rayleigh",
     "q33_solar_geometry",
     "q34_longitude_estimate",
@@ -5067,10 +5134,11 @@ _QUERY_ORDER: list[str] = [
     "q57_segment_pooled_diffs",
     "q58_daily_median_delta",
     "q59_set_ops",
-    # rows-only profiler-study queries NEW this round (local golden +
-    #    recovery tests; external check is a schema/rows smoke)
+    # profiler-study queries NEW this round; q131/q133/q134 are
+    #    rows-only (planted-site goldens + invariants locally; external
+    #    check is a schema/rows smoke), q132 is oracle-backed and sits
+    #    inside the window above
     "q131_longitude_study",
-    "q132_latitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",
     # round-5-verified oracles (freshest external pass; all re-swept
