@@ -4402,6 +4402,95 @@ GROUP BY site, declination_method, daylight_calculation, day_selection_method
 """
 
 
+def q135_longitude_study_closed(spark, sf_dir):
+    """Profiler LongitudeStudy sweep, closed-form legs (calculated /
+    fit_l1 / fit_l2 — median / median / mean of the daily eq. 1.5.2
+    inversion; pvsystemprofiler/longitude_study.py:72-230,
+    algorithms/longitude/fitting.py:5-22). The huber leg (IRLS, no
+    closed form) lives in rows-only q131; everything here is built-in
+    expressions replicated in Q135_SQL."""
+    from solar_data_tools_spark.algorithms.profiler_studies import (
+        longitude_study,
+    )
+
+    m = _meas(spark, sf_dir)
+    out = longitude_study(
+        m, gmt_offset=0.0, estimators=("calculated", "fit_l1", "fit_l2")
+    )
+    return out.select(
+        "site",
+        "estimator",
+        "eot_calculation",
+        "solar_noon_method",
+        "day_selection_method",
+        F.round("longitude", 4).alias("longitude"),
+    )
+
+
+Q135_SQL = f"""
+WITH m AS ({_EV}),
+cap AS (SELECT site, quantile_cont(value, 0.95) AS cap FROM m GROUP BY site),
+j AS (SELECT m.site, m.date, m.hod, m.value, cap.cap
+      FROM m JOIN cap USING (site)),
+d2 AS (
+  SELECT site, date, hod, value, cap,
+         lead(value) OVER w - 2*value + lag(value) OVER w AS dd
+  FROM j WINDOW w AS (PARTITION BY site, date ORDER BY hod)
+),
+daily AS (
+  SELECT site, date,
+         sum(hod * value) / sum(value) * 60.0 AS noon_com_min,
+         (max(CASE WHEN value > 0.001*cap THEN hod END)
+          + min(CASE WHEN value > 0.001*cap THEN hod END)) / 2.0 * 60.0
+           AS noon_rss_min,
+         sum(abs(dd)) AS smooth
+  FROM d2 GROUP BY site, date
+),
+flags AS (
+  SELECT *, smooth <= median(smooth) OVER (PARTITION BY site) AS clear
+  FROM daily
+),
+grid AS (
+  SELECT * FROM (VALUES ('calculated'), ('fit_l1'), ('fit_l2'))
+             es(estimator)
+  CROSS JOIN (VALUES ('duffie'), ('da_rosa')) eo(eot_calculation)
+  CROSS JOIN (VALUES ('rise_set_average'), ('energy_com'))
+             sn(solar_noon_method)
+  CROSS JOIN (VALUES ('all'), ('clear'), ('cloudy'))
+             ds(day_selection_method)
+),
+samples AS (
+  SELECT f.site, g.estimator, g.eot_calculation, g.solar_noon_method,
+         g.day_selection_method,
+         (720.0
+          - (CASE WHEN g.solar_noon_method = 'energy_com'
+             THEN f.noon_com_min ELSE f.noon_rss_min END)
+          - (CASE WHEN g.eot_calculation = 'duffie'
+             THEN 229.2 * (0.000075
+               + 0.001868*cos(2*pi()*(date_part('doy', f.date)-1)/365.0)
+               - 0.032077*sin(2*pi()*(date_part('doy', f.date)-1)/365.0)
+               - 0.014615*cos(4*pi()*(date_part('doy', f.date)-1)/365.0)
+               - 0.04089*sin(4*pi()*(date_part('doy', f.date)-1)/365.0))
+             ELSE 9.87*sin(4*pi()*(date_part('doy', f.date)-81)/364.0)
+               - 7.53*cos(2*pi()*(date_part('doy', f.date)-81)/364.0)
+               - 1.5*sin(2*pi()*(date_part('doy', f.date)-81)/364.0)
+             END)) / 4.0 AS lon_day
+  FROM flags f CROSS JOIN grid g
+  WHERE g.day_selection_method = 'all'
+     OR (g.day_selection_method = 'clear' AND f.clear)
+     OR (g.day_selection_method = 'cloudy' AND NOT f.clear)
+)
+SELECT site, estimator, eot_calculation, solar_noon_method,
+       day_selection_method,
+       round(CASE WHEN estimator = 'fit_l2' THEN avg(lon_day)
+                  ELSE quantile_cont(lon_day, 0.5) END, 4) AS longitude
+FROM samples
+WHERE lon_day IS NOT NULL
+GROUP BY site, estimator, eot_calculation, solar_noon_method,
+         day_selection_method
+"""
+
+
 def q133_tilt_azimuth_study(spark, sf_dir):
     """Profiler TiltAzimuthStudy sweep (pvsystemprofiler/
     tilt_azimuth_study.py:39) — declination x init-value grid over the
@@ -4981,6 +5070,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q134_system_parameters": QuerySpec(
         q134_system_parameters, None, "profiler-configuration-estimator"
     ),
+    "q135_longitude_study_closed": QuerySpec(
+        q135_longitude_study_closed, Q135_SQL, "profiler-longitude-study"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5110,12 +5202,14 @@ _QUERY_ORDER: list[str] = [
     "q25_avg_day_profile",
     "q28_daily_smoothness",
     "q29_sunrise_sunset",
-    "q30_clipping_stats",
-    # new-this-round oracle, never externally hash-checked (priority
-    # class 3): the latitude-study sweep
+    # new-this-round oracles, never externally hash-checked (priority
+    # class 3): the latitude-study sweep + the longitude-study
+    # closed-form legs
     "q132_latitude_study",
+    "q135_longitude_study_closed",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q30_clipping_stats",
     "q31_binned_mean",
     "q32_rayleigh",
     "q33_solar_geometry",
