@@ -4533,6 +4533,106 @@ def q134_system_parameters(spark, sf_dir):
     )
 
 
+def q136_ground_truth_tilt_azimuth(spark, sf_dir):
+    """Roof-polygon ground-truth tilt/azimuth
+    (pvsystemprofiler/ground_truth_estimator.py:1-107): haversine →
+    plane normal → tilt/az per polygon, mean/median/std per home — all
+    built-in expressions, hash-checked against the same geometry in
+    DuckDB. Polygon vertices are derived deterministically from the
+    embeddings table (both engines read identical float32 components)."""
+    from solar_data_tools_spark.algorithms.ground_truth import (
+        ground_truth_tilt_azimuth,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    polys = emb.select(
+        (F.col("vec_id") % 50).alias("home_id"),
+        (F.lit(-120.0) + e(1) * 0.001).alias("lon1"),
+        (F.lit(35.0) + e(2) * 0.001).alias("lat1"),
+        (e(3) * 10.0).alias("alt1"),
+        (F.lit(-120.0) + e(4) * 0.001).alias("lon2"),
+        (F.lit(35.0) + e(5) * 0.001).alias("lat2"),
+        (e(6) * 10.0).alias("alt2"),
+        (F.lit(-120.0) + e(7) * 0.001).alias("lon3"),
+        (F.lit(35.0) + e(8) * 0.001).alias("lat3"),
+        (e(9) * 10.0).alias("alt3"),
+    )
+    out = ground_truth_tilt_azimuth(polys)
+    return out.select(
+        "home_id",
+        F.round("ave_tilt", 4).alias("ave_tilt"),
+        F.round("med_tilt", 4).alias("med_tilt"),
+        F.round("std_tilt", 4).alias("std_tilt"),
+        F.round("ave_azimuth", 4).alias("ave_azimuth"),
+        F.round("med_azimuth", 4).alias("med_azimuth"),
+        F.round("std_azimuth", 4).alias("std_azimuth"),
+        "n_polygons",
+    )
+
+
+_HAV = (
+    "2.0 * 6371.0088 * asin(sqrt("
+    "sin(radians(({la2}) - ({la1})) / 2.0) * sin(radians(({la2}) - ({la1})) / 2.0)"
+    " + cos(radians({la1})) * cos(radians({la2}))"
+    " * sin(radians(({lo2}) - ({lo1})) / 2.0) * sin(radians(({lo2}) - ({lo1})) / 2.0)))"
+)
+
+Q136_SQL = f"""
+WITH polys AS (
+  SELECT vec_id % 50 AS home_id,
+         -120.0 + CAST(embedding[1] AS DOUBLE) * 0.001 AS lon1,
+           35.0 + CAST(embedding[2] AS DOUBLE) * 0.001 AS lat1,
+         CAST(embedding[3] AS DOUBLE) * 10.0 AS alt1,
+         -120.0 + CAST(embedding[4] AS DOUBLE) * 0.001 AS lon2,
+           35.0 + CAST(embedding[5] AS DOUBLE) * 0.001 AS lat2,
+         CAST(embedding[6] AS DOUBLE) * 10.0 AS alt2,
+         -120.0 + CAST(embedding[7] AS DOUBLE) * 0.001 AS lon3,
+           35.0 + CAST(embedding[8] AS DOUBLE) * 0.001 AS lat3,
+         CAST(embedding[9] AS DOUBLE) * 10.0 AS alt3
+  FROM embeddings
+),
+cart AS (
+  SELECT home_id,
+         {_HAV.format(la1='lat1', lo1='lon1', la2='lat2', lo2='lon1')} AS y1,
+         {_HAV.format(la1='lat2', lo1='lon1', la2='lat2', lo2='lon2')} AS x1,
+         {_HAV.format(la1='lat1', lo1='lon1', la2='lat3', lo2='lon1')} AS y2,
+         {_HAV.format(la1='lat3', lo1='lon1', la2='lat3', lo2='lon3')} AS x2,
+         (alt2 - alt1) / 1000.0 AS dz1,
+         (alt3 - alt1) / 1000.0 AS dz2
+  FROM polys
+),
+normals AS (
+  SELECT home_id,
+         CASE WHEN (x1*y2 - y1*x2) < 0 THEN -(y1*dz2 - dz1*y2)
+              ELSE (y1*dz2 - dz1*y2) END AS nx,
+         CASE WHEN (x1*y2 - y1*x2) < 0 THEN -(dz1*x2 - x1*dz2)
+              ELSE (dz1*x2 - x1*dz2) END AS ny,
+         abs(x1*y2 - y1*x2) AS nz
+  FROM cart
+),
+angles AS (
+  SELECT home_id,
+         degrees(atan2(sqrt(nx*nx + ny*ny), nz)) AS tilt_deg,
+         CASE WHEN 90.0 - degrees(atan2(ny, nx)) < -90.0
+                THEN 90.0 - degrees(atan2(ny, nx)) + 180.0
+              WHEN 90.0 - degrees(atan2(ny, nx)) > 90.0
+                THEN 180.0 - (90.0 - degrees(atan2(ny, nx)))
+              ELSE 90.0 - degrees(atan2(ny, nx)) END AS azimuth_deg
+  FROM normals
+)
+SELECT home_id,
+       round(avg(tilt_deg), 4) AS ave_tilt,
+       round(quantile_cont(tilt_deg, 0.5), 4) AS med_tilt,
+       round(stddev_pop(tilt_deg), 4) AS std_tilt,
+       round(avg(azimuth_deg), 4) AS ave_azimuth,
+       round(quantile_cont(azimuth_deg, 0.5), 4) AS med_azimuth,
+       round(stddev_pop(azimuth_deg), 4) AS std_azimuth,
+       count(*) AS n_polygons
+FROM angles GROUP BY home_id
+"""
+
+
 def q76_sessionization(spark, sf_dir):
     """Gap-based sessionization per user (30-min gap) — the W4 run-id
     recipe applied to time gaps."""
@@ -5073,6 +5173,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q135_longitude_study_closed": QuerySpec(
         q135_longitude_study_closed, Q135_SQL, "profiler-longitude-study"
     ),
+    "q136_ground_truth_tilt_azimuth": QuerySpec(
+        q136_ground_truth_tilt_azimuth, Q136_SQL,
+        "profiler-ground-truth"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5201,14 +5305,15 @@ _QUERY_ORDER: list[str] = [
     "q24_resample_hourly",
     "q25_avg_day_profile",
     "q28_daily_smoothness",
-    "q29_sunrise_sunset",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
     "q132_latitude_study",
     "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q29_sunrise_sunset",
     "q30_clipping_stats",
     "q31_binned_mean",
     "q32_rayleigh",
