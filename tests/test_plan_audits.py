@@ -104,6 +104,26 @@ def test_q119_resize_chain_is_shuffle_free(spark, sf_small):
     assert "Exchange" not in plan
 
 
+def test_q132_q135_study_sweep_plan_shape(spark, sf_small):
+    """The profiler study sweeps must be pure built-in plans: no Python
+    eval nodes, the config grid joined by BROADCAST (a literal dozen
+    rows — never a shuffle of the daily table against it), and at most
+    three real exchanges (raw->(site,date) window+agg, daily->site
+    median window, final (site,config) agg)."""
+    for q in ("q132_latitude_study", "q135_longitude_study_closed"):
+        df = QUERIES[q].fn(spark, sf_small)
+        df.collect()
+        exec_plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+        ).split("Initial Plan")[0]
+        assert "EvalPython" not in exec_plan and "MapInPandas" not in exec_plan
+        assert "BroadcastNestedLoopJoin" in exec_plan  # grid cross join
+        n_shuffles = exec_plan.count("Exchange ") - exec_plan.count(
+            "BroadcastExchange"
+        ) - exec_plan.count("ReusedExchange")
+        assert n_shuffles <= 4, (q, n_shuffles)
+
+
 def test_grouped_apply_survives_aqe(spark):
     """grouped_apply's plan-owned parallelism must survive AQE partition
     coalescing WITHOUT any minPartitionSize override: the explicit
