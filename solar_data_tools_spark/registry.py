@@ -1193,6 +1193,32 @@ def q90_ivf_topk(spark, sf_dir):
     )
 
 
+def q137_ivf_topk_distributed(spark, sf_dir):
+    """IVF ANN over a DISTRIBUTED-Lloyd's quantizer (the corpus-scale
+    training path: full-corpus assignment + map-side-combined mean
+    update per round, only k x d centroids ever on the driver) with
+    n_probe == n_cells, so the search degrades to exact and the output
+    must equal brute force row-for-row — pinned by the q137 invariant
+    against q46. Rows-only: the trainer is iterative."""
+    from solar_data_tools_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids_distributed(emb, n_centroids=8, n_iters=3)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, cent, k=5, n_probe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
 Q89_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5177,6 +5203,9 @@ QUERIES: dict[str, QuerySpec] = {
         q136_ground_truth_tilt_azimuth, Q136_SQL,
         "profiler-ground-truth"
     ),
+    "q137_ivf_topk_distributed": QuerySpec(
+        q137_ivf_topk_distributed, None, "similarity-ivf-distributed"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5340,6 +5369,7 @@ _QUERY_ORDER: list[str] = [
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",
+    "q137_ivf_topk_distributed",
     # round-5-verified oracles (freshest external pass; all re-swept
     #    locally every session by tests/test_oracle_parity.py)
     "q77_scd2_merge",

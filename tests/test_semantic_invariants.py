@@ -487,6 +487,24 @@ def test_q134_system_parameters_one_row_per_site(results):
     assert df["azimuth_deg"].between(-180, 180).all()
 
 
+def test_q137_distributed_ivf_exact_degradation(results):
+    """n_probe == n_cells degrades IVF to exact search: the
+    distributed-Lloyd's variant must return exactly the brute-force
+    top-5 (q46) for the same queries."""
+    df = results("q137_ivf_topk_distributed")
+    bf = results("q46_knn_bruteforce")
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 5))
+        for r in df.itertuples()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, round(r.cosine_sim, 5))
+        for r in bf.itertuples()
+        if r.query_id in {q for q, _ in got}
+    }
+    assert got == want and len(got) > 0
+
+
 def test_every_rows_only_query_has_an_invariant():
     covered = {
         name[len("test_"):].split("_")[0]
