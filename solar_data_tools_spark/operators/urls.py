@@ -88,7 +88,7 @@ def canonicalize_url(url: Column) -> Column:
     5. tracking query params dropped (``utm_*`` prefix plus
        :data:`TRACKING_PARAMS`), the survivors sorted lexicographically
        and re-joined — param ORDER never distinguishes two URLs;
-    6. a single trailing ``/`` dropped from the path (so
+    6. trailing ``/`` run dropped from the path (so
        ``…/a/`` == ``…/a`` and a bare host needs no path at all).
 
     URLs with no parseable ``scheme://`` (protocol-relative ``//host``,
@@ -101,7 +101,10 @@ def canonicalize_url(url: Column) -> Column:
     scheme = _scheme(url)
     host = canonical_host(url)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    path = F.regexp_replace(path, r"/$", "")
+    # ALL trailing slashes, not one: stripping a single '/' from 'a//'
+    # leaves 'a/', so canonicalize(canonicalize(u)) != canonicalize(u) —
+    # the idempotence property test caught exactly that on '//' paths
+    path = F.regexp_replace(path, r"/+$", "")
     # strip the fragment BEFORE extracting the query: a '?' inside the
     # fragment ('/x#sec?b=1', SPA hash-routes) is not a query string
     nofrag = F.regexp_replace(url, r"#.*$", "")

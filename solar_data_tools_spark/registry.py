@@ -2798,7 +2798,7 @@ WITH raw AS (
              THEN substring(h, 1, length(h) - 4)
            ELSE h
          END AS host,
-         regexp_replace(path0, '/$', '') AS path,
+         regexp_replace(path0, '/+$', '') AS path,
          array_to_string(
            list_sort(list_filter(string_split(query0, '&'),
              p -> p <> ''

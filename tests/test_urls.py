@@ -58,6 +58,43 @@ def test_registered_domain_suffixes(spark):
     assert _domain(spark, "https://a.example.com:8443/x") == "example.com"
 
 
+def test_canonicalize_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a messy URL
+    corpus (hypothesis-generated parts + handpicked edge cases) — the
+    property that makes re-canonicalizing an already-ingested corpus a
+    no-op, so incremental crawls can always canonicalize defensively.
+    Corpus: 200 seeded-random messy URLs + handpicked edge cases."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ019-._~%&=?#/:@ "
+
+    def part():
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 12))
+        )
+
+    urls = [
+        f"https://{part() or 'x'}.com/{part()}?{part()}#{part()}"
+        for _ in range(200)
+    ] + [
+        "https://WWW.Example.com/a/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.co.uk:80//double//slash/",
+        "https://example.com/%7Euser/./path/../x",
+        "ftp://odd.scheme.example/x",
+        "not a url at all",
+        "https://example.com/?",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    out = df.select(
+        ur.canonicalize_url(F.col("url")).alias("c1"),
+    ).select(
+        "c1", ur.canonicalize_url(F.col("c1")).alias("c2")
+    )
+    for r in out.collect():
+        assert r["c1"] == r["c2"], r.asDict()
+
+
 def test_url_dedup_keep_best_and_ties(spark):
     rows = [
         # same canonical URL, different quality -> max quality wins
