@@ -575,3 +575,42 @@ def test_truncate_embeddings_semantics(spark):
     assert out[2]["energy_ratio"] == 0.0
     assert out[2]["renormed"] == [0.0, 0.0]
     assert not any(math.isnan(x) for x in out[2]["renormed"])
+
+
+def test_semdedup_pair_engines_agree(spark):
+    """The pandas (blocked-BLAS) pair engine must produce the same
+    verdicts and max_prior_cos (to FP-sum tolerance, NULLs included) as
+    the codegen expr engine on clustered data with sub-splitting."""
+    import numpy as np_
+
+    from solar_data_tools_spark.operators.similarity import semdedup
+
+    rng = np_.random.default_rng(5)
+    dirs = np_.eye(6)
+    rows = [
+        (i, [float(x) for x in dirs[i % 3] * 4 + rng.normal(0, 0.3, 6)])
+        for i in range(120)
+    ]
+    vdf = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in dirs[j]]) for j in range(3)],
+        ["cluster", "cvec"],
+    )
+    kw = dict(tau=0.8, max_cell_size=15, on_mega_cell="subsplit")
+    e = {
+        r["vec_id"]: (r["is_dup"], r["cluster"], r["max_prior_cos"])
+        for r in semdedup(vdf, cdf, **kw).collect()
+    }
+    p = {
+        r["vec_id"]: (r["is_dup"], r["cluster"], r["max_prior_cos"])
+        for r in semdedup(vdf, cdf, pair_engine="pandas", **kw).collect()
+    }
+    assert set(e) == set(p)
+    for k in e:
+        assert e[k][0] == p[k][0] and e[k][1] == p[k][1], (k, e[k], p[k])
+        if e[k][2] is None:
+            assert p[k][2] is None, k
+        else:
+            assert abs(e[k][2] - p[k][2]) < 1e-9, (k, e[k], p[k])
+    with __import__("pytest").raises(ValueError, match="pair_engine"):
+        semdedup(vdf, cdf, pair_engine="bogus")

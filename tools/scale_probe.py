@@ -271,6 +271,69 @@ def main() -> None:
     timed("pii_redaction", cu.redact_pii(docs), timings)
     timed("unigram_logprob", cu.unigram_logprob(docs), timings)
 
+    # --- embedding layer: synthetic unit-ish vectors from JVM-side hash
+    # noise (dim 64, ~n/256 planted near-duplicate cohorts via canonical
+    # ids), then the similarity/dedup operators at corpus scale.
+    from solar_data_tools_spark.operators import similarity as sim
+
+    n_emb = args.docs // 2
+    dim = 64
+    ecanon = F.when(
+        (F.abs(F.xxhash64("id", F.lit(11))) % 100) < 10,
+        F.col("id") - (F.col("id") % 256),
+    ).otherwise(F.col("id"))
+    evec = F.expr(
+        f"transform(sequence(1, {dim}), "
+        "i -> cast(abs(xxhash64(_ec, i)) % 10000 as double) / 10000.0 - 0.5)"
+    )
+    emb = (
+        spark.range(n_emb)
+        .withColumn("_ec", ecanon)
+        .select(F.col("id").alias("vec_id"), evec.alias("embedding"))
+    )
+    timed("emb_synth_scan", emb, timings)
+    seeds = spark.createDataFrame(
+        [
+            (j, [1.0 if k == j % dim else 0.1 for k in range(dim)])
+            for j in range(64)
+        ],
+        "cluster int, cvec array<double>",
+    )
+    timed("centroid_assign_64c", sim.centroid_assign(emb, seeds), timings)
+    # hash-uniform vectors collapse onto few centroids, so this is the
+    # guard's worst case on purpose: without max_cell_size the within-
+    # cell join is ~(n/4)^2; the subsplit bounds every join group to
+    # 2000 rows (O(n * max_cell_size) total pair work, linear in n)
+    timed(
+        "semdedup_64c_guarded",
+        sim.semdedup(
+            emb, seeds, tau=0.95,
+            max_cell_size=2000,
+            on_mega_cell="subsplit",
+            pair_engine="pandas",
+        ),
+        timings,
+    )
+    timed("quantize_int8", sim.quantize_embeddings(emb), timings)
+    timed("matryoshka_16", sim.truncate_embeddings(emb, 16), timings)
+    q100 = emb.where(F.col("vec_id") % (n_emb // 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import random as _random
+
+    # 32 planes / 3 bands -> ~10-bit band buckets: candidate sets stay
+    # in the hundreds per query instead of thousands (16 planes / 4-bit
+    # bands measured 24 s here from bucket collisions alone)
+    _rng = _random.Random(42)
+    planes = [
+        [_rng.gauss(0, 1) for _ in range(dim)] for _ in range(32)
+    ]
+    timed(
+        "lsh_topk_100q",
+        sim.lsh_topk(emb, q100, planes, k=5, max_hamming=2),
+        timings,
+    )
+
     # --- media layer: N real animated-GIF payloads synthesized ON the
     # executors (q118 recipe), then the decode-bearing operators. Payload
     # bytes are born and consumed inside one task — never shuffled.
