@@ -764,3 +764,105 @@ def chunk_documents(
         ).alias("chunk_md5"),
     )
     return chunks
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    n_features: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Hashing-trick n-gram featurization (the fastText / CCNet quality-
+    classifier input representation): every unigram (and optionally
+    word-bigram) maps to ``feature_id = md5(seed, gram) mod n_features``;
+    collisions are the standard hashing-trick trade.
+
+    The hash is md5-derived, not ``xxhash64``, so the SAME feature ids
+    are computable in any engine (the q138 oracle replays it in DuckDB)
+    and a model trained offline against this featurization can be served
+    by a different runtime.
+
+    Output: (id_col, feature_id, cnt) — one row per distinct feature
+    per doc. One explode + one (doc, feature) aggregate with map-side
+    combine; nothing wider than the tokenized corpus ever shuffles.
+    """
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_t"),
+    ).where(F.size("_t") > 0)
+    grams = F.col("_t")
+    if use_bigrams:
+        bi = F.expr(
+            "transform(sequence(1, greatest(size(_t) - 1, 0)), "
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        )
+        grams = F.concat(F.col("_t"), bi)
+    exploded = toks.select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    ).where(F.length("_g") > 0)
+    fid = F.floor(
+        hash_uniform(F.col("_g"), seed) * F.lit(float(n_features))
+    ).cast("long")
+    return (
+        exploded.select(F.col(id_col), fid.alias("feature_id"))
+        .groupBy(id_col, "feature_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    n_features: int = 1 << 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Linear text-classifier inference over hashed n-gram features —
+    the fastText-style quality filter every major pretraining corpus
+    applies (CCNet's LM filter, RefinedWeb/C4 quality classifiers), as
+    two shuffles and one broadcast:
+
+    score  = bias + sum_f w[f] * cnt[f] / n_grams   (mean-pooled)
+    prob   = sigmoid(score)
+
+    ``weights`` is a (feature_id, weight) DataFrame — at most
+    ``n_features`` rows, broadcast onto the per-doc feature counts
+    (hash-grained: 2^20 floats is ~8 MB — always broadcastable, never a
+    corpus-sized join). Missing feature ids score 0, exactly like a
+    sparse weight vector. Plan: featurize (one (doc, feature) agg) →
+    broadcast-join weights → per-doc weighted mean → sigmoid; the
+    corpus text never shuffles, only (doc, feature, cnt) triples.
+
+    Output: (id_col, n_grams, score, prob).
+    """
+    feats = hashed_ngram_features(
+        docs, n_features, id_col, text_col, use_bigrams, seed
+    )
+    w = weights.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(w), "feature_id", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(
+                F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("cnt")
+            ).alias("_wsum"),
+        )
+    )
+    score = F.lit(float(bias)) + F.col("_wsum") / F.col("n_grams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        score.alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
+    )

@@ -4075,6 +4075,69 @@ FROM tokf JOIN lp USING (tok) GROUP BY doc_id
 """
 
 
+def q138_classifier_score(spark, sf_dir):
+    """fastText-style hashed-n-gram linear quality classifier (CCNet /
+    RefinedWeb quality-filter shape): unigram+bigram hashing trick →
+    broadcast weight table → mean-pooled score → sigmoid. Weights here
+    are derived from the portable md5 hash so the DuckDB oracle can
+    rebuild the identical (feature_id, weight) table and replay the
+    whole inference bit-for-bit."""
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+    )
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    d = 4096
+    weights = spark.range(d).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
+    )
+    out = linear_classifier_score(
+        docs, weights, bias=-0.1, n_features=d, seed=0
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("score", R).alias("score"),
+        F.round("prob", R).alias("prob"),
+    )
+
+
+Q138_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) > 0
+),
+gf AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 4096.0) AS BIGINT) AS feature_id
+  FROM grams WHERE length(g) > 0
+),
+w AS (
+  SELECT f AS feature_id,
+         (('0x' || substring(md5('w13:' || CAST(f AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0 AS weight
+  FROM generate_series(0, 4095) t(f)
+),
+scored AS (
+  SELECT gf.doc_id, count(*) AS n_grams,
+         -0.1 + sum(coalesce(w.weight, 0.0)) / count(*) AS score
+  FROM gf LEFT JOIN w USING (feature_id)
+  GROUP BY gf.doc_id
+)
+SELECT doc_id, n_grams, round(score, 6) AS score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS prob
+FROM scored
+"""
+
+
 def q49_lsh_topk(spark, sf_dir):
     """Cosine-LSH bucketed approximate top-k (rows-only: candidate set is
     hash-family-specific; re-rank is exact cosine)."""
@@ -5206,6 +5269,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q137_ivf_topk_distributed": QuerySpec(
         q137_ivf_topk_distributed, None, "similarity-ivf-distributed"
     ),
+    "q138_classifier_score": QuerySpec(
+        q138_classifier_score, Q138_SQL, "curation-quality-classifier"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5333,15 +5399,16 @@ _QUERY_ORDER: list[str] = [
     "q23_future_filter",
     "q24_resample_hourly",
     "q25_avg_day_profile",
-    "q28_daily_smoothness",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
     "q132_latitude_study",
     "q135_longitude_study_closed",
     "q136_ground_truth_tilt_azimuth",
+    "q138_classifier_score",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q28_daily_smoothness",
     "q29_sunrise_sunset",
     "q30_clipping_stats",
     "q31_binned_mean",

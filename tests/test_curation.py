@@ -449,3 +449,54 @@ def test_snapshot_incremental_dedup_corpus_wins_over_snapshot(spark):
         for r in snapshot_incremental_dedup(snap, corpus).collect()
     }
     assert out == {5: "corpus_dup", 6: "corpus_dup"}
+
+
+def test_linear_classifier_score_semantics(spark):
+    """Hand-computable case: known weights on unigram features, no
+    bigrams: score = bias + mean of per-gram weights; missing features
+    contribute exactly 0 (sparse-vector semantics)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.curation import (
+        hashed_ngram_features,
+        linear_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc")], "doc_id long, text string"
+    )
+    feats = {
+        (r["doc_id"], r["feature_id"]): r["cnt"]
+        for r in hashed_ngram_features(
+            docs, n_features=64, use_bigrams=False
+        ).collect()
+    }
+    # distinct grams hash somewhere stable; recover their ids
+    fid = {}
+    for (d, f), c in feats.items():
+        fid.setdefault(d, []).append((f, c))
+    assert sum(c for _, c in fid[1]) == 3  # aa bb aa -> 3 gram instances
+    aa_f = [f for f, c in fid[1] if c == 2][0]
+    bb_f = [f for f, c in fid[1] if c == 1][0]
+    weights = spark.createDataFrame(
+        [(aa_f, 0.3), (bb_f, -0.6)], "feature_id long, weight double"
+    )  # cc's feature intentionally missing -> weight 0
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in linear_classifier_score(
+            docs, weights, bias=0.5, n_features=64, use_bigrams=False
+        ).collect()
+    }
+    s1 = 0.5 + (0.3 * 2 - 0.6 * 1) / 3
+    assert out[1]["score"] == pytest.approx(s1, abs=1e-12)
+    assert out[1]["prob"] == pytest.approx(1 / (1 + math.exp(-s1)), abs=1e-12)
+    assert out[2]["score"] == pytest.approx(0.5, abs=1e-12)  # missing -> 0
+    assert out[1]["n_grams"] == 3 and out[2]["n_grams"] == 1
+
+    # plan shape: weights broadcast, no corpus-side sort-merge join
+    plan = linear_classifier_score(
+        docs, weights, n_features=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
