@@ -866,3 +866,69 @@ def linear_classifier_score(
         score.alias("score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
     )
+
+
+def linear_classifier_score_rowlocal(
+    docs: DataFrame,
+    weight_array: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Zero-shuffle variant of :func:`linear_classifier_score`: the
+    weight vector ships as ONE array literal (the LSH-planes pattern —
+    a single literal node, no plan bloat) and the whole inference is a
+    row-local fold: tokenize → hash each gram → ``element_at`` into the
+    literal → mean → sigmoid. No explode, no joins, no aggregation —
+    a pure projection, which makes it
+
+    * the cheapest batch plan (the scored corpus never shuffles), and
+    * trivially stream-legal (stateless narrow op — score documents at
+      INGEST time under Structured Streaming with no watermark state).
+
+    Use the DataFrame-weights form when the model is wider than ~10^5
+    features or updated independently of the job; use this one for the
+    classic 2^12-2^16-feature fastText filter. Same md5 feature hash,
+    same semantics (identical scores, parity-tested).
+    """
+    n_features = len(weight_array)
+    if n_features == 0:
+        raise ValueError("weight_array must be non-empty")
+    seed_s = str(seed).replace("'", "")
+    toks = "split(trim(regexp_replace(lower(%s), '\\\\s+', ' ')), ' ')" % text_col
+    grams = toks
+    if use_bigrams:
+        # unigrams ++ bigrams from ONE tokenization: SQL has no let-
+        # binding, so wrap the token array in a 1-element array and
+        # element_at the transformed result (evaluates `toks` once)
+        grams = (
+            f"element_at(transform(array({toks}), "
+            "t -> concat(t, transform(sequence(1, greatest(size(t) - 1, 0)), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))), 1)"
+        )
+    fid = (
+        f"cast(floor(cast(conv(substring(md5(concat('{seed_s}:', g)), 1, 8), "
+        f"16, 10) as double) / 4294967296.0 * {n_features}.0) as int)"
+    )
+    expr = (
+        f"aggregate(filter({grams}, g -> length(g) > 0), "
+        f"named_struct('s', cast(0.0 as double), 'n', 0L), "
+        f"(acc, g) -> named_struct("
+        f"'s', acc.s + element_at(_w, {fid} + 1), 'n', acc.n + 1))"
+    )
+    scored = (
+        docs.withColumn(
+            "_w", F.lit([float(x) for x in weight_array])
+        )
+        .withColumn("_acc", F.expr(expr))
+        .where(F.col("_acc.n") > 0)
+    )
+    score = F.lit(float(bias)) + F.col("_acc.s") / F.col("_acc.n")
+    return scored.select(
+        F.col(id_col),
+        F.col("_acc.n").alias("n_grams"),
+        score.alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
+    )

@@ -500,3 +500,82 @@ def test_linear_classifier_score_semantics(spark):
         docs, weights, n_features=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_rowlocal_classifier_matches_dataframe_weights(spark, sf_small):
+    """The zero-shuffle array-literal classifier must score identically
+    to the broadcast-weights form (same md5 feature hash, same mean
+    pooling), and its plan must contain no Exchange at all."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+        linear_classifier_score_rowlocal,
+    )
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    d = 2048
+    wdf = spark.range(d).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w7") * 2 - 1).alias("weight"),
+    )
+    warr = [r["weight"] for r in wdf.orderBy("feature_id").collect()]
+    a = {
+        r["doc_id"]: (r["n_grams"], round(r["score"], 9))
+        for r in linear_classifier_score(
+            docs, wdf, bias=0.2, n_features=d
+        ).collect()
+    }
+    b_df = linear_classifier_score_rowlocal(docs, warr, bias=0.2)
+    b = {
+        r["doc_id"]: (r["n_grams"], round(r["score"], 9))
+        for r in b_df.collect()
+    }
+    assert a == b and len(a) > 0
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    with pytest.raises(ValueError, match="non-empty"):
+        linear_classifier_score_rowlocal(docs, [])
+
+
+def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
+    """linear_classifier_score_rowlocal is a stateless projection, so it
+    scores documents at INGEST time: availableNow file stream == batch,
+    with no watermark state."""
+    import random
+
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score_rowlocal,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    rng = random.Random(3)
+    warr = [rng.uniform(-1, 1) for _ in range(1024)]
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "cls_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        linear_classifier_score_rowlocal(stream, warr, bias=-0.3)
+        .writeStream.format("memory")
+        .queryName("cls_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_grams"], round(r["score"], 9))
+        for r in spark.sql("select * from cls_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_grams"], round(r["score"], 9))
+        for r in linear_classifier_score_rowlocal(
+            docs, warr, bias=-0.3
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
