@@ -151,6 +151,20 @@ def main() -> None:
             timings,
         )
 
+    from solar_data_tools_spark.algorithms.profiler_studies import (
+        latitude_study,
+        longitude_study,
+    )
+
+    timed("latitude_study_sweep", latitude_study(meas), timings)
+    timed(
+        "longitude_study_sweep",
+        longitude_study(
+            meas, estimators=("calculated", "fit_l1", "fit_l2")
+        ),
+        timings,
+    )
+
     docs = synth_corpus(spark, args.docs)
     timed("corpus_synth_scan", docs, timings)
     timed("exact_dedup", dd.exact_duplicates(docs), timings)
