@@ -579,3 +579,43 @@ def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_chunk_documents_every_token_covered_property(spark):
+    """Property over random (window, stride <= window, doc length): the
+    chunk intervals [start, start+n_tok) cover [0, n) with no gaps, the
+    first chunk starts at 0, starts advance by exactly stride, and only
+    the tail chunk is short."""
+    import random
+
+    from solar_data_tools_spark.operators.curation import chunk_documents
+
+    rng = random.Random(11)
+    cases = []
+    for cid in range(25):
+        window = rng.randrange(1, 40)
+        stride = rng.randrange(1, window + 1)
+        n = rng.randrange(1, 120)
+        cases.append((cid, window, stride, n))
+    for cid, window, stride, n in cases:
+        docs = spark.createDataFrame(
+            [(cid, " ".join(f"w{i}" for i in range(n)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["chunk_id"], r["start_tok"], r["n_tok"])
+            for r in chunk_documents(
+                docs, window=window, stride=stride
+            ).collect()
+        )
+        assert rows[0][1] == 0, (window, stride, n)
+        covered = set()
+        for k, (chunk_id, start, n_tok) in enumerate(rows):
+            assert chunk_id == k
+            assert start == k * stride
+            assert 1 <= n_tok <= window
+            covered.update(range(start, start + n_tok))
+        assert covered == set(range(n)), (window, stride, n)
+        # all but the last chunk are full-window
+        for _, start, n_tok in rows[:-1]:
+            assert n_tok == window, (window, stride, n)
