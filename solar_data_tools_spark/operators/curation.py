@@ -932,3 +932,49 @@ def linear_classifier_score_rowlocal(
         score.alias("score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias("prob"),
     )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate resolution that keeps the BEST member of each cluster —
+    what production dedup actually does (RefinedWeb/FineWeb keep the
+    longest/highest-scoring copy), vs :func:`duplicate_clusters`'
+    lowest-id canonicalization.
+
+    Per connected component of the pair graph: the member with the
+    highest ``quality_col`` survives (ties → lowest id, so the verdict
+    is total and engine-portable). Returns one row per doc appearing in
+    any pair: (id_col, cluster_id, quality_col, is_kept); docs in no
+    pair are untouched by definition (anti-join the ``is_kept = false``
+    rows out of the corpus).
+
+    Scale shape: connected components is the O(log n)-round
+    min-label/pointer-jumping propagation; the keep-best reduction is a
+    ``min(struct(-quality, id))`` aggregate per cluster — map-side
+    partials, no per-cluster sort, unbounded cluster cardinality safe.
+    """
+    cc = connected_components(pairs, src, dst)
+    q = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(quality_col).alias("_q"),
+    )
+    j = cc.join(q, "node")
+    best = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_q")).alias("neg_q"), F.col("node").alias("id")
+            )
+        ).alias("_best")
+    )
+    return j.join(best, "cluster_id").select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        F.col("_q").alias(quality_col),
+        (F.col("node") == F.col("_best.id")).alias("is_kept"),
+    )

@@ -3668,6 +3668,68 @@ FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
+def q139_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST duplicate resolution (the RefinedWeb/FineWeb policy:
+    retain the highest-quality member of each near-dup cluster, not the
+    lowest id): q99's Jaccard pair graph → connected components →
+    per-cluster max-quality (n_chars) survivor with lowest-id
+    tie-break. Oracle: the same recursive-CTE reachability as q99 plus
+    a per-cluster rank."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.62, block_cols=["lang", "source"]
+    )
+    out = cu.resolve_duplicates(docs, pairs, quality_col="n_chars")
+    return out.orderBy("doc_id").select(
+        "doc_id", "cluster_id", "n_chars", "is_kept"
+    )
+
+
+Q139_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.62
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+),
+cl AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+q AS (
+  SELECT cl.node, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d ON d.doc_id = cl.node
+),
+ranked AS (
+  SELECT node, cluster_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, node ASC) AS rn
+  FROM q
+)
+SELECT node AS doc_id, cluster_id, n_chars, rn = 1 AS is_kept
+FROM ranked ORDER BY doc_id
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5272,6 +5334,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q138_classifier_score": QuerySpec(
         q138_classifier_score, Q138_SQL, "curation-quality-classifier"
     ),
+    "q139_dedup_keep_best": QuerySpec(
+        q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5398,7 +5463,6 @@ _QUERY_ORDER: list[str] = [
     "q22_daytime_detection",
     "q23_future_filter",
     "q24_resample_hourly",
-    "q25_avg_day_profile",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5406,8 +5470,10 @@ _QUERY_ORDER: list[str] = [
     "q135_longitude_study_closed",
     "q136_ground_truth_tilt_azimuth",
     "q138_classifier_score",
+    "q139_dedup_keep_best",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q25_avg_day_profile",
     "q28_daily_smoothness",
     "q29_sunrise_sunset",
     "q30_clipping_stats",

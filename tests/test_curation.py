@@ -619,3 +619,34 @@ def test_chunk_documents_every_token_covered_property(spark):
         # all but the last chunk are full-window
         for _, start, n_tok in rows[:-1]:
             assert n_tok == window, (window, stride, n)
+
+
+def test_resolve_duplicates_keep_best_semantics(spark):
+    """Keep-best resolution on a planted graph: the highest-quality
+    member survives each component (ties -> lowest id); every clustered
+    doc appears exactly once; exactly one survivor per cluster."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.curation import resolve_duplicates
+
+    # components {1,2,3} (chain) and {10, 11}; 20 is unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (20, 100)],
+        "doc_id long, n_chars long",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in resolve_duplicates(docs, pairs).collect()}
+    assert set(out) == {1, 2, 3, 10, 11}  # 20 untouched by definition
+    # chain component: quality tie 2 vs 3 at 9 -> lowest id 2 wins
+    assert [out[i]["is_kept"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    # second component: tie at 4 -> id 10
+    assert out[10]["is_kept"] and not out[11]["is_kept"]
+    kept_per_cluster = {}
+    for r in out.values():
+        kept_per_cluster.setdefault(r["cluster_id"], 0)
+        kept_per_cluster[r["cluster_id"]] += int(r["is_kept"])
+    assert all(v == 1 for v in kept_per_cluster.values())
