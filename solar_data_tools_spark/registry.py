@@ -3730,6 +3730,223 @@ FROM ranked ORDER BY doc_id
 """
 
 
+def q140_crawl_curation_pipeline(spark, sf_dir):
+    """END-TO-END web-crawl curation (the RefinedWeb/FineWeb front as
+    ONE composed plan), every stage an already-certified operator:
+
+    1. messy URLs (www./case/trailing-slash/tracking variants) →
+       canonical-URL keep-best dedup (q123/q124 semantics);
+    2. per-registered-domain cap, seeded md5 pick (q125);
+    3. Gopher quality rules on the text, thresholds adapted to the
+       synthetic corpus's 10-99-word docs (q127 semantics);
+    4. fastText-style hashed-classifier score, keep score >= bias
+       (q138 semantics, same md5-derived weights);
+    5. near-dup resolution keeping the highest-quality member of each
+       Jaccard cluster (q45 pairs + q139 keep-best).
+
+    The oracle replays all five stages in one DuckDB query — the final
+    curated set is hash-certified end to end, not just per stage.
+    """
+    from solar_data_tools_spark.operators import urls as ur
+    from solar_data_tools_spark.operators import text as txo
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+        resolve_duplicates,
+    )
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id", "n_chars", "lang", "source", "text",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("cdn"), (d % 4).cast("string"), F.lit("."),
+            F.col("source"),
+            F.when(d % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/page/"), (d % 50).cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 2 == 1, F.lit("?utm_campaign=x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    # 1. canonical-URL keep-best
+    kept = ur.url_dedup(raw, quality_col="n_chars").select("doc_id")
+    s1 = raw.join(kept, "doc_id")
+    # 2. domain cap
+    s2 = ur.domain_cap(s1, cap=20, seed=7)
+    # 3. Gopher rules (relaxed word floor + 1-stopword rule for the
+    # synthetic 10-99-word vocabulary corpus)
+    g = txo.gopher_rules(
+        s2, min_words=20, min_required_hits=1
+    ).where(F.col("gopher_pass")).select("doc_id")
+    s3 = s2.join(g, "doc_id")
+    # 4. classifier gate: keep score >= bias (positive mean evidence)
+    w = spark.range(4096).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
+    )
+    sc = linear_classifier_score(
+        s3, w, bias=-0.1, n_features=4096
+    ).where(F.col("score") >= -0.1)
+    s4 = s3.join(sc.select("doc_id", "prob"), "doc_id")
+    # 5. near-dup keep-best inside the surviving set
+    pairs = dd.ngram_jaccard_pairs(
+        s4, n=1, threshold=0.62, block_cols=["lang", "source"]
+    )
+    dropped = resolve_duplicates(s4, pairs, quality_col="n_chars").where(
+        ~F.col("is_kept")
+    ).select("doc_id")
+    final = s4.join(dropped, "doc_id", "left_anti")
+    return final.select(
+        "doc_id", "domain", "n_chars", F.round("prob", R).alias("prob")
+    ).orderBy("doc_id")
+
+
+Q140_SQL = """
+WITH RECURSIVE raw AS (
+  SELECT doc_id, n_chars, lang, source, text,
+         'https://cdn' || CAST(doc_id % 4 AS VARCHAR) || '.' || source
+           || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+           || '/page/' || CAST(doc_id % 50 AS VARCHAR) AS canon_url,
+         source || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+           AS domain
+  FROM documents
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT raw.*, row_number() OVER (PARTITION BY canon_url
+                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM raw
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT s1.*, row_number() OVER (PARTITION BY domain
+        ORDER BY ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT / 4294967296.0,
+                 doc_id) AS capr
+    FROM s1
+  ) WHERE capr <= 20
+),
+gf AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+           AS words,
+         string_split(text, chr(10)) AS lines, text AS gtext
+  FROM s2
+),
+gfeat AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))
+           / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+         (length(gtext) - length(replace(gtext, '#', ''))
+          + floor((length(gtext) - length(replace(gtext, '...', ''))) / 3))
+           / greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_ratio,
+         CAST(len(list_filter(lines, l -> starts_with(trim(l), '- ')
+                                          OR starts_with(trim(l), '* ')))
+              AS DOUBLE)
+           / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS bullet_ratio,
+         CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE)
+           / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ellipsis_ratio,
+         CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               w -> list_contains(list_transform(words, x -> lower(x)), w)))
+              AS BIGINT) AS required_hits
+  FROM gf
+),
+s3 AS (
+  SELECT s2.* FROM s2 JOIN gfeat USING (doc_id)
+  WHERE n_words BETWEEN 20 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+    AND ellipsis_ratio <= 0.3 AND required_hits >= 1
+),
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM s3
+),
+cgrams AS (
+  SELECT doc_id, unnest(t) AS g FROM ctoks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM ctoks WHERE len(t) > 0
+),
+cfid AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 4096.0) AS BIGINT) AS feature_id
+  FROM cgrams WHERE length(g) > 0
+),
+cw AS (
+  SELECT f AS feature_id,
+         (('0x' || substring(md5('w13:' || CAST(f AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0 AS weight
+  FROM generate_series(0, 4095) t(f)
+),
+cscore AS (
+  SELECT cfid.doc_id,
+         -0.1 + sum(coalesce(cw.weight, 0.0)) / count(*) AS score
+  FROM cfid LEFT JOIN cw USING (feature_id)
+  GROUP BY cfid.doc_id
+),
+s4 AS (
+  SELECT s3.*, 1.0 / (1.0 + exp(-cscore.score)) AS prob
+  FROM s3 JOIN cscore USING (doc_id)
+  WHERE cscore.score >= -0.1
+),
+sh AS (
+  SELECT DISTINCT s4.doc_id, s4.lang, s4.source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(s4.text), '\\s+', ' ', 'g')), ' '))
+           AS shingle
+  FROM s4
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.62
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node
+),
+cl AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+clq AS (
+  SELECT cl.node, cl.cluster_id, s4.n_chars
+  FROM cl JOIN s4 ON s4.doc_id = cl.node
+),
+clr AS (
+  SELECT node, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, node ASC) AS rn
+  FROM clq
+),
+droppers AS (SELECT node AS doc_id FROM clr WHERE rn > 1)
+SELECT doc_id, domain, n_chars, round(prob, 6) AS prob
+FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM droppers)
+ORDER BY doc_id
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5337,6 +5554,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
+    "q140_crawl_curation_pipeline": QuerySpec(
+        q140_crawl_curation_pipeline, Q140_SQL, "curation-crawl-pipeline"
+    ),
     "q112_stratified_topk": QuerySpec(
         q112_stratified_topk, Q112_SQL, "sampling-stratified-topk"
     ),
@@ -5462,7 +5682,6 @@ _QUERY_ORDER: list[str] = [
     "q21_iqr_filter",
     "q22_daytime_detection",
     "q23_future_filter",
-    "q24_resample_hourly",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5471,8 +5690,10 @@ _QUERY_ORDER: list[str] = [
     "q136_ground_truth_tilt_azimuth",
     "q138_classifier_score",
     "q139_dedup_keep_best",
+    "q140_crawl_curation_pipeline",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first
+    "q24_resample_hourly",
     "q25_avg_day_profile",
     "q28_daily_smoothness",
     "q29_sunrise_sunset",
