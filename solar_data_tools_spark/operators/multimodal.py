@@ -26,9 +26,12 @@ buffers; ``sample_frames``: uniform temporal sampling with REAL
 animated-GIF frame decode + composition, metadata-true MP4 timestamps)
 run as the same Arrow-batched mapInPandas plan. JPEG decode covers
 baseline (SOF0/1) AND progressive (SOF2, full successive-approximation
-refinement). The ONLY remaining fallback is video-codec entropy decode
-(H.264 etc. — genuinely impossible without a codec library), which
-degrades to a deterministic byte-histogram feature; swap ffmpeg into
+refinement). VIDEO decode is real for Motion-JPEG in AVI
+(``decode_avi_mjpeg_frames``: RIFF walk -> per-frame JPEG decode, with
+an ``encode_avi_mjpeg`` writer for synthesis); the ONLY remaining
+fallback is inter-frame video-codec entropy decode (H.264 etc. —
+genuinely impossible without a codec library), which degrades to a
+deterministic byte-histogram feature; swap ffmpeg into
 ``DECODERS``/``media_feature`` without touching the Spark plan.
 """
 
@@ -174,6 +177,18 @@ def sniff_media(buf: bytes) -> dict:
                     out["height"] = ((bits >> 14) & 0x3FFF) + 1
                 return out
             i += 8 + clen + (clen % 2)
+        return out
+    # AVI: RIFF container; avih (main header) carries frame period,
+    # frame count, and canvas dimensions
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        out["mime_type"] = "video/avi"
+        try:
+            mspf, n_frames, w, h, _ = _avi_parse(buf, want_frames=False)
+            out["width"], out["height"] = w, h
+            if mspf and n_frames:
+                out["duration_s"] = mspf * n_frames / 1e6
+        except (ValueError, IndexError, struct.error):
+            pass
         return out
     # WAV: RIFF container, fmt chunk carries rate/channels/depth, data
     # chunk length gives the duration
@@ -1160,6 +1175,110 @@ def encode_gif_animation(
     return bytes(out)
 
 
+def _avi_parse(
+    buf: bytes, want_frames: bool = True
+) -> tuple[int, int, int, int, list[bytes]]:
+    """Minimal RIFF-AVI walk: returns (microsec_per_frame, total_frames,
+    width, height, video_frame_chunks). Frame chunks are the raw
+    ``NNdc``/``NNdb`` payloads from the ``movi`` list in file order —
+    for an MJPEG stream each one is a complete JPEG."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    mspf = n_frames = width = height = 0
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal mspf, n_frames, width, height
+        i = lo
+        while i + 8 <= hi:
+            cid = buf[i : i + 4]
+            clen = struct.unpack("<I", buf[i + 4 : i + 8])[0]
+            body = i + 8
+            end = min(body + clen, hi)
+            if cid == b"LIST" and end - body >= 4:
+                ltype = buf[body : body + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    if ltype != b"movi" or want_frames:
+                        walk(body + 4, end)
+            elif cid == b"avih" and end - body >= 40:
+                mspf = struct.unpack("<I", buf[body : body + 4])[0]
+                n_frames = struct.unpack("<I", buf[body + 16 : body + 20])[0]
+                width = struct.unpack("<I", buf[body + 32 : body + 36])[0]
+                height = struct.unpack("<I", buf[body + 36 : body + 40])[0]
+            elif (
+                len(cid) == 4
+                and cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+            ):
+                frames.append(buf[body:end])
+            i = body + clen + (clen % 2)
+
+    walk(12, len(buf))
+    return mspf, n_frames, width, height, frames
+
+
+def decode_avi_mjpeg_frames(buf: bytes) -> list[tuple[float, np.ndarray]]:
+    """REAL video decode for the one codec the pure-stdlib stack can
+    honestly cover: Motion-JPEG in AVI — every ``00dc`` chunk is an
+    independent JPEG, fed through the same baseline/progressive JPEG
+    decoder the image path uses. Returns [(t_seconds, HxWx3 uint8)] in
+    stream order; raises ValueError when the stream isn't MJPEG (frames
+    that don't start with the JPEG SOI marker), so callers degrade to
+    the byte-histogram fallback exactly like any other unsupported
+    codec."""
+    mspf, _n, _w, _h, chunks = _avi_parse(buf)
+    if not chunks:
+        raise ValueError("AVI has no video frame chunks")
+    out = []
+    for k, chunk in enumerate(chunks):
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("AVI video stream is not MJPEG")
+        out.append((k * (mspf or 0) / 1e6, decode_jpeg(chunk)))
+    return out
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], fps: float, width: int, height: int
+) -> bytes:
+    """Minimal spec-shaped MJPEG/AVI writer (test + synthesis sink,
+    mirroring ``encode_gif_animation``): RIFF(AVI ) -> LIST hdrl
+    (avih + one 'vids'/'MJPG' strl) -> LIST movi of ``00dc`` chunks."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    mspf = int(round(1e6 / fps)) if fps > 0 else 0
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        mspf, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0, n,
+                      0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
     """Pure-stdlib WAV decode: RIFF chunk walk -> PCM frames as a MONO
     float64 array in [-1, 1] (16-bit and 8-bit PCM; multi-channel audio
@@ -1318,6 +1437,11 @@ def media_feature(buf: bytes, dim: int = 8) -> list[float]:
             if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
                 samples, rate = decode_wav_pcm(buf)
                 return audio_feature(samples, rate, dim)
+            if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                # MJPEG: real first-frame pixels (same convention as
+                # GIF's composed first frame); other codecs raise and
+                # fall through to the byte-histogram fallback
+                return image_feature(decode_avi_mjpeg_frames(buf)[0][1], dim)
         except (ValueError, IndexError, struct.error, zlib.error):
             # corrupt container/stream (bad IDAT, truncated header,
             # palette index out of range, ...): one malformed file must
@@ -1542,6 +1666,22 @@ def _frame_rows(mid, buf, n_frames: int, dim: int) -> list[tuple]:
                 for k in picks
             ]
         except (ValueError, IndexError, struct.error, zlib.error):
+            return [(mid, 0, 0, 0.0, False, None, None, _fake_feature(buf, dim))]
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        try:
+            frames = decode_avi_mjpeg_frames(buf)
+            total = len(frames)
+            picks = np.unique(
+                np.linspace(0, total - 1, min(n_frames, total)).round()
+            ).astype(int)
+            return [
+                (mid, int(k), total, frames[k][0], True,
+                 frames[k][1].shape[0], frames[k][1].shape[1],
+                 image_feature(frames[k][1], dim))
+                for k in picks
+            ]
+        except (ValueError, IndexError, struct.error, zlib.error):
+            # non-MJPEG AVI: container metadata only, stub feature
             return [(mid, 0, 0, 0.0, False, None, None, _fake_feature(buf, dim))]
     info = sniff_media(buf)
     if info["mime_type"] == "video/mp4":

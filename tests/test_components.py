@@ -2064,3 +2064,101 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # late 100.0 was dropped by the watermark, not merged or re-emitted)
     assert rows["2020-01-01"] == (2, round(6.0 * 24.0 / 288.0, 6))
     assert rows["2020-01-05"] == (1, round(8.0 * 24.0 / 288.0, 6))
+
+
+def test_avi_mjpeg_roundtrip_and_sniff():
+    """MJPEG/AVI: encode 4 JPEG frames into a spec-shaped AVI, sniff the
+    container (mime/dimensions/duration from avih), and decode every
+    frame back within JPEG flat-quant tolerance with exact timestamps."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.multimodal import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        sniff_media,
+    )
+
+    h, w, fps = 16, 24, 10.0
+    frames = []
+    for k in range(4):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * 3 + xx * 5 + k * 40) % 256
+        frames.append(
+            np.stack([base, 255 - base, (base * 2) % 256], axis=2).astype(
+                np.uint8
+            )
+        )
+    avi = encode_avi_mjpeg([_encode_jpeg(f) for f in frames], fps, w, h)
+
+    info = sniff_media(avi)
+    assert info["mime_type"] == "video/avi"
+    assert (info["width"], info["height"]) == (w, h)
+    assert info["duration_s"] == pytest.approx(4 / fps, abs=1e-6)
+
+    got = decode_avi_mjpeg_frames(avi)
+    assert len(got) == 4
+    for k, (t, img) in enumerate(got):
+        assert t == pytest.approx(k / fps, abs=1e-6)
+        assert img.shape == (h, w, 3)
+        err = np.abs(img.astype(int) - frames[k].astype(int)).max()
+        assert err <= 8, (k, err)
+
+
+def test_avi_mjpeg_frame_sampling_and_feature(spark):
+    """sample_frames over an MJPEG AVI yields REAL decoded frames
+    (decoded=true, true dimensions, pixel features matching a direct
+    decode); a non-MJPEG AVI degrades to the stub row. media_feature
+    equals the first decoded frame's image feature."""
+    import numpy as np
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        extract_features,
+        image_feature,
+        media_feature,
+        sample_frames,
+    )
+
+    h, w, fps = 12, 16, 5.0
+    frames = [
+        np.full((h, w, 3), 40 * (k + 1), dtype=np.uint8) for k in range(6)
+    ]
+    avi = encode_avi_mjpeg([_encode_jpeg(f) for f in frames], fps, w, h)
+    # non-MJPEG: same container, garbage codec payloads
+    bogus = encode_avi_mjpeg([b"\x00\x01notjpeg" for _ in range(3)], fps, w, h)
+
+    rows = [
+        (1, "video", avi, None, None, None, None),
+        (2, "video", bogus, None, None, None, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["media_id", "modality", "content", "mime_type",
+                     "width", "height", "duration_s"],
+        ),
+        schema=MEDIA_SCHEMA,
+    )
+    out = sample_frames(media, n_frames=3).collect()
+    real = sorted(
+        [r for r in out if r["media_id"] == 1], key=lambda r: r["frame_idx"]
+    )
+    assert len(real) == 3 and all(r["decoded"] for r in real)
+    assert [r["n_frames_total"] for r in real] == [6, 6, 6]
+    assert all((r["height"], r["width"]) == (h, w) for r in real)
+    direct = {
+        k: image_feature(img, 8)
+        for k, (_, img) in enumerate(decode_avi_mjpeg_frames(avi))
+    }
+    for r in real:
+        assert r["feature"] == pytest.approx(direct[r["frame_idx"]], abs=1e-9)
+    stub = [r for r in out if r["media_id"] == 2]
+    assert len(stub) == 1 and not stub[0]["decoded"]
+
+    assert media_feature(avi, 8) == pytest.approx(direct[0], abs=1e-9)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["sniffed_mime"] == "video/avi"
+    assert feats[1]["duration_s"] == pytest.approx(6 / fps, abs=1e-6)
