@@ -368,15 +368,19 @@ def minhash_lsh_candidates(
     banded = banded.repartition(*[F.col(c) for c in keys])
     a = banded.select(F.col(id_col).alias("id_a"), *keys)
     b = banded.select(F.col(id_col).alias("id_b"), *keys)
-    # SHUFFLE_HASH pin: without it, AQE broadcast-converts this self-join
-    # at small scale, replacing one side's exchange with a
-    # BroadcastExchange — which forfeits the shared-shuffle subplan and
-    # re-runs the banding projection for the broadcast side. The
-    # shuffle-hash join keeps both sides reading the one repartition at
-    # EVERY scale (at fleet scale neither side is broadcastable anyway,
-    # so this also makes the small-scale plan shape match production).
+    # MERGE pin: without a join-strategy hint, AQE broadcast-converts
+    # this self-join at small scale, replacing one side's exchange with
+    # a BroadcastExchange — which forfeits the shared-shuffle subplan
+    # and re-runs the banding projection for the broadcast side. A
+    # sort-merge pin keeps both sides reading the one repartition at
+    # EVERY scale AND spills under skew: the previous shuffle_hash pin
+    # built an in-memory hash relation per partition, which a single
+    # mega-bucket (near-identical signature cliques — exactly what a
+    # dup-dense crawl produces) blew past executor heap at a 2M-doc
+    # probe; sort-merge handles the same bucket by spilling the sort.
+    # Cost: one per-side sort (~0.1 s at sf0.1, unchanged bench median).
     return (
-        a.hint("shuffle_hash").join(b, on=keys)
+        a.hint("merge").join(b, on=keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
