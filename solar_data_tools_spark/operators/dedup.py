@@ -363,7 +363,7 @@ def minhash_lsh_candidates(
     # both sides then share one identical shuffle subplan, so the
     # upstream signature pipeline runs ONCE with the exchange reused,
     # instead of once per side (same measured ~2x pattern as
-    # ngram_jaccard_pairs; the shuffle_hash hint below keeps AQE from
+    # ngram_jaccard_pairs; the merge hint below keeps AQE from
     # trading that reuse for a broadcast at small scale).
     banded = banded.repartition(*[F.col(c) for c in keys])
     a = banded.select(F.col(id_col).alias("id_a"), *keys)
