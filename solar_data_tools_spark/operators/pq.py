@@ -1,0 +1,245 @@
+"""Product quantization (PQ) for embedding compression and ADC search.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (IEEE TPAMI 2011): split a d-dim vector into ``m`` contiguous
+subvectors of ``d/m`` dims, vector-quantize each subspace against its
+own ``k``-codeword codebook, and store only the ``m`` small codes
+(m bytes per vector at k<=256 instead of 4*d). Query-to-vector distance
+is approximated by Asymmetric Distance Computation (ADC): per query,
+precompute the m x k table of EXACT query-subvector-to-codeword squared
+distances once, then any candidate's distance is the sum of m table
+lookups — candidates are never decompressed.
+
+Scale shape (the reason PQ exists at 10^9+ vectors):
+
+* the codebook is k*d doubles total — a plan LITERAL (one nested-array
+  node, the LSH-planes pattern), never a join side and never shuffled;
+* :func:`pq_encode` is one whole-stage-codegen projection over the
+  corpus — zero shuffles, stream-legal;
+* :func:`pq_adc_topk` precomputes each query's LUT in a projection on
+  the (tiny) query side, broadcasts it onto the codes table, and scans
+  codes rows that are 8-64 bytes wide instead of 4*d — the corpus
+  embedding column is read exactly once, at encode time.
+
+Everything is Spark built-ins (nested array literals + higher-order
+functions): zero Python UDFs, and the only shuffle in the search path
+is the final per-query top-k.
+
+The k-means trainer mirrors ``similarity.train_ivf_centroids``: a
+bounded, seeded-hash-bottom driver sample (unbiased — the hash order is
+a pseudorandom permutation of ids — yet deterministic and invariant to
+partitioning/task retries). With ``n_iters=0`` the codebook degrades to
+"the k hash-smallest sample rows' subvectors", a rule simple enough to
+replay in ANSI SQL — which is exactly how the q141/q142 DuckDB oracles
+certify the encode/ADC math end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shape(codebooks: np.ndarray) -> tuple[int, int, int]:
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(f"codebooks must be (m, k, ds), got shape {cb.shape}")
+    return cb.shape
+
+
+def codebook_literal(codebooks: np.ndarray) -> Column:
+    """The (m, k, ds) codebook as ONE nested array literal column —
+    a single plan node regardless of size (k*d doubles ~ 8 KB for the
+    classic m=8, k=256, d=64 layout)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    return F.lit([[[float(x) for x in cw] for cw in sub] for sub in cb])
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a seeded-hash-bottom driver
+    sample. Returns an (m, k, d/m) float array.
+
+    Determinism contract (shared with the IVF trainers): the sample is
+    the ``sample_cap`` rows with the smallest ``md5(seed, id)``, taken
+    IN HASH ORDER; subspace j's initial codewords are the first k
+    sample rows' j-th subvectors. Lloyd's updates assign by squared
+    Euclidean distance (ties -> lowest code), means update each cell,
+    and an empty cell keeps its previous codeword — so the result is a
+    pure function of (corpus keys, seed, m, k, n_iters), independent of
+    partitioning. ``n_iters=0`` returns the init itself, the
+    SQL-replayable rule the external oracles certify against.
+    """
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(hash_uniform(F.col(id_col), seed), F.col(id_col))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    if sample.empty:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if len(mat) < k:
+        raise ValueError(f"sample of {len(mat)} rows cannot seed k={k} codewords")
+    ds = d // m
+    books = np.empty((m, k, ds), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * ds : (j + 1) * ds]
+        cent = sub[:k].copy()  # hash-order heads: the n_iters=0 oracle rule
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # argmin ties -> lowest code
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _sqdist_expr(vec_sql: str, cw_sql: str) -> str:
+    """Squared Euclidean distance between two array<double> SQL exprs,
+    folded left-to-right (element order) so the double result is
+    bit-reproducible across engines."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {cw_sql}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (a, v) -> a + v)"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to its m nearest-codeword codes.
+
+    One codegen projection: per subspace, an ``aggregate`` over the k
+    codewords keeps the running (min squared distance, code) struct —
+    strict ``<`` so ties resolve to the LOWEST code, matching the
+    oracle's ``ORDER BY dist, c`` rank. Output:
+    ``(id_col, codes array<int>, qerr double)`` where ``qerr`` is the
+    total squared quantization error (the sum of the m subspace minima,
+    folded in subspace order).
+    """
+    m, k, ds = _shape(codebooks)
+    # argmin via fold; the single-element transform(array(...)) wrapper
+    # is the SQL let-binding idiom: the distance is computed once per
+    # (subspace, codeword), not once for the compare and once for the use
+    dist = _sqdist_expr(
+        f"slice(_v, j * {ds} + 1, {ds})",
+        "element_at(element_at(_cb, j + 1), c + 1)",
+    )
+    codes_struct = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(sequence(0, {k - 1}), "
+        "named_struct('d', cast('Infinity' as double), 'c', -1), "
+        f"(acc, c) -> element_at(transform(array({dist}), "
+        "dd -> if(dd < acc.d, named_struct('d', dd, 'c', c), acc)), 1)))"
+    )
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        )
+        .withColumn("_cb", codebook_literal(codebooks))
+        .withColumn("_cs", F.expr(codes_struct))
+        .select(
+            F.col(id_col),
+            F.expr("transform(_cs, s -> s.c)").alias("codes"),
+            F.expr(
+                "aggregate(_cs, cast(0.0 as double), (a, s) -> a + s.d)"
+            ).alias("qerr"),
+        )
+    )
+
+
+def pq_decode(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Reconstruct the quantized approximation of each vector (concat of
+    its m codewords) — the re-rank/debug path. Pure projection."""
+    m, _, _ = _shape(codebooks)
+    expr = (
+        f"flatten(transform(sequence(0, {m - 1}), "
+        f"j -> element_at(element_at(_cb, j + 1), "
+        f"element_at({codes_col}, j + 1) + 1)))"
+    )
+    return (
+        codes.withColumn("_cb", codebook_literal(codebooks))
+        .withColumn("decoded", F.expr(expr))
+        .drop("_cb")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k: per query, precompute the m x n_codewords LUT of exact
+    query-subvector-to-codeword squared distances (a projection on the
+    tiny query side), broadcast it onto the codes table, and score each
+    candidate as the sum of m lookups — the corpus is scanned as
+    (id, codes) rows only.
+
+    Ranking is ``(adc_dist ASC, id ASC)``; both engines fold the m
+    lookups left-to-right over identical doubles, so ranks are
+    deterministic. Output: (query_id, vec_id, adc_dist, rank<=k).
+    """
+    m, kk, ds = _shape(codebooks)
+    lut_cell = _sqdist_expr(
+        f"slice(_q, j * {ds} + 1, {ds})",
+        "element_at(element_at(_cb, j + 1), c + 1)",
+    )
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {kk - 1}), c -> {lut_cell}))"
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_q"),
+        )
+        .withColumn("_cb", codebook_literal(codebooks))
+        .select(query_id_col, F.expr(lut).alias("_lut"))
+    )
+    dist = (
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), (a, j) -> "
+        "a + element_at(element_at(_lut, j + 1), "
+        "element_at(codes, j + 1) + 1))"
+    )
+    scored = codes.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn("adc_dist", F.expr(dist))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

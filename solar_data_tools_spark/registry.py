@@ -3947,6 +3947,128 @@ ORDER BY doc_id
 """
 
 
+def _pq_books(spark, sf_dir):
+    """The SQL-replayable codebook rule shared by q141/q142: per
+    subspace, the codewords are the subvectors of the 16 seeded-hash-
+    smallest vectors (train_pq_codebooks with n_iters=0 — the
+    deterministic init, certifiable in ANSI SQL; Lloyd's refinement is
+    covered by rows-only q-variants + numpy-parity tests)."""
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pqm.train_pq_codebooks(
+        emb, m=8, k=16, sample_cap=16, n_iters=0, seed=42
+    )
+    return emb, books
+
+
+# DuckDB replication of the q141/q142 codebook + encode chain: seeded-
+# hash bottom-16 rows in hash order are the codewords; assignment is
+# argmin squared distance with ties -> lowest code.
+_PQ_CODES_CTE = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), seeds AS (
+  SELECT e, row_number() OVER (ORDER BY
+      ('0x' || substring(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0, vec_id) - 1 AS c
+  FROM v QUALIFY c < 16
+), cw AS (
+  SELECT j, c, e[j*8+1 : j*8+8] AS sub FROM seeds, generate_series(0, 7) t(j)
+), d AS (
+  SELECT v.vec_id, cw.j, cw.c,
+    list_sum(list_transform(list_zip(v.e[cw.j*8+1 : cw.j*8+8], cw.sub),
+             s -> (s[1] - s[2]) * (s[1] - s[2]))) AS dist
+  FROM v CROSS JOIN cw
+), best AS (
+  SELECT vec_id, j, c, dist,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+  FROM d
+)
+"""
+
+
+def q141_pq_encode(spark, sf_dir):
+    """Product-quantization encode (Jégou et al. 2011): dim-64 vectors →
+    8 subspaces × 16 codewords → 8 codes + total squared quantization
+    error. One codegen projection over the corpus (codebook is a nested
+    array LITERAL, never a join side); the DuckDB oracle re-derives the
+    codebook from the same seeded-hash rule and re-runs the argmin, so a
+    hash match certifies the whole encode path bit-for-bit."""
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb, books = _pq_books(spark, sf_dir)
+    out = pqm.pq_encode(emb, books)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+        _pround(F.col("qerr")).alias("qerr"),
+    )
+
+
+Q141_SQL = f"""
+WITH {_PQ_CODES_CTE}
+SELECT vec_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes_str,
+       floor(sum(dist) * 1e6 + 0.5) / 1e6 AS qerr
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+
+def q142_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k search: each query precomputes its
+    8×16 LUT of exact subvector→codeword squared distances (projection
+    on the query side), the LUT broadcasts onto the codes table, and a
+    candidate's distance is 8 table lookups — the corpus embedding
+    column is never read at search time. Both engines fold the lookups
+    in subspace order over identical doubles, so ranks are bit-stable."""
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb, books = _pq_books(spark, sf_dir)
+    codes = pqm.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pqm.pq_adc_topk(codes, queries, books, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        _pround(F.col("adc_dist")).alias("adc_dist"),
+        "rank",
+    )
+
+
+Q142_SQL = f"""
+WITH {_PQ_CODES_CTE}
+, codes AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM best WHERE rn = 1
+  GROUP BY vec_id
+), qlut AS (
+  SELECT v.vec_id AS query_id,
+         list(list_sum(list_transform(
+             list_zip(v.e[cw.j*8+1 : cw.j*8+8], cw.sub),
+             s -> (s[1] - s[2]) * (s[1] - s[2]))) ORDER BY cw.j, cw.c)
+           AS lutflat
+  FROM v CROSS JOIN cw WHERE v.vec_id < 3 GROUP BY v.vec_id
+), scored AS (
+  SELECT q.query_id, codes.vec_id,
+         list_sum(list_transform(range(0, 8),
+             j -> q.lutflat[j * 16 + codes.codes[j + 1] + 1])) AS adc_dist
+  FROM qlut q CROSS JOIN codes WHERE codes.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, floor(adc_dist * 1e6 + 0.5) / 1e6 AS adc_dist, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5551,6 +5673,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q138_classifier_score": QuerySpec(
         q138_classifier_score, Q138_SQL, "curation-quality-classifier"
     ),
+    "q141_pq_encode": QuerySpec(q141_pq_encode, Q141_SQL, "embedding-pq"),
+    "q142_pq_adc_topk": QuerySpec(
+        q142_pq_adc_topk, Q142_SQL, "embedding-pq-adc"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -5680,8 +5806,6 @@ _QUERY_ORDER: list[str] = [
     "q19_gap_fill",
     "q20_range_clamp",
     "q21_iqr_filter",
-    "q22_daytime_detection",
-    "q23_future_filter",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5691,8 +5815,16 @@ _QUERY_ORDER: list[str] = [
     "q138_classifier_score",
     "q139_dedup_keep_best",
     "q140_crawl_curation_pipeline",
+    # new-this-session oracles (PQ encode / ADC search), never
+    # externally hash-checked — take window slots from the oldest
+    # round-4 class below
+    "q141_pq_encode",
+    "q142_pq_adc_topk",
     # ---- driver window boundary (first 50) ----
-    # remaining round-4-verified oracles, next-oldest first
+    # remaining round-4-verified oracles, next-oldest first (q22/q23
+    # yielded their slots to the new PQ oracles this session)
+    "q22_daytime_detection",
+    "q23_future_filter",
     "q24_resample_hourly",
     "q25_avg_day_profile",
     "q28_daily_smoothness",

@@ -36,6 +36,8 @@ _TWO_SCALE = [
     "q132_latitude_study",
     "q135_longitude_study_closed",
     "q136_ground_truth_tilt_azimuth",
+    "q141_pq_encode",
+    "q142_pq_adc_topk",
 ]
 
 
