@@ -978,3 +978,137 @@ def resolve_duplicates(
         F.col("_q").alias(quality_col),
         (F.col("node") == F.col("_best.id")).alias("is_kept"),
     )
+
+
+def dsir_importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_features: int = 1 << 16,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+    seed: int | str = 0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw-corpus document by how much more likely its hashed n-gram
+    bag is under a target-domain unigram-feature model than under the
+    raw-corpus model,
+
+        logw(doc) = sum_f cnt_doc[f] * (log p_target[f] - log p_raw[f])
+
+    with add-alpha smoothing over the ``n_features`` hash buckets:
+    ``p[f] = (cnt[f] + alpha) / (total + alpha * n_features)``.
+
+    Plan shape at corpus scale: both bag-of-features models are
+    hash-grained aggregates (<= n_features rows each — a few MB at the
+    paper's 10^4-10^5 buckets, NEVER corpus-sized), joined into one
+    log-ratio table that broadcasts onto the per-doc feature counts; the
+    corpus text is read once by the featurizer and never shuffles —
+    only (doc, feature, cnt) triples move. The md5 feature hash makes
+    the whole computation engine-portable (the q143 oracle replays it).
+
+    Output: (id_col, n_grams, logw).
+    """
+    feats = hashed_ngram_features(
+        raw_docs, n_features, id_col, text_col, use_bigrams, seed
+    )
+    tfeats = hashed_ngram_features(
+        target_docs, n_features, id_col, text_col, use_bigrams, seed
+    )
+    raw_counts = feats.groupBy("feature_id").agg(
+        F.sum("cnt").alias("_cr")
+    )
+    tgt_counts = tfeats.groupBy("feature_id").agg(
+        F.sum("cnt").alias("_ct")
+    )
+    raw_total = raw_counts.agg(F.sum("_cr").alias("_tr"))
+    tgt_total = tgt_counts.agg(F.sum("_ct").alias("_tt"))
+    a = F.lit(float(alpha))
+    an = F.lit(float(alpha) * float(n_features))
+    # every feature a raw doc can contribute IS in raw_counts (the raw
+    # model is fit on the same corpus being scored), so a left join from
+    # raw_counts covers the full support; target-absent features get
+    # cnt 0 via coalesce
+    ratio = (
+        raw_counts.join(tgt_counts, "feature_id", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "feature_id",
+            (
+                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+                - F.log(F.col("_tt") + an)
+                - F.log(F.col("_cr") + a)
+                + F.log(F.col("_tr") + an)
+            ).alias("_lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "feature_id")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("_lr")).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_features: int = 1 << 16,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_bigrams: bool = True,
+    seed: int | str = 0,
+    gumbel_seed: int | str = "dsir-gumbel",
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` documents WITHOUT replacement,
+    proportionally to their importance weights, via the Gumbel-top-k
+    trick — ``key = logw + Gumbel(0,1)`` where the Gumbel noise is
+    ``-ln(-ln(u))`` with ``u`` a seeded md5-uniform of the doc id, so
+    the draw is deterministic, partitioning-invariant, and replayable
+    in any engine (no RNG stream).
+
+    ``logw`` is fixed-point rounded (``round_digits``) BEFORE the noise
+    is added: partition-parallel float sums differ from sequential sums
+    in the last ulps, and the rounding makes the ranking key — hence
+    the selected set — bit-stable across engines and cluster layouts.
+
+    The top-k is a global ``ORDER BY key LIMIT k`` — Spark executes it
+    as TakeOrdered (per-partition heaps + driver merge of k-row heads),
+    no global sort shuffle. Output: (id_col, n_grams, logw, key, rank).
+    """
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    w = dsir_importance_weights(
+        raw_docs, target_docs, n_features, alpha, id_col, text_col,
+        use_bigrams, seed,
+    )
+    p = F.lit(float(10 ** round_digits))
+    logw_r = (
+        F.floor(F.col("logw") * p + F.lit(0.5)) / p
+    )  # sign-safe for logw<0: floor(x+.5) rounds half-up on both engines
+    u = hash_uniform(F.col(id_col), gumbel_seed)
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    key = logw_r - F.log(-F.log(u))
+    ranked = (
+        w.select(
+            F.col(id_col),
+            "n_grams",
+            logw_r.alias("logw"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )
+    # rank over k rows only (the post-limit frame is tiny by contract)
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.desc("key"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(rw))

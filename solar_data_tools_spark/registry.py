@@ -4069,6 +4069,87 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q143_dsir_selection(spark, sf_dir):
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    fit hashed-n-gram bag models over the target domain (here: the
+    ``lang='en'`` slice) and the raw corpus, weight every doc by the
+    log-likelihood ratio, and Gumbel-top-k sample 100 docs without
+    replacement — the standard recipe for carving a domain-matched
+    pretraining subset out of a web dump. Both the md5 feature hash and
+    the seeded Gumbel noise are engine-portable, so the oracle replays
+    model fitting, weighting, AND the stochastic selection exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = cu.dsir_select(
+        docs, target, k=100, n_features=2048, alpha=0.5, seed=0
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        _pround(F.col("logw")).alias("logw"),
+        _pround(F.col("key")).alias("key"),
+        "rank",
+    )
+
+
+Q143_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) > 0
+),
+gf AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 2048.0) AS BIGINT) AS feature_id
+  FROM grams WHERE length(g) > 0
+),
+dfc AS (
+  SELECT doc_id, feature_id, count(*) AS cnt FROM gf GROUP BY 1, 2
+),
+rawc AS (SELECT feature_id, sum(cnt) AS cr FROM dfc GROUP BY 1),
+tgtc AS (
+  SELECT feature_id, sum(cnt) AS ct
+  FROM dfc JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawc) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgtc) AS tt
+),
+lr AS (
+  SELECT r.feature_id,
+         ln(coalesce(t.ct, 0) + 0.5) - ln(tot.tt + 0.5 * 2048)
+         - ln(r.cr + 0.5) + ln(tot.tr + 0.5 * 2048) AS lr
+  FROM rawc r LEFT JOIN tgtc t USING (feature_id), tot
+),
+w AS (
+  SELECT d.doc_id, sum(d.cnt) AS n_grams,
+         floor(sum(d.cnt * lr.lr) * 1e6 + 0.5) / 1e6 AS logw
+  FROM dfc d JOIN lr USING (feature_id) GROUP BY 1
+),
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+         logw - ln(-ln(least(greatest(
+             ('0x' || substring(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT / 4294967296.0,
+             1e-12), 1.0 - 1e-12))) AS key
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, n_grams, logw, key,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_grams, logw,
+       floor(key * 1e6 + 0.5) / 1e6 AS key, rank
+FROM ranked WHERE rank <= 100
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5677,6 +5758,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q142_pq_adc_topk": QuerySpec(
         q142_pq_adc_topk, Q142_SQL, "embedding-pq-adc"
     ),
+    "q143_dsir_selection": QuerySpec(
+        q143_dsir_selection, Q143_SQL, "sampling-dsir"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -5805,7 +5889,6 @@ _QUERY_ORDER: list[str] = [
     "q18_dedup_timestamps",
     "q19_gap_fill",
     "q20_range_clamp",
-    "q21_iqr_filter",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5820,9 +5903,11 @@ _QUERY_ORDER: list[str] = [
     # round-4 class below
     "q141_pq_encode",
     "q142_pq_adc_topk",
+    "q143_dsir_selection",
     # ---- driver window boundary (first 50) ----
-    # remaining round-4-verified oracles, next-oldest first (q22/q23
-    # yielded their slots to the new PQ oracles this session)
+    # remaining round-4-verified oracles, next-oldest first (q21/q22/q23
+    # yielded their slots to the new PQ/DSIR oracles this session)
+    "q21_iqr_filter",
     "q22_daytime_detection",
     "q23_future_filter",
     "q24_resample_hourly",

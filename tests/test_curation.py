@@ -650,3 +650,59 @@ def test_resolve_duplicates_keep_best_semantics(spark):
         kept_per_cluster.setdefault(r["cluster_id"], 0)
         kept_per_cluster[r["cluster_id"]] += int(r["is_kept"])
     assert all(v == 1 for v in kept_per_cluster.values())
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Docs written in the target vocabulary must out-weigh docs written
+    in a disjoint vocabulary (DSIR's defining property)."""
+    from solar_data_tools_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta " * 5) for i in range(10)]
+        + [(i, "omega sigma tau phi " * 5) for i in range(10, 20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 5)  # pure alpha-vocab sample
+    w = dsir_importance_weights(
+        docs, target, n_features=512, alpha=0.5
+    ).toPandas().set_index("doc_id")["logw"]
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+
+
+def test_dsir_select_partitioning_invariant(spark):
+    from solar_data_tools_spark.operators.curation import dsir_select
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 11} filler{i % 5}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    a = (
+        dsir_select(docs, target, k=15, n_features=256)
+        .orderBy("rank")
+        .toPandas()
+    )
+    b = (
+        dsir_select(docs.repartition(17), target, k=15, n_features=256)
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["rank"]) == list(range(1, 16))
+
+
+def test_dsir_select_respects_weights_at_low_noise(spark):
+    """With one doc overwhelmingly on-domain, Gumbel noise (stddev ~1.3)
+    cannot outvote a >>10-nat log-weight gap: the on-domain docs must
+    occupy the top ranks."""
+    from solar_data_tools_spark.operators.curation import dsir_select
+
+    on = [(i, "alpha beta gamma delta epsilon zeta " * 20) for i in range(5)]
+    off = [(i, f"noise{i} junk{i} other{i} " * 20) for i in range(5, 30)]
+    docs = spark.createDataFrame(on + off, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") < 2)
+    sel = dsir_select(docs, target, k=5, n_features=1024).toPandas()
+    assert set(sel["doc_id"]) == {0, 1, 2, 3, 4}

@@ -38,6 +38,7 @@ _TWO_SCALE = [
     "q136_ground_truth_tilt_azimuth",
     "q141_pq_encode",
     "q142_pq_adc_topk",
+    "q143_dsir_selection",
 ]
 
 
