@@ -4150,6 +4150,74 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def q144_url_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering (the UT1-style adult/malware/spam
+    gate every crawl pipeline runs first): a row is blocked when its
+    host OR any parent domain appears on the list. URLs here carry a
+    ``cdn.`` subdomain and a ``WWW.`` prefix on residue classes so the
+    oracle certifies the three match modes — exact host, subdomain-of-
+    blocked-domain, and suffix TLD+1 — plus the www-strip. The verdict
+    is a zero-shuffle ``arrays_overlap`` over the host-suffix set."""
+    from solar_data_tools_spark.operators import urls as ur
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"), F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".net")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+    )
+    marked = ur.blocklist_mark(
+        raw,
+        ["src2.example.com", "src7.example.com", "example.net",
+         "WWW.src11.example.com"],
+    )
+    return marked.select("doc_id", "url", "host", "blocked")
+
+
+Q144_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://'
+         || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+         || source || '.example'
+         || (CASE WHEN doc_id % 5 = 0 THEN '.net' ELSE '.com' END)
+         || '/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+  FROM documents
+), hosts AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)',
+                                1)),
+           '^www\\.', '') AS host
+  FROM raw
+), suf AS (
+  SELECT doc_id, url, host,
+         list_transform(range(1, len(string_split(host, '.')) + 1),
+             i -> array_to_string(string_split(host, '.')[i:], '.'))
+           AS suffixes
+  FROM hosts
+)
+SELECT doc_id, url, host,
+       list_has_any(suffixes,
+           ['src2.example.com', 'src7.example.com', 'example.net',
+            'src11.example.com']) AS blocked
+FROM suf
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5761,6 +5829,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q143_dsir_selection": QuerySpec(
         q143_dsir_selection, Q143_SQL, "sampling-dsir"
     ),
+    "q144_url_blocklist": QuerySpec(
+        q144_url_blocklist, Q144_SQL, "curation-url-blocklist"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -5888,7 +5959,6 @@ _QUERY_ORDER: list[str] = [
     "q17_run_length",
     "q18_dedup_timestamps",
     "q19_gap_fill",
-    "q20_range_clamp",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5904,9 +5974,12 @@ _QUERY_ORDER: list[str] = [
     "q141_pq_encode",
     "q142_pq_adc_topk",
     "q143_dsir_selection",
+    "q144_url_blocklist",
     # ---- driver window boundary (first 50) ----
-    # remaining round-4-verified oracles, next-oldest first (q21/q22/q23
-    # yielded their slots to the new PQ/DSIR oracles this session)
+    # remaining round-4-verified oracles, next-oldest first (q20-q23
+    # yielded their slots to the new PQ/DSIR/blocklist oracles this
+    # session)
+    "q20_range_clamp",
     "q21_iqr_filter",
     "q22_daytime_detection",
     "q23_future_filter",

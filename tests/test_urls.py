@@ -3,6 +3,7 @@ per-domain caps, and plan-shape (no Python in the hot path)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from solar_data_tools_spark.operators import urls as ur
@@ -295,3 +296,61 @@ def test_canonicalize_fragment_and_unparseable(spark):
     # IPv4 literals pass through whole, never last-two-octet merged
     assert _domain(spark, "http://192.168.0.1/a") == "192.168.0.1"
     assert _domain(spark, "http://10.77.0.1:8080/b") == "10.77.0.1"
+
+
+def test_blocklist_match_modes(spark):
+    """Exact host, subdomain-of-blocked, registrable-suffix, www-strip,
+    and a near-miss (blocked domain as a LABEL PREFIX, not a suffix)
+    must each resolve correctly."""
+    rows = [
+        Row(doc_id=0, url="https://bad.example.com/x"),      # exact
+        Row(doc_id=1, url="https://cdn.bad.example.com/x"),  # subdomain
+        Row(doc_id=2, url="https://WWW.bad.example.com/x"),  # www-strip
+        Row(doc_id=3, url="https://good.example.com/x"),     # clean
+        Row(doc_id=4, url="https://notbad.example.com/x"),   # prefix trap
+        Row(doc_id=5, url="https://anything.evil.net/x"),    # suffix tld+1
+        Row(doc_id=6, url="https://evil.net.example.com/x"), # infix trap
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["blocked"]
+        for r in ur.blocklist_mark(
+            df, ["bad.example.com", "evil.net"]
+        ).collect()
+    }
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False,
+                   5: True, 6: False}
+
+
+def test_blocklist_filter_join_matches_literal(spark):
+    bl = ["s3.example.com", "spam.org"]
+    rows = [
+        Row(doc_id=i,
+            url=f"https://s{i % 7}.example.com/{i}" if i % 2 == 0
+            else f"https://p{i}.spam.org/{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    lit_kept = sorted(
+        r["doc_id"] for r in ur.blocklist_filter(df, bl).collect()
+    )
+    bldf = spark.createDataFrame([Row(domain=d) for d in bl])
+    join_kept = sorted(
+        r["doc_id"]
+        for r in ur.blocklist_filter_join(df, bldf).collect()
+    )
+    assert lit_kept == join_kept
+    assert all(i % 2 == 0 and i % 7 != 3 for i in lit_kept)
+
+
+def test_blocklist_mark_is_codegen_only(spark):
+    df = spark.createDataFrame([Row(url="https://a.b.com/x")])
+    out = ur.blocklist_mark(df, ["b.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_blocklist_empty_list_raises(spark):
+    df = spark.createDataFrame([Row(url="https://a.b.com/x")])
+    with pytest.raises(ValueError):
+        ur.blocklist_mark(df, [])
