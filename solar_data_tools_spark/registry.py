@@ -4218,6 +4218,27 @@ FROM suf
 """
 
 
+def q145_bpe_tokenize(spark, sf_dir):
+    """Real subword tokenization (BPE, Sennrich et al. 2016): train 150
+    merges on a seeded-hash corpus sample, apply distributed via an
+    Arrow-batched memoized mapInPandas, and report per-doc token counts
+    plus an md5 of the token stream. Rows-only: the per-word iterative
+    merge loop is not ANSI-SQL-expressible; correctness is carried by a
+    sequential-apply parity test, a hand-derived training golden, a
+    detokenize round-trip property, and partitioning-invariance tests
+    (tests/test_tokenize.py)."""
+    from solar_data_tools_spark.operators import tokenize as tkz
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tkz.train_bpe_merges(docs, n_merges=150, sample_cap=256)
+    out = tkz.bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "")).alias("tokens_md5"),
+    )
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5832,6 +5853,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q144_url_blocklist": QuerySpec(
         q144_url_blocklist, Q144_SQL, "curation-url-blocklist"
     ),
+    "q145_bpe_tokenize": QuerySpec(
+        q145_bpe_tokenize, None, "tokenize-bpe"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -5958,7 +5982,6 @@ _QUERY_ORDER: list[str] = [
     "q16_rolling_mean",
     "q17_run_length",
     "q18_dedup_timestamps",
-    "q19_gap_fill",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5975,10 +5998,12 @@ _QUERY_ORDER: list[str] = [
     "q142_pq_adc_topk",
     "q143_dsir_selection",
     "q144_url_blocklist",
+    "q145_bpe_tokenize",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q19_gap_fill",
     "q20_range_clamp",
     "q21_iqr_filter",
     "q22_daytime_detection",
