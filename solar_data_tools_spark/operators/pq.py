@@ -243,3 +243,155 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def _centroid_lit(centroids: np.ndarray) -> Column:
+    cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2:
+        raise ValueError(f"centroids must be (n_cells, d), got {cent.shape}")
+    return F.lit([[float(x) for x in c] for c in cent])
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """IVF-PQ index build (the FAISS IVFPQ architecture): a coarse L2
+    quantizer splits the corpus into ``n_cells`` inverted lists, and
+    each vector's RESIDUAL from its cell centroid is product-quantized
+    — residuals are far more concentrated than raw vectors, so the same
+    code budget buys much lower distortion.
+
+    The coarse quantizer is trained as PQ-with-one-subspace
+    (:func:`train_pq_codebooks` with ``m=1, k=n_cells``), inheriting the
+    whole determinism contract; cell assignment and residual formation
+    are one codegen projection (centroids ride as a literal), and the
+    residual codebooks train on the residual frame via the same seeded
+    sample. Returns ``(centroids (n_cells, d), codebooks (m, k, d/m),
+    codes_df)`` where ``codes_df`` = (id, cell, codes, qerr) — the
+    complete compressed index: 1 + m small ints per vector.
+    """
+    coarse3 = train_pq_codebooks(
+        embeddings, m=1, k=n_cells, vec_col=vec_col, id_col=id_col,
+        sample_cap=sample_cap, n_iters=n_iters, seed=seed,
+    )
+    centroids = coarse3[0]  # (n_cells, d)
+    cells = pq_encode(embeddings, coarse3, vec_col, id_col).select(
+        F.col(id_col), F.col("codes")[0].alias("cell")
+    )
+    resid = (
+        embeddings.select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double))"
+            ).alias("_v"),
+        )
+        .join(cells, id_col)
+        .withColumn("_cent", _centroid_lit(centroids))
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.expr(
+                "zip_with(_v, element_at(_cent, cell + 1), (x, c) -> x - c)"
+            ).alias(vec_col),
+        )
+    )
+    books = train_pq_codebooks(
+        resid, m=m, k=k, vec_col=vec_col, id_col=id_col,
+        sample_cap=sample_cap, n_iters=n_iters, seed=seed + 1,
+    )
+    codes = pq_encode(resid, books, vec_col, id_col).join(
+        resid.select(id_col, "cell"), id_col
+    )
+    return centroids, books, codes
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``n_probe`` L2-nearest cells
+    and scores ONLY those cells' codes by residual-space ADC —
+    ``d(q, x)^2 ≈ sum_j ||(q - centroid_cell)_j - codeword_{j,code_j}||^2``.
+
+    Plan shape: the probe frame is queries x n_probe rows, each carrying
+    its per-cell residual LUT (computed in a projection, centroid +
+    codebook literals); it broadcasts onto the codes table as a cell
+    equi-join, so a query touches ~n_probe/n_cells of the corpus and
+    the corpus side never materializes anything wider than
+    (id, cell, m codes). The final top-k is the only shuffle.
+    """
+    m, kk, ds = _shape(codebooks)
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+    # per-query cell ranking by exact L2 to each centroid
+    cell_d = _sqdist_expr("_q", "element_at(_cent, c + 1)")
+    probes = (
+        queries.select(
+            F.col(query_id_col),
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double))"
+            ).alias("_q"),
+        )
+        .withColumn("_cent", _centroid_lit(cent))
+        .withColumn(
+            "_pc",
+            F.expr(
+                f"slice(array_sort(transform(sequence(0, {len(cent) - 1}), "
+                f"c -> named_struct('d', {cell_d}, 'cell', c))), 1, {n_probe})"
+            ),
+        )
+        .select(
+            query_id_col, "_q", "_cent",
+            F.explode(F.expr("transform(_pc, s -> s.cell)")).alias("cell"),
+        )
+    )
+    # residual LUT per (query, probed cell)
+    lut_cell = _sqdist_expr(
+        f"slice(_qr, j * {ds} + 1, {ds})",
+        "element_at(element_at(_cb, j + 1), c + 1)",
+    )
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {kk - 1}), c -> {lut_cell}))"
+    )
+    probes = (
+        probes.withColumn(
+            "_qr",
+            F.expr("zip_with(_q, element_at(_cent, cell + 1), (x, c) -> x - c)"),
+        )
+        .withColumn("_cb", codebook_literal(codebooks))
+        .select(query_id_col, "cell", F.expr(lut).alias("_lut"))
+    )
+    dist = (
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), (a, j) -> "
+        "a + element_at(element_at(_lut, j + 1), "
+        "element_at(codes, j + 1) + 1))"
+    )
+    scored = codes.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn("adc_dist", F.expr(dist))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cell", "adc_dist", "rank")
+    )

@@ -4239,6 +4239,30 @@ def q145_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q146_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape):
+    coarse L2 cells + product-quantized RESIDUALS + per-query
+    asymmetric-distance LUTs over probed cells only. Rows-only (the
+    trained quantizers aren't SQL-derivable); certified by numpy
+    full-probe parity, probed-cell-restriction, residual-beats-raw
+    distortion, and determinism tests (tests/test_pq.py) — and the
+    underlying encode/ADC arithmetic is hash-certified by q141/q142."""
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, books, codes = pqm.ivfpq_build(
+        emb, n_cells=8, m=8, k=16, sample_cap=4096, n_iters=5
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pqm.ivfpq_topk(codes, queries, cent, books, k=5, n_probe=3)
+    return out.select(
+        "query_id", "vec_id", "cell",
+        _pround(F.col("adc_dist")).alias("adc_dist"), "rank",
+    )
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5856,6 +5880,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q145_bpe_tokenize": QuerySpec(
         q145_bpe_tokenize, None, "tokenize-bpe"
     ),
+    "q146_ivfpq_topk": QuerySpec(
+        q146_ivfpq_topk, None, "embedding-ivfpq"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -5981,7 +6008,6 @@ _QUERY_ORDER: list[str] = [
     "q15_first_diff",
     "q16_rolling_mean",
     "q17_run_length",
-    "q18_dedup_timestamps",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -5999,10 +6025,12 @@ _QUERY_ORDER: list[str] = [
     "q143_dsir_selection",
     "q144_url_blocklist",
     "q145_bpe_tokenize",
+    "q146_ivfpq_topk",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q18_dedup_timestamps",
     "q19_gap_fill",
     "q20_range_clamp",
     "q21_iqr_filter",

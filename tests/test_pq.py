@@ -130,3 +130,106 @@ def test_validation_errors(spark, sf_small):
         pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=8)
     with pytest.raises(ValueError, match="must be"):
         pqm.pq_encode(emb, np.zeros((8, 16)))
+
+
+def _build_small(spark, sf_small, **kw):
+    emb = _emb(spark, sf_small)
+    return emb, pqm.ivfpq_build(
+        emb, n_cells=8, m=8, k=16, sample_cap=4096, n_iters=5, **kw
+    )
+
+
+def test_ivfpq_residual_beats_raw_distortion(spark, sf_small):
+    """The point of coding residuals: same (m, k) budget, lower mean
+    quantization error than raw-vector PQ."""
+    emb = _emb(spark, sf_small)
+    raw = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=4096, n_iters=5)
+    raw_err = pqm.pq_encode(emb, raw).agg(F.avg("qerr")).collect()[0][0]
+    _, (_, _, codes) = _build_small(spark, sf_small)
+    res_err = codes.agg(F.avg("qerr")).collect()[0][0]
+    assert res_err < raw_err
+
+
+def test_ivfpq_full_probe_matches_numpy_adc(spark, sf_small):
+    """n_probe == n_cells scores EVERY vector with the residual-ADC
+    metric; the ranking must equal the numpy-computed one exactly."""
+    emb, (cent, books, codes) = _build_small(spark, sf_small)
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = (
+        pqm.ivfpq_topk(codes, queries, cent, books, k=8, n_probe=8)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    ids, mat = _np_corpus(spark, sf_small)
+    cdf = codes.orderBy("vec_id").toPandas()
+    cells = cdf["cell"].to_numpy()
+    cvec = np.stack(cdf["codes"].to_numpy())
+    m, k, ds = books.shape
+    for qid in (0, 1):
+        q = mat[ids == qid][0]
+        dist = np.zeros(len(mat))
+        for cell in range(len(cent)):
+            qr = q - cent[cell]
+            lut = np.stack(
+                [
+                    ((qr[j * ds : (j + 1) * ds][None, :] - books[j]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+            sel = cells == cell
+            dist[sel] = lut[np.arange(m)[None, :], cvec[sel]].sum(axis=1)
+        order = np.lexsort((ids, dist))
+        expect = [i for i in ids[order] if i != qid][:8]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["vec_id"]) == expect
+        np.testing.assert_allclose(
+            sub["adc_dist"].to_numpy(),
+            np.sort(dist[np.isin(ids, expect)]),
+            rtol=1e-9,
+        )
+
+
+def test_ivfpq_partial_probe_is_probed_cell_restriction(spark, sf_small):
+    """n_probe = p results must equal the full-probe ADC ranking
+    restricted to the query's p nearest cells — probing loses cells,
+    never reorders them."""
+    emb, (cent, books, codes) = _build_small(spark, sf_small)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = pqm.ivfpq_topk(
+        codes, queries, cent, books, k=500, n_probe=8
+    ).toPandas()
+    part = (
+        pqm.ivfpq_topk(codes, queries, cent, books, k=8, n_probe=2)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    ids, mat = _np_corpus(spark, sf_small)
+    for qid in range(3):
+        q = mat[ids == qid][0]
+        cd = ((cent - q[None, :]) ** 2).sum(axis=1)
+        probed = set(np.argsort(cd, kind="stable")[:2])
+        f = full[full["query_id"] == qid]
+        expect = list(f[f["cell"].isin(probed)]["vec_id"])[:8]
+        assert list(part[part["query_id"] == qid]["vec_id"]) == expect
+
+
+def test_ivfpq_deterministic_across_partitioning(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    c1, b1, k1 = pqm.ivfpq_build(
+        emb, n_cells=4, m=4, k=8, sample_cap=256, n_iters=3
+    )
+    c2, b2, k2 = pqm.ivfpq_build(
+        emb.repartition(11), n_cells=4, m=4, k=8, sample_cap=256, n_iters=3
+    )
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(b1, b2)
+    a = k1.orderBy("vec_id").toPandas()
+    b = k2.orderBy("vec_id").toPandas()
+    assert list(a["cell"]) == list(b["cell"])
+    assert [list(x) for x in a["codes"]] == [list(x) for x in b["codes"]]
