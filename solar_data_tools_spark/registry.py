@@ -4263,6 +4263,105 @@ def q146_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q147_quality_pyramid(spark, sf_dir):
+    """Quality-pyramid sampling (the FineWeb/DCLM mixing recipe): score
+    every doc with the hashed-n-gram classifier (q138's portable
+    weights), cut the score distribution into quartile buckets, and keep
+    each bucket at a rate proportional to its quality tier (25% of the
+    worst quartile up to 100% of the best) via the seeded md5 keep rule.
+    Composes three separately-certified stages into one declarative
+    plan; thresholds are exact quantiles over the ROUNDED probs (both
+    engines interpolate type-7 over identical fixed-point inputs, the
+    q37 pattern), and the bucket rule is strict-greater counting so the
+    verdict is engine-portable."""
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+    )
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    d = 4096
+    weights = spark.range(d).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
+    )
+    scored = linear_classifier_score(
+        docs, weights, bias=-0.1, n_features=d, seed=0
+    ).select("doc_id", _pround(F.col("prob")).alias("prob"))
+    th = scored.agg(
+        _pround(F.expr("percentile(prob, 0.25)")).alias("t1"),
+        _pround(F.expr("percentile(prob, 0.5)")).alias("t2"),
+        _pround(F.expr("percentile(prob, 0.75)")).alias("t3"),
+    )
+    b = scored.crossJoin(F.broadcast(th)).withColumn(
+        "bucket",
+        (F.col("prob") > F.col("t1")).cast("int")
+        + (F.col("prob") > F.col("t2")).cast("int")
+        + (F.col("prob") > F.col("t3")).cast("int"),
+    )
+    u = hash_uniform(F.col("doc_id"), "qp17")
+    return b.select(
+        "doc_id",
+        "prob",
+        "bucket",
+        (u * F.lit(4.0) < (F.col("bucket") + F.lit(1)).cast("double"))
+        .alias("kept"),
+    )
+
+
+Q147_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) > 0
+),
+gf AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 4096.0) AS BIGINT) AS feature_id
+  FROM grams WHERE length(g) > 0
+),
+w AS (
+  SELECT f AS feature_id,
+         (('0x' || substring(md5('w13:' || CAST(f AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0 AS weight
+  FROM generate_series(0, 4095) t(f)
+),
+scored AS (
+  SELECT gf.doc_id,
+         -0.1 + sum(coalesce(w.weight, 0.0)) / count(*) AS score
+  FROM gf LEFT JOIN w USING (feature_id)
+  GROUP BY gf.doc_id
+),
+pr AS (
+  SELECT doc_id,
+         floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) / 1e6 AS prob
+  FROM scored
+),
+th AS (
+  SELECT floor(quantile_cont(prob, 0.25) * 1e6 + 0.5) / 1e6 AS t1,
+         floor(quantile_cont(prob, 0.5)  * 1e6 + 0.5) / 1e6 AS t2,
+         floor(quantile_cont(prob, 0.75) * 1e6 + 0.5) / 1e6 AS t3
+  FROM pr
+),
+b AS (
+  SELECT pr.doc_id, pr.prob,
+         CAST(pr.prob > th.t1 AS INT) + CAST(pr.prob > th.t2 AS INT)
+         + CAST(pr.prob > th.t3 AS INT) AS bucket
+  FROM pr, th
+)
+SELECT doc_id, prob, bucket,
+       (('0x' || substring(md5('qp17:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0) * 4.0 < CAST(bucket + 1 AS DOUBLE)
+         AS kept
+FROM b
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5883,6 +5982,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
+    "q147_quality_pyramid": QuerySpec(
+        q147_quality_pyramid, Q147_SQL, "curation-quality-pyramid"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6007,7 +6109,6 @@ _QUERY_ORDER: list[str] = [
     "q14_sampling_inference",
     "q15_first_diff",
     "q16_rolling_mean",
-    "q17_run_length",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6026,10 +6127,12 @@ _QUERY_ORDER: list[str] = [
     "q144_url_blocklist",
     "q145_bpe_tokenize",
     "q146_ivfpq_topk",
+    "q147_quality_pyramid",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q17_run_length",
     "q18_dedup_timestamps",
     "q19_gap_fill",
     "q20_range_clamp",

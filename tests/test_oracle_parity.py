@@ -39,6 +39,7 @@ _TWO_SCALE = [
     "q141_pq_encode",
     "q142_pq_adc_topk",
     "q143_dsir_selection",
+    "q147_quality_pyramid",
 ]
 
 
