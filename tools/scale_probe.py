@@ -348,6 +348,75 @@ def main() -> None:
         timings,
     )
 
+    # --- PQ / IVF-PQ: compressed-index build + ADC search. Encode is a
+    # pure projection (cost ~ rows); searches scan (id, cell, codes)
+    # rows only, so their cost tracks corpus width, not vector width.
+    from solar_data_tools_spark.operators import pq as pqm
+
+    t0 = time.perf_counter()
+    books = pqm.train_pq_codebooks(emb, m=8, k=16, n_iters=5)
+    timings["pq_train"] = round(time.perf_counter() - t0, 2)
+    codes = pqm.pq_encode(emb, books)
+    timed("pq_encode", codes, timings)
+    timed(
+        "pq_adc_topk_100q",
+        pqm.pq_adc_topk(codes, q100, books, k=5),
+        timings,
+    )
+    t0 = time.perf_counter()
+    cent, rbooks, rcodes = pqm.ivfpq_build(
+        emb, n_cells=64, m=8, k=16, n_iters=3
+    )
+    timings["ivfpq_build_train"] = round(time.perf_counter() - t0, 2)
+    timed("ivfpq_encode", rcodes, timings)
+    timed(
+        "ivfpq_topk_100q_probe8",
+        pqm.ivfpq_topk(rcodes, q100, cent, rbooks, k=5, n_probe=8),
+        timings,
+    )
+
+    # --- DSIR selection: two hash-grained bag models + broadcast
+    # log-ratio join; corpus text read once, never shuffled
+    from solar_data_tools_spark.operators.curation import dsir_select
+
+    timed(
+        "dsir_select_1pct",
+        dsir_select(
+            docs, docs.where(F.col("lang") == "l0"),
+            k=max(args.docs // 100, 10), n_features=1 << 16,
+        ),
+        timings,
+    )
+
+    # --- blocklist: zero-shuffle arrays_overlap over host suffixes
+    from solar_data_tools_spark.operators import urls as ur
+
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 97).cast("string"),
+            F.lit("."), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    timed(
+        "blocklist_mark_10k",
+        ur.blocklist_mark(
+            crawl,
+            [f"blocked{i}.example.com" for i in range(10_000)]
+            + ["src3.example.com"],
+        ),
+        timings,
+    )
+
+    # --- BPE: driver-sample training + distributed memoized apply
+    from solar_data_tools_spark.operators import tokenize as tkz
+
+    t0 = time.perf_counter()
+    merges = tkz.train_bpe_merges(docs, n_merges=200, sample_cap=4096)
+    timings["bpe_train_200m_4k"] = round(time.perf_counter() - t0, 2)
+    timed("bpe_encode", tkz.bpe_encode(docs, merges), timings)
+
     # --- media layer: N real animated-GIF payloads synthesized ON the
     # executors (q118 recipe), then the decode-bearing operators. Payload
     # bytes are born and consumed inside one task — never shuffled.
