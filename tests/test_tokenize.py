@@ -110,3 +110,36 @@ def test_merges_compress(spark, sf_small):
         F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))
     ).collect()[0][0]
     assert n1 < n0 < nchars
+
+
+def test_streaming_bpe_encode_matches_batch(spark, sf_small, tmp_path):
+    """bpe_encode is a stateless mapInPandas projection, so it tokenizes
+    at INGEST time: availableNow file stream == batch, no watermark
+    state (the merge table rides in the task closure)."""
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    merges = tk.train_bpe_merges(docs, n_merges=80, sample_cap=60)
+    src = str(tmp_path / "bpe_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        tk.bpe_encode(stream, merges)
+        .writeStream.format("memory")
+        .queryName("bpe_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in spark.sql("select * from bpe_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in tk.bpe_encode(docs, merges).collect()
+    }
+    assert streamed == batch and len(batch) == 60
