@@ -155,3 +155,70 @@ def test_grouped_apply_survives_aqe(spark):
     assert "REPARTITION_BY_NUM" in plan
     # AQE must not have rewritten the exchange into a coalesced read
     assert "AQEShuffleRead" not in plan or "coalesced" not in plan
+
+
+def test_pq_encode_is_zero_shuffle_codegen(spark, sf_small):
+    """PQ encode must be a pure projection over the scan: no Exchange,
+    no Python eval — the codebook rides as a literal."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    books = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=16, n_iters=0)
+    plan = _formatted_plan(pqm.pq_encode(emb, books))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pq_adc_search_broadcasts_query_lut(spark, sf_small):
+    """ADC search: the per-query LUT side must broadcast (never shuffle
+    the codes table for the join); the only exchange is the final
+    per-query top-k window."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators import pq as pqm
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    books = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=16, n_iters=0)
+    codes = pqm.pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _formatted_plan(pqm.pq_adc_topk(codes, q, books, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # codes side: no hash-partition exchange before the join; the one
+    # hashpartitioning exchange belongs to the rank window
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_blocklist_mark_is_zero_shuffle(spark):
+    from pyspark.sql import Row
+
+    from solar_data_tools_spark.operators import urls as ur
+
+    df = spark.createDataFrame([Row(doc_id=0, url="https://a.b.com/x")])
+    plan = _formatted_plan(ur.blocklist_mark(df, ["b.com"]))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_small):
+    """The DSIR log-ratio table is hash-grained (<= n_features rows) and
+    must reach the per-doc counts as a broadcast, never a shuffle of the
+    corpus-side feature triples for that join."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    out = dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n_features=2048
+    )
+    plan = _formatted_plan(out)
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
