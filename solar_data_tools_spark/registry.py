@@ -4362,6 +4362,72 @@ FROM b
 """
 
 
+def q148_pagerank(spark, sf_dir):
+    """Link-graph PageRank (crawl-frontier/host ranking, Page et al.
+    1999): 5 damped power iterations over a deterministic synthetic
+    link graph (a ring guaranteeing every node in/out degree >= 1,
+    plus two chord families). With ``ordered_sum`` every iterate is a
+    source-id-sorted left fold — the same IEEE add sequence on BOTH
+    engines — so the whole trajectory is bit-identical and the DuckDB
+    oracle replays it with a recursive CTE carrying an iteration
+    counter (list(ORDER BY src) + list_reduce = the same fold)."""
+    from solar_data_tools_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % n).alias("dst"),
+    )
+    c1 = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    c2 = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 1) % n).alias("dst"),
+    )
+    out = pagerank(ring.union(c1).union(c2), n_iters=5, ordered_sum=True)
+    return out.select(
+        F.col("node").alias("doc_id"), _pround(F.col("rank")).alias("rank")
+    )
+
+
+Q148_SQL = """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 3) % nn.n FROM documents, nn
+    WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 1) % nn.n FROM documents, nn
+    WHERE doc_id % 5 = 0
+  )
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+pr AS (
+  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it
+  FROM documents
+  UNION ALL
+  SELECT e.dst,
+         (1.0 - 0.85) + 0.85 * list_reduce(
+             list(pr.rank / deg.d ORDER BY pr.node),
+             (a, b) -> a + b),
+         min(pr.it) + 1
+  FROM pr
+  JOIN e ON pr.node = e.src
+  JOIN deg ON deg.src = e.src
+  WHERE pr.it < 5
+  GROUP BY e.dst
+)
+SELECT node AS doc_id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+FROM pr WHERE it = 5
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -5985,6 +6051,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q147_quality_pyramid": QuerySpec(
         q147_quality_pyramid, Q147_SQL, "curation-quality-pyramid"
     ),
+    "q148_pagerank": QuerySpec(q148_pagerank, Q148_SQL, "graph-pagerank"),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6108,7 +6175,6 @@ _QUERY_ORDER: list[str] = [
     "q13_daily_density",
     "q14_sampling_inference",
     "q15_first_diff",
-    "q16_rolling_mean",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6128,10 +6194,12 @@ _QUERY_ORDER: list[str] = [
     "q145_bpe_tokenize",
     "q146_ivfpq_topk",
     "q147_quality_pyramid",
+    "q148_pagerank",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q16_rolling_mean",
     "q17_run_length",
     "q18_dedup_timestamps",
     "q19_gap_fill",

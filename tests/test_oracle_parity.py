@@ -40,6 +40,7 @@ _TWO_SCALE = [
     "q142_pq_adc_topk",
     "q143_dsir_selection",
     "q147_quality_pyramid",
+    "q148_pagerank",
 ]
 
 
