@@ -835,3 +835,74 @@ def truncate_embeddings(
         .alias("energy_ratio"),
         renorm.alias("renormed"),
     )
+
+
+def binarize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    words: int = 2,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: dim d compresses to d BITS packed
+    into ``words`` BIGINT columns of up to 32 bits each — the vector-DB
+    "binary quantization" memory tier (32x smaller than float32; Hamming
+    distance approximates angular distance for roughly-centered data).
+
+    Bit i of word w is set iff ``vec[w*bits_per_word + i] > 0``; packing
+    is an integer sum of ``1 << i`` terms — exact, order-independent,
+    and bit-identical in any engine (the q149 oracle replays it). One
+    codegen projection, zero shuffle, stream-legal.
+
+    32 bits per word (not 63) keeps every word positive and the packing
+    portable to engines whose ``<<`` differs on the sign bit.
+    """
+    vecs = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    # probe dim from the schema contract: words * 32 must cover it
+    cols = [F.col(id_col)]
+    for w in range(words):
+        expr = (
+            f"aggregate(sequence(0, 31), cast(0 as bigint), (a, i) -> "
+            f"a + if(element_at({vec_col}, {w * 32} + i + 1) > 0.0d, "
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+        )
+        cols.append(F.expr(expr).alias(f"b{w}"))
+    return vecs.select(*cols)
+
+
+def hamming_topk(
+    bits: DataFrame,
+    query_bits: DataFrame,
+    k: int = 10,
+    words: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit-packed vectors:
+    ``bit_count(xor(word_a, word_b))`` summed across words — pure
+    integer codegen, so distances (hence ranks, tie-broken by id) are
+    EXACT on every engine. The query side broadcasts; the corpus scans
+    (id, words) rows of ~8*words bytes. Output: (query_id, vec_id,
+    hamming, rank)."""
+    q = query_bits.select(
+        F.col(query_id_col),
+        *[F.col(f"b{w}").alias(f"_qb{w}") for w in range(words)],
+    )
+    dist = None
+    for w in range(words):
+        term = F.bit_count(
+            F.expr(f"b{w} ^ _qb{w}")
+        )
+        dist = term if dist is None else dist + term
+    scored = bits.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = scored.withColumn("hamming", dist.cast("int"))
+    w_ = Window.partitionBy(query_id_col).orderBy(
+        F.asc("hamming"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "hamming", "rank")
+    )

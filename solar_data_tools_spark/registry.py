@@ -4428,6 +4428,51 @@ FROM pr WHERE it = 5
 """
 
 
+def q149_binary_hamming_topk(spark, sf_dir):
+    """Binary (sign-bit) embedding quantization + Hamming top-k — the
+    vector-DB memory tier: 64 dims pack into two 32-bit words, distance
+    is bit_count(xor) — pure INTEGER arithmetic, so the whole search
+    (packing, distances, ranks) is exact on every engine with no float
+    rounding anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bits = sim.binarize_embeddings(emb)
+    q = bits.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "b0", "b1"
+    )
+    return sim.hamming_topk(bits, q, k=10)
+
+
+Q149_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN e[i + 1] > 0.0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b0,
+         list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN e[32 + i + 1] > 0.0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b1
+  FROM v
+), q AS (
+  SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1 FROM bits
+  WHERE vec_id < 4
+), scored AS (
+  SELECT q.query_id, bits.vec_id,
+         CAST(bit_count(xor(bits.b0, q.qb0))
+              + bit_count(xor(bits.b1, q.qb1)) AS INT) AS hamming
+  FROM bits CROSS JOIN q WHERE bits.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -6052,6 +6097,9 @@ QUERIES: dict[str, QuerySpec] = {
         q147_quality_pyramid, Q147_SQL, "curation-quality-pyramid"
     ),
     "q148_pagerank": QuerySpec(q148_pagerank, Q148_SQL, "graph-pagerank"),
+    "q149_binary_hamming_topk": QuerySpec(
+        q149_binary_hamming_topk, Q149_SQL, "embedding-binary"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6174,7 +6222,6 @@ _QUERY_ORDER: list[str] = [
     "q12_site_capacity",
     "q13_daily_density",
     "q14_sampling_inference",
-    "q15_first_diff",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6195,10 +6242,12 @@ _QUERY_ORDER: list[str] = [
     "q146_ivfpq_topk",
     "q147_quality_pyramid",
     "q148_pagerank",
+    "q149_binary_hamming_topk",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q15_first_diff",
     "q16_rolling_mean",
     "q17_run_length",
     "q18_dedup_timestamps",

@@ -39,6 +39,7 @@ _TWO_SCALE = [
     "q141_pq_encode",
     "q142_pq_adc_topk",
     "q143_dsir_selection",
+    "q144_url_blocklist",
     "q147_quality_pyramid",
     "q148_pagerank",
 ]

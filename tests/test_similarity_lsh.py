@@ -614,3 +614,56 @@ def test_semdedup_pair_engines_agree(spark):
             assert abs(e[k][2] - p[k][2]) < 1e-9, (k, e[k], p[k])
     with __import__("pytest").raises(ValueError, match="pair_engine"):
         semdedup(vdf, cdf, pair_engine="bogus")
+
+
+def test_binarize_packing_matches_numpy(spark, sf_small):
+    import numpy as np
+
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(64)
+    got = sim.binarize_embeddings(emb).orderBy("vec_id").toPandas()
+    src = emb.orderBy("vec_id").toPandas()
+    for (_, g), (_, s) in zip(got.iterrows(), src.iterrows()):
+        v = np.asarray(s["embedding"], dtype=np.float64)
+        b0 = sum(1 << i for i in range(32) if v[i] > 0)
+        b1 = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        assert (g["b0"], g["b1"]) == (b0, b1)
+
+
+def test_hamming_topk_exact_and_angular_correlation(spark, sf_small):
+    """Hamming distances must equal the popcount of the sign-pattern
+    xor, and (sanity) correlate positively with angular distance."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    bits = sim.binarize_embeddings(emb)
+    q = bits.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "b0", "b1"
+    )
+    got = sim.hamming_topk(bits, q, k=50).toPandas()
+    assert (got["vec_id"] != got["query_id"]).all()
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    signs = mat > 0
+    for qid in (0, 1):
+        qs = signs[ids == qid][0]
+        ham = (signs != qs[None, :]).sum(axis=1)
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        expect_ids = [
+            i for i in ids[np.lexsort((ids, ham))] if i != qid
+        ][:50]
+        assert list(sub["vec_id"]) == expect_ids
+        assert list(sub["hamming"]) == sorted(
+            ham[np.isin(ids, expect_ids)]
+        )
+        # sanity: among returned top-50, mean cosine to query beats
+        # the corpus mean (binary quantization preserves angular order)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qv = unit[ids == qid][0]
+        cos_all = unit @ qv
+        top = np.isin(ids, sub["vec_id"].to_numpy())
+        assert cos_all[top].mean() > cos_all[~top].mean()
