@@ -496,3 +496,58 @@ def budget_mix(
         .where(hash_uniform(F.col(id_col), seed) < F.col("rate"))
         .select(id_col, strata_col, "n_tokens", "rate")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (the mT5/XLM-R multilingual
+    mixing rule, Xue et al. 2021 / Conneau et al. 2020): resample so the
+    kept distribution follows ``p_i^alpha`` (renormalized) instead of
+    the raw corpus share ``p_i`` — alpha < 1 upweights small strata.
+
+    To realize ``kept_i ∝ p_i^alpha`` with a pure keep/drop filter, each
+    stratum keeps with rate ``(c_i / c_min)^(alpha-1)`` — 1.0 for the
+    smallest stratum, decreasing in size (no stratum can be sampled UP
+    by a filter). Two passes: stratum counts (a strata-sized table),
+    then the partitioning-invariant md5 keep rule. Rates are fixed-point
+    rounded so the keep decision — hence the exact kept SET — is
+    engine-portable (q150's oracle replays it).
+
+    Returns (id, stratum, rate, kept) for every input row.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    d = docs.select(F.col(id_col), F.col(strata_col).alias("_st"))
+    counts = d.groupBy("_st").agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    p = F.lit(float(10 ** round_digits))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "_st",
+        (
+            F.floor(
+                F.pow(
+                    F.col("_c").cast("double") / F.col("_cmin"),
+                    F.lit(alpha - 1.0),
+                )
+                * p
+                + F.lit(0.5)
+            )
+            / p
+        ).alias("rate"),
+    )
+    u = hash_uniform(F.col(id_col), seed)
+    return (
+        d.join(F.broadcast(rates), "_st")
+        .select(
+            F.col(id_col),
+            F.col("_st").alias(strata_col),
+            "rate",
+            (u < F.col("rate")).alias("kept"),
+        )
+    )

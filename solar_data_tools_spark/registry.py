@@ -4473,6 +4473,36 @@ SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q150_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing (mT5/XLM-R): keep rate
+    (c_lang / c_min)^(alpha-1) per language at alpha=0.3, seeded md5
+    keep rule — small languages keep everything, big ones downsample
+    toward the p^alpha distribution. Rates fixed-point rounded so the
+    kept SET is engine-portable."""
+    from solar_data_tools_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=0.3, seed="temp9")
+
+
+Q150_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+cmin AS (SELECT min(c) AS cmin FROM counts),
+rates AS (
+  SELECT lang,
+         floor(pow(CAST(c AS DOUBLE) / cmin, 0.3 - 1.0) * 1e6 + 0.5) / 1e6
+           AS rate
+  FROM counts, cmin
+)
+SELECT d.doc_id, d.lang, r.rate,
+       (('0x' || substring(md5('temp9:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0) < r.rate AS kept
+FROM documents d JOIN rates r USING (lang)
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -6100,6 +6130,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q149_binary_hamming_topk": QuerySpec(
         q149_binary_hamming_topk, Q149_SQL, "embedding-binary"
     ),
+    "q150_temperature_sample": QuerySpec(
+        q150_temperature_sample, Q150_SQL, "sampling-temperature"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6221,7 +6254,6 @@ _QUERY_ORDER: list[str] = [
     "q11_daily_stats",
     "q12_site_capacity",
     "q13_daily_density",
-    "q14_sampling_inference",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6243,10 +6275,12 @@ _QUERY_ORDER: list[str] = [
     "q147_quality_pyramid",
     "q148_pagerank",
     "q149_binary_hamming_topk",
+    "q150_temperature_sample",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q14_sampling_inference",
     "q15_first_diff",
     "q16_rolling_mean",
     "q17_run_length",

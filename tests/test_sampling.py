@@ -347,3 +347,37 @@ def test_global_shuffle_rank_permutation_at_reservoir_scale(spark):
         out = sp.global_shuffle_rank(big, seed=3, num_partitions=16)
         ranks = [r.shuffle_rank for r in out.select("shuffle_rank").collect()]
         assert sorted(ranks) == list(range(1, 20001))
+
+
+def test_temperature_sample_rates_and_distribution(spark):
+    """alpha=1 keeps everything; alpha<1: the smallest stratum keeps
+    rate 1.0, rates decrease with stratum size, and the kept
+    distribution is flatter than the input (the operator's purpose)."""
+    import math
+
+    from solar_data_tools_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 900, "mid") for i in range(300)]
+        + [(i + 1200, "small") for i in range(100)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    all_kept = temperature_sample(docs, alpha=1.0).toPandas()
+    assert all_kept["kept"].all() and (all_kept["rate"] == 1.0).all()
+
+    out = temperature_sample(docs, alpha=0.3).toPandas()
+    rates = out.groupby("lang")["rate"].first()
+    assert rates["small"] == 1.0
+    assert rates["small"] > rates["mid"] > rates["big"]
+    assert rates["big"] == pytest.approx((900 / 100) ** (-0.7), abs=1e-6)
+    kept = out[out["kept"]].groupby("lang").size()
+    # kept ratio big/small must shrink from 9x toward 9^0.3 ~ 1.9x
+    assert kept["big"] / kept["small"] < 4.0
+    # partitioning invariance of the exact kept set
+    out2 = temperature_sample(docs.repartition(13), alpha=0.3).toPandas()
+    assert set(out[out["kept"]]["doc_id"]) == set(
+        out2[out2["kept"]]["doc_id"]
+    )
+    with pytest.raises(ValueError):
+        temperature_sample(docs, alpha=0.0)
