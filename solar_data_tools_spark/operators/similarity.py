@@ -857,13 +857,16 @@ def binarize_embeddings(
     portable to engines whose ``<<`` differs on the sign bit.
     """
     vecs = _as_double(embeddings.select(id_col, vec_col), vec_col)
-    # probe dim from the schema contract: words * 32 must cover it
+    # statically unrolled 32-term sums: element_at + if are ordinary
+    # codegen expressions, whereas an aggregate() lambda fold runs
+    # INTERPRETED per row (CodegenFallback) — measured ~100x on the
+    # 500k-vector probe for the analogous PQ fold
     cols = [F.col(id_col)]
     for w in range(words):
-        expr = (
-            f"aggregate(sequence(0, 31), cast(0 as bigint), (a, i) -> "
-            f"a + if(element_at({vec_col}, {w * 32} + i + 1) > 0.0d, "
-            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+        expr = " + ".join(
+            f"if(element_at({vec_col}, {w * 32 + i + 1}) > 0.0d, "
+            f"{1 << i}L, 0L)"
+            for i in range(32)
         )
         cols.append(F.expr(expr).alias(f"b{w}"))
     return vecs.select(*cols)

@@ -3999,7 +3999,7 @@ def q141_pq_encode(spark, sf_dir):
     from solar_data_tools_spark.operators import pq as pqm
 
     emb, books = _pq_books(spark, sf_dir)
-    out = pqm.pq_encode(emb, books)
+    out = pqm.pq_encode(emb, books, engine="expr")
     return out.select(
         "vec_id",
         F.array_join(
@@ -4028,7 +4028,7 @@ def q142_pq_adc_topk(spark, sf_dir):
     from solar_data_tools_spark.operators import pq as pqm
 
     emb, books = _pq_books(spark, sf_dir)
-    codes = pqm.pq_encode(emb, books)
+    codes = pqm.pq_encode(emb, books, engine="expr")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

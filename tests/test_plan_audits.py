@@ -157,18 +157,20 @@ def test_grouped_apply_survives_aqe(spark):
     assert "AQEShuffleRead" not in plan or "coalesced" not in plan
 
 
-def test_pq_encode_is_zero_shuffle_codegen(spark, sf_small):
-    """PQ encode must be a pure projection over the scan: no Exchange,
-    no Python eval — the codebook rides as a literal."""
-    import numpy as np
-
+def test_pq_encode_is_zero_shuffle_both_engines(spark, sf_small):
+    """PQ encode must be a shuffle-free projection over the scan in BOTH
+    engines; the expr engine must additionally be Python-free (the
+    pandas engine is Arrow-batched Python by design — the scale path,
+    since HOF lambdas run interpreted)."""
     from solar_data_tools_spark.operators import pq as pqm
 
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     books = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=16, n_iters=0)
-    plan = _formatted_plan(pqm.pq_encode(emb, books))
-    assert "Exchange" not in plan
-    assert "EvalPython" not in plan
+    expr_plan = _formatted_plan(pqm.pq_encode(emb, books, engine="expr"))
+    assert "Exchange" not in expr_plan
+    assert "EvalPython" not in expr_plan
+    pandas_plan = _formatted_plan(pqm.pq_encode(emb, books, engine="pandas"))
+    assert "Exchange" not in pandas_plan
 
 
 def test_pq_adc_search_broadcasts_query_lut(spark, sf_small):
@@ -181,7 +183,7 @@ def test_pq_adc_search_broadcasts_query_lut(spark, sf_small):
 
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     books = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=16, n_iters=0)
-    codes = pqm.pq_encode(emb, books)
+    codes = pqm.pq_encode(emb, books, engine="expr")
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -190,7 +192,7 @@ def test_pq_adc_search_broadcasts_query_lut(spark, sf_small):
     # codes side: no hash-partition exchange before the join; the one
     # hashpartitioning exchange belongs to the rank window
     assert plan.count("Exchange hashpartitioning") <= 1
-    assert "EvalPython" not in plan
+    assert "EvalPython" not in plan  # expr codes + unrolled ADC sum
 
 
 def test_blocklist_mark_is_zero_shuffle(spark):

@@ -233,3 +233,26 @@ def test_ivfpq_deterministic_across_partitioning(spark, sf_small):
     b = k2.orderBy("vec_id").toPandas()
     assert list(a["cell"]) == list(b["cell"])
     assert [list(x) for x in a["codes"]] == [list(x) for x in b["codes"]]
+
+
+def test_encode_engines_agree(spark, sf_small):
+    """pandas (scale path) and expr (oracle path) engines must produce
+    identical codes and fp-equal qerr on the same codebooks."""
+    emb = _emb(spark, sf_small)
+    books = pqm.train_pq_codebooks(emb, m=8, k=16, sample_cap=128, n_iters=3)
+    a = (
+        pqm.pq_encode(emb, books, engine="pandas")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    b = (
+        pqm.pq_encode(emb, books, engine="expr")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert [list(c) for c in a["codes"]] == [list(c) for c in b["codes"]]
+    np.testing.assert_allclose(
+        a["qerr"].to_numpy(), b["qerr"].to_numpy(), rtol=1e-9
+    )
+    with pytest.raises(ValueError, match="unknown engine"):
+        pqm.pq_encode(emb, books, engine="nope")
