@@ -372,7 +372,10 @@ def ivfpq_build(
     codes = pq_encode(resid, books, vec_col, id_col, engine).join(
         resid.select(id_col, "cell"), id_col
     )
-    return centroids, books, codes
+    # an index BUILD is a materialization: without this, every search
+    # re-executes the assign→residual→encode lineage (the 500k probe
+    # measured the search at build cost, 47 s, instead of scan cost)
+    return centroids, books, codes.localCheckpoint(eager=False)
 
 
 def ivfpq_topk(
