@@ -4503,6 +4503,45 @@ FROM documents d JOIN rates r USING (lang)
 """
 
 
+def q151_hll_distinct_tokens(spark, sf_dir):
+    """Sketch-tier cardinality: per-source distinct-token counts via
+    HyperLogLog++ (``approx_count_distinct``, rsd=2%) next to the exact
+    distinct — the scale path for vocabulary/dedup-cardinality stats at
+    100 TB, where exact distinct means a corpus-wide shuffle of every
+    token and HLL means a few KB of mergeable sketch per partition.
+    Rows-only: sketch estimates are engine-specific; the invariant test
+    pins the documented error envelope and exact==duckdb is certified
+    by the token-stats oracles (q42/q103)."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("exact_distinct"),
+            F.expr("approx_count_distinct(tok, 0.02)").alias(
+                "approx_distinct"
+            ),
+        )
+        .withColumn(
+            "rel_err",
+            _pround(
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    - F.col("exact_distinct")
+                )
+                / F.col("exact_distinct")
+            ),
+        )
+    )
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -6133,6 +6172,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q150_temperature_sample": QuerySpec(
         q150_temperature_sample, Q150_SQL, "sampling-temperature"
     ),
+    "q151_hll_distinct_tokens": QuerySpec(
+        q151_hll_distinct_tokens, None, "sketch-hll"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6253,7 +6295,6 @@ _QUERY_ORDER: list[str] = [
     "q10_daily_energy",
     "q11_daily_stats",
     "q12_site_capacity",
-    "q13_daily_density",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6276,10 +6317,12 @@ _QUERY_ORDER: list[str] = [
     "q148_pagerank",
     "q149_binary_hamming_topk",
     "q150_temperature_sample",
+    "q151_hll_distinct_tokens",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q13_daily_density",
     "q14_sampling_inference",
     "q15_first_diff",
     "q16_rolling_mean",

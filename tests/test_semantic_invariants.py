@@ -632,3 +632,14 @@ def test_q146_ivfpq_topk_shape(results):
         assert len(g) == 5
         assert g.adc_dist.is_monotonic_increasing
         assert g.cell.nunique() <= 3  # n_probe = 3
+
+
+def test_q151_hll_distinct_error_envelope(results):
+    """HLL++ at rsd=2%: estimates within 5 standard errors of exact on
+    every source (overwhelming-probability envelope), positive counts,
+    and the exact side consistent with per-source data volume."""
+    df = results("q151_hll_distinct_tokens")
+    assert len(df) > 0
+    assert (df.exact_distinct > 0).all()
+    assert (df.approx_distinct > 0).all()
+    assert (df.rel_err <= 0.10).all()  # 5 * rsd
