@@ -551,3 +551,79 @@ def temperature_sample(
             (u < F.col("rate")).alias("kept"),
         )
     )
+
+
+def weighted_shuffle_rank(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    default_weight: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic WEIGHTED global shuffle (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): every row gets
+    key ``u^(1/w)`` with ``u = md5-uniform(id)`` and ``w`` its stratum
+    weight; descending key order is a weighted random permutation —
+    any prefix is a without-replacement weighted sample, which is what
+    a data-mixing schedule needs ("interleave sources at these ratios,
+    reproducibly, with a resumable global order").
+
+    The key is fixed-point rounded (ties then break on id) so the
+    ORDER — not just the set — is engine-portable and partitioning-
+    invariant; the q152 oracle replays the full permutation. Weight
+    lookup is a broadcast of a strata-sized table; ranking reuses
+    :func:`global_shuffle_rank`'s computed-bucket two-pass plan (the
+    bucket is a pure function of the key, so the offset and rank
+    branches cannot diverge) — NO single-partition global window.
+    Buckets are contiguous key ranges; they're only as balanced as the
+    key distribution (u^(1/w) skews toward 1 for heavy strata), which
+    bounds per-bucket size by the stratum mix rather than the corpus.
+
+    Output: input columns + (w, key, rank) with rank 1 = first in the
+    training stream.
+    """
+    if any(w <= 0 for w in weights.values()) or default_weight <= 0:
+        raise ValueError("weights must be positive")
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        schema=f"{strata_col} string, w double",
+    )
+    u = hash_uniform(F.col(id_col), seed)
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    p = F.lit(float(10 ** round_digits))
+    keyed = (
+        docs.join(F.broadcast(wdf), strata_col, "left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(float(default_weight))))
+        .withColumn(
+            "key",
+            F.floor(F.pow(u, F.lit(1.0) / F.col("w")) * p + F.lit(0.5)) / p,
+        )
+    )
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.withColumn(
+        "_pid",
+        F.least(
+            F.floor((F.lit(1.0) - F.col("key")) * F.lit(int(n))),
+            F.lit(int(n) - 1),
+        ).cast("int"),
+    )
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(
+        F.desc("key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("_lr", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn("rank", (F.col("_lr") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )

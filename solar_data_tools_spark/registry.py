@@ -4542,6 +4542,46 @@ def q151_hll_distinct_tokens(spark, sf_dir):
     )
 
 
+def q152_weighted_shuffle(spark, sf_dir):
+    """Deterministic weighted global permutation (Efraimidis-Spirakis
+    u^(1/w) keys): the data-mixing schedule primitive — any prefix of
+    the rank order is a without-replacement sample proportional to the
+    stratum weights, reproducible and resumable. Spark ranks with the
+    computed-bucket two-pass plan (no single-partition window); the
+    oracle ranks the identical rounded keys with one window — same
+    permutation, certified end-to-end."""
+    from solar_data_tools_spark.operators.sampling import (
+        weighted_shuffle_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_shuffle_rank(
+        docs, {"src0": 3.0, "src1": 0.5, "src7": 2.0}, seed="mix5"
+    )
+    return out.select("doc_id", "source", "w", "key", "rank")
+
+
+Q152_SQL = """
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 3.0), ('src1', 0.5), ('src7', 2.0))
+  t(source, w)
+),
+keyed AS (
+  SELECT d.doc_id, d.source, coalesce(w.w, 1.0) AS w,
+         floor(pow(
+             least(greatest(
+                 ('0x' || substring(md5('mix5:' || CAST(d.doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT / 4294967296.0,
+                 1e-12), 1.0 - 1e-12),
+             1.0 / coalesce(w.w, 1.0)) * 1e6 + 0.5) / 1e6 AS key
+  FROM documents d LEFT JOIN w USING (source)
+)
+SELECT doc_id, source, w, key,
+       row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+FROM keyed
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -6175,6 +6215,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q151_hll_distinct_tokens": QuerySpec(
         q151_hll_distinct_tokens, None, "sketch-hll"
     ),
+    "q152_weighted_shuffle": QuerySpec(
+        q152_weighted_shuffle, Q152_SQL, "sampling-weighted-shuffle"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6294,7 +6337,6 @@ _QUERY_ORDER: list[str] = [
     "q09_monthly_rollup",
     "q10_daily_energy",
     "q11_daily_stats",
-    "q12_site_capacity",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6318,10 +6360,12 @@ _QUERY_ORDER: list[str] = [
     "q149_binary_hamming_topk",
     "q150_temperature_sample",
     "q151_hll_distinct_tokens",
+    "q152_weighted_shuffle",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q12_site_capacity",
     "q13_daily_density",
     "q14_sampling_inference",
     "q15_first_diff",

@@ -381,3 +381,31 @@ def test_temperature_sample_rates_and_distribution(spark):
     )
     with pytest.raises(ValueError):
         temperature_sample(docs, alpha=0.0)
+
+
+def test_weighted_shuffle_rank_semantics(spark):
+    """Efraimidis-Spirakis: ranks are a dense permutation, heavier
+    strata concentrate toward the front, the order is partitioning-
+    invariant, and equal weights degrade to an unweighted shuffle."""
+    from solar_data_tools_spark.operators.sampling import (
+        weighted_shuffle_rank,
+    )
+
+    rows = [(i, "heavy" if i < 300 else "light") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_shuffle_rank(
+        docs, {"heavy": 8.0, "light": 1.0}, seed=4
+    ).toPandas()
+    assert sorted(out["rank"]) == list(range(1, 601))
+    front = out[out["rank"] <= 100]
+    assert (front["source"] == "heavy").mean() > 0.75
+    out2 = weighted_shuffle_rank(
+        docs.repartition(17), {"heavy": 8.0, "light": 1.0}, seed=4
+    ).toPandas()
+    a = out.sort_values("rank")["doc_id"].tolist()
+    b = out2.sort_values("rank")["doc_id"].tolist()
+    assert a == b
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_shuffle_rank(docs, {"heavy": 0.0})
