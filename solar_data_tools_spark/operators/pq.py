@@ -348,6 +348,20 @@ def ivfpq_build(
     cells = pq_encode(embeddings, coarse3, vec_col, id_col, engine).select(
         F.col(id_col), F.col("codes")[0].alias("cell")
     )
+    d = centroids.shape[1]
+    if d <= 256:
+        # statically unrolled subtraction: zip_with's lambda runs
+        # interpreted per CORPUS row (the HOF CodegenFallback trap);
+        # d element_at subtractions are ordinary codegen
+        resid_expr = "array(" + ", ".join(
+            f"element_at(_v, {i + 1}) - "
+            f"element_at(element_at(_cent, cell + 1), {i + 1})"
+            for i in range(d)
+        ) + ")"
+    else:  # plan-bloat guard for very wide vectors
+        resid_expr = (
+            "zip_with(_v, element_at(_cent, cell + 1), (x, c) -> x - c)"
+        )
     resid = (
         embeddings.select(
             F.col(id_col),
@@ -360,9 +374,7 @@ def ivfpq_build(
         .select(
             F.col(id_col),
             F.col("cell"),
-            F.expr(
-                "zip_with(_v, element_at(_cent, cell + 1), (x, c) -> x - c)"
-            ).alias(vec_col),
+            F.expr(resid_expr).alias(vec_col),
         )
     )
     books = train_pq_codebooks(
