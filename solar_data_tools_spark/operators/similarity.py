@@ -112,17 +112,62 @@ def random_hyperplane_signatures(
     planes: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Cosine-LSH bit signature: bit_i = sign(v . plane_i).
 
-    ``planes`` (a small deterministic list, seeded off-line) ships as a
-    SINGLE nested-array literal — one plan node carrying the values —
-    not one expression subtree per coefficient (the former ~1k-node form
-    that would bloat every embedding plan at 256 planes). The signature
-    is one higher-order fold over plane indices (JVM-side, codegen); the
-    per-plane dot product is the same sequential zip_with fold as
-    ``dot()``, so signatures are bit-identical to the per-plane form.
+    Two physical engines, same semantics:
+
+    * ``"pandas"`` (default, the scale path) — Arrow-batched numpy,
+      one BLAS matmul per batch against the plane matrix. The
+      lambda-fold form below runs INTERPRETED (HOFs are
+      CodegenFallback): 500k x 32 planes x dim 64 measured ~230 s vs
+      seconds here. Sign flips vs the sequential fold require a dot
+      product within float reassociation error of zero (~1e-15) — not
+      reachable with continuous data and random planes.
+    * ``"expr"`` — zero Python: ``planes`` ships as a SINGLE
+      nested-array literal (one plan node, not one subtree per
+      coefficient) and the signature is a fold over plane indices with
+      the same sequential zip_with dot as ``dot()``, bit-identical to
+      the per-plane form. Use where a Python-free plan matters more
+      than throughput.
     """
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        pmat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+        weights = 1 << np.arange(pmat.shape[1], dtype=np.int64)
+
+        def _sign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                sigs = ((mat @ pmat) >= 0) @ weights
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "_v": pdf["_v"],
+                        "lsh_sig": sigs.astype(np.int64),
+                    }
+                )
+
+        prepared = _as_double(embeddings, vec_col).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        id_type = dict(embeddings.select(id_col).dtypes)[id_col]
+        out = prepared.mapInPandas(
+            _sign,
+            schema=f"_id {id_type}, _v array<double>, lsh_sig long",
+        )
+        return out.select(
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(vec_col),
+            "lsh_sig",
+        )
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     df = _as_double(embeddings, vec_col).withColumn(
         "_planes", F.lit([[float(x) for x in p] for p in planes])
     )

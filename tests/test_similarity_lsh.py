@@ -667,3 +667,29 @@ def test_hamming_topk_exact_and_angular_correlation(spark, sf_small):
         cos_all = unit @ qv
         top = np.isin(ids, sub["vec_id"].to_numpy())
         assert cos_all[top].mean() > cos_all[~top].mean()
+
+
+def test_hyperplane_signature_engines_agree(spark, sf_small):
+    """The numpy scale engine and the expression engine must produce
+    identical signatures (a flip would need a dot within reassociation
+    error of zero)."""
+    import random
+
+    from solar_data_tools_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(24)]
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a = {
+        r["vec_id"]: r["lsh_sig"]
+        for r in sim.random_hyperplane_signatures(
+            emb, planes, engine="pandas"
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["lsh_sig"]
+        for r in sim.random_hyperplane_signatures(
+            emb, planes, engine="expr"
+        ).collect()
+    }
+    assert a == b and len(a) == 500
