@@ -220,27 +220,28 @@ def minhash_signatures(
     token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, i).
+    hash(shingle, i).
 
-    ``xxhash64`` is a built-in JVM expression — no Python in the loop
-    and no row explosion: the distinct-shingle set is built as a
-    ROW-LOCAL array (``array_distinct`` over the same transform
-    ``word_ngrams`` uses — signatures are min-reductions, so set
-    identity is all that matters) and the whole signature is ONE
-    higher-order projection ``transform(0..k-1, i ->
-    array_min(transform(shingles, s -> hash(s, i))))`` evaluated inside
-    codegen per document. The one shuffle is an explicit
-    ``repartition(n, id)`` of the COMPACT doc rows — it exists to
-    spread the CPU-heavy k x |shingles| hash fold across cores even
-    when the input is one parquet split, and moves ~1x the corpus text
-    (the previous explode -> collect_list shape moved every shingle
-    INSTANCE, ~n x the text, and added two aggregates; this shape cut
-    the full q47 pipeline 1.8 s -> 1.1 s at sf0.1).
+    Physical shape — ``num_hashes`` STATIC ``min()`` aggregates over the
+    exploded distinct-shingle rows (exactly the formulation the q96
+    DuckDB oracle uses). Every expression (the shingle hash and the k
+    per-permutation hashes) is ordinary whole-stage codegen; the
+    previous form — one ``transform(0..k-1, i -> array_min(...))``
+    higher-order fold per doc — looked like "one codegen projection"
+    but HOF lambdas are CodegenFallback and evaluate INTERPRETED per
+    (doc x k x shingle): at the 1M-doc probe the fold cost 54 s vs
+    21 s for this shape. The explode multiplies rows map-side only:
+    the one shuffle carries map-side-combined PARTIAL MINS — k longs
+    per doc per task — not the exploded rows, so shuffle volume is the
+    same as the fold form's and the compute is ~2.6x cheaper.
 
-    ``token_hash="md5_60"`` swaps the per-permutation hash for the low
-    60 bits of ``md5(i || ':' || shingle)`` — slower, but bit-identical
-    in DuckDB, making the whole signature exactly oracle-checkable
-    (q96). Same no-explosion plan either way.
+    ``token_hash="xxhash64"`` (default) pre-hashes each shingle string
+    to a long once, so the k-permutation stage hashes fixed-width longs
+    (distinct shingles keep distinct pre-hashes at p~2^-64; the MinHash
+    estimator is unchanged statistically). ``token_hash="md5_60"``
+    hashes the string per permutation with the low 60 bits of
+    ``md5(i || ':' || shingle)`` — slower, but bit-identical in DuckDB,
+    making the whole signature exactly oracle-checkable (q96).
     """
     carry = carry_cols or []
     tokens = F.split(normalize_text(F.col(text_col)), " ")
@@ -248,33 +249,6 @@ def minhash_signatures(
         f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i, {n})))"
     )
-    n_parts = max(
-        docs.sparkSession.sparkContext.defaultParallelism * 2, 1
-    )
-    if token_hash == "md5_60":
-        shingle_proj = None  # oracle path hashes the string per i
-        per_hash = (
-            "cast(conv(substring(md5(concat(cast(i as string), ':', s)), "
-            "1, 15), 16, 10) as bigint)"
-        )
-    elif token_hash == "xxhash64":
-        # pre-hash each shingle STRING to a long ONCE, before the
-        # exchange: the k-iteration fold then hashes fixed-width longs
-        # instead of re-hashing a 20-40 byte string k times, and the
-        # shuffle moves 8-byte values instead of shingle text (measured
-        # ~20% off the signature stage at sf0.1; the byte win grows with
-        # shingle width — word-3-grams triple it). Distinct shingles keep
-        # distinct pre-hashes at p~2^-64, and xxhash64(h, i) is still a
-        # uniform family over i, so the MinHash estimator is unchanged
-        # statistically; exact pair verification downstream is
-        # unaffected either way. (The md5_60 path keeps hashing the
-        # string — its bit-exact DuckDB oracle replicates exactly that.)
-        shingle_proj = F.expr(
-            "transform(_grams, s -> xxhash64(s))"
-        )
-        per_hash = "xxhash64(s, i)"
-    else:
-        raise ValueError(f"unknown token_hash {token_hash!r}")
     per_doc = (
         docs.select(
             F.col(id_col), *[F.col(c) for c in carry], tokens.alias("_toks")
@@ -285,23 +259,45 @@ def minhash_signatures(
             *[F.col(c) for c in carry],
             F.array_distinct(grams).alias("_grams"),
         )
-        .select(
+    )
+    if token_hash == "xxhash64":
+        exploded = per_doc.select(
             F.col(id_col),
             *[F.col(c) for c in carry],
-            (shingle_proj if shingle_proj is not None else F.col("_grams"))
-            .alias("_shingles"),
+            F.explode(
+                F.expr("transform(_grams, s -> xxhash64(s))")
+            ).alias("_s"),
         )
-        # the exchange MATERIALIZES the (hashed) gram array: without
-        # this boundary, codegen inlines `_shingles` into the
-        # k-iteration signature lambda and rebuilds it k times per doc
-        .repartition(n_parts, F.col(id_col))
+        aggs = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    elif token_hash == "md5_60":
+        exploded = per_doc.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.explode(F.col("_grams")).alias("_s"),
+        )
+        aggs = [
+            F.min(
+                F.expr(
+                    f"cast(conv(substring(md5(concat('{i}:', _s)), 1, 15), "
+                    "16, 10) as bigint)"
+                )
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    sig_df = exploded.groupBy(F.col(id_col), *[F.col(c) for c in carry]).agg(
+        *aggs
     )
-    sig = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"i -> array_min(transform(_shingles, s -> {per_hash})))"
-    )
-    return per_doc.select(
-        F.col(id_col), *[F.col(c) for c in carry], sig.alias("signature")
+    return sig_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
     )
 
 
