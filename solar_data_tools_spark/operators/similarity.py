@@ -518,21 +518,84 @@ def centroid_assign(
     id_col: str = "vec_id",
     cluster_col: str = "cluster",
     centroid_vec_col: str = "cvec",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine — the cell-assignment step
-    of an IVF quantizer (and of Lloyd's algorithm) as one broadcast
-    join: centroid table broadcast, per-vector scores in codegen, one
-    row_number window keyed by the vector id. Ties break toward the
-    smallest cluster id, making the assignment fully deterministic and
-    engine-portable (the oracle replays it in SQL — q110).
+    of an IVF quantizer (and of Lloyd's algorithm). Ties break toward
+    the smallest cluster id, fully deterministic on either engine.
+    Returns (id_col, cluster, cosine).
 
-    Returns (id_col, cluster, cosine). Scale shape: the k scored rows
-    per vector reduce through a ``max(struct(cos, -cluster))`` aggregate
-    — lexicographic struct ordering gives the same argmax+tie-break as a
-    top-1 window, but with MAP-SIDE partial aggregation, so the shuffle
-    carries one row per vector instead of k (a window would shuffle all
-    k×N scored rows before ranking).
+    ``engine="pandas"`` (default, the scale path): Arrow-batched numpy,
+    one normalized matmul per batch against the (collected, tiny)
+    centroid matrix — zero shuffle, zero cross-join row multiplication.
+    The expr path's per-(vector, centroid) cosine is a zip_with fold
+    that runs INTERPRETED (HOF CodegenFallback): 500k vectors x 64
+    cells measured 26 s vs ~2 s here.
+
+    ``engine="expr"``: pure expressions — centroid table broadcast,
+    scored rows reduced by a ``max(struct(cos, -cluster))`` aggregate
+    (argmax+tie-break with MAP-SIDE partials: one shuffled row per
+    vector, not k). Sequential folds make every double bit-reproducible
+    in ANSI SQL — the q110 oracle certifies this path.
     """
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        cents = (
+            _as_double(
+                centroid_df.select(cluster_col, centroid_vec_col),
+                centroid_vec_col,
+            )
+            .orderBy(cluster_col)
+            .collect()
+        )
+        if not cents:
+            raise ValueError("centroid_df is empty")
+        cluster_ids = np.array([r[cluster_col] for r in cents])
+        cmat = np.stack(
+            [np.asarray(r[centroid_vec_col], dtype=np.float64) for r in cents]
+        )
+        cunit = cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
+        )
+
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                norms = np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+                )
+                cos = (mat / norms) @ cunit.T
+                # argmax first-occurrence == smallest cluster id (rows
+                # sorted by cluster): the expr path's tie rule
+                best = np.argmax(cos, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "_cl": cluster_ids[best],
+                        "_cos": cos[np.arange(len(mat)), best],
+                    }
+                )
+
+        prepared = _as_double(
+            vectors.select(id_col, vec_col), vec_col
+        ).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        id_type = dict(vectors.select(id_col).dtypes)[id_col]
+        cl_type = dict(centroid_df.select(cluster_col).dtypes)[cluster_col]
+        out = prepared.mapInPandas(
+            _assign,
+            schema=f"_id {id_type}, _cl {cl_type}, _cos double",
+        )
+        return out.select(
+            F.col("_id").alias(id_col),
+            F.col("_cl").alias(cluster_col),
+            F.col("_cos").alias("cosine"),
+        )
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
     cents = _as_double(
         centroid_df.select(cluster_col, centroid_vec_col), centroid_vec_col
@@ -568,6 +631,7 @@ def semdedup(
     max_cell_size: int | None = None,
     on_mega_cell: str = "error",
     pair_engine: str = "expr",
+    assign_engine: str = "pandas",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
@@ -631,7 +695,8 @@ def semdedup(
         )
     vecs = _as_double(vectors.select(id_col, vec_col), vec_col)
     assign = centroid_assign(
-        vectors, centroid_df, vec_col, id_col, cluster_col, centroid_vec_col
+        vectors, centroid_df, vec_col, id_col, cluster_col,
+        centroid_vec_col, engine=assign_engine,
     ).select(id_col, cluster_col)
     # the assignment is referenced by up to three downstream branches
     # (cell-size aggregate, member join, final verdict join) whose

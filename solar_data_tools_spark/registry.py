@@ -2313,7 +2313,7 @@ def q116_semdedup(spark, sf_dir):
     seeds = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
     )
-    out = sim.semdedup(emb, seeds, tau=0.35)
+    out = sim.semdedup(emb, seeds, tau=0.35, assign_engine="expr")
     return out.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
@@ -3367,7 +3367,7 @@ def q110_centroid_assignment(spark, sf_dir):
     seeds = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
     )
-    out = centroid_assign(emb, seeds)
+    out = centroid_assign(emb, seeds, engine="expr")
     return out.select(
         "vec_id", "cluster", F.round("cosine", 6).alias("cosine")
     )

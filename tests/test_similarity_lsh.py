@@ -693,3 +693,23 @@ def test_hyperplane_signature_engines_agree(spark, sf_small):
         ).collect()
     }
     assert a == b and len(a) == 500
+
+
+def test_centroid_assign_engines_agree(spark, sf_small):
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    a = {
+        r["vec_id"]: (r["cluster"], round(r["cosine"], 9))
+        for r in sim.centroid_assign(emb, seeds, engine="pandas").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster"], round(r["cosine"], 9))
+        for r in sim.centroid_assign(emb, seeds, engine="expr").collect()
+    }
+    assert len(a) == 500
+    assert all(a[k][0] == b[k][0] for k in a)  # identical clusters
+    assert all(abs(a[k][1] - b[k][1]) < 1e-9 for k in a)
