@@ -4273,7 +4273,11 @@ def q147_quality_pyramid(spark, sf_dir):
     plan; thresholds are exact quantiles over the ROUNDED probs (both
     engines interpolate type-7 over identical fixed-point inputs, the
     q37 pattern), and the bucket rule is strict-greater counting so the
-    verdict is engine-portable."""
+    verdict is engine-portable. Scale note: exact ``percentile``
+    buffers every value in one aggregation — correct for the oracle,
+    but at 10^9+ docs swap the threshold aggregate for
+    ``percentile_approx`` (a mergeable KLL-style sketch; the q88
+    precedent) — the bucket rule and keep rule are unchanged."""
     from solar_data_tools_spark.operators.curation import (
         linear_classifier_score,
     )
