@@ -249,6 +249,9 @@ def minhash_signatures(
         f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
         f"i -> concat_ws(' ', slice(_toks, i, {n})))"
     )
+    n_parts = max(
+        docs.sparkSession.sparkContext.defaultParallelism * 2, 1
+    )
     per_doc = (
         docs.select(
             F.col(id_col), *[F.col(c) for c in carry], tokens.alias("_toks")
@@ -259,6 +262,14 @@ def minhash_signatures(
             *[F.col(c) for c in carry],
             F.array_distinct(grams).alias("_grams"),
         )
+        # explicit repartition of the COMPACT doc rows (the pre-explode
+        # side, so the shuffle moves ~1x the corpus text): the min-agg
+        # below is then partition-local (already hash-partitioned on
+        # the group key, no second exchange), its output keeps n_parts
+        # partitions for the downstream band-explode join (AQE never
+        # coalesces REPARTITION_BY_NUM), and the k-hash CPU spreads
+        # across cores even from a single parquet split
+        .repartition(n_parts, F.col(id_col))
     )
     if token_hash == "xxhash64":
         exploded = per_doc.select(
