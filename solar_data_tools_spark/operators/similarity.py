@@ -1145,3 +1145,59 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "hamming", "rank")
     )
+
+
+def binary_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter: int = 50,
+    words: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval (the production vector-DB shape): a cheap
+    binary-Hamming prefilter picks ``prefilter`` candidates per query
+    from the sign-bit index, then ONLY those candidates are exact-cosine
+    re-ranked against the float vectors — the full-precision column is
+    read for ~prefilter rows per query instead of the whole corpus.
+
+    Every stage is engine-portable: the prefilter is integer-exact
+    (bit_count(xor), ties on id), so the candidate SET is identical on
+    any engine, and the re-rank cosine is the sequential ``dot()`` fold
+    — which makes the ENTIRE two-stage pipeline hash-certifiable (q153).
+    Output: (query_id, vec_id, hamming, cosine_sim, rank<=k).
+    """
+    bits = binarize_embeddings(embeddings, vec_col, id_col, words)
+    qbits = binarize_embeddings(
+        queries.select(F.col(query_id_col).alias(id_col), vec_col),
+        vec_col,
+        id_col,
+        words,
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        *[F.col(f"b{w}") for w in range(words)],
+    )
+    cands = hamming_topk(
+        bits, qbits, k=prefilter, words=words,
+        id_col=id_col, query_id_col=query_id_col,
+    )
+    corpus = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    qvec = _as_double(
+        queries.select(query_id_col, vec_col), vec_col
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"))
+    scored = (
+        cands.select(query_id_col, id_col, "hamming")
+        .join(corpus, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "hamming", "cosine_sim", "rank")
+    )

@@ -4586,6 +4586,72 @@ FROM keyed
 """
 
 
+def q153_binary_rerank(spark, sf_dir):
+    """Two-stage retrieval: integer-exact binary-Hamming prefilter (40
+    candidates/query from the sign-bit index) + exact-cosine re-rank of
+    ONLY those candidates — the production vector-DB recall/latency
+    shape. The prefilter is integer arithmetic (identical candidate SET
+    on every engine) and the re-rank is the sequential fold cosine, so
+    the whole pipeline hash-certifies end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.binary_rerank_topk(emb, queries, k=10, prefilter=40)
+    return out.select(
+        "query_id", "vec_id", "hamming",
+        _pround(F.col("cosine_sim")).alias("cosine_sim"), "rank",
+    )
+
+
+Q153_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN e[i + 1] > 0.0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b0,
+         list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN e[32 + i + 1] > 0.0
+                       THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b1
+  FROM v
+), q AS (
+  SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1 FROM bits
+  WHERE vec_id < 4
+), pre AS (
+  SELECT q.query_id, bits.vec_id,
+         CAST(bit_count(xor(bits.b0, q.qb0))
+              + bit_count(xor(bits.b1, q.qb1)) AS INT) AS hamming,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY bit_count(xor(bits.b0, q.qb0))
+                      + bit_count(xor(bits.b1, q.qb1)), bits.vec_id) AS pr
+  FROM bits CROSS JOIN q WHERE bits.vec_id <> q.query_id
+), cand AS (SELECT query_id, vec_id, hamming FROM pre WHERE pr <= 40),
+scored AS (
+  SELECT c.query_id, c.vec_id, c.hamming,
+         list_reduce(list_transform(list_zip(cv.e, qv.e),
+             s -> s[1] * s[2]), (a, b) -> a + b)
+         / sqrt(list_reduce(list_transform(cv.e, x -> x * x),
+                            (a, b) -> a + b)
+                * list_reduce(list_transform(qv.e, x -> x * x),
+                              (a, b) -> a + b)) AS cosine_sim
+  FROM cand c
+  JOIN v cv ON cv.vec_id = c.vec_id
+  JOIN v qv ON qv.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, vec_id, hamming, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming,
+       floor(cosine_sim * 1e6 + 0.5) / 1e6 AS cosine_sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q100_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 = 0 stand in for
     the eval/benchmark set; every other doc sharing a word 4-gram with
@@ -6222,6 +6288,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q152_weighted_shuffle": QuerySpec(
         q152_weighted_shuffle, Q152_SQL, "sampling-weighted-shuffle"
     ),
+    "q153_binary_rerank": QuerySpec(
+        q153_binary_rerank, Q153_SQL, "embedding-binary-rerank"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6340,7 +6409,6 @@ _QUERY_ORDER: list[str] = [
     #    (round 4) — fills the remaining window slots
     "q09_monthly_rollup",
     "q10_daily_energy",
-    "q11_daily_stats",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6365,10 +6433,12 @@ _QUERY_ORDER: list[str] = [
     "q150_temperature_sample",
     "q151_hll_distinct_tokens",
     "q152_weighted_shuffle",
+    "q153_binary_rerank",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q11_daily_stats",
     "q12_site_capacity",
     "q13_daily_density",
     "q14_sampling_inference",

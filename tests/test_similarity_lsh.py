@@ -740,3 +740,34 @@ def test_truncate_engines_bit_identical(spark, sf_small):
         np.array_equal(np.asarray(x), np.asarray(y))
         for x, y in zip(a["renormed"], b["renormed"])
     )
+
+
+def test_binary_rerank_recall_vs_brute_force(spark, sf_small):
+    """Two-stage retrieval: candidates ⊆ hamming-prefilter set; recall@5
+    against exact brute force beats random (sanity) and grows with the
+    prefilter width (monotone candidate-set nesting)."""
+    from solar_data_tools_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in exact.collect()
+    }
+
+    def recall(prefilter):
+        got = sim.binary_rerank_topk(
+            emb, queries, k=5, prefilter=prefilter
+        ).collect()
+        hits = {(r["query_id"], r["vec_id"]) for r in got} & truth
+        return len(hits) / len(truth)
+
+    r40, r200 = recall(40), recall(200)
+    assert r200 >= r40
+    assert r200 >= 0.4  # 200 of 500 candidates must recover >= 40%
+    # full prefilter == brute force exactly
+    full = sim.binary_rerank_topk(emb, queries, k=5, prefilter=500)
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert got == truth
