@@ -771,3 +771,26 @@ def test_binary_rerank_recall_vs_brute_force(spark, sf_small):
     full = sim.binary_rerank_topk(emb, queries, k=5, prefilter=500)
     got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert got == truth
+
+
+def test_minhash_signature_engines_identical(spark, sf_small):
+    """The numpy xxHash64 kernel must reproduce the JVM agg shape's
+    signatures bit-for-bit (it replicates Spark's long+int hash paths
+    exactly)."""
+    from solar_data_tools_spark.operators import dedup as dd
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    a = {
+        r["doc_id"]: list(r["signature"])
+        for r in dd.minhash_signatures(
+            docs, 32, 3, sig_engine="pandas"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["signature"])
+        for r in dd.minhash_signatures(
+            docs, 32, 3, sig_engine="agg"
+        ).collect()
+    }
+    assert a == b and len(a) == 500
