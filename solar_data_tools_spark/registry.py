@@ -2647,6 +2647,78 @@ FROM c
 """
 
 
+def q154_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup (RAG corpora dedupe at CHUNK granularity so a
+    boilerplate passage shared by thousands of pages indexes once): a
+    32-token boilerplate banner is prepended to every doc, documents
+    chunk with the certified q121 operator, and each distinct chunk
+    hash keeps its first (doc, chunk) occurrence — min(struct) keep-
+    first with map-side partials, the url_dedup reduction shape; only
+    (doc, chunk, md5) triples shuffle, never chunk text. The banner
+    makes chunk 0 identical across ALL docs, so the dedup verdict is
+    analytically predictable and the oracle certifies the whole
+    chunk -> hash -> keep-first chain."""
+    banner = " ".join(f"boiler{i}" for i in range(32))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(banner + " "), F.col("text")).alias("text"),
+    )
+    ch = cu.chunk_documents(docs, window=32, stride=24).select(
+        "doc_id", "chunk_id", "chunk_md5"
+    )
+    best = ch.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("_first"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return ch.join(best, "chunk_md5").select(
+        "doc_id",
+        "chunk_id",
+        "chunk_md5",
+        "dup_count",
+        (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("chunk_id") == F.col("_first.chunk_id"))
+        ).alias("is_canonical"),
+    )
+
+
+def _q154_sql() -> str:
+    banner = " ".join(f"boiler{i}" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(
+    trim(regexp_replace(lower('{banner} ' || text), '\\s+', ' ', 'g')),
+    ' ') AS t
+  FROM documents
+),
+t2 AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n, CAST(u.c AS BIGINT) AS chunk_id
+  FROM t2, unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT)))
+       AS u(c)
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+           AS chunk_md5
+  FROM c
+),
+best AS (
+  SELECT chunk_md5,
+         min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS f,
+         count(*) AS dup_count
+  FROM ch GROUP BY chunk_md5
+)
+SELECT ch.doc_id, ch.chunk_id, ch.chunk_md5, best.dup_count,
+       (ch.doc_id = best.f.doc_id AND ch.chunk_id = best.f.chunk_id)
+         AS is_canonical
+FROM ch JOIN best USING (chunk_md5)
+"""
+
+
+Q154_SQL = _q154_sql()
+
+
 def q122_line_dedup(spark, sf_dir):
     """CCNet-style cross-document LINE dedup (boilerplate removal).
     Docs are synthesized as 5 analytic lines — a banner shared by ALL
@@ -6291,6 +6363,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q153_binary_rerank": QuerySpec(
         q153_binary_rerank, Q153_SQL, "embedding-binary-rerank"
     ),
+    "q154_chunk_dedup": QuerySpec(
+        q154_chunk_dedup, Q154_SQL, "dedup-chunk"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6408,7 +6483,6 @@ _QUERY_ORDER: list[str] = [
     # 4. hash-checkable oracles whose last external pass is oldest
     #    (round 4) — fills the remaining window slots
     "q09_monthly_rollup",
-    "q10_daily_energy",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6434,10 +6508,12 @@ _QUERY_ORDER: list[str] = [
     "q151_hll_distinct_tokens",
     "q152_weighted_shuffle",
     "q153_binary_rerank",
+    "q154_chunk_dedup",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q10_daily_energy",
     "q11_daily_stats",
     "q12_site_capacity",
     "q13_daily_density",
