@@ -523,7 +523,15 @@ def temperature_sample(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
-    d = docs.select(F.col(id_col), F.col(strata_col).alias("_st"))
+    # NULL strata form their own stratum rather than silently vanishing
+    # through the inner join (null keys never equi-join): key on a
+    # sentinel, emit the original value
+    d = docs.select(
+        F.col(id_col),
+        F.col(strata_col).alias("_orig"),
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00null"))
+        .alias("_st"),
+    )
     counts = d.groupBy("_st").agg(F.count(F.lit(1)).alias("_c"))
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     p = F.lit(float(10 ** round_digits))
@@ -546,7 +554,7 @@ def temperature_sample(
         d.join(F.broadcast(rates), "_st")
         .select(
             F.col(id_col),
-            F.col("_st").alias(strata_col),
+            F.col("_orig").alias(strata_col),
             "rate",
             (u < F.col("rate")).alias("kept"),
         )

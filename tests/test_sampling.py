@@ -409,3 +409,14 @@ def test_weighted_shuffle_rank_semantics(spark):
 
     with _pt.raises(ValueError):
         weighted_shuffle_rank(docs, {"heavy": 0.0})
+
+
+def test_temperature_sample_null_stratum_not_dropped(spark):
+    from solar_data_tools_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 90 else None) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(docs, alpha=0.3).toPandas()
+    assert len(out) == 100  # null-stratum rows survive as their own group
+    nulls = out[out["lang"].isna()]
+    assert len(nulls) == 10 and (nulls["rate"] == 1.0).all()  # smallest
