@@ -2719,6 +2719,132 @@ FROM ch JOIN best USING (chunk_md5)
 Q154_SQL = _q154_sql()
 
 
+def q155_corpus_report(spark, sf_dir):
+    """Corpus data card (the LLM-pipeline analog of the solar
+    ``dataset_report`` flagship): one wide per-source aggregation over
+    a single pass — doc count, token totals, exact-dup fraction
+    (distinct md5 of normalized text vs rows), mean/stddev doc length,
+    language mix entropy, and mean classifier probability (q138's
+    portable weights) — the table a dataset release publishes. All
+    map-side-combinable aggregates; the classifier join is the
+    certified broadcast shape."""
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+    )
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    d = 4096
+    weights = spark.range(d).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
+    )
+    probs = linear_classifier_score(
+        docs, weights, bias=-0.1, n_features=d, seed=0
+    ).select("doc_id", "prob")
+    base = docs.join(probs, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "prob",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("_nt"),
+        F.md5(normalize_text(F.col("text"))).alias("_h"),
+    )
+    per_lang = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_cl")
+    )
+    # language-mix entropy per source: -sum p ln p over lang shares
+    ent = (
+        per_lang.groupBy("source")
+        .agg(
+            F.sum("_cl").alias("_tot"),
+            F.sum(F.col("_cl") * F.log(F.col("_cl"))).alias("_sll"),
+        )
+        .select(
+            "source",
+            (
+                F.log(F.col("_tot"))
+                - F.col("_sll") / F.col("_tot")
+            ).alias("lang_entropy"),
+        )
+    )
+    rep = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        _pround(F.avg("_nt")).alias("mean_tokens"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("_h") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_fraction"),
+        _pround(F.avg("prob")).alias("mean_prob"),
+    )
+    return rep.join(ent, "source").select(
+        "source", "n_docs", "total_tokens", "mean_tokens",
+        _pround(F.col("dup_fraction")).alias("dup_fraction"),
+        "mean_prob",
+        _pround(F.col("lang_entropy")).alias("lang_entropy"),
+    )
+
+
+Q155_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) > 0
+),
+gf AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 4096.0) AS BIGINT) AS feature_id
+  FROM grams WHERE length(g) > 0
+),
+w AS (
+  SELECT f AS feature_id,
+         (('0x' || substring(md5('w13:' || CAST(f AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0 AS weight
+  FROM generate_series(0, 4095) t(f)
+),
+scored AS (
+  SELECT gf.doc_id,
+         1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(w.weight, 0.0)) / count(*))))
+           AS prob
+  FROM gf LEFT JOIN w USING (feature_id)
+  GROUP BY gf.doc_id
+),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, s.prob,
+         len(regexp_split_to_array(
+             trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' '))
+           AS nt,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS h
+  FROM documents d JOIN scored s USING (doc_id)
+),
+pl AS (SELECT source, lang, count(*) AS cl FROM base GROUP BY 1, 2),
+ent AS (
+  SELECT source,
+         ln(sum(cl)) - sum(cl * ln(cl)) / sum(cl) AS lang_entropy
+  FROM pl GROUP BY source
+),
+rep AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS total_tokens,
+         floor(avg(nt) * 1e6 + 0.5) / 1e6 AS mean_tokens,
+         floor((1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE)) * 1e6
+               + 0.5) / 1e6 AS dup_fraction,
+         floor(avg(prob) * 1e6 + 0.5) / 1e6 AS mean_prob
+  FROM base GROUP BY source
+)
+SELECT rep.source, n_docs, total_tokens, mean_tokens, dup_fraction,
+       mean_prob, floor(ent.lang_entropy * 1e6 + 0.5) / 1e6 AS lang_entropy
+FROM rep JOIN ent ON rep.source = ent.source
+"""
+
+
 def q122_line_dedup(spark, sf_dir):
     """CCNet-style cross-document LINE dedup (boilerplate removal).
     Docs are synthesized as 5 analytic lines — a banner shared by ALL
@@ -6366,6 +6492,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q154_chunk_dedup": QuerySpec(
         q154_chunk_dedup, Q154_SQL, "dedup-chunk"
     ),
+    "q155_corpus_report": QuerySpec(
+        q155_corpus_report, Q155_SQL, "corpus-report"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6482,7 +6611,6 @@ _QUERY_ORDER: list[str] = [
     "q111_ffd_packing",
     # 4. hash-checkable oracles whose last external pass is oldest
     #    (round 4) — fills the remaining window slots
-    "q09_monthly_rollup",
     # new-this-round oracles, never externally hash-checked (priority
     # class 3): the latitude-study sweep + the longitude-study
     # closed-form legs
@@ -6509,10 +6637,12 @@ _QUERY_ORDER: list[str] = [
     "q152_weighted_shuffle",
     "q153_binary_rerank",
     "q154_chunk_dedup",
+    "q155_corpus_report",
     # ---- driver window boundary (first 50) ----
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
+    "q09_monthly_rollup",
     "q10_daily_energy",
     "q11_daily_stats",
     "q12_site_capacity",
