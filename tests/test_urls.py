@@ -354,3 +354,39 @@ def test_blocklist_empty_list_raises(spark):
     df = spark.createDataFrame([Row(url="https://a.b.com/x")])
     with pytest.raises(ValueError):
         ur.blocklist_mark(df, [])
+
+
+def test_streaming_blocklist_matches_batch(spark, tmp_path):
+    """blocklist_mark is a stateless codegen projection — it gates URLs
+    at INGEST time under Structured Streaming: availableNow file stream
+    == batch, no watermark state."""
+    rows = [
+        Row(doc_id=i,
+            url=f"https://s{i % 5}.example.com/{i}" if i % 2 == 0
+            else f"https://x{i}.blocked.org/{i}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows)
+    src = str(tmp_path / "bl_src")
+    df.write.parquet(src)
+    bl = ["s3.example.com", "blocked.org"]
+    stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+    q = (
+        ur.blocklist_mark(stream, bl)
+        .writeStream.format("memory")
+        .queryName("bl_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["blocked"]
+        for r in spark.sql("select * from bl_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: r["blocked"]
+        for r in ur.blocklist_mark(df, bl).collect()
+    }
+    assert streamed == batch and len(batch) == 80
+    assert any(batch.values()) and not all(batch.values())
