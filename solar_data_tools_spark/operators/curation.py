@@ -202,14 +202,25 @@ def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Repetition-based quality features (the Gopher-style filters used
-    by pretraining pipelines): type-token ratio, longest single-token
-    run share, and the fraction of bigram instances belonging to a
-    repeated bigram.
+    by pretraining pipelines): type-token ratio, most-frequent-token
+    share, and the fraction of bigram instances belonging to a repeated
+    bigram.
 
-    Everything is computed ROW-LOCALLY with higher-order array
-    expressions — sort the token/bigram arrays, then (a) count
+    ``engine="pandas"`` (default, the scale path): tokenization stays
+    in codegen; per-doc counting runs in an Arrow-batched kernel with
+    ``collections.Counter``. Every feature is a ratio of INTEGERS, so
+    the outputs are bit-identical to the expression engine (the q101
+    oracle passes on either), and the per-row sort+fold lambda chains —
+    which are CodegenFallback and evaluate interpreted — drop out:
+    34 s -> 7.9 s at the 1M-doc probe (vs 20.2 s expr after the
+    same-session plan warm).
+
+    ``engine="expr"``: zero Python. Everything is computed ROW-LOCALLY
+    with higher-order array expressions — sort the token/bigram arrays,
+    then (a) count
     instances equal to a neighbor (duplicate-gram instances) and (b)
     fold over the sorted array carrying (current run, best run) to get
     the most frequent element's count. Zero shuffles, whole-stage
@@ -230,6 +241,65 @@ def repetition_stats(
     dup_bigram_frac).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    if engine == "pandas":
+        import pandas as pd
+
+        from solar_data_tools_spark.shipping import (
+            ensure_package_on_executors,
+        )
+
+        ensure_package_on_executors(docs.sparkSession)
+
+        def _stats(batches):
+            from collections import Counter
+
+            for pdf in batches:
+                rows = []
+                for did, t in zip(pdf["_id"], pdf["_t"]):
+                    t = [] if t is None else list(t)
+                    n = len(t)
+                    if n == 0:
+                        rows.append((did, 0, 0.0, 0.0, 0.0))
+                        continue
+                    tc = Counter(t)
+                    if n < 2:
+                        dup_bi = 0.0
+                    else:
+                        bc = Counter(zip(t, t[1:]))
+                        dup = sum(v for v in bc.values() if v >= 2)
+                        dup_bi = dup / (n - 1)
+                    rows.append(
+                        (
+                            did,
+                            n,
+                            len(tc) / n,
+                            max(tc.values()) / n,
+                            dup_bi,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "_id", "n_tokens", "distinct_token_ratio",
+                        "top_token_frac", "dup_bigram_frac",
+                    ],
+                )
+
+        prepared = docs.select(
+            F.col(id_col).alias("_id"), toks.alias("_t")
+        )
+        id_type = dict(docs.select(id_col).dtypes)[id_col]
+        out = prepared.mapInPandas(
+            _stats,
+            schema=(
+                f"_id {id_type}, n_tokens bigint, "
+                "distinct_token_ratio double, top_token_frac double, "
+                "dup_bigram_frac double"
+            ),
+        )
+        return out.withColumnRenamed("_id", id_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     # guards: sequence(1, 0) DESCENDS to [1, 0] in Spark, so short
     # arrays must take the empty branch explicitly (ANSI mode would
     # then error on the out-of-bounds slice)

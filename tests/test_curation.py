@@ -706,3 +706,14 @@ def test_dsir_select_respects_weights_at_low_noise(spark):
     target = docs.where(F.col("doc_id") < 2)
     sel = dsir_select(docs, target, k=5, n_features=1024).toPandas()
     assert set(sel["doc_id"]) == {0, 1, 2, 3, 4}
+
+
+def test_repetition_stats_engines_bit_identical(spark, sf_small):
+    from solar_data_tools_spark.operators.curation import repetition_stats
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    a = repetition_stats(docs, engine="pandas").orderBy("doc_id").toPandas()
+    b = repetition_stats(docs, engine="expr").orderBy("doc_id").toPandas()
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
