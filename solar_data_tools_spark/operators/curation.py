@@ -15,10 +15,12 @@ Shuffle-consciousness notes per operator:
 * decontamination — the eval/benchmark side is tiny by construction
   (benchmarks are MBs against a 100 TB corpus), so its distinct n-gram
   set is broadcast; the corpus side never shuffles.
-* repetition stats — computed entirely row-locally with higher-order
-  array folds (sort + neighbor-compare + aggregate), zero shuffles and
-  whole-stage codegen; the classic explode->groupBy plan would shuffle
-  one row per token instance (~corpus bytes x tokens/doc).
+* repetition stats — row-local, zero shuffles, dual-engine: an
+  Arrow-batched Counter kernel by default (integer-ratio features are
+  bit-identical to the expression form; HOF folds are CodegenFallback
+  and run interpreted) with the pure-expression fold retained; either
+  way, the classic explode->groupBy plan that would shuffle one row
+  per token instance (~corpus bytes x tokens/doc) is avoided.
 * PII redaction — pure per-row regexp projection, embarrassingly
   parallel.
 * unigram LM scoring — two passes: a corpus-wide token-count agg
