@@ -143,3 +143,23 @@ def test_streaming_bpe_encode_matches_batch(spark, sf_small, tmp_path):
         for r in tk.bpe_encode(docs, merges).collect()
     }
     assert streamed == batch and len(batch) == 60
+
+
+def test_encode_detokenize_fixpoint(spark, sf_small):
+    """Detokenizing (join tokens, strip sentinels) reproduces the
+    normalized text exactly, so re-encoding it is a fixpoint — the
+    property that makes token counts stable across pipeline re-runs."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(30)
+    merges = tk.train_bpe_merges(docs, n_merges=100, sample_cap=30)
+    first = tk.bpe_encode(docs, merges).orderBy("doc_id").collect()
+    detok = spark.createDataFrame(
+        [
+            (r["doc_id"], " ".join("".join(r["tokens"]).split(tk.END)[:-1]))
+            for r in first
+        ],
+        "doc_id long, text string",
+    )
+    second = tk.bpe_encode(detok, merges).orderBy("doc_id").collect()
+    assert [
+        (r["doc_id"], list(r["tokens"])) for r in first
+    ] == [(r["doc_id"], list(r["tokens"])) for r in second]
