@@ -42,6 +42,11 @@ _TWO_SCALE = [
     "q144_url_blocklist",
     "q147_quality_pyramid",
     "q148_pagerank",
+    "q149_binary_hamming_topk",
+    "q152_weighted_shuffle",
+    "q153_binary_rerank",
+    "q154_chunk_dedup",
+    "q155_corpus_report",
 ]
 
 
