@@ -192,11 +192,17 @@ def gopher_rules(
     filter runs in the scan stage of whatever plan consumes it).
     """
     text = F.col(text_col)
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    n_words = F.size(words).cast("long")
-    mean_wl = F.aggregate(
-        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(n_words.cast("double"), F.lit(1.0))
+    # per-WORD quantities avoid lambdas entirely (HOF lambdas run
+    # interpreted per element — the probe-established rule): word count
+    # is the number of \S+ runs, and the summed word length is the
+    # text's non-whitespace character count — both native regex
+    # expressions, exactly equal to the filtered-split formulation
+    n_words = F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).cast(
+        "long"
+    )
+    mean_wl = F.length(
+        F.regexp_replace(text, r"\s", "")
+    ).cast("double") / F.greatest(n_words.cast("double"), F.lit(1.0))
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ellipsis = F.floor(
         (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
@@ -221,13 +227,13 @@ def gopher_rules(
         F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
         / F.greatest(n_lines, F.lit(1.0))
     )
-    lower_words = F.transform(words, F.lower)
-    req_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
-            lambda w: F.array_contains(lower_words, w),
-        )
-    ).cast("long")
+    # 8 static whitespace-bounded regex probes on the lowered text ==
+    # membership in the lowered \S+ token set, with no per-word lambda
+    lt = F.lower(text)
+    req_hits = None
+    for w in GOPHER_REQUIRED_WORDS:
+        hit = lt.rlike(rf"(^|\s){w}(\s|$)").cast("long")
+        req_hits = hit if req_hits is None else req_hits + hit
 
     out = docs.select(
         F.col(id_col),
@@ -250,11 +256,7 @@ def gopher_rules(
     }
     for name, c in checks.items():
         out = out.withColumn(name, c)
-    return out.withColumn(
-        "gopher_pass",
-        F.aggregate(
-            F.array(*[F.col(n) for n in checks]),
-            F.lit(True),
-            lambda acc, x: acc & x,
-        ),
-    )
+    gate = None
+    for name in checks:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return out.withColumn("gopher_pass", gate)
