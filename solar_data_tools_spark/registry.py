@@ -2845,6 +2845,204 @@ FROM rep JOIN ent ON rep.source = ent.source
 """
 
 
+def q156_curation_pipeline_v2(spark, sf_dir):
+    """End-to-end composition of the round-6-continuation tier — FOUR
+    certified stages chained in ONE declarative plan and certified by
+    ONE oracle: (1) domain-blocklist gate on the q144 URL synthesis;
+    (2) quality-pyramid bucket + tiered keep (q147); (3) temperature
+    rebalancing by language at alpha=0.3 (q150); (4) sliding-window
+    chunking of the SURVIVORS with per-doc owned-chunk counts against
+    the surviving corpus's chunk-hash table (q154's keep-first
+    granularity).
+    One row per surviving doc: its bucket, rates, and chunk dedup
+    profile — the manifest row a curated-release pipeline emits."""
+    from solar_data_tools_spark.operators import urls as ur
+    from solar_data_tools_spark.operators.curation import (
+        linear_classifier_score,
+    )
+    from solar_data_tools_spark.operators.sampling import (
+        hash_uniform,
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # stage 1: blocklist on synthetic URLs (the q144 rule set)
+    raw = docs.select(
+        "doc_id", "text", "lang",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"), F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".net")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+    )
+    s1 = ur.blocklist_mark(
+        raw, ["src2.example.com", "example.net"]
+    ).where(~F.col("blocked"))
+    # stage 2: classifier prob -> quartile bucket -> tiered keep
+    d = 4096
+    weights = spark.range(d).select(
+        F.col("id").alias("feature_id"),
+        (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
+    )
+    probs = linear_classifier_score(
+        s1, weights, bias=-0.1, n_features=d, seed=0
+    ).select("doc_id", _pround(F.col("prob")).alias("prob"))
+    scored = s1.join(probs, "doc_id")
+    th = scored.agg(
+        _pround(F.expr("percentile(prob, 0.25)")).alias("t1"),
+        _pround(F.expr("percentile(prob, 0.5)")).alias("t2"),
+        _pround(F.expr("percentile(prob, 0.75)")).alias("t3"),
+    )
+    b = scored.crossJoin(F.broadcast(th)).withColumn(
+        "bucket",
+        (F.col("prob") > F.col("t1")).cast("int")
+        + (F.col("prob") > F.col("t2")).cast("int")
+        + (F.col("prob") > F.col("t3")).cast("int"),
+    )
+    u2 = hash_uniform(F.col("doc_id"), "qp17")
+    s2 = b.where(
+        u2 * F.lit(4.0) < (F.col("bucket") + F.lit(1)).cast("double")
+    )
+    # stage 3: temperature rebalance by language over stage-2 survivors
+    ts = temperature_sample(s2, alpha=0.3, seed="temp9")
+    s3 = s2.join(
+        ts.where(F.col("kept")).select("doc_id", "rate"), "doc_id"
+    )
+    # stage 4: chunk survivors; unique-vs-total chunk profile per doc
+    ch = cu.chunk_documents(
+        s3.select("doc_id", "text"), window=32, stride=24
+    ).select("doc_id", "chunk_md5")
+    first = ch.groupBy("chunk_md5").agg(F.min("doc_id").alias("_own"))
+    prof = (
+        ch.join(first, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                (F.col("doc_id") == F.col("_own")).cast("long")
+            ).alias("n_owned_chunks"),
+        )
+    )
+    return s3.join(prof, "doc_id").select(
+        "doc_id", "lang", "prob", "bucket", "rate",
+        "n_chunks", "n_owned_chunks",
+    )
+
+
+Q156_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) > 0
+),
+gf AS (
+  SELECT doc_id,
+         CAST(floor((('0x' || substring(md5('0:' || g), 1, 8))::BIGINT
+                     / 4294967296.0) * 4096.0) AS BIGINT) AS feature_id
+  FROM grams WHERE length(g) > 0
+),
+w AS (
+  SELECT f AS feature_id,
+         (('0x' || substring(md5('w13:' || CAST(f AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) * 2.0 - 1.0 AS weight
+  FROM generate_series(0, 4095) t(f)
+),
+-- stage 1: blocklist (hosts: [cdn.]srcK.example.(net|com))
+hosts AS (
+  SELECT doc_id, text, lang,
+         (CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END)
+         || source || '.example'
+         || (CASE WHEN doc_id % 5 = 0 THEN '.net' ELSE '.com' END) AS host
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, text, lang FROM hosts
+  WHERE NOT list_has_any(
+      list_transform(range(1, len(string_split(host, '.')) + 1),
+          i -> array_to_string(string_split(host, '.')[i:], '.')),
+      ['src2.example.com', 'example.net'])
+),
+-- stage 2: classifier -> quartile bucket -> tiered keep
+scored AS (
+  SELECT gf.doc_id,
+         floor((1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(w.weight, 0.0))
+                                    / count(*))))) * 1e6 + 0.5) / 1e6
+           AS prob
+  FROM gf JOIN s1 USING (doc_id) LEFT JOIN w USING (feature_id)
+  GROUP BY gf.doc_id
+),
+th AS (
+  SELECT floor(quantile_cont(prob, 0.25) * 1e6 + 0.5) / 1e6 AS t1,
+         floor(quantile_cont(prob, 0.5)  * 1e6 + 0.5) / 1e6 AS t2,
+         floor(quantile_cont(prob, 0.75) * 1e6 + 0.5) / 1e6 AS t3
+  FROM scored
+),
+s2 AS (
+  SELECT s1.doc_id, s1.text, s1.lang, scored.prob,
+         CAST(scored.prob > th.t1 AS INT) + CAST(scored.prob > th.t2 AS INT)
+         + CAST(scored.prob > th.t3 AS INT) AS bucket
+  FROM s1 JOIN scored USING (doc_id), th
+  WHERE (('0x' || substring(md5('qp17:' || CAST(s1.doc_id AS VARCHAR)),
+                            1, 8))::BIGINT / 4294967296.0) * 4.0
+        < CAST(CAST(scored.prob > th.t1 AS INT)
+               + CAST(scored.prob > th.t2 AS INT)
+               + CAST(scored.prob > th.t3 AS INT) + 1 AS DOUBLE)
+),
+-- stage 3: temperature rebalance by lang over stage-2 survivors
+counts AS (SELECT lang, count(*) AS c FROM s2 GROUP BY lang),
+cmin AS (SELECT min(c) AS cmin FROM counts),
+rates AS (
+  SELECT lang,
+         floor(pow(CAST(c AS DOUBLE) / cmin, 0.3 - 1.0) * 1e6 + 0.5) / 1e6
+           AS rate
+  FROM counts, cmin
+),
+s3 AS (
+  SELECT s2.*, r.rate FROM s2 JOIN rates r USING (lang)
+  WHERE (('0x' || substring(md5('temp9:' || CAST(s2.doc_id AS VARCHAR)),
+                            1, 8))::BIGINT / 4294967296.0) < r.rate
+),
+-- stage 4: chunk survivors, per-doc unique-chunk profile
+t3ok AS (
+  SELECT doc_id, regexp_split_to_array(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM s3
+),
+t2c AS (SELECT doc_id, t, len(t) AS n FROM t3ok WHERE len(t) > 0),
+c AS (
+  SELECT doc_id, t, n, CAST(u.c AS BIGINT) AS chunk_id
+  FROM t2c, unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS INT)))
+       AS u(c)
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+           AS chunk_md5
+  FROM c
+),
+own AS (SELECT chunk_md5, min(doc_id) AS owner FROM ch GROUP BY chunk_md5),
+prof AS (
+  SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN ch.doc_id = own.owner THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_owned_chunks
+  FROM ch JOIN own USING (chunk_md5) GROUP BY ch.doc_id
+)
+SELECT s3.doc_id, s3.lang, s3.prob, s3.bucket, s3.rate,
+       prof.n_chunks, prof.n_owned_chunks
+FROM s3 JOIN prof USING (doc_id)
+"""
+
+
 def q122_line_dedup(spark, sf_dir):
     """CCNet-style cross-document LINE dedup (boilerplate removal).
     Docs are synthesized as 5 analytic lines — a banner shared by ALL
@@ -6495,6 +6693,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q155_corpus_report": QuerySpec(
         q155_corpus_report, Q155_SQL, "corpus-report"
     ),
+    "q156_curation_pipeline_v2": QuerySpec(
+        q156_curation_pipeline_v2, Q156_SQL, "pipeline-composed-v2"
+    ),
     "q139_dedup_keep_best": QuerySpec(
         q139_dedup_keep_best, Q139_SQL, "dedup-keep-best"
     ),
@@ -6582,11 +6783,13 @@ _QUERY_ORDER: list[str] = [
     "q116_semdedup",
     "q121_doc_chunking",
     "q125_domain_cap",
-    # 3. the 22 rows-only queries, rotated back into the external
+    # 3. the rows-only queries, rotated back into the external
     #    window as promised by this order's rationale: last externally
     #    run in r4; each carries a local invariant/fixture/golden test,
     #    and q90's quantizer sample CHANGED this round (unbiased
-    #    seeded-hash draw)
+    #    seeded-hash draw). q88 alone yielded its slot to the q141-q156
+    #    additions (its exact cousin q37 is oracle-certified and it has
+    #    two-scale local invariants)
     "q47_minhash_near_dups",
     "q48_simhash",
     "q49_lsh_topk",
@@ -6606,7 +6809,6 @@ _QUERY_ORDER: list[str] = [
     "q85_quantile_surface",
     "q86_clear_sky_labels",
     "q87_quality_scores",
-    "q88_cdf_resample_approx",
     "q90_ivf_topk",
     "q111_ffd_packing",
     # 4. hash-checkable oracles whose last external pass is oldest
@@ -6638,7 +6840,9 @@ _QUERY_ORDER: list[str] = [
     "q153_binary_rerank",
     "q154_chunk_dedup",
     "q155_corpus_report",
+    "q156_curation_pipeline_v2",
     # ---- driver window boundary (first 50) ----
+    "q88_cdf_resample_approx",
     # remaining round-4-verified oracles, next-oldest first (q20-q23
     # yielded their slots to the new PQ/DSIR/blocklist oracles this
     # session)
