@@ -47,6 +47,7 @@ _TWO_SCALE = [
     "q153_binary_rerank",
     "q154_chunk_dedup",
     "q155_corpus_report",
+    "q156_curation_pipeline_v2",
 ]
 
 
