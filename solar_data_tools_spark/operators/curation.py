@@ -780,6 +780,7 @@ def chunk_documents(
     stride: int = 24,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sliding-window token chunking — the context-window preparation
     step of a RAG / pretraining pipeline: each document becomes
@@ -810,6 +811,7 @@ def chunk_documents(
         )
     toks = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         F.split(normalize_text(F.col(text_col)), " ").alias("_t"),
     ).where((F.size("_t") > 0) & (F.col(text_col).isNotNull()))
     # number of chunks: 1 + ceil(max(n - window, 0) / stride)
@@ -819,11 +821,13 @@ def chunk_documents(
     ).cast("int")
     chunks = toks.select(
         id_col,
+        *[F.col(c) for c in (carry_cols or [])],
         "_t",
         n.alias("_n"),
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_c"),
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         F.col("chunk_id").cast("long").alias("chunk_id"),
         (F.col("_c") * stride).alias("start_tok"),
         F.least(F.lit(window), F.col("_n") - F.col("_c") * stride).alias(

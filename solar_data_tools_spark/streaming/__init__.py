@@ -11,6 +11,7 @@ from solar_data_tools_spark.streaming.sessions_stream import streaming_sessioniz
 from solar_data_tools_spark.streaming.dedup_stream import (  # noqa: F401
     streaming_exact_dedup,
     streaming_first_seen,
+    streaming_chunk_dedup,
     streaming_url_dedup,
 )
 from solar_data_tools_spark.streaming.packing_stream import (  # noqa: F401

@@ -113,3 +113,43 @@ def streaming_url_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["canon_hash"])
     )
+
+
+def streaming_chunk_dedup(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time CHUNK-level dedup — the streaming face of the q154
+    batch composition: documents chunk as they arrive (chunking is a
+    stateless row-local projection), and the first occurrence of every
+    chunk hash within the watermark horizon survives. RAG ingestion
+    uses exactly this to avoid indexing the boilerplate passage shared
+    by every page of a site twice.
+
+    State is one 128-bit chunk md5 per distinct chunk inside the
+    watermark window (same bounded-state / collision argument as
+    ``streaming_url_dedup``), evicted as event time advances. Emits the
+    surviving chunks: (id_col, chunk_id, start_tok, n_tok, chunk_md5,
+    ts_col). Across microbatches the earlier batch's chunk wins; within
+    one, an arbitrary copy — use the batch composition when a specific
+    canonical owner matters.
+    """
+    from solar_data_tools_spark.operators.curation import chunk_documents
+
+    with_ts = chunk_documents(
+        stream.select(id_col, text_col, ts_col),
+        window=window,
+        stride=stride,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=[ts_col],  # event time rides the row-local explode
+    )
+    return (
+        with_ts.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["chunk_md5"])
+    )

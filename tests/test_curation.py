@@ -717,3 +717,53 @@ def test_repetition_stats_engines_bit_identical(spark, sf_small):
     b = repetition_stats(docs, engine="expr").orderBy("doc_id").toPandas()
     for c in a.columns:
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_streaming_chunk_dedup_matches_batch_contract(
+    spark, sf_small, tmp_path
+):
+    """Ingest-time chunk-level dedup: every distinct chunk hash keeps
+    exactly ONE surviving (doc, chunk) row, and survivors cover the
+    full distinct-chunk set — the q154 batch contract, at ingest."""
+    from solar_data_tools_spark.operators.curation import chunk_documents
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_chunk_dedup
+
+    banner = " ".join(f"boiler{i}" for i in range(32))
+    docs = (
+        read_table(spark, f"{sf_small}/documents.parquet")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.concat(F.lit(banner + " "), F.col("text")).alias("text"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + "
+                "make_interval(0,0,0,0,0,0,doc_id)"
+            ).alias("ingest_ts"),
+        )
+    )
+    src = str(tmp_path / "chunk_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_chunk_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql(
+        "select chunk_md5, count(*) c from chunk_dedup_stream_test "
+        "group by chunk_md5"
+    ).collect()
+    assert all(r["c"] == 1 for r in kept)
+    expected = {
+        r["chunk_md5"]
+        for r in chunk_documents(docs, 32, 24).select("chunk_md5").collect()
+    }
+    assert {r["chunk_md5"] for r in kept} == expected
+    assert len(expected) < 100 + len(expected)  # banner chunk deduped
