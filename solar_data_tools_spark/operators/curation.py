@@ -1087,6 +1087,11 @@ def dsir_importance_weights(
 
     Output: (id_col, n_grams, logw).
     """
+    if target_docs.isEmpty():
+        # an empty target silently degenerates to inverse-frequency
+        # weighting (every log-ratio reduces to -ln(cnt+a) + consts):
+        # almost certainly a mis-specified domain filter — fail loudly
+        raise ValueError("DSIR target corpus is empty")
     feats = hashed_ngram_features(
         raw_docs, n_features, id_col, text_col, use_bigrams, seed
     )

@@ -767,3 +767,13 @@ def test_streaming_chunk_dedup_matches_batch_contract(
     }
     assert {r["chunk_md5"] for r in kept} == expected
     assert len(expected) < 100 + len(expected)  # banner chunk deduped
+
+
+def test_dsir_empty_target_raises(spark):
+    from solar_data_tools_spark.operators.curation import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(10)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="target corpus is empty"):
+        dsir_select(docs, docs.where(F.col("doc_id") < 0), k=5)
