@@ -482,6 +482,14 @@ def unigram_logprob(
     is never joined to itself and the vocabulary never exceeds
     |distinct tokens|.
 
+    Determinism contract (the q143 recipe): the per-TOKEN logprob is
+    fixed-point rounded to a LONG (1e-6 ticks) in the vocabulary table,
+    so the per-doc total is an integer sum — order-independent across
+    partition layouts and engines; the mean divides that exact total.
+    (A float avg over hundreds of terms can land within an ulp of a
+    rounding half-tick and flip the final 1e-6 rounding between Spark's
+    parallel and an oracle's sequential sum order.)
+
     Output: (doc_id, n_tokens, avg_logprob, bits_per_token).
     """
     tok = docs.select(
@@ -491,21 +499,27 @@ def unigram_logprob(
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", F.log(F.col("cnt") / F.col("total")).alias("logp")
+        "tok",
+        F.floor(
+            F.log(F.col("cnt") / F.col("total")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_logp_fp"),
     )
-    return (
+    agg = (
         tok.join(F.broadcast(logp), "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.avg("logp").alias("avg_logprob"),
+            F.sum("_logp_fp").alias("_s_fp"),
         )
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            "avg_logprob",
-            (-F.col("avg_logprob") / math.log(2.0)).alias("bits_per_token"),
-        )
+    )
+    avg = F.col("_s_fp") / F.lit(1e6) / F.col("n_tokens")
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        (-avg / math.log(2.0)).alias("bits_per_token"),
     )
 
 
@@ -532,6 +546,11 @@ def bigram_logprob(
     vocabulary and would not fit an executor at corpus scale (AQE may
     still elect a broadcast when it measures the table small). The
     corpus is never joined to itself.
+
+    Determinism contract (the q143 recipe): the per-BIGRAM logprob is
+    fixed-point rounded to a LONG (1e-6 ticks) in the count table, so
+    the per-doc total is an integer sum — order-independent across
+    partition layouts and engines; the mean divides that exact total.
 
     Output: (doc_id, n_bigrams, avg_logprob, bits_per_token).
     """
@@ -562,25 +581,32 @@ def bigram_logprob(
         .select(
             "w1",
             "w2",
-            F.log(
-                (F.col("cbg") + F.lit(alpha))
-                / (F.col("cctx") + F.lit(alpha) * F.col("v"))
-            ).alias("logp"),
+            F.floor(
+                F.log(
+                    (F.col("cbg") + F.lit(alpha))
+                    / (F.col("cctx") + F.lit(alpha) * F.col("v"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_logp_fp"),
         )
     )
-    return (
+    agg = (
         bg.join(logp, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.avg("logp").alias("avg_logprob"),
+            F.sum("_logp_fp").alias("_s_fp"),
         )
-        .select(
-            F.col(id_col),
-            "n_bigrams",
-            "avg_logprob",
-            (-F.col("avg_logprob") / math.log(2.0)).alias("bits_per_token"),
-        )
+    )
+    avg = F.col("_s_fp") / F.lit(1e6) / F.col("n_bigrams")
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        (-avg / math.log(2.0)).alias("bits_per_token"),
     )
 
 
@@ -872,9 +898,15 @@ def hashed_ngram_features(
     ).where(F.size("_t") > 0)
     grams = F.col("_t")
     if use_bigrams:
+        # guard single-token docs: sequence(1, 0) is DESCENDING [1, 0]
+        # in Spark (step defaults to -1 when start > stop), which would
+        # index element_at(_t, 2) out of bounds — the oracle's
+        # range(1, len(t)) is empty there, so match it exactly
         bi = F.expr(
-            "transform(sequence(1, greatest(size(_t) - 1, 0)), "
-            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            "case when size(_t) > 1 then "
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) "
+            "else cast(array() as array<string>) end"
         )
         grams = F.concat(F.col("_t"), bi)
     exploded = toks.select(
@@ -979,10 +1011,15 @@ def linear_classifier_score_rowlocal(
         # unigrams ++ bigrams from ONE tokenization: SQL has no let-
         # binding, so wrap the token array in a 1-element array and
         # element_at the transformed result (evaluates `toks` once)
+        # case-guard single-token docs: sequence(1, 0) DESCENDS in
+        # Spark, so the unguarded form indexes element_at(t, 2) out of
+        # bounds on a 1-token doc
         grams = (
             f"element_at(transform(array({toks}), "
-            "t -> concat(t, transform(sequence(1, greatest(size(t) - 1, 0)), "
-            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))), 1)"
+            "t -> concat(t, case when size(t) > 1 then "
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+            "else cast(array() as array<string>) end)), 1)"
         )
     fid = (
         f"cast(floor(cast(conv(substring(md5(concat('{seed_s}:', g)), 1, 8), "
@@ -1065,6 +1102,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     use_bigrams: bool = True,
     seed: int | str = 0,
+    lr_round_digits: int = 6,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169): score
@@ -1077,6 +1115,18 @@ def dsir_importance_weights(
     with add-alpha smoothing over the ``n_features`` hash buckets:
     ``p[f] = (cnt[f] + alpha) / (total + alpha * n_features)``.
 
+    Determinism contract: the per-FEATURE log-ratio is fixed-point
+    rounded (``lr_round_digits``, default 1e-6 ticks) to a LONG in the
+    model table, so the per-doc weight is an INTEGER sum
+    ``logw_fp = sum_f cnt_f * lr_fp_f`` — order-independent by
+    construction across partition layouts AND engines. (Rounding the
+    per-doc float sum after the fact is NOT stable: a partition-parallel
+    sum of hundreds of ``cnt*lr`` terms can land within an ulp of a
+    half-tick and round differently from a sequential engine's sum —
+    the exact flake the round-6 driver caught on q143.) The returned
+    ``logw`` is ``logw_fp / 10^lr_round_digits``, the same double in
+    every engine.
+
     Plan shape at corpus scale: both bag-of-features models are
     hash-grained aggregates (<= n_features rows each — a few MB at the
     paper's 10^4-10^5 buckets, NEVER corpus-sized), joined into one
@@ -1085,13 +1135,14 @@ def dsir_importance_weights(
     only (doc, feature, cnt) triples move. The md5 feature hash makes
     the whole computation engine-portable (the q143 oracle replays it).
 
+    An empty target corpus silently degenerates to inverse-frequency
+    weighting (every log-ratio reduces to ``-ln(cnt+a) + consts``) —
+    almost certainly a mis-specified domain filter, so the model table
+    raises at execution time when the target total is 0. The guard is
+    folded into the log-ratio expression (no extra Spark job).
+
     Output: (id_col, n_grams, logw).
     """
-    if target_docs.isEmpty():
-        # an empty target silently degenerates to inverse-frequency
-        # weighting (every log-ratio reduces to -ln(cnt+a) + consts):
-        # almost certainly a mis-specified domain filter — fail loudly
-        raise ValueError("DSIR target corpus is empty")
     feats = hashed_ngram_features(
         raw_docs, n_features, id_col, text_col, use_bigrams, seed
     )
@@ -1112,18 +1163,26 @@ def dsir_importance_weights(
     # model is fit on the same corpus being scored), so a left join from
     # raw_counts covers the full support; target-absent features get
     # cnt 0 via coalesce
+    lr = (
+        F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+        - F.log(F.col("_tt") + an)
+        - F.log(F.col("_cr") + a)
+        + F.log(F.col("_tr") + an)
+    )
+    scale = float(10 ** lr_round_digits)
+    lr_fp = F.floor(lr * F.lit(scale) + F.lit(0.5)).cast("long")
     ratio = (
         raw_counts.join(tgt_counts, "feature_id", "left")
         .crossJoin(F.broadcast(raw_total))
         .crossJoin(F.broadcast(tgt_total))
         .select(
             "feature_id",
-            (
-                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
-                - F.log(F.col("_tt") + an)
-                - F.log(F.col("_cr") + a)
-                + F.log(F.col("_tr") + an)
-            ).alias("_lr"),
+            F.when(
+                F.coalesce(F.col("_tt"), F.lit(0)) <= 0,
+                F.raise_error(F.lit("DSIR target corpus is empty")),
+            )
+            .otherwise(lr_fp)
+            .alias("_lr_fp"),
         )
     )
     return (
@@ -1131,7 +1190,12 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("_lr")).alias("logw"),
+            F.sum(F.col("cnt") * F.col("_lr_fp")).alias("_logw_fp"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            (F.col("_logw_fp") / F.lit(scale)).alias("logw"),
         )
     )
 
@@ -1156,10 +1220,12 @@ def dsir_select(
     the draw is deterministic, partitioning-invariant, and replayable
     in any engine (no RNG stream).
 
-    ``logw`` is fixed-point rounded (``round_digits``) BEFORE the noise
-    is added: partition-parallel float sums differ from sequential sums
-    in the last ulps, and the rounding makes the ranking key — hence
-    the selected set — bit-stable across engines and cluster layouts.
+    ``logw`` arrives already bit-stable: ``dsir_importance_weights``
+    fixed-point-rounds the per-FEATURE log-ratio (``round_digits``
+    ticks) and sums in integer arithmetic, so the ranking key — hence
+    the selected set — is identical across engines and cluster layouts
+    by construction (no post-hoc rounding of a float sum, which the
+    round-6 driver proved unstable on half-tick boundaries).
 
     The top-k is a global ``ORDER BY key LIMIT k`` — Spark executes it
     as TakeOrdered (per-partition heaps + driver merge of k-row heads),
@@ -1169,20 +1235,16 @@ def dsir_select(
 
     w = dsir_importance_weights(
         raw_docs, target_docs, n_features, alpha, id_col, text_col,
-        use_bigrams, seed,
+        use_bigrams, seed, lr_round_digits=round_digits,
     )
-    p = F.lit(float(10 ** round_digits))
-    logw_r = (
-        F.floor(F.col("logw") * p + F.lit(0.5)) / p
-    )  # sign-safe for logw<0: floor(x+.5) rounds half-up on both engines
     u = hash_uniform(F.col(id_col), gumbel_seed)
     u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
-    key = logw_r - F.log(-F.log(u))
+    key = F.col("logw") - F.log(-F.log(u))
     ranked = (
         w.select(
             F.col(id_col),
             "n_grams",
-            logw_r.alias("logw"),
+            "logw",
             key.alias("key"),
         )
         .orderBy(F.desc("key"), F.asc(id_col))

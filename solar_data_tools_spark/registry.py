@@ -2292,12 +2292,15 @@ vq AS (
 ),
 lp AS (
   SELECT w1, w2,
-         ln((cbg + 0.5) / (cctx + 0.5 * v)) AS logp
+         CAST(floor(ln((cbg + 0.5) / (cctx + 0.5 * v)) * 1e6 + 0.5)
+              AS BIGINT) AS logp_fp
   FROM counts JOIN ctx USING (w1) CROSS JOIN vq
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(logp), 6) AS avg_logprob,
-       round(-avg(logp) / ln(2), 6) AS bits_per_token
+       round(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*), 6)
+         AS avg_logprob,
+       round(-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2), 6)
+         AS bits_per_token
 FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
 """
 
@@ -4518,13 +4521,14 @@ tot AS (
 ),
 lr AS (
   SELECT r.feature_id,
-         ln(coalesce(t.ct, 0) + 0.5) - ln(tot.tt + 0.5 * 2048)
-         - ln(r.cr + 0.5) + ln(tot.tr + 0.5 * 2048) AS lr
+         CAST(floor((ln(coalesce(t.ct, 0) + 0.5) - ln(tot.tt + 0.5 * 2048)
+                     - ln(r.cr + 0.5) + ln(tot.tr + 0.5 * 2048)) * 1e6
+                    + 0.5) AS BIGINT) AS lr_fp
   FROM rawc r LEFT JOIN tgtc t USING (feature_id), tot
 ),
 w AS (
   SELECT d.doc_id, sum(d.cnt) AS n_grams,
-         floor(sum(d.cnt * lr.lr) * 1e6 + 0.5) / 1e6 AS logw
+         CAST(sum(d.cnt * lr.lr_fp) AS BIGINT) / 1e6 AS logw
   FROM dfc d JOIN lr USING (feature_id) GROUP BY 1
 ),
 keyed AS (
@@ -5448,9 +5452,15 @@ tokl AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 tokf AS (SELECT doc_id, tok FROM tokl WHERE length(tok) > 0),
 vocab AS (SELECT tok, count(*) AS cnt FROM tokf GROUP BY tok),
 tot AS (SELECT sum(cnt) AS total FROM vocab),
-lp AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM vocab, tot)
-SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob,
-       round(-avg(logp) / ln(2), 6) AS bits_per_token
+lp AS (SELECT tok,
+              CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 0.5)
+                   AS BIGINT) AS logp_fp
+       FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*), 6)
+         AS avg_logprob,
+       round(-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2), 6)
+         AS bits_per_token
 FROM tokf JOIN lp USING (tok) GROUP BY doc_id
 """
 

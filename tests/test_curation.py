@@ -381,13 +381,20 @@ def test_bigram_logprob_closed_form(spark):
     }
     assert out[0]["n_bigrams"] == 5 and out[1]["n_bigrams"] == 3
     # corpus: V = 6 distinct tokens; contexts c(x·)=3, c(y·)=2, c(p·)=c(q·)=c(r·)=1
+    # per-bigram logprobs are 1e-6 fixed-pointed (the engine-portable
+    # integer-sum determinism contract), so the closed form mirrors that
     v = 6.0
+
+    def fp(x):
+        return math.floor(x * 1e6 + 0.5)
+
     lp_xy = math.log((3 + 0.5) / (3 + 0.5 * v))
     lp_yx = math.log((2 + 0.5) / (2 + 0.5 * v))
-    exp_a = (3 * lp_xy + 2 * lp_yx) / 5
+    exp_a = (3 * fp(lp_xy) + 2 * fp(lp_yx)) / 1e6 / 5
     assert abs(out[0]["avg_logprob"] - exp_a) < 1e-12
     lp_one = math.log((1 + 0.5) / (1 + 0.5 * v))
-    assert abs(out[1]["avg_logprob"] - lp_one) < 1e-12
+    exp_b = 3 * fp(lp_one) / 1e6 / 3
+    assert abs(out[1]["avg_logprob"] - exp_b) < 1e-12
     assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
     assert abs(
         out[0]["bits_per_token"] + out[0]["avg_logprob"] / math.log(2)
@@ -770,10 +777,59 @@ def test_streaming_chunk_dedup_matches_batch_contract(
 
 
 def test_dsir_empty_target_raises(spark):
+    """The guard is folded into the log-ratio expression (no extra
+    Spark job), so it fires at execution time, not construction."""
     from solar_data_tools_spark.operators.curation import dsir_select
 
     docs = spark.createDataFrame(
         [(i, f"tok{i}") for i in range(10)], "doc_id long, text string"
     )
-    with pytest.raises(ValueError, match="target corpus is empty"):
-        dsir_select(docs, docs.where(F.col("doc_id") < 0), k=5)
+    sel = dsir_select(docs, docs.where(F.col("doc_id") < 0), k=5)
+    with pytest.raises(Exception, match="target corpus is empty"):
+        sel.collect()
+
+
+def test_dsir_logw_bit_identical_across_partitionings(spark):
+    """logw must be BIT-equal (not approx) between a 1-partition and a
+    64-partition run: the per-feature log-ratio is fixed-pointed to a
+    LONG and the per-doc weight is an integer sum, so no summation-order
+    effect can exist. Corpus crafted with large, highly-shared gram bags
+    (hundreds of cnt*lr terms per doc) — the shape whose float sum was
+    partition-order-sensitive before the integer-sum fix (round-6 q143
+    driver flake)."""
+    from solar_data_tools_spark.operators.curation import dsir_select
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"tok{(i * 7 + j) % 97}" for j in range(300)
+            ),
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    a = (
+        dsir_select(docs.coalesce(1), target.coalesce(1), k=40,
+                    n_features=512)
+        .orderBy("rank")
+        .toPandas()
+    )
+    b = (
+        dsir_select(docs.repartition(64), target.repartition(64), k=40,
+                    n_features=512)
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    import numpy as np
+
+    assert (
+        a["logw"].to_numpy().view(np.int64)
+        == b["logw"].to_numpy().view(np.int64)
+    ).all()
+    assert (
+        a["key"].to_numpy().view(np.int64)
+        == b["key"].to_numpy().view(np.int64)
+    ).all()

@@ -218,9 +218,15 @@ def test_dsir_ratio_table_broadcasts(spark, sf_small):
     from solar_data_tools_spark.session import read_table
 
     docs = read_table(spark, f"{sf_small}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
     out = dsir_importance_weights(
         docs, docs.where(F.col("lang") == "en"), n_features=2048
     )
+    # the empty-target guard is folded into the log-ratio expression:
+    # constructing the plan must launch ZERO Spark jobs (the old
+    # isEmpty() guard cost one eager job per call on the hot path)
+    assert set(tracker.getJobIdsForGroup()) == before
     plan = _formatted_plan(out)
     assert "BroadcastExchange" in plan
     assert "EvalPython" not in plan
