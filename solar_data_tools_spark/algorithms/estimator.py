@@ -97,12 +97,26 @@ def estimate_system_parameters(
     coordinates this way): on pure-beam data a tilted panel's power
     window starts at cosθ>0 rather than sunrise, which biases the
     daylight-span latitude — real data's diffuse-light onset masks
-    this, surveyed coordinates remove it entirely."""
+    this, surveyed coordinates remove it entirely. The returned
+    ``longitude``/``latitude`` columns always report the per-site
+    ESTIMATES (the location stage's output is never discarded); the
+    overrides feed only the hour-angle and cosθ fit inputs."""
     loc = estimate_location(meas, gmt_offset, site_col, threshold_frac)
-    if longitude is not None:
-        loc = loc.withColumn("longitude", F.lit(float(longitude)))
-    if latitude is not None:
-        loc = loc.withColumn("latitude", F.lit(float(latitude)))
+    fit_lon = (
+        F.lit(float(longitude)) if longitude is not None
+        else F.col("longitude")
+    )
+    fit_lat = (
+        F.lit(float(latitude)) if latitude is not None
+        else F.col("latitude")
+    )
+    loc = loc.select(
+        site_col,
+        "longitude",
+        "latitude",
+        fit_lon.alias("_fit_lon"),
+        fit_lat.alias("_fit_lat"),
+    )
     cap = meas.groupBy(site_col).agg(
         F.expr("percentile(value, 0.999)").alias("_cap")
     )
@@ -112,7 +126,7 @@ def estimate_system_parameters(
         F.col("hod")
         + (
             sol.eot_duffie(doy)
-            + 4.0 * (F.col("longitude") - 15.0 * gmt_offset)
+            + 4.0 * (F.col("_fit_lon") - 15.0 * gmt_offset)
         )
         / 60.0
     )
@@ -120,6 +134,7 @@ def estimate_system_parameters(
         site_col,
         F.col("longitude"),
         F.col("latitude"),
+        F.col("_fit_lat"),
         sol.delta_cooper(doy).alias("delta_deg"),
         sol.hour_angle(solar_h).alias("omega_deg"),
         (F.col("value") / F.col("_cap")).alias("costheta"),
@@ -137,12 +152,12 @@ def estimate_system_parameters(
             fit_tilt_azimuth,
         )
 
-        lat = float(pdf["latitude"].iloc[0])
+        fit_lat = float(pdf["_fit_lat"].iloc[0])
         tilt, az = fit_tilt_azimuth(
             pdf["delta_deg"].to_numpy(dtype=np.float64),
             pdf["omega_deg"].to_numpy(dtype=np.float64),
             pdf["costheta"].to_numpy(dtype=np.float64),
-            lat,
+            fit_lat,
             init_tilt=init_tilt,
             init_az=init_az,
         )
@@ -151,7 +166,7 @@ def estimate_system_parameters(
             {
                 site_col: head[site_col].values,
                 "longitude": head["longitude"].values,
-                "latitude": [lat],
+                "latitude": head["latitude"].values,
                 "tilt_deg": [tilt],
                 "azimuth_deg": [az],
             }

@@ -53,11 +53,14 @@ def _haversine_km(
 
 
 def parse_kml_polygons(kml_bytes: bytes) -> pd.DataFrame:
-    """First three outer-boundary vertices of every ``<Polygon>`` in a
-    KML document (reference readCoordinates_onepolygon, :7-21), via
-    stdlib ElementTree. Returns columns polygon_id, lon1..alt3 —
-    feed through ``spark.createDataFrame`` into
-    :func:`ground_truth_tilt_azimuth`."""
+    """Three outer-boundary vertices of every ``<Polygon>`` in a KML
+    document (reference readCoordinates_onepolygon, :7-21), via stdlib
+    ElementTree. Matching the reference exactly, the FIRST coordinate
+    token is SKIPPED and tokens 1-3 are used (its loop assigns c1/c2/c3
+    at j==1,2,3 only — identical for planar roofs, kept verbatim so
+    non-planar polygons reproduce too). Returns columns
+    polygon_id, lon1..alt3 — feed through ``spark.createDataFrame``
+    into :func:`ground_truth_tilt_azimuth`."""
     import re
     import xml.etree.ElementTree as ET
 
@@ -78,7 +81,7 @@ def parse_kml_polygons(kml_bytes: bytes) -> pd.DataFrame:
         if coords_el is None or not coords_el.text:
             continue
         triples = []
-        for token in re.split(r"\s+", coords_el.text.strip())[:3]:
+        for token in re.split(r"\s+", coords_el.text.strip())[1:4]:
             parts = token.split(",")
             if len(parts) < 2:
                 break

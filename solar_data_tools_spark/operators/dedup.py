@@ -227,18 +227,20 @@ def _np_xxh64_long(value, seed):
     P3, P4, P5 = np.uint64(_XXH_P3), np.uint64(_XXH_P4), np.uint64(_XXH_P5)
     v = value.astype(np.uint64)
     s = seed if hasattr(seed, "dtype") else np.uint64(seed)
-    np.seterr(over="ignore")  # uint64 wraparound is the algorithm
-    h = s + P5 + np.uint64(8)
-    k = v * P2
-    k = (k << np.uint64(31)) | (k >> np.uint64(33))
-    k = k * P1
-    h = h ^ k
-    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
-    h = h ^ (h >> np.uint64(33))
-    h = h * P2
-    h = h ^ (h >> np.uint64(29))
-    h = h * P3
-    h = h ^ (h >> np.uint64(32))
+    # uint64 wraparound is the algorithm; scope the suppression so the
+    # process-global numpy error state of the shared worker is untouched
+    with np.errstate(over="ignore"):
+        h = s + P5 + np.uint64(8)
+        k = v * P2
+        k = (k << np.uint64(31)) | (k >> np.uint64(33))
+        k = k * P1
+        h = h ^ k
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + P4
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
     return h
 
 
@@ -250,15 +252,15 @@ def _np_xxh64_int(value, seed):
     P1, P2 = np.uint64(_XXH_P1), np.uint64(_XXH_P2)
     P3, P5 = np.uint64(_XXH_P3), np.uint64(_XXH_P5)
     v = np.uint64(value) & np.uint64(0xFFFFFFFF)
-    np.seterr(over="ignore")
-    h = seed + P5 + np.uint64(4)
-    h = h ^ (v * P1)
-    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
-    h = h ^ (h >> np.uint64(33))
-    h = h * P2
-    h = h ^ (h >> np.uint64(29))
-    h = h * P3
-    h = h ^ (h >> np.uint64(32))
+    with np.errstate(over="ignore"):
+        h = seed + P5 + np.uint64(4)
+        h = h ^ (v * P1)
+        h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+        h = h ^ (h >> np.uint64(33))
+        h = h * P2
+        h = h ^ (h >> np.uint64(29))
+        h = h * P3
+        h = h ^ (h >> np.uint64(32))
     return h
 
 

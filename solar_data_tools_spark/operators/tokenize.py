@@ -176,8 +176,12 @@ def bpe_encode(
         F.col(id_col).alias("_id"),
         normalize_text(F.col(text_col)).alias("_t"),
     )
+    # derive the id type from the input so non-long doc ids (e.g.
+    # string WARC record ids) pass through unchanged
+    id_type = dict(docs.select(id_col).dtypes)[id_col]
     out = prepared.mapInPandas(
-        _encode, schema="_id long, tokens array<string>, n_tokens long"
+        _encode,
+        schema=f"_id {id_type}, tokens array<string>, n_tokens long",
     )
     return out.select(
         F.col("_id").alias(id_col), "tokens", "n_tokens"

@@ -205,3 +205,9 @@ def test_estimate_system_parameters_end_to_end(spark):
     # pure-beam tilted data (documented cosθ>0 onset bias)
     auto = estimate_system_parameters(tilted, gmt_offset=GMT).collect()[0]
     assert abs(auto["longitude"] - LON) < 3.0, auto.asDict()
+
+    # the returned lon/lat columns report the per-site ESTIMATES even
+    # when surveyed overrides feed the orientation fit — the location
+    # stage output is never discarded
+    assert r["longitude"] == pytest.approx(auto["longitude"])
+    assert r["latitude"] == pytest.approx(auto["latitude"])

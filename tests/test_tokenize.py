@@ -163,3 +163,16 @@ def test_encode_detokenize_fixpoint(spark, sf_small):
     assert [
         (r["doc_id"], list(r["tokens"])) for r in first
     ] == [(r["doc_id"], list(r["tokens"])) for r in second]
+
+
+def test_encode_string_doc_ids(spark):
+    """The mapInPandas schema derives the id type from the input, so
+    non-long ids (e.g. WARC record ids) pass through unchanged."""
+    docs = spark.createDataFrame(
+        [("warc-a", "the cat sat"), ("warc-b", "the dog ran")],
+        "doc_id string, text string",
+    )
+    merges = tk.train_bpe_merges(docs, n_merges=10, sample_cap=2)
+    out = tk.bpe_encode(docs, merges).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == ["warc-a", "warc-b"]
+    assert all(r["n_tokens"] > 0 for r in out)
