@@ -81,6 +81,7 @@ def detect_capacity_changes(
     site_col: str = "site",
     w1: float = 0.5,
     round_base: float = 0.05,
+    capture_errors: bool = False,
 ) -> DataFrame:
     """Capacity-change labels (reference: capacity_change.py:38-116 + D3).
 
@@ -149,6 +150,10 @@ def detect_capacity_changes(
             }
         )
 
+    if capture_errors:
+        from solar_data_tools_spark.parallel import wrap_capture_errors
+
+        _detect, schema = wrap_capture_errors(_detect, schema, site_col)
     cols = [site_col, "date", metric_col]
     return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
@@ -160,13 +165,35 @@ def detect_time_shifts(
     site_col: str = "site",
     w1: float = 0.05,
     min_shift_hours: float = 0.25,
+    use_col: str | None = None,
+    w1_col: str | None = None,
+    round_to_hour: bool = False,
+    baseline: str = "first",
+    capture_errors: bool = False,
 ) -> DataFrame:
     """Time-shift detection (reference: time_shifts.py:47-199 + D1).
 
     Decompose the daily solar-noon signal into piecewise-constant +
     seasonal (D1); steps in the piecewise-constant component larger than
     ``min_shift_hours`` are clock shifts. The roll correction per day is
-    the offset of the current segment from the first segment, in hours.
+    the offset of the current segment from the baseline segment, in
+    hours.
+
+    Reference-parity options (auto_fix_time_shifts defaults,
+    data_handler.py:1330-1414 + time_shifts.py:157-177):
+
+    - ``use_col``: boolean column masking the FIT to good days (the
+      reference fits on clear days when clearness >= 0.3, else
+      no-error days); the pwc still covers every day.
+    - ``w1_col``: per-site TV weight column (the holdout-tuned best_w1
+      from ``tune_time_shift_w1`` — the reference's w1=None meta-opt,
+      time_shifts.py:70-110); overrides the scalar ``w1``.
+    - ``round_to_hour``: round corrections to whole hours
+      (``round_shifts_to_hour=True``, the reference default) instead of
+      thresholding at ``min_shift_hours``.
+    - ``baseline="nearest_noon"``: the reference's baseline rule — use
+      the first segment unless it deviates from 12 by > 0.9 h or covers
+      < 2 % of days, in which case use the segment value closest to 12.
 
     Output: (site, date, noon_pwc, noon_seasonal, shift_hours) where
     shift_hours is the correction to ADD to slot positions (W6 roll).
@@ -185,15 +212,33 @@ def detect_time_shifts(
 
         pdf = pdf.sort_values("date").reset_index(drop=True)
         noon = pdf[noon_col].to_numpy(dtype=np.float64)
+        if use_col is not None:
+            use = pdf[use_col].fillna(False).to_numpy(dtype=bool)
+            noon = np.where(use & np.isfinite(noon), noon, np.nan)
+        eff_w1 = w1
+        if w1_col is not None:
+            v = pdf[w1_col].dropna()
+            if len(v):
+                eff_w1 = float(v.iloc[0])
         pwc, seasonal = l2_l1d1_l2d2p365_fit(
-            noon, w1=w1, period=min(len(pdf), 365.2425)
+            noon, w1=eff_w1, period=min(len(pdf), 365.2425)
         )
         if np.all(np.isnan(pwc)):
             shift = np.full(len(noon), np.nan)
         else:
-            base = pwc[np.isfinite(pwc)][0]
-            raw = base - pwc  # correction toward the initial clock
-            shift = np.where(np.abs(raw) >= min_shift_hours, raw, 0.0)
+            finite = pwc[np.isfinite(pwc)]
+            base = finite[0]
+            if baseline == "nearest_noon" and (
+                np.abs(base - 12.0) > 0.9
+                or np.sum(finite == base) / len(finite) < 0.02
+            ):
+                vals = np.unique(finite)
+                base = vals[np.argmin(np.abs(vals - 12.0))]
+            raw = base - pwc  # correction toward the baseline clock
+            if round_to_hour:
+                shift = np.round(raw)
+            else:
+                shift = np.where(np.abs(raw) >= min_shift_hours, raw, 0.0)
         return pd.DataFrame(
             {
                 site_col: pdf[site_col],
@@ -204,7 +249,13 @@ def detect_time_shifts(
             }
         )
 
+    if capture_errors:
+        from solar_data_tools_spark.parallel import wrap_capture_errors
+
+        _detect, schema = wrap_capture_errors(_detect, schema, site_col)
     cols = [site_col, "date", noon_col]
+    cols += [use_col] if use_col else []
+    cols += [w1_col] if w1_col else []
     return grouped_apply(daily.select(*cols), [site_col], _detect, schema)
 
 

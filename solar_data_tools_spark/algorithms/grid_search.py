@@ -25,13 +25,25 @@ def tune_time_shift_w1(
     seed: int = 42,
     noon_col: str = "solar_noon_com",
     site_col: str = "site",
+    use_col: str | None = None,
+    selection: str = "argmin",
+    knee_tol: float = 0.05,
 ) -> DataFrame:
     """w1 grid search for the time-shift decomposition (D1) with seeded
     holdout validation, fleet-parallel.
 
     For each (site, w1): fit D1 on the train days, score pinball-free MSE
-    of (pwc + seasonal) on the holdout days. Returns the per-site argmin
+    of (pwc + seasonal) on the holdout days. Returns the per-site best
     row: (site, best_w1, holdout_mse, n_grid).
+
+    ``use_col`` masks the fit to good days (the reference's use_ixs,
+    time_shifts.py:65-69). ``selection="knee"`` picks the LARGEST w1
+    whose holdout error is within ``knee_tol`` of the minimum — the
+    parsimony rule mirroring the reference's error-increase-threshold
+    pick (time_shifts.py:250-262: step up w1 until the holdout error
+    jumps), which prevents argmin's bias toward overfit small-w1 fits;
+    ``"argmin"`` (default, the committed q74 semantics) takes the
+    smallest error outright.
     """
     ensure_package_on_executors(daily.sparkSession)
     if w1_grid is None:
@@ -40,7 +52,8 @@ def tune_time_shift_w1(
     params = spark.createDataFrame(
         [(i, float(w)) for i, w in enumerate(w1_grid)], "grid_ix int, w1 double"
     )
-    grid = daily.select(site_col, "date", noon_col).crossJoin(F.broadcast(params))
+    sel_cols = [site_col, "date", noon_col] + ([use_col] if use_col else [])
+    grid = daily.select(*sel_cols).crossJoin(F.broadcast(params))
 
     site_dtype = dict(daily.dtypes)[site_col]
     st = "string" if site_dtype == "string" else "long"
@@ -53,6 +66,9 @@ def tune_time_shift_w1(
 
         pdf = pdf.sort_values("date").reset_index(drop=True)
         y = pdf[noon_col].to_numpy(dtype=np.float64)
+        if use_col is not None:
+            use = pdf[use_col].fillna(False).to_numpy(dtype=bool)
+            y = np.where(use & np.isfinite(y), y, np.nan)
         n = len(y)
         rng = np.random.default_rng(seed)
         holdout = rng.random(n) < holdout_frac
@@ -71,7 +87,21 @@ def tune_time_shift_w1(
     from solar_data_tools_spark.parallel import grouped_apply
 
     scores = grouped_apply(grid, [site_col, "grid_ix"], _score, schema)
-    pick = Window.partitionBy(site_col).orderBy(F.asc("holdout_mse"), F.asc("w1"))
+    all_scores = scores
+    if selection == "knee":
+        # largest w1 within (1 + knee_tol) of the per-site minimum error
+        min_mse = Window.partitionBy(site_col)
+        scores = scores.withColumn(
+            "_min", F.min("holdout_mse").over(min_mse)
+        ).where(
+            F.col("holdout_mse")
+            <= F.col("_min") * F.lit(1.0 + float(knee_tol))
+        )
+        pick = Window.partitionBy(site_col).orderBy(F.desc("w1"))
+    else:
+        pick = Window.partitionBy(site_col).orderBy(
+            F.asc("holdout_mse"), F.asc("w1")
+        )
     return (
         scores.withColumn("_rn", F.row_number().over(pick))
         .where(F.col("_rn") == 1)
@@ -81,7 +111,7 @@ def tune_time_shift_w1(
             F.col("holdout_mse"),
         )
         .join(
-            scores.groupBy(site_col).agg(F.count("*").alias("n_grid")),
+            all_scores.groupBy(site_col).agg(F.count("*").alias("n_grid")),
             on=site_col,
         )
     )

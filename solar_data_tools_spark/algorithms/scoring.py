@@ -357,11 +357,16 @@ def daily_quality_scores(
     standardized: DataFrame,
     slots_per_day: int = 288,
     site_col: str = "site",
+    capture_errors: bool = False,
 ) -> DataFrame:
     """Fleet scoring: one grouped-map task per site over the standardized
     long table (site, grid_ts, value). Emits one row per (site, date)
     with the five reference daily-score vectors, the quality flags, and
-    the per-site scalars repeated on each row."""
+    the per-site scalars repeated on each row.
+
+    ``capture_errors=True`` adds an ``error`` column and turns a site's
+    failure into a 1-row null record instead of a job failure (the
+    fleet-runner per-stage isolation contract)."""
     ensure_package_on_executors(standardized.sparkSession)
     site_dtype = dict(standardized.dtypes)[site_col]
     st = "string" if site_dtype == "string" else "long"
@@ -419,6 +424,10 @@ def daily_quality_scores(
             }
         )
 
+    if capture_errors:
+        from solar_data_tools_spark.parallel import wrap_capture_errors
+
+        _score, schema = wrap_capture_errors(_score, schema, site_col)
     return grouped_apply(
         standardized.select(site_col, "grid_ts", "value"),
         [site_col],

@@ -100,3 +100,33 @@ def grouped_apply(
                 yield out
 
     return prepared.mapInPandas(_run, schema)
+
+
+def wrap_capture_errors(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    site_col: str,
+) -> tuple[Callable[[pd.DataFrame], pd.DataFrame], str]:
+    """Per-site failure isolation for grouped-map stages (the fleet-runner
+    contract, reference sdt_dask/dask_tool/runner.py:53-146): wrap a
+    grouped-apply kernel so one site's exception becomes a 1-row result
+    carrying the message in an ``error`` column ("No error" otherwise)
+    instead of killing the whole fleet job.
+
+    Returns (wrapped_fn, schema + ", error string").
+    """
+    col_names = [c.strip().split()[0] for c in schema.split(",")]
+
+    def _wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            out = fn(pdf)
+            out = out.copy()
+            out["error"] = "No error"
+            return out
+        except Exception as e:  # noqa: BLE001 — the isolation contract
+            row: dict = {c: [None] for c in col_names}
+            row[site_col] = [pdf[site_col].iloc[0] if len(pdf) else None]
+            row["error"] = [f"{type(e).__name__}: {e}"]
+            return pd.DataFrame(row)
+
+    return _wrapped, schema + ", error string"

@@ -1,0 +1,409 @@
+"""Fleet DataHandler facade — the reference's front door, fleet-wide.
+
+One call reproduces ``DataHandler.run_pipeline(...)`` + ``report()``
+(reference data_handler.py:220-716 and :718-840) for EVERY site in a
+long measurement table, with the per-site, per-stage error capture of
+the reference's fleet runner (sdt_dask/dask_tool/runner.py:53-175):
+a site whose solver stage fails gets its error message in a column and
+null metrics — it never kills the fleet job.
+
+Report fields (reference ``report()`` keys, data_handler.py:761-782):
+
+====================  =====================================================
+column                reference attribute
+====================  =====================================================
+length_years          ``num_days / 365``
+capacity              ``capacity_estimate`` (p95 of the day matrix)
+sampling_minutes      ``data_sampling``
+quality_score         ``data_quality_score``
+clearness_score       ``data_clearness_score``
+inverter_clipping     ``inverter_clipping``
+clipped_fraction      ``sum(daily_flags.inverter_clipped)/num_days``
+capacity_change       ``capacity_changes``
+data_quality_warning  ``normal_quality_scores`` (clustered-score check,
+                      data_handler.py:1171-1196; True = scores normal)
+time_shift_correction ``time_shifts`` (any nonzero detected shift)
+time_zone_correction  ``tz_correction`` (whole hours,
+                      data_handler.py:622-640)
+====================  =====================================================
+
+Error columns (the runner contract): ``get_data_error`` (min-data guard,
+data_handler.py:391-394), ``scoring_error``, ``capacity_change_error``,
+``time_shift_error`` — each "No error" or the captured message — plus
+``run_pipeline_error`` summarizing the first failing stage.
+
+Execution shape at fleet scale: the relational stages (standardize,
+daily stats, report assembly) are plain DataFrame aggregations — two
+keyed shuffles fleet-wide; the solver stages run as one grouped-map
+task per site (``grouped_apply``), so 1000 executors process 1000
+sites concurrently and a single site's failure is isolated to its task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.algorithms.daily_flags import (
+    apply_time_shift_correction,
+    detect_capacity_changes,
+    detect_time_shifts,
+)
+from solar_data_tools_spark.algorithms.scoring import daily_quality_scores
+from solar_data_tools_spark.plans.pipeline import run_pipeline
+
+_NOERR = "No error"
+
+
+@dataclass
+class FleetResult:
+    standardized: DataFrame  # regular-grid long table (tz/shift corrected)
+    scores: DataFrame        # per (site, date) score vectors + flags
+    capacity_changes: DataFrame
+    time_shifts: DataFrame
+    report: DataFrame        # one row per site — the report() field set
+
+
+def run_fleet_pipeline(
+    measurements: DataFrame,
+    sampling_seconds: int | None = None,
+    slots_per_day: int | None = None,
+    min_val: float | None = None,
+    max_val: float | None = None,
+    fix_shifts: bool = False,
+    correct_tz: bool = False,
+    round_shifts_to_hour: bool = True,
+    time_shift_w1: float | None = None,
+    site_col: str = "site",
+    min_positive_values: int = 24,
+) -> FleetResult:
+    """Run the full reference pipeline for every site and assemble the
+    11-field report with per-stage error capture. See module docstring
+    for the exact reference parity map.
+
+    Stage order matches the reference: scores are computed BEFORE any
+    time-shift fixing (data_handler.py:505-560 vs :585), and the tz
+    check runs after shifts (:622). ``fix_shifts=True`` applies the
+    detected per-day slot rolls to the returned ``standardized`` table
+    (reference ``run_pipeline(fix_shifts=True)``); ``correct_tz=True``
+    shifts a site's grid by the detected whole-hour offset when
+    ``|offset| > 1`` (reference :629-640).
+    """
+    # ---- get_data guard (reference data_handler.py:391-394): a site
+    # with fewer than 24 non-negative readings cannot form a day matrix
+    site_counts = measurements.groupBy(site_col).agg(
+        F.sum((F.col("value") >= 0).cast("int")).alias("_n_pos")
+    )
+    bad_sites = site_counts.where(
+        F.coalesce(F.col("_n_pos"), F.lit(0)) < min_positive_values
+    ).select(
+        site_col,
+        F.lit(
+            "Insufficient data to run pipeline. "
+            "Please check your data frame."
+        ).alias("get_data_error"),
+    )
+    good = measurements.join(
+        F.broadcast(bad_sites.select(site_col)), site_col, "left_anti"
+    )
+
+    # ---- relational core: clamp -> standardize -> daily stats
+    core = run_pipeline(
+        good,
+        sampling_seconds=sampling_seconds,
+        max_val=max_val,
+        min_val=min_val,
+        slots_per_day=slots_per_day,
+    )
+    if slots_per_day is None:
+        # recover the value run_pipeline inferred: the fleet modal
+        # sampling (the same tiny aggregate run_pipeline collected)
+        row = (
+            core.sampling.groupBy("sampling_seconds")
+            .count()
+            .orderBy(F.desc("count"), F.asc("sampling_seconds"))
+            .first()
+        )
+        eff_sampling = int(row["sampling_seconds"]) if row else 300
+        slots_per_day = max(int(86400 // eff_sampling), 1)
+
+    # ---- scoring stage (per-site grouped map, error-isolated)
+    scores = daily_quality_scores(
+        core.standardized,
+        slots_per_day=slots_per_day,
+        site_col=site_col,
+        capture_errors=True,
+    )
+
+    # ---- flag stages on the daily table (error-isolated)
+    cap = detect_capacity_changes(
+        core.daily, site_col=site_col, capture_errors=True
+    )
+    # time shifts per the reference defaults (data_handler.py:1330-1414):
+    # srss solar noon, fit masked to clear days when clearness >= 0.3
+    # else no-error days, corrections rounded to whole hours
+    flag_cols = scores.where(F.col("error") == _NOERR).select(
+        site_col,
+        "date",
+        "clear",
+        "no_errors",
+        "data_clearness_score",
+    )
+    daily_ts = core.daily.join(flag_cols, [site_col, "date"], "left")
+    use = F.when(
+        F.col("data_clearness_score") >= 0.3, F.col("clear")
+    ).otherwise(F.col("no_errors"))
+    daily_ts = daily_ts.withColumn("_use", F.coalesce(use, F.lit(False)))
+    if time_shift_w1 is None:
+        # the reference's w1=None meta-opt (time_shifts.py:70-110):
+        # per-site holdout grid over logspace(-1, 2, 11), parsimony
+        # ("knee") pick; the tuned table is site-sized — broadcast back
+        from solar_data_tools_spark.algorithms.grid_search import (
+            tune_time_shift_w1,
+        )
+        import numpy as np
+
+        tuned = tune_time_shift_w1(
+            daily_ts,
+            w1_grid=[float(w) for w in np.logspace(-1, 2, 11)],
+            noon_col="solar_noon_rs",
+            site_col=site_col,
+            use_col="_use",
+            selection="knee",
+        ).select(site_col, F.col("best_w1").alias("_w1"))
+        daily_ts = daily_ts.join(F.broadcast(tuned), site_col, "left")
+        w1_kwargs = {"w1_col": "_w1"}
+    else:
+        w1_kwargs = {"w1": float(time_shift_w1)}
+    shifts = detect_time_shifts(
+        daily_ts,
+        noon_col="solar_noon_rs",
+        site_col=site_col,
+        use_col="_use",
+        round_to_hour=round_shifts_to_hour,
+        baseline="nearest_noon",
+        capture_errors=True,
+        **w1_kwargs,
+    )
+
+    # ---- standardized output: optional shift fix + tz roll
+    std_out = core.standardized
+    if fix_shifts:
+        std_meas = std_out.select(
+            site_col,
+            F.col("grid_ts").alias("ts"),
+            F.col("value"),
+            F.to_date("grid_ts").alias("date"),
+            (
+                (
+                    F.unix_micros("grid_ts")
+                    - F.unix_micros(F.date_trunc("DAY", "grid_ts"))
+                )
+                / F.lit(86_400_000_000.0 / slots_per_day)
+            ).cast("int").alias("slot"),
+        )
+        fixed = apply_time_shift_correction(
+            std_meas,
+            shifts.where(F.col("error") == _NOERR),
+            slots_per_day,
+            site_col=site_col,
+        )
+        # the roll rewrites `slot`; rebuild the grid timestamp from
+        # (date, rolled slot) so the corrected long table is canonical
+        us_per_slot = int(86_400_000_000 // slots_per_day)
+        std_out = fixed.select(
+            site_col,
+            F.timestamp_micros(
+                F.unix_micros(F.col("date").cast("timestamp"))
+                + F.col("slot").cast("long") * F.lit(us_per_slot)
+            ).alias("grid_ts"),
+            "value",
+        )
+
+    # ---- tz check (reference :622-640): offset = round(12 - mean noon)
+    tz = (
+        core.daily.groupBy(site_col)
+        .agg(F.avg("solar_noon_rs").alias("_noon"))
+        .select(
+            site_col,
+            F.when(
+                F.abs(F.round(F.lit(12.0) - F.col("_noon"))) > 1,
+                F.round(F.lit(12.0) - F.col("_noon")).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("time_zone_correction"),
+        )
+    )
+    if not correct_tz:
+        tz = tz.select(
+            site_col, F.lit(0).alias("time_zone_correction")
+        )
+    if correct_tz:
+        std_out = (
+            std_out.join(F.broadcast(tz), site_col, "left")
+            .withColumn(
+                "grid_ts",
+                F.timestamp_micros(
+                    F.unix_micros("grid_ts")
+                    + F.coalesce(F.col("time_zone_correction"), F.lit(0))
+                    .cast("long")
+                    * F.lit(3_600_000_000)
+                ),
+            )
+            .drop("time_zone_correction")
+        )
+
+    # ---- report assembly (all relational, one agg per stage table)
+    ok = F.col("error") == _NOERR
+    score_report = scores.groupBy(site_col).agg(
+        F.count("date").alias("num_days"),
+        F.first("capacity_estimate", ignorenulls=True).alias("capacity"),
+        F.first("data_quality_score", ignorenulls=True).alias(
+            "quality_score"
+        ),
+        F.first("data_clearness_score", ignorenulls=True).alias(
+            "clearness_score"
+        ),
+        F.first("inverter_clipping", ignorenulls=True).alias(
+            "inverter_clipping"
+        ),
+        F.avg(F.col("clipped").cast("int")).alias("clipped_fraction"),
+        F.first("error").alias("scoring_error"),
+    )
+
+    # normal_quality_scores (data_handler.py:1171-1196): per score
+    # cluster, count days violating the flag thresholds; scores are
+    # "normal" when ANY cluster keeps violations <= max(0.005*n, 1)
+    viol = (
+        (F.col("linearity") > 0.1)
+        | (F.col("density") < 0.6)
+        | (F.col("density") > 1.05)
+    ).cast("int")
+    cluster_viol = (
+        scores.where(ok)
+        .groupBy(site_col, "quality_clustering")
+        .agg(F.sum(viol).alias("_v"))
+    )
+    quality_warn = (
+        cluster_viol.join(
+            scores.where(ok).groupBy(site_col).agg(
+                F.count("*").alias("_n")
+            ),
+            site_col,
+        )
+        .groupBy(site_col)
+        .agg(
+            F.max(
+                (
+                    F.col("_v")
+                    <= F.greatest(F.lit(0.005) * F.col("_n"), F.lit(1.0))
+                ).cast("int")
+            ).alias("_normal_any")
+        )
+        .select(
+            site_col,
+            (F.col("_normal_any") > 0).alias("data_quality_warning"),
+        )
+    )
+
+    cap_report = cap.groupBy(site_col).agg(
+        (F.max(F.col("cap_changed").cast("int")) > 0).alias(
+            "capacity_change"
+        ),
+        F.first("error").alias("capacity_change_error"),
+    )
+    # the reference flags time_shifts when the roll series has a
+    # CHANGEPOINT (data_handler.py:1411-1414, len(index_set) > 0) — a
+    # constant offset is a baseline choice, not a shift; >= 2 distinct
+    # roll values <=> at least one step
+    shift_report = shifts.groupBy(site_col).agg(
+        (F.count_distinct("shift_hours") > 1).alias(
+            "time_shift_correction"
+        ),
+        F.first("error").alias("time_shift_error"),
+    )
+    sampling_report = core.sampling.select(
+        site_col,
+        (F.col("sampling_seconds") / 60.0).alias("sampling_minutes"),
+    )
+
+    report = (
+        score_report.join(quality_warn, site_col, "left")
+        .join(cap_report, site_col, "left")
+        .join(shift_report, site_col, "left")
+        .join(sampling_report, site_col, "left")
+        .join(tz, site_col, "left")
+        .withColumn("get_data_error", F.lit(_NOERR))
+    )
+    # failed get_data sites: one row each, null metrics, error populated
+    failed = bad_sites.select(
+        site_col,
+        F.lit(None).cast("long").alias("num_days"),
+        F.lit(None).cast("double").alias("capacity"),
+        F.lit(None).cast("double").alias("quality_score"),
+        F.lit(None).cast("double").alias("clearness_score"),
+        F.lit(None).cast("boolean").alias("inverter_clipping"),
+        F.lit(None).cast("double").alias("clipped_fraction"),
+        F.lit(None).cast("string").alias("scoring_error"),
+        F.lit(None).cast("boolean").alias("data_quality_warning"),
+        F.lit(None).cast("boolean").alias("capacity_change"),
+        F.lit(None).cast("string").alias("capacity_change_error"),
+        F.lit(None).cast("boolean").alias("time_shift_correction"),
+        F.lit(None).cast("string").alias("time_shift_error"),
+        F.lit(None).cast("double").alias("sampling_minutes"),
+        F.lit(None).cast("int").alias("time_zone_correction"),
+        F.col("get_data_error"),
+    )
+    report = report.select(failed.columns).unionByName(failed)
+
+    first_err = F.coalesce(
+        F.when(F.col("get_data_error") != _NOERR, F.col("get_data_error")),
+        F.when(F.col("scoring_error") != _NOERR, F.col("scoring_error")),
+        F.when(
+            F.col("capacity_change_error") != _NOERR,
+            F.col("capacity_change_error"),
+        ),
+        F.when(
+            F.col("time_shift_error") != _NOERR, F.col("time_shift_error")
+        ),
+        F.lit(_NOERR),
+    )
+    report = report.select(
+        site_col,
+        "num_days",
+        (F.col("num_days") / F.lit(365.0)).alias("length_years"),
+        "capacity",
+        "sampling_minutes",
+        "quality_score",
+        "clearness_score",
+        "inverter_clipping",
+        "clipped_fraction",
+        "capacity_change",
+        "data_quality_warning",
+        "time_shift_correction",
+        "time_zone_correction",
+        "get_data_error",
+        "scoring_error",
+        "capacity_change_error",
+        "time_shift_error",
+        first_err.alias("run_pipeline_error"),
+    )
+
+    return FleetResult(
+        standardized=std_out,
+        scores=scores,
+        capacity_changes=cap,
+        time_shifts=shifts,
+        report=report,
+    )
+
+
+def fleet_report(
+    measurements: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """``run_fleet_pipeline(...).report`` — one row per site with the
+    reference's 11 ``report()`` fields plus per-stage error columns."""
+    return run_fleet_pipeline(measurements, **kwargs).report

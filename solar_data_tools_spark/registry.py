@@ -6372,6 +6372,47 @@ def q87_quality_scores(spark, sf_dir):
     )
 
 
+def q157_fleet_report(spark, sf_dir):
+    """The fleet DataHandler facade — the reference's front door:
+    ``run_pipeline(fix_shifts=True)`` + ``report()`` (data_handler.py:
+    220-716, :718-840) for every site in one call, with the fleet
+    runner's per-site per-stage error capture
+    (sdt_dask/dask_tool/runner.py:53-146). One row per site: the full
+    11-field report plus stage error columns (rows-only: the
+    scoring/solver chain is not SQL-expressible). Golden-validated
+    against the reference fixture in tests/test_fleet_report.py
+    (capacity 6.745, quality 0.995)."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    m = _meas(spark, sf_dir)
+    rep = fleet_report(
+        m.select("site", "ts", "seq", "value"),
+        sampling_seconds=300,
+        fix_shifts=True,
+        correct_tz=True,
+    )
+    return rep.select(
+        "site",
+        "num_days",
+        F.round("length_years", R).alias("length_years"),
+        F.round("capacity", R).alias("capacity"),
+        F.round("sampling_minutes", R).alias("sampling_minutes"),
+        F.round("quality_score", R).alias("quality_score"),
+        F.round("clearness_score", R).alias("clearness_score"),
+        "inverter_clipping",
+        F.round("clipped_fraction", R).alias("clipped_fraction"),
+        "capacity_change",
+        "data_quality_warning",
+        "time_shift_correction",
+        "time_zone_correction",
+        "get_data_error",
+        "scoring_error",
+        "capacity_change_error",
+        "time_shift_error",
+        "run_pipeline_error",
+    )
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -6567,6 +6608,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q42_token_stats": QuerySpec(q42_token_stats, Q42_SQL, "text-tokens"),
     "q43_quality_scores": QuerySpec(q43_quality_scores, Q43_SQL, "text-quality"),
     "q87_quality_scores": QuerySpec(q87_quality_scores, None, "A8,scoring-e2e"),
+    "q157_fleet_report": QuerySpec(
+        q157_fleet_report, None, "§3.1-facade,runner-contract"
+    ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
     ),
@@ -6770,92 +6814,33 @@ QUERIES: dict[str, QuerySpec] = {
 # re-verification (failures first, then new/changed queries, then least-
 # recently-checked) — so no query is starved of the external window
 # indefinitely; the full registry is additionally swept locally every
-# session (tests/test_oracle_parity.py, no window). Priority rationale,
-# front to back: (1) the one historical external failure; (2) oracle
-# queries whose CODE changed this round; (3) the 22 rows-only queries,
-# rotated BACK into the window this round (they sat behind it in r5 so
-# its slots could go to never-hash-checked oracles; the no-starvation
-# promise below is honored here — last external run r4); (4) oracles
-# whose last external pass is oldest; (5) recently re-verified oracles.
-# The full registry is additionally verified locally every session by
-# tests/test_oracle_parity.py (all oracle queries vs DuckDB, no window).
+# session (tests/test_oracle_parity.py, no window). The per-round
+# priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # 1. the one historical external failure (r3 ingest regression, fixed)
-    "q76_sessionization",
-    # 2. oracle queries whose CODE changed this round — re-verify first
-    #    (q45: forced per-doc broadcast dropped; q93: computed-bucket
-    #    rank rewrite replacing sampled range boundaries; q124:
-    #    min-struct tie-break for arbitrary id types; q116: mega-cell
-    #    guard plumbing; q121: stride validation; q125: margin warning)
-    "q45_ngram_jaccard",
-    "q93_global_shuffle",
-    "q124_url_dedup",
-    "q116_semdedup",
-    "q121_doc_chunking",
-    "q125_domain_cap",
-    # 3. the rows-only queries, rotated back into the external
-    #    window as promised by this order's rationale: last externally
-    #    run in r4; each carries a local invariant/fixture/golden test,
-    #    and q90's quantizer sample CHANGED this round (unbiased
-    #    seeded-hash draw). q88 alone yielded its slot to the q141-q156
-    #    additions (its exact cousin q37 is oracle-certified and it has
-    #    two-scale local invariants)
-    "q47_minhash_near_dups",
-    "q48_simhash",
-    "q49_lsh_topk",
-    "q50_seasonal_fit",
-    "q60_time_shift_detection",
-    "q61_capacity_change_labels",
-    "q62_clear_day_detection",
-    "q64_clipping_detection",
-    "q65_time_shift_roundtrip",
-    "q66_dilation",
-    "q67_loss_factors",
-    "q68_mc_degradation",
-    "q74_w1_grid_search",
-    "q75_orientation_fit",
-    "q79_sensor_identification",
-    "q80_shade_analysis",
-    "q85_quantile_surface",
-    "q86_clear_sky_labels",
-    "q87_quality_scores",
-    "q90_ivf_topk",
-    "q111_ffd_packing",
-    # 4. hash-checkable oracles whose last external pass is oldest
-    #    (round 4) — fills the remaining window slots
-    # new-this-round oracles, never externally hash-checked (priority
-    # class 3): the latitude-study sweep + the longitude-study
-    # closed-form legs
-    "q132_latitude_study",
-    "q135_longitude_study_closed",
-    "q136_ground_truth_tilt_azimuth",
-    "q138_classifier_score",
-    "q139_dedup_keep_best",
-    "q140_crawl_curation_pipeline",
-    # new-this-session oracles (PQ encode / ADC search), never
-    # externally hash-checked — take window slots from the oldest
-    # round-4 class below
-    "q141_pq_encode",
-    "q142_pq_adc_topk",
+    # ---- round-7 window (first 50) ----
+    # 1. the one round-6 external failure (q143 DSIR hash; fixed via
+    #    order-independent integer fixed-point sums)
+    # 2. oracle queries whose CODE changed this round (q103/q115 LM
+    #    scorers gained the same fixed-point contract; q138's featurizer
+    #    grew the single-token bigram guard)
+    # 3. q157, new this round (fleet DataHandler facade, rows-only)
+    # 4. q131/q133/q134/q137 — never externally driver-run (fell outside
+    #    every window r1-r6; VERDICT r6 item 3)
+    # 5. the oldest-checked oracle class (last external pass r4)
+    # 6. two r5-class entries to fill the 50
+    # Tail: remaining r5 class, then the entire r6 window class (checked
+    # most recently). The full registry is swept locally every session
+    # by tests/test_oracle_parity.py regardless of the window.
     "q143_dsir_selection",
-    "q144_url_blocklist",
-    "q145_bpe_tokenize",
-    "q146_ivfpq_topk",
-    "q147_quality_pyramid",
-    "q148_pagerank",
-    "q149_binary_hamming_topk",
-    "q150_temperature_sample",
-    "q151_hll_distinct_tokens",
-    "q152_weighted_shuffle",
-    "q153_binary_rerank",
-    "q154_chunk_dedup",
-    "q155_corpus_report",
-    "q156_curation_pipeline_v2",
-    # ---- driver window boundary (first 50) ----
+    "q103_unigram_logprob",
+    "q115_bigram_logprob",
+    "q138_classifier_score",
+    "q157_fleet_report",
+    "q131_longitude_study",
+    "q133_tilt_azimuth_study",
+    "q134_system_parameters",
+    "q137_ivf_topk_distributed",
     "q88_cdf_resample_approx",
-    # remaining round-4-verified oracles, next-oldest first (q20-q23
-    # yielded their slots to the new PQ/DSIR/blocklist oracles this
-    # session)
     "q09_monthly_rollup",
     "q10_daily_energy",
     "q11_daily_stats",
@@ -6894,16 +6879,6 @@ _QUERY_ORDER: list[str] = [
     "q57_segment_pooled_diffs",
     "q58_daily_median_delta",
     "q59_set_ops",
-    # profiler-study queries NEW this round; q131/q133/q134 are
-    #    rows-only (planted-site goldens + invariants locally; external
-    #    check is a schema/rows smoke), q132 is oracle-backed and sits
-    #    inside the window above
-    "q131_longitude_study",
-    "q133_tilt_azimuth_study",
-    "q134_system_parameters",
-    "q137_ivf_topk_distributed",
-    # round-5-verified oracles (freshest external pass; all re-swept
-    #    locally every session by tests/test_oracle_parity.py)
     "q77_scd2_merge",
     "q26_asof_join",
     "q27_standardize_grid",
@@ -6911,7 +6886,6 @@ _QUERY_ORDER: list[str] = [
     "q100_decontaminate",
     "q105_curated_corpus",
     "q110_centroid_assignment",
-    "q115_bigram_logprob",
     "q117_snapshot_dedup",
     "q118_media_frames",
     "q119_media_resize",
@@ -6937,7 +6911,6 @@ _QUERY_ORDER: list[str] = [
     "q99_duplicate_clusters",
     "q101_repetition_stats",
     "q102_pii_redaction",
-    "q103_unigram_logprob",
     "q104_minhash_pipeline_md5",
     "q106_budget_mix",
     "q107_simhash_near_dups",
@@ -6963,6 +6936,54 @@ _QUERY_ORDER: list[str] = [
     "q06_conditional_pivot",
     "q07_group_having",
     "q08_correlated_subquery",
+    "q76_sessionization",
+    "q45_ngram_jaccard",
+    "q93_global_shuffle",
+    "q124_url_dedup",
+    "q116_semdedup",
+    "q121_doc_chunking",
+    "q125_domain_cap",
+    "q47_minhash_near_dups",
+    "q48_simhash",
+    "q49_lsh_topk",
+    "q50_seasonal_fit",
+    "q60_time_shift_detection",
+    "q61_capacity_change_labels",
+    "q62_clear_day_detection",
+    "q64_clipping_detection",
+    "q65_time_shift_roundtrip",
+    "q66_dilation",
+    "q67_loss_factors",
+    "q68_mc_degradation",
+    "q74_w1_grid_search",
+    "q75_orientation_fit",
+    "q79_sensor_identification",
+    "q80_shade_analysis",
+    "q85_quantile_surface",
+    "q86_clear_sky_labels",
+    "q87_quality_scores",
+    "q90_ivf_topk",
+    "q111_ffd_packing",
+    "q132_latitude_study",
+    "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
+    "q139_dedup_keep_best",
+    "q140_crawl_curation_pipeline",
+    "q141_pq_encode",
+    "q142_pq_adc_topk",
+    "q144_url_blocklist",
+    "q145_bpe_tokenize",
+    "q146_ivfpq_topk",
+    "q147_quality_pyramid",
+    "q148_pagerank",
+    "q149_binary_hamming_topk",
+    "q150_temperature_sample",
+    "q151_hll_distinct_tokens",
+    "q152_weighted_shuffle",
+    "q153_binary_rerank",
+    "q154_chunk_dedup",
+    "q155_corpus_report",
+    "q156_curation_pipeline_v2",
 ]
 
 assert sorted(_QUERY_ORDER) == sorted(QUERIES), (

@@ -1,0 +1,179 @@
+"""Fleet DataHandler facade tests.
+
+Golden parity with the reference's own DataHandler end-to-end test
+(reference tests/solardatatools/test_data_handler.py:9-49: capacity
+6.745, quality 0.995, clearness 0.492, inverter clipping True, no time
+shifts) via ONE facade call, plus the fleet-runner per-site error
+isolation contract (sdt_dask/dask_tool/runner.py:53-146).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURES = "/root/reference/tests/fixtures"
+
+
+def _fixture_meas(spark):
+    df = pd.read_csv(
+        f"{FIXTURES}/data_transforms/timeseries.csv",
+        parse_dates=[0],
+        index_col=0,
+    )
+    # fix_dst (reference data_handler.py:842-858)
+    idx = (
+        df.index.tz_localize("US/Pacific", ambiguous="NaT", nonexistent="NaT")
+        .tz_convert("Etc/GMT+8")
+        .tz_localize(None)
+    )
+    df = df.set_index(idx)
+    df = df[df.index.notnull()]
+    pdf = df.reset_index().rename(columns={"index": "ts"})
+    pdf.columns = ["ts", "value"]
+    return (
+        spark.createDataFrame(pdf)
+        .select(
+            F.lit(1).alias("site"),
+            "ts",
+            F.monotonically_increasing_id().alias("seq"),
+            "value",
+        )
+        .where(F.col("ts").isNotNull())
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_report(spark):
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    meas = _fixture_meas(spark)
+    rep = fleet_report(
+        meas, sampling_seconds=300, fix_shifts=True, correct_tz=True
+    )
+    rows = rep.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{FIXTURES}/data_transforms/timeseries.csv"),
+    reason="reference fixtures not available",
+)
+def test_reference_golden_via_facade(fixture_report):
+    r = fixture_report
+    # reference test_data_handler.py:17-21 (their tolerances)
+    assert r["capacity"] == pytest.approx(6.7453649044036865, abs=5e-3)
+    assert r["quality_score"] == pytest.approx(0.9948186528497409, abs=5e-4)
+    assert r["clearness_score"] == pytest.approx(
+        0.49222797927461137, abs=5e-4
+    )
+    assert bool(r["inverter_clipping"]) is True
+    assert bool(r["time_shift_correction"]) is False
+    assert r["time_zone_correction"] == 0
+    assert r["sampling_minutes"] == pytest.approx(5.0)
+    assert 0.0 < r["clipped_fraction"] < 1.0
+    assert r["num_days"] >= 190  # the fixture's ~193-day span
+    assert r["length_years"] == pytest.approx(r["num_days"] / 365.0)
+    # all stages clean
+    for c in (
+        "get_data_error",
+        "scoring_error",
+        "capacity_change_error",
+        "time_shift_error",
+        "run_pipeline_error",
+    ):
+        assert r[c] == "No error", (c, r[c])
+
+
+def _bell_fleet(spark, n_sites=2, n_days=20, slots=288):
+    """Clean synthetic bell-curve fleet at 5-min cadence."""
+    rows = []
+    hod = np.arange(slots) * 24.0 / slots
+    bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None) * 5.0
+    for s in range(n_sites):
+        for d in range(n_days):
+            base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+            for i in range(0, slots, 1):
+                rows.append(
+                    (s, base + pd.Timedelta(minutes=5 * i), float(bell[i]))
+                )
+    pdf = pd.DataFrame(rows, columns=["site", "ts", "value"])
+    return spark.createDataFrame(pdf).select(
+        "site", "ts", F.monotonically_increasing_id().alias("seq"), "value"
+    )
+
+
+def test_get_data_guard_isolates_bad_site(spark):
+    """A site with <24 non-negative readings gets the reference's
+    insufficient-data message in get_data_error (data_handler.py:391-394)
+    and null metrics; healthy sites in the same fleet are unaffected."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    from datetime import datetime, timedelta
+
+    good = _bell_fleet(spark, n_sites=1, n_days=20)
+    tiny = spark.createDataFrame(
+        [(99, datetime(2024, 3, 1) + timedelta(minutes=5 * i), 1.0)
+         for i in range(5)],
+        "site long, ts timestamp, value double",
+    ).select("site", "ts", F.lit(0).cast("long").alias("seq"), "value")
+    rep = fleet_report(
+        good.unionByName(tiny), sampling_seconds=300
+    ).collect()
+    by_site = {r["site"]: r for r in rep}
+    assert set(by_site) == {0, 99}
+    bad = by_site[99]
+    assert "Insufficient data" in bad["get_data_error"]
+    assert bad["run_pipeline_error"] == bad["get_data_error"]
+    assert bad["capacity"] is None
+    ok = by_site[0]
+    assert ok["get_data_error"] == "No error"
+    assert ok["run_pipeline_error"] == "No error"
+    assert ok["capacity"] == pytest.approx(5.0, rel=0.05)
+    assert ok["num_days"] == 20
+
+
+def test_scoring_stage_error_isolation(spark):
+    """capture_errors=True turns one site's scoring exception into a
+    1-row error record; the healthy site in the same DataFrame still
+    scores. (The ragged series here violates the whole-days contract the
+    scorer enforces.)"""
+    from solar_data_tools_spark.algorithms.scoring import (
+        daily_quality_scores,
+    )
+
+    slots = 96
+    hod = np.arange(slots) * 24.0 / slots
+    bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None)
+    rows = []
+    for d in range(5):
+        base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+        for i in range(slots):
+            rows.append(
+                (1, base + pd.Timedelta(minutes=15 * i), float(bell[i]))
+            )
+    # site 2: truncated final day -> not a whole number of days
+    for d in range(5):
+        base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+        for i in range(slots if d < 4 else slots - 7):
+            rows.append(
+                (2, base + pd.Timedelta(minutes=15 * i), float(bell[i]))
+            )
+    std = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "grid_ts", "value"])
+    )
+    out = daily_quality_scores(
+        std, slots_per_day=slots, capture_errors=True
+    ).collect()
+    good = [r for r in out if r["site"] == 1]
+    bad = [r for r in out if r["site"] == 2]
+    assert len(good) == 5
+    assert all(r["error"] == "No error" for r in good)
+    assert len(bad) == 1
+    assert "whole number" in bad[0]["error"]
+    assert bad[0]["date"] is None
