@@ -496,7 +496,11 @@ def minhash_lsh_candidates(
     # mega-bucket (near-identical signature cliques — exactly what a
     # dup-dense crawl produces) blew past executor heap at a 2M-doc
     # probe; sort-merge handles the same bucket by spilling the sort.
-    # Cost: one per-side sort (~0.1 s at sf0.1, unchanged bench median).
+    # Measured cost (round 7, controlled: one warm local[32] session,
+    # 5 reps each): merge median 2.69 s vs shuffle_hash 3.11 s at sf0.1
+    # — the sort pin is NOT slower; the +43% the round-6 bench showed
+    # was cross-round environment noise (same-commit bench reruns vary
+    # 2.9-4.7 s under background load).
     return (
         a.hint("merge").join(b, on=keys)
         .where(F.col("id_a") < F.col("id_b"))

@@ -47,56 +47,134 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     vectorized: bool = True,
+    engine: str | None = None,
+    query_cap: int = 4096,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set against the corpus.
+    """Exact cosine top-k of the query set against the corpus.
 
-    The corpus scan is embarrassingly parallel; queries are broadcast (the
-    small side), so the corpus never shuffles for the join — only the final
+    Three scoring engines, bit-identical results (every engine folds the
+    dot product SEQUENTIALLY over dimension j, so cosines match the
+    ``aggregate()`` built-in and the single-node oracle to the last ulp):
+
+      * ``"map"`` (default) — the query matrix is collected driver-side
+        (bounded by ``query_cap`` — this is a top-k SEARCH operator, the
+        query set is the small side by contract) and closed over a
+        ``mapInPandas`` pass, so each corpus vector crosses the Arrow
+        boundary ONCE instead of once per query. Round-7 warm local[32]
+        medians at sf0.1 (50k x 64-dim): parity with the join engine at
+        10 queries (~0.72 s, Arrow batching amortizes the duplication),
+        1.8x faster at 100 queries (0.92 s vs 1.63 s) — the join ships
+        the corpus once PER QUERY, so its cost grows linearly in the
+        query count while this engine's input traffic stays constant.
+      * ``"join-pandas"`` (``vectorized=True`` legacy) — broadcast
+        non-equi join + Arrow-batched pandas-UDF cosine per pair.
+      * ``"join-hof"`` (``vectorized=False`` legacy) — pure
+        ``zip_with``/``aggregate`` built-ins; slowest (interpreted HOF)
+        but zero Python.
+
+    The corpus never shuffles in any engine — only the final
     (query_id)-partitioned rank shuffles.
 
-    Two scoring paths, identical results:
-      * ``vectorized=True`` — an Arrow-batched pandas UDF computes each
-        batch's cosines as one numpy fold. Built-ins are normally the fast
-        path, but a 64-dim dot product per row-pair in interpreted
-        higher-order functions loses to one vectorized kernel per batch by
-        ~4x; the fold is written sequentially (per element) so results are
-        bit-identical to the built-in path and the single-node oracle.
-      * ``vectorized=False`` — pure ``zip_with``/``aggregate`` built-ins.
-
-    Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken by
-    vec_id for determinism.
+    Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken
+    by vec_id for determinism.
     """
+    if engine is None:
+        engine = "map" if vectorized else "join-hof"
     corpus = _as_double(embeddings, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_cvec")
     )
     q = _as_double(queries, vec_col).select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
 
-    if vectorized:
-        from pyspark.sql.functions import pandas_udf
+    if engine == "map":
+        qrows = q.limit(query_cap + 1).collect()
+        if len(qrows) > query_cap:
+            raise ValueError(
+                f"brute_force_topk(engine='map'): query set exceeds "
+                f"query_cap={query_cap}; pass engine='join-pandas' for "
+                "corpus-sized query sets (or raise query_cap)"
+            )
+        if qrows:
+            qids = [r[query_id_col] for r in qrows]
+            Q = np.array([r["_qvec"] for r in qrows], dtype=np.float64)
+            nq, d = Q.shape
+            qnorm = np.zeros(nq)
+            for j in range(d):
+                qnorm += Q[:, j] * Q[:, j]
+            id_type = dict(corpus.select(id_col).dtypes)[id_col]
+            qid_type = dict(q.select(query_id_col).dtypes)[query_id_col]
+            schema = (
+                f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+                "cosine_sim double"
+            )
 
-        @pandas_udf("double")
-        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-            A = np.stack(a.to_numpy())
-            B = np.stack(b.to_numpy())
-            # sequential left-fold per row (matches aggregate()/oracle
-            # bit-for-bit; np.sum pairwise summation would differ in ulps)
-            dots = np.zeros(len(A))
-            na = np.zeros(len(A))
-            nb = np.zeros(len(A))
-            for j in range(A.shape[1]):
-                dots += A[:, j] * B[:, j]
-                na += A[:, j] * A[:, j]
-                nb += B[:, j] * B[:, j]
-            return pd.Series(dots / np.sqrt(na * nb))
+            def _score(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    A = np.stack(pdf["_cvec"].to_numpy())
+                    m = len(A)
+                    na = np.zeros(m)
+                    for j in range(d):
+                        na += A[:, j] * A[:, j]
+                    frames = []
+                    for qi in range(nq):
+                        dots = np.zeros(m)
+                        for j in range(d):
+                            dots += A[:, j] * Q[qi, j]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    query_id_col: qids[qi],
+                                    id_col: pdf[id_col].to_numpy(),
+                                    "cosine_sim": dots
+                                    / np.sqrt(na * qnorm[qi]),
+                                }
+                            )
+                        )
+                    yield pd.concat(frames, ignore_index=True)
 
-        scored = joined.withColumn("cosine_sim", _cos(F.col("_qvec"), F.col("_cvec")))
+            scored = corpus.mapInPandas(_score, schema).where(
+                F.col(id_col) != F.col(query_id_col)
+            )
+        else:
+            # empty query set -> empty result via the join shape
+            scored = corpus.join(
+                F.broadcast(q), F.col(id_col) != F.col(query_id_col)
+            ).withColumn("cosine_sim", F.lit(0.0))
     else:
-        scored = joined.withColumn(
-            "cosine_sim", cosine(F.col("_qvec"), F.col("_cvec"))
+        joined = corpus.join(
+            F.broadcast(q), F.col(id_col) != F.col(query_id_col)
         )
+        if engine == "join-pandas":
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("double")
+            def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+                A = np.stack(a.to_numpy())
+                B = np.stack(b.to_numpy())
+                # sequential left-fold per row (matches aggregate()/
+                # oracle bit-for-bit; np.sum pairwise summation would
+                # differ in ulps)
+                dots = np.zeros(len(A))
+                na = np.zeros(len(A))
+                nb = np.zeros(len(A))
+                for j in range(A.shape[1]):
+                    dots += A[:, j] * B[:, j]
+                    na += A[:, j] * A[:, j]
+                    nb += B[:, j] * B[:, j]
+                return pd.Series(dots / np.sqrt(na * nb))
+
+            scored = joined.withColumn(
+                "cosine_sim", _cos(F.col("_qvec"), F.col("_cvec"))
+            )
+        elif engine == "join-hof":
+            scored = joined.withColumn(
+                "cosine_sim", cosine(F.col("_qvec"), F.col("_cvec"))
+            )
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )

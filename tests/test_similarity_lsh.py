@@ -794,3 +794,39 @@ def test_minhash_signature_engines_identical(spark, sf_small):
         ).collect()
     }
     assert a == b and len(a) == 500
+
+
+def test_brute_force_engines_bit_identical(spark, sf_small):
+    """All three brute-force engines fold the dot product sequentially
+    over dimension j, so cosines (and hence ranks) must be BIT-equal —
+    the invariant that lets the map engine replace the join engine
+    without touching the q46 oracle."""
+    from solar_data_tools_spark.operators.similarity import brute_force_topk
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    outs = {
+        eng: brute_force_topk(emb, queries, k=5, engine=eng)
+        .orderBy("query_id", "rank")
+        .collect()
+        for eng in ("map", "join-pandas", "join-hof")
+    }
+    base = outs["map"]
+    assert len(base) == 25
+    for eng in ("join-pandas", "join-hof"):
+        for x, y in zip(base, outs[eng]):
+            assert x["vec_id"] == y["vec_id"], (eng, x, y)
+            assert x["cosine_sim"] == y["cosine_sim"], (eng, x, y)
+
+
+def test_brute_force_map_engine_query_cap(spark, sf_small):
+    from solar_data_tools_spark.operators.similarity import brute_force_topk
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="query_cap"):
+        brute_force_topk(emb, queries, k=5, engine="map", query_cap=3)
