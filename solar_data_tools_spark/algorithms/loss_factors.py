@@ -171,6 +171,7 @@ def run_loss_factor_analysis(
     site_col: str = "site",
     label_col: str | None = None,
     deg_type: str = "linear",
+    capture_errors: bool = False,
 ) -> DataFrame:
     """Single-fit loss analysis per site -> one row per site with the
     degradation rate and Shapley-attributed loss fractions.
@@ -226,6 +227,10 @@ def run_loss_factor_analysis(
 
     from solar_data_tools_spark.parallel import grouped_apply
 
+    if capture_errors:
+        from solar_data_tools_spark.parallel import wrap_capture_errors
+
+        _fit, schema = wrap_capture_errors(_fit, schema, site_col)
     cols = [site_col, "date", energy_col] + (
         [label_col] if label_col is not None else []
     )

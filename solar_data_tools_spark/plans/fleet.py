@@ -76,6 +76,7 @@ def run_fleet_pipeline(
     correct_tz: bool = False,
     round_shifts_to_hour: bool = True,
     time_shift_w1: float | None = None,
+    run_loss_analysis: bool = False,
     site_col: str = "site",
     min_positive_values: int = 24,
 ) -> FleetResult:
@@ -90,6 +91,14 @@ def run_fleet_pipeline(
     (reference ``run_pipeline(fix_shifts=True)``); ``correct_tz=True``
     shifts a site's grid by the detected whole-hour offset when
     ``|offset| > 1`` (reference :629-640).
+
+    ``run_loss_analysis=True`` chains the loss-factor leg of the fleet
+    runner (``run_loss_factor_analysis`` + ``loss_analysis.report()``,
+    runner.py:147-175): sites with more than a year of data get the
+    degradation rate and Shapley loss attribution; sites at <= 365 days
+    get the runner's own gate message ("length of data is less than or
+    equal to 1 year", runner.py:117-122) in ``run_loss_analysis_error``
+    with null loss fields.
     """
     # ---- get_data guard (reference data_handler.py:391-394): a site
     # with fewer than 24 non-negative readings cannot form a day matrix
@@ -118,16 +127,23 @@ def run_fleet_pipeline(
         slots_per_day=slots_per_day,
     )
     if slots_per_day is None:
-        # recover the value run_pipeline inferred: the fleet modal
-        # sampling (the same tiny aggregate run_pipeline collected)
-        row = (
-            core.sampling.groupBy("sampling_seconds")
-            .count()
-            .orderBy(F.desc("count"), F.asc("sampling_seconds"))
-            .first()
-        )
-        eff_sampling = int(row["sampling_seconds"]) if row else 300
-        slots_per_day = max(int(86400 // eff_sampling), 1)
+        if sampling_seconds is not None:
+            # the grid run_pipeline standardized onto IS the explicit
+            # sampling — deriving slots from the fleet's inferred modal
+            # delta here would disagree with the actual grid and fail
+            # every site's whole-days contract in the scorer
+            slots_per_day = max(int(86400 // sampling_seconds), 1)
+        else:
+            # recover the value run_pipeline inferred: the fleet modal
+            # sampling (the same tiny aggregate run_pipeline collected)
+            row = (
+                core.sampling.groupBy("sampling_seconds")
+                .count()
+                .orderBy(F.desc("count"), F.asc("sampling_seconds"))
+                .first()
+            )
+            eff_sampling = int(row["sampling_seconds"]) if row else 300
+            slots_per_day = max(int(86400 // eff_sampling), 1)
 
     # ---- scoring stage (per-site grouped map, error-isolated)
     scores = daily_quality_scores(
@@ -255,6 +271,64 @@ def run_fleet_pipeline(
             .drop("time_zone_correction")
         )
 
+    # ---- loss-factor leg (the fleet runner's second stage pair,
+    # runner.py:147-175), gated exactly like the runner: > 365 days
+    _LOSS_GATE = (
+        "The length of data is less than or equal to 1 year, loss "
+        "analysis will fail thus is not performed."
+    )
+    loss_cols = [
+        "degradation_rate_pct_per_year",
+        "loss_seasonal",
+        "loss_degradation",
+        "loss_soiling",
+        "loss_capacity",
+    ]
+    site_days = core.daily.groupBy(site_col).agg(
+        F.count("*").alias("_nd")
+    )
+    if run_loss_analysis:
+        from solar_data_tools_spark.algorithms.loss_factors import (
+            run_loss_factor_analysis,
+        )
+
+        eligible = site_days.where(F.col("_nd") > 365).select(site_col)
+        daily_loss = (
+            core.daily.join(
+                cap.where(F.col("error") == _NOERR).select(
+                    site_col, "date", "capacity_label"
+                ),
+                [site_col, "date"],
+                "left",
+            )
+            .join(F.broadcast(eligible), site_col, "left_semi")
+            .withColumn(
+                "capacity_label",
+                F.coalesce(F.col("capacity_label"), F.lit(0)),
+            )
+        )
+        loss = run_loss_factor_analysis(
+            daily_loss,
+            site_col=site_col,
+            label_col="capacity_label",
+            capture_errors=True,
+        )
+        loss_report = site_days.join(loss, site_col, "left").select(
+            site_col,
+            *loss_cols,
+            F.when(F.col("_nd") <= 365, F.lit(_LOSS_GATE))
+            .otherwise(F.coalesce(F.col("error"), F.lit(_NOERR)))
+            .alias("run_loss_analysis_error"),
+        )
+    else:
+        loss_report = site_days.select(
+            site_col,
+            *[F.lit(None).cast("double").alias(c) for c in loss_cols],
+            F.lit("Loss analysis not requested").alias(
+                "run_loss_analysis_error"
+            ),
+        )
+
     # ---- report assembly (all relational, one agg per stage table)
     ok = F.col("error") == _NOERR
     score_report = scores.groupBy(site_col).agg(
@@ -335,9 +409,13 @@ def run_fleet_pipeline(
         .join(shift_report, site_col, "left")
         .join(sampling_report, site_col, "left")
         .join(tz, site_col, "left")
+        .join(loss_report, site_col, "left")
         .withColumn("get_data_error", F.lit(_NOERR))
     )
-    # failed get_data sites: one row each, null metrics, error populated
+    # failed get_data sites: one row each, null metrics; downstream
+    # stage errors carry the runner's own cascade message
+    # (runner.py:103-108: "get_data error lead to nothing")
+    _CASCADE = F.lit("get_data error lead to nothing")
     failed = bad_sites.select(
         site_col,
         F.lit(None).cast("long").alias("num_days"),
@@ -346,14 +424,16 @@ def run_fleet_pipeline(
         F.lit(None).cast("double").alias("clearness_score"),
         F.lit(None).cast("boolean").alias("inverter_clipping"),
         F.lit(None).cast("double").alias("clipped_fraction"),
-        F.lit(None).cast("string").alias("scoring_error"),
+        _CASCADE.alias("scoring_error"),
         F.lit(None).cast("boolean").alias("data_quality_warning"),
         F.lit(None).cast("boolean").alias("capacity_change"),
-        F.lit(None).cast("string").alias("capacity_change_error"),
+        _CASCADE.alias("capacity_change_error"),
         F.lit(None).cast("boolean").alias("time_shift_correction"),
-        F.lit(None).cast("string").alias("time_shift_error"),
+        _CASCADE.alias("time_shift_error"),
         F.lit(None).cast("double").alias("sampling_minutes"),
         F.lit(None).cast("int").alias("time_zone_correction"),
+        *[F.lit(None).cast("double").alias(c) for c in loss_cols],
+        _CASCADE.alias("run_loss_analysis_error"),
         F.col("get_data_error"),
     )
     report = report.select(failed.columns).unionByName(failed)
@@ -384,10 +464,12 @@ def run_fleet_pipeline(
         "data_quality_warning",
         "time_shift_correction",
         "time_zone_correction",
+        *loss_cols,
         "get_data_error",
         "scoring_error",
         "capacity_change_error",
         "time_shift_error",
+        "run_loss_analysis_error",
         first_err.alias("run_pipeline_error"),
     )
 

@@ -6390,6 +6390,7 @@ def q157_fleet_report(spark, sf_dir):
         sampling_seconds=300,
         fix_shifts=True,
         correct_tz=True,
+        run_loss_analysis=True,
     )
     return rep.select(
         "site",
@@ -6405,10 +6406,14 @@ def q157_fleet_report(spark, sf_dir):
         "data_quality_warning",
         "time_shift_correction",
         "time_zone_correction",
+        F.round("degradation_rate_pct_per_year", R).alias(
+            "degradation_rate_pct_per_year"
+        ),
         "get_data_error",
         "scoring_error",
         "capacity_change_error",
         "time_shift_error",
+        "run_loss_analysis_error",
         "run_pipeline_error",
     )
 

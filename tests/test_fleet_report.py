@@ -177,3 +177,59 @@ def test_scoring_stage_error_isolation(spark):
     assert len(bad) == 1
     assert "whole number" in bad[0]["error"]
     assert bad[0]["date"] is None
+
+
+def test_loss_analysis_leg(spark):
+    """The runner's loss-factor stage pair (runner.py:147-175): a
+    >365-day site gets a degradation rate; a short site gets the
+    runner's own <=1-year gate message with null loss fields; with
+    run_loss_analysis=False the columns say 'not requested'."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    slots = 96
+    hod = np.arange(slots) * 24.0 / slots
+    bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None) * 5.0
+    rows = []
+    # site 0: 400 days with -5%/yr planted degradation
+    for d in range(400):
+        base = pd.Timestamp("2023-01-01") + pd.Timedelta(days=d)
+        scale = (1.0 - 0.05 * d / 365.0)
+        for i in range(slots):
+            rows.append(
+                (0, base + pd.Timedelta(minutes=15 * i),
+                 float(bell[i] * scale))
+            )
+    # site 1: 20 days (gate)
+    for d in range(20):
+        base = pd.Timestamp("2023-01-01") + pd.Timedelta(days=d)
+        for i in range(slots):
+            rows.append(
+                (1, base + pd.Timedelta(minutes=15 * i), float(bell[i]))
+            )
+    meas = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "ts", "value"])
+    ).select("site", "ts", F.monotonically_increasing_id().alias("seq"),
+             "value")
+    # time_shift_w1 pinned: skips the 11-point w1 grid search, which is
+    # orthogonal to the loss leg under test (saves ~2 min of suite time)
+    rep = {
+        r["site"]: r
+        for r in fleet_report(
+            meas, sampling_seconds=900, run_loss_analysis=True,
+            time_shift_w1=5.0,
+        ).collect()
+    }
+    long_site, short_site = rep[0], rep[1]
+    assert long_site["run_loss_analysis_error"] == "No error"
+    assert long_site["degradation_rate_pct_per_year"] == pytest.approx(
+        -5.0, abs=1.5
+    )
+    assert "less than or equal to 1 year" in (
+        short_site["run_loss_analysis_error"]
+    )
+    assert short_site["degradation_rate_pct_per_year"] is None
+
+    off = fleet_report(
+        meas, sampling_seconds=900, time_shift_w1=5.0
+    ).collect()[0]
+    assert off["run_loss_analysis_error"] == "Loss analysis not requested"

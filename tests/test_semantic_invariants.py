@@ -643,3 +643,42 @@ def test_q151_hll_distinct_error_envelope(results):
     assert (df.exact_distinct > 0).all()
     assert (df.approx_distinct > 0).all()
     assert (df.rel_err <= 0.10).all()  # 5 * rsd
+
+
+def test_q157_fleet_report_contract(results):
+    """The fleet facade report: one row per site; the reference report()
+    field identities hold (length = days/365, clipped_fraction in [0,1],
+    quality/clearness in [0,1]); the runner error-column contract holds
+    (every error column is 'No error' or a message; run_pipeline_error
+    equals the first failing stage's message; the <=1-year loss gate
+    fires for these short synthetic sites)."""
+    df = results("q157_fleet_report")
+    assert not df.duplicated(["site"]).any()
+    ok = df[df.run_pipeline_error == "No error"]
+    assert len(ok) > 0
+    assert np.allclose(ok.length_years, ok.num_days / 365.0, atol=1e-9)
+    assert ok.quality_score.between(0, 1).all()
+    assert ok.clearness_score.between(0, 1).all()
+    assert ok.clipped_fraction.between(0, 1).all()
+    assert (ok.sampling_minutes > 0).all()
+    for c in (
+        "get_data_error",
+        "scoring_error",
+        "capacity_change_error",
+        "time_shift_error",
+    ):
+        assert (ok[c] == "No error").all(), c
+    # every sf site is <= 1 year: the runner's loss gate must fire
+    assert df.run_loss_analysis_error.str.contains(
+        "less than or equal to 1 year"
+    ).all()
+    assert df.degradation_rate_pct_per_year.isna().all()
+    # a failing stage propagates its message into run_pipeline_error
+    bad = df[df.run_pipeline_error != "No error"]
+    for _, r in bad.iterrows():
+        assert r.run_pipeline_error in {
+            r.get_data_error,
+            r.scoring_error,
+            r.capacity_change_error,
+            r.time_shift_error,
+        }
