@@ -21,40 +21,39 @@ from solar_data_tools_spark.registry import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the fleet report (SURVEY §3.1 pipeline, §7.2 slice)
-    — ingest events, daily aggregation core, clipping statistics, one row
-    per site with dataset-level metrics (reference ``report()`` parity:
-    length, capacity, quality, clipping)."""
+    """Flagship query: the fleet DataHandler facade (SURVEY §3.1, the
+    reference's front door) — one call ingests events, standardizes,
+    scores, flags (clipping / capacity change / time shift / tz), and
+    emits the reference's full 11-field ``report()`` per site with the
+    fleet runner's per-stage error columns. Golden-validated against the
+    reference fixture (capacity 6.745, quality 0.995) in
+    tests/test_fleet_report.py."""
     from pyspark.sql import functions as F
 
     from solar_data_tools_spark.operators.canonical import events_as_measurements
-    from solar_data_tools_spark.operators.daily import (
-        clipping_stats,
-        daily_statistics,
-        dataset_report,
-    )
+    from solar_data_tools_spark.plans.fleet import fleet_report
     from solar_data_tools_spark.session import read_table
 
     events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
-    meas = events_as_measurements(events)
-    daily = daily_statistics(meas, slots_per_day=288, approx_capacity=True)
-    clip = clipping_stats(meas)
-    report = dataset_report(daily)
-    clip_report = clip.groupBy("site").agg(
-        F.avg((F.col("clip_stat_1") > 0.95).cast("int")).alias("clipped_day_frac")
+    meas = events_as_measurements(events).select("site", "ts", "seq", "value")
+    rep = fleet_report(
+        meas, sampling_seconds=300, fix_shifts=True, correct_tz=True
     )
-    return (
-        report.join(clip_report, on="site", how="left")
-        .select(
-            "site",
-            "num_days",
-            F.round("length_years", 6).alias("length_years"),
-            F.round("capacity", 6).alias("capacity"),
-            F.round("quality_score", 6).alias("quality_score"),
-            F.round("avg_daily_energy", 6).alias("avg_daily_energy"),
-            F.round("max_power", 6).alias("max_power"),
-            F.round("clipped_day_frac", 6).alias("clipped_day_frac"),
-        )
+    return rep.select(
+        "site",
+        "num_days",
+        F.round("length_years", 6).alias("length_years"),
+        F.round("capacity", 6).alias("capacity"),
+        F.round("sampling_minutes", 6).alias("sampling_minutes"),
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("clearness_score", 6).alias("clearness_score"),
+        "inverter_clipping",
+        F.round("clipped_fraction", 6).alias("clipped_fraction"),
+        "capacity_change",
+        "data_quality_warning",
+        "time_shift_correction",
+        "time_zone_correction",
+        "run_pipeline_error",
     )
 
 

@@ -1010,3 +1010,47 @@ def line_dedup(
             "n_dropped"
         ),
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 4,
+    sep: str = "\\n",
+) -> DataFrame:
+    """WITHIN-document line deduplication: keep only the FIRST
+    occurrence of each (trimmed) line inside a document — the in-doc
+    counterpart of the cross-document ``line_dedup`` (templated pages
+    repeat their own nav blocks / list boilerplate many times within one
+    document; cross-doc frequency never sees that). Lines shorter than
+    ``min_line_chars`` after trimming are kept as-is, mirroring
+    ``line_dedup``'s short-line rule.
+
+    Scale shape: ZERO shuffle — the first-occurrence rule is a pure
+    row-local array expression (``filter`` + ``array_position`` over the
+    line array), so it fuses into the scan and is trivially
+    stream-legal (stateless ingest-time gate). The O(L^2) worst case is
+    per-row and bounded by a document's own line count.
+
+    ``sep`` is the unit boundary (regex for ``split``): "\\n" for
+    lines (default), "\\n\\n" for paragraphs, " " for repeated-token
+    suppression on single-line corpora.
+
+    Output: (id, text rebuilt in original order, n_lines, n_dropped).
+    """
+    lines = f"split({text_col}, '{sep}')"
+    trimmed = f"transform({lines}, y -> trim(y))"
+    kept = (
+        f"filter({lines}, (x, i) -> length(trim(x)) < {int(min_line_chars)}"
+        f" or array_position({trimmed}, trim(x)) - 1 = i)"
+    )
+    join_sep = sep.replace("\\n", "\n")
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"array_join({kept}, '{join_sep}')").alias("text"),
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        (
+            F.expr(f"size({lines})") - F.expr(f"size({kept})")
+        ).cast("long").alias("n_dropped"),
+    )

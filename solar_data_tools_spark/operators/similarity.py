@@ -1279,3 +1279,103 @@ def binary_rerank_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "hamming", "cosine_sim", "rank")
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_vecs: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_cap: int = 65536,
+) -> DataFrame:
+    """Embedding-level decontamination: flag every training vector whose
+    cosine against ANY eval/benchmark vector reaches ``tau`` — the
+    semantic complement of the n-gram ``decontaminate`` (a paraphrased
+    benchmark question shares no 8-gram but sits at cosine ~0.97).
+
+    Plan shape: the eval matrix is collected driver-side (bounded by
+    ``eval_cap`` — benchmark sets are small by nature; a corpus-sized
+    "eval" side should go through the banded-LSH candidate path of
+    ``embedding_cosine_dedup`` instead, then exact-verify) and closed
+    over ONE ``mapInPandas`` pass, so the training corpus never
+    shuffles and each train vector crosses the Arrow boundary once —
+    the ``brute_force_topk`` map-engine shape.
+
+    Determinism contract: cosines fold sequentially over dimension j
+    (oracle bit-parity); the max is order-independent; argmax ties
+    break toward the SMALLEST eval id (ascending iteration + strict
+    improvement), matching the oracle's ``ORDER BY cos DESC, id``.
+
+    Output: (id_col, nearest_eval_id, max_eval_cos, is_contaminated).
+    """
+    eval_id_col = eval_id_col or id_col
+    ev = _as_double(eval_vecs, vec_col).select(
+        F.col(eval_id_col).alias("_eid"), F.col(vec_col).alias("_evec")
+    )
+    erows = ev.limit(eval_cap + 1).collect()
+    if len(erows) > eval_cap:
+        raise ValueError(
+            f"semantic_decontaminate: eval set exceeds eval_cap="
+            f"{eval_cap}; use the banded-LSH candidate path for "
+            "corpus-sized eval sides"
+        )
+    if not erows:
+        # an empty eval set silently decontaminates nothing — almost
+        # certainly a mis-specified benchmark filter; fail loudly
+        raise ValueError("semantic_decontaminate: eval set is empty")
+    erows = sorted(erows, key=lambda r: r["_eid"])
+    eids = [r["_eid"] for r in erows]
+    E = np.array([r["_evec"] for r in erows], dtype=np.float64)
+    ne, d = E.shape
+    enorm = np.zeros(ne)
+    for j in range(d):
+        enorm += E[:, j] * E[:, j]
+
+    corpus = _as_double(train, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_cvec")
+    )
+    id_type = dict(corpus.select(id_col).dtypes)[id_col]
+    eid_type = dict(ev.select("_eid").dtypes)["_eid"]
+    schema = (
+        f"{id_col} {id_type}, nearest_eval_id {eid_type}, "
+        "max_eval_cos double"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["_cvec"].to_numpy())
+            m = len(A)
+            na = np.zeros(m)
+            for j in range(d):
+                na += A[:, j] * A[:, j]
+            best = np.full(m, -np.inf)
+            best_ix = np.zeros(m, dtype=np.int64)
+            for ei in range(ne):  # ascending eval id: ties -> smallest
+                dots = np.zeros(m)
+                for j in range(d):
+                    dots += A[:, j] * E[ei, j]
+                cos = dots / np.sqrt(na * enorm[ei])
+                upd = cos > best
+                best = np.where(upd, cos, best)
+                best_ix = np.where(upd, ei, best_ix)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "nearest_eval_id": [eids[i] for i in best_ix],
+                    "max_eval_cos": best,
+                }
+            )
+
+    out = corpus.mapInPandas(_score, schema)
+    return out.select(
+        id_col,
+        "nearest_eval_id",
+        "max_eval_cos",
+        (F.col("max_eval_cos") >= F.lit(float(tau))).alias(
+            "is_contaminated"
+        ),
+    )

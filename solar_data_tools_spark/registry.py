@@ -6418,6 +6418,166 @@ def q157_fleet_report(spark, sf_dir):
     )
 
 
+def q158_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus sampling (topic-balancing a pretraining
+    mix, the embedding-space counterpart of per-domain stratified
+    sampling): assign every embedding to its nearest seed centroid
+    (q110's oracle-exact expr engine), then draw an exactly-30
+    seeded-hash sample per cluster (q112's md5 ranking rule). One
+    composed oracle certifies assign + rank + cut end-to-end."""
+    from solar_data_tools_spark.operators.sampling import (
+        stratified_top_k_sample,
+    )
+    from solar_data_tools_spark.operators.similarity import centroid_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    assigned = centroid_assign(emb, seeds, engine="expr")
+    out = stratified_top_k_sample(
+        assigned, k=30, strata_col="cluster", id_col="vec_id", seed=11
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("cosine", R).alias("cosine"),
+    )
+
+
+Q158_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, s.cluster,
+         list_dot_product(e.v, s.c)
+         / sqrt(list_dot_product(e.v, e.v) * list_dot_product(s.c, s.c))
+           AS cos
+  FROM e CROSS JOIN seeds s
+),
+best AS (
+  SELECT vec_id, cluster, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cluster) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, cluster, cos FROM best WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cluster, cos,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5('11:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn2
+  FROM assigned
+)
+SELECT vec_id, cluster, round(cos, 6) AS cosine
+FROM ranked WHERE rn2 <= 30
+"""
+
+
+def q159_semantic_decontamination(spark, sf_dir):
+    """Embedding-level benchmark decontamination: flag every training
+    vector whose max cosine against the eval slice (vec_id % 41 = 0)
+    reaches tau — catches paraphrased eval leakage that the n-gram
+    decontaminate (q100/q109) cannot see. The eval matrix closes over
+    one mapInPandas pass (the brute-force map engine); the sequential
+    per-dimension fold makes the max-cosine and the argmax tie-break
+    (smallest eval id) exactly oracle-replayable. tau=0.35 suits the
+    synthetic cosine range (natural embeddings would use ~0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 41 == 0)
+    tr = emb.where(F.col("vec_id") % 41 != 0)
+    out = sim.semantic_decontaminate(tr, ev, tau=0.35)
+    return out.select(
+        "vec_id",
+        "nearest_eval_id",
+        F.round("max_eval_cos", R).alias("max_eval_cos"),
+        "is_contaminated",
+    )
+
+
+Q159_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS (SELECT vec_id AS eid, v AS evec FROM e WHERE vec_id % 41 = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % 41 <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.eid,
+         list_dot_product(tr.v, ev.evec)
+         / sqrt(list_dot_product(tr.v, tr.v)
+              * list_dot_product(ev.evec, ev.evec)) AS cos
+  FROM tr CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, eid, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, eid) AS rn
+  FROM scored
+)
+SELECT vec_id, eid AS nearest_eval_id, round(cos, 6) AS max_eval_cos,
+       cos >= 0.35 AS is_contaminated
+FROM best WHERE rn = 1
+"""
+
+
+def q160_within_doc_dedup(spark, sf_dir):
+    """WITHIN-document repeated-unit suppression: keep only the first
+    occurrence of each unit inside a document (templated pages repeat
+    their own boilerplate; cross-doc frequency — q122 — never sees
+    that). The synthetic corpus is single-line, so the unit here is the
+    word (sep=' '), where repeats actually occur; the first-occurrence
+    rule, order-preserving rebuild, and counts are certified
+    byte-for-byte via clean_md5. Zero shuffle: a pure row-local array
+    expression, stream-legal."""
+    from solar_data_tools_spark.operators.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_lines_within_doc(docs, sep=" ", min_line_chars=1)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
+    )
+
+
+Q160_SQL = """
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+units AS (
+  SELECT doc_id, toks[i] AS tok, i
+  FROM toklists, unnest(range(1, len(toks) + 1)) u(i)
+),
+firsts AS (
+  SELECT doc_id, tok, i,
+         row_number() OVER (PARTITION BY doc_id, trim(tok)
+                            ORDER BY i) AS occ
+  FROM units
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY i)
+           FILTER (WHERE occ = 1 OR length(trim(tok)) < 1) AS clean
+  FROM firsts GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE occ > 1 AND length(trim(tok)) >= 1)
+           AS n_dropped
+  FROM firsts GROUP BY doc_id
+)
+SELECT r.doc_id, md5(coalesce(r.clean, '')) AS clean_md5,
+       c.n_lines, c.n_dropped
+FROM rebuilt r JOIN counts c USING (doc_id)
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -6615,6 +6775,15 @@ QUERIES: dict[str, QuerySpec] = {
     "q87_quality_scores": QuerySpec(q87_quality_scores, None, "A8,scoring-e2e"),
     "q157_fleet_report": QuerySpec(
         q157_fleet_report, None, "§3.1-facade,runner-contract"
+    ),
+    "q158_cluster_balanced_sample": QuerySpec(
+        q158_cluster_balanced_sample, Q158_SQL, "sampling-cluster-balance"
+    ),
+    "q159_semantic_decontamination": QuerySpec(
+        q159_semantic_decontamination, Q159_SQL, "curation-semantic-decontam"
+    ),
+    "q160_within_doc_dedup": QuerySpec(
+        q160_within_doc_dedup, Q160_SQL, "dedup-within-doc"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -6828,11 +6997,13 @@ _QUERY_ORDER: list[str] = [
     # 2. oracle queries whose CODE changed this round (q103/q115 LM
     #    scorers gained the same fixed-point contract; q138's featurizer
     #    grew the single-token bigram guard)
-    # 3. q157, new this round (fleet DataHandler facade, rows-only)
+    # 3. new this round: the fleet DataHandler facade (rows-only) and
+    #    three new oracle queries (cluster-balanced sampling, semantic
+    #    decontamination, within-doc dedup)
     # 4. q131/q133/q134/q137 — never externally driver-run (fell outside
     #    every window r1-r6; VERDICT r6 item 3)
-    # 5. the oldest-checked oracle class (last external pass r4)
-    # 6. two r5-class entries to fill the 50
+    # 5. the oldest-checked oracle class (last external pass r4); the
+    #    last three of that class yield their slots to the new oracles
     # Tail: remaining r5 class, then the entire r6 window class (checked
     # most recently). The full registry is swept locally every session
     # by tests/test_oracle_parity.py regardless of the window.
@@ -6841,6 +7012,9 @@ _QUERY_ORDER: list[str] = [
     "q115_bigram_logprob",
     "q138_classifier_score",
     "q157_fleet_report",
+    "q158_cluster_balanced_sample",
+    "q159_semantic_decontamination",
+    "q160_within_doc_dedup",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

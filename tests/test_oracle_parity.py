@@ -48,6 +48,9 @@ _TWO_SCALE = [
     "q154_chunk_dedup",
     "q155_corpus_report",
     "q156_curation_pipeline_v2",
+    "q158_cluster_balanced_sample",
+    "q159_semantic_decontamination",
+    "q160_within_doc_dedup",
 ]
 
 

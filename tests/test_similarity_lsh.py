@@ -830,3 +830,41 @@ def test_brute_force_map_engine_query_cap(spark, sf_small):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="query_cap"):
         brute_force_topk(emb, queries, k=5, engine="map", query_cap=3)
+
+
+def test_semantic_decontaminate_planted(spark):
+    """A train vector parallel to an eval vector is contaminated at any
+    tau < 1; an orthogonal one is not; nearest_eval_id ties break toward
+    the smallest eval id."""
+    from solar_data_tools_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [1.0, 0.0, 0.0]),
+         (300, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0]),   # parallel to eval 100/200 -> cos 1, tie
+         (2, [0.0, 0.0, 5.0])],  # orthogonal to every eval vector
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(tr, ev, tau=0.9).collect()}
+    assert out[1]["is_contaminated"] and out[1]["max_eval_cos"] == 1.0
+    assert out[1]["nearest_eval_id"] == 100  # tie -> smallest eval id
+    assert not out[2]["is_contaminated"]
+    assert abs(out[2]["max_eval_cos"]) < 1e-12
+
+
+def test_semantic_decontaminate_empty_eval_raises(spark):
+    from solar_data_tools_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="eval set is empty"):
+        semantic_decontaminate(tr, tr.where(F.col("vec_id") < 0))
