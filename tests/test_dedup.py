@@ -30,3 +30,41 @@ def test_dedup_lines_within_doc_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_within_doc_dedup_streaming_matches_batch(spark, tmp_path):
+    """dedup_lines_within_doc is a stateless narrow projection — an
+    availableNow stream rebuilds byte-identical texts to the batch
+    path (ingest-time within-doc boilerplate suppression)."""
+    from solar_data_tools_spark.operators.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j % 5}" for j in range(i % 9 + 2)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "withindoc_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        dedup_lines_within_doc(stream, sep=" ", min_line_chars=1)
+        .writeStream.format("memory")
+        .queryName("withindoc_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in spark.sql("select * from withindoc_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in dedup_lines_within_doc(
+            docs, sep=" ", min_line_chars=1
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 40

@@ -868,3 +868,51 @@ def test_semantic_decontaminate_empty_eval_raises(spark):
     )
     with pytest.raises(ValueError, match="eval set is empty"):
         semantic_decontaminate(tr, tr.where(F.col("vec_id") < 0))
+
+
+def test_semantic_decontaminate_streaming_matches_batch(spark, tmp_path):
+    """semantic_decontaminate is stream-legal once the eval matrix is
+    fixed (a stateless mapInPandas over the train stream): an
+    availableNow file stream produces exactly the batch verdicts — the
+    ingest-time shape for decontaminating a live crawl against a frozen
+    benchmark set."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ev = emb.where(F.col("vec_id") < 5)
+    tr = emb.where(F.col("vec_id") >= 5)
+    src = str(tmp_path / "decontam_src")
+    tr.write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    q = (
+        semantic_decontaminate(stream, ev, tau=0.35)
+        .writeStream.format("memory")
+        .queryName("decontam_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_eval_cos"],
+                      r["is_contaminated"])
+        for r in spark.sql("select * from decontam_stream_test").collect()
+    }
+    batch = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_eval_cos"],
+                      r["is_contaminated"])
+        for r in semantic_decontaminate(tr, ev, tau=0.35).collect()
+    }
+    assert streamed == batch and len(batch) == 55
