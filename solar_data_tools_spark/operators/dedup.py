@@ -1018,6 +1018,7 @@ def dedup_lines_within_doc(
     text_col: str = "text",
     min_line_chars: int = 4,
     sep: str = "\\n",
+    engine: str = "expr",
 ) -> DataFrame:
     """WITHIN-document line deduplication: keep only the FIRST
     occurrence of each (trimmed) line inside a document — the in-doc
@@ -1027,11 +1028,21 @@ def dedup_lines_within_doc(
     ``min_line_chars`` after trimming are kept as-is, mirroring
     ``line_dedup``'s short-line rule.
 
-    Scale shape: ZERO shuffle — the first-occurrence rule is a pure
-    row-local array expression (``filter`` + ``array_position`` over the
-    line array), so it fuses into the scan and is trivially
-    stream-legal (stateless ingest-time gate). The O(L^2) worst case is
-    per-row and bounded by a document's own line count.
+    Scale shape: ZERO shuffle in either engine — the first-occurrence
+    rule is row-local, fuses into the scan, and is stream-legal
+    (stateless ingest-time gate). Two engines, identical outputs
+    (parity-tested):
+
+    * ``"expr"`` (default, the q160 oracle path) — pure built-ins
+      (``filter`` + ``array_position``); zero Python, but O(L^2) string
+      compares per document. Round-7 probe: 31 s for 1M x 60-unit docs
+      on local[32] (~31 us/doc) — fine for typical line counts, but a
+      10k-line page costs ~1 s alone.
+    * ``"pandas"`` — Arrow-batched seen-set per document, O(L); the
+      long-document path. Same probe: 7.5 s for the 1M x 60-unit corpus
+      (identical 28.76M drop count — engine parity holds at scale) and
+      14.3 s for 10k docs of 5,000 units each, where the expr engine's
+      25M compares PER DOC would take minutes.
 
     ``sep`` is the unit boundary (regex for ``split``): "\\n" for
     lines (default), "\\n\\n" for paragraphs, " " for repeated-token
@@ -1039,13 +1050,64 @@ def dedup_lines_within_doc(
 
     Output: (id, text rebuilt in original order, n_lines, n_dropped).
     """
+    join_sep = sep.replace("\\n", "\n")
+    if engine == "pandas":
+        import re as _re
+
+        import pandas as pd
+
+        from solar_data_tools_spark.shipping import (
+            ensure_package_on_executors,
+        )
+
+        ensure_package_on_executors(docs.sparkSession)
+        id_type = dict(docs.select(id_col).dtypes)[id_col]
+        schema = (
+            f"{id_col} {id_type}, text string, n_lines long, "
+            "n_dropped long"
+        )
+        pat = _re.compile(sep)
+        min_c = int(min_line_chars)
+
+        def _dedup(batches):
+            for pdf in batches:
+                ids, texts, nl, nd = [], [], [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    units = pat.split(t if t is not None else "")
+                    seen: set = set()
+                    kept = []
+                    dropped = 0
+                    for u in units:
+                        tu = u.strip()
+                        if len(tu) < min_c:
+                            kept.append(u)
+                        elif tu in seen:
+                            dropped += 1
+                        else:
+                            seen.add(tu)
+                            kept.append(u)
+                    ids.append(i)
+                    texts.append(join_sep.join(kept))
+                    nl.append(len(units))
+                    nd.append(dropped)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "text": texts,
+                        "n_lines": nl,
+                        "n_dropped": nd,
+                    }
+                )
+
+        return docs.select(id_col, text_col).mapInPandas(_dedup, schema)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     lines = f"split({text_col}, '{sep}')"
     trimmed = f"transform({lines}, y -> trim(y))"
     kept = (
         f"filter({lines}, (x, i) -> length(trim(x)) < {int(min_line_chars)}"
         f" or array_position({trimmed}, trim(x)) - 1 = i)"
     )
-    join_sep = sep.replace("\\n", "\n")
     return docs.select(
         F.col(id_col),
         F.expr(f"array_join({kept}, '{join_sep}')").alias("text"),

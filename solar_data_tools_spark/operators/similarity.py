@@ -1301,7 +1301,9 @@ def semantic_decontaminate(
     ``embedding_cosine_dedup`` instead, then exact-verify) and closed
     over ONE ``mapInPandas`` pass, so the training corpus never
     shuffles and each train vector crosses the Arrow boundary once —
-    the ``brute_force_topk`` map-engine shape.
+    the ``brute_force_topk`` map-engine shape. Round-7 probe (64-dim,
+    1k-vector eval, local[32]): 5.5 s at 100k train vectors, 13.0 s at
+    500k — near-linear in the corpus, constant in partition layout.
 
     Determinism contract: cosines fold sequentially over dimension j
     (oracle bit-parity); the max is order-independent; argmax ties

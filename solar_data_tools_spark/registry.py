@@ -6424,7 +6424,10 @@ def q158_cluster_balanced_sample(spark, sf_dir):
     sampling): assign every embedding to its nearest seed centroid
     (q110's oracle-exact expr engine), then draw an exactly-30
     seeded-hash sample per cluster (q112's md5 ranking rule). One
-    composed oracle certifies assign + rank + cut end-to-end."""
+    composed oracle certifies assign + rank + cut end-to-end. The expr
+    assign engine here is the oracle-exact path; at corpus scale use
+    ``engine="pandas"`` (round-7 probe, 500k x 64-dim x 64 clusters on
+    local[32]: 17.5 s vs 49.4 s expr)."""
     from solar_data_tools_spark.operators.sampling import (
         stratified_top_k_sample,
     )

@@ -68,3 +68,24 @@ def test_within_doc_dedup_streaming_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) == 40
+
+
+def test_within_doc_dedup_engines_identical(spark, sf_small):
+    from solar_data_tools_spark.operators.dedup import (
+        dedup_lines_within_doc,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").limit(200)
+    a = (
+        dedup_lines_within_doc(docs, sep=" ", min_line_chars=1,
+                               engine="expr")
+        .orderBy("doc_id").toPandas()
+    )
+    b = (
+        dedup_lines_within_doc(docs, sep=" ", min_line_chars=1,
+                               engine="pandas")
+        .orderBy("doc_id").toPandas()
+    )
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
