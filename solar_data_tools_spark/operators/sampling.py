@@ -635,3 +635,51 @@ def weighted_shuffle_rank(
         .withColumn("rank", (F.col("_lr") + F.col("_off")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def epoch_mix(
+    docs: DataFrame,
+    repeat_factors: dict[str, float],
+    default_factor: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Epoch-aware dataset mixing by REPETITION FACTOR — the "how many
+    epochs of each subset" knob of a pretraining mix (e.g. Wikipedia
+    x2.4, books x1.0, web x0.3): a document whose stratum has factor w
+    appears ``floor(w)`` times, plus one more when its seeded U[0,1)
+    hash falls below ``frac(w)``. Factors < 1 therefore subsample
+    (doc kept with probability w); factors > 1 upsample with an
+    ``epoch`` counter (1..n) so downstream shuffles/packing can
+    interleave copies.
+
+    Deterministic, partitioning-invariant, engine-portable (the md5
+    hash rule of the other samplers): in expectation every stratum
+    contributes exactly ``w * |stratum|`` rows, and each individual
+    document's copy count is a pure function of (id, seed).
+
+    Scale shape: one broadcast-ready CASE on the factor + one
+    row-local ``explode(sequence(...))`` — zero shuffle, stream-legal.
+    ``sequence(1, 0)`` DESCENDS in Spark, so the zero-copy case is
+    guarded with an empty-array branch.
+
+    Output: input columns + ``epoch`` (1-based copy index).
+    """
+    frac = {k: float(v) for k, v in repeat_factors.items()}
+    expr = F.lit(float(default_factor))
+    for k, v in sorted(frac.items()):
+        expr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(expr)
+    u = hash_uniform(F.col(id_col), seed)
+    n = (
+        F.floor(expr).cast("int")
+        + (u < (expr - F.floor(expr))).cast("int")
+    )
+    copies = F.when(
+        n >= 1, F.expr(f"sequence(1, {'_n_copies'})")
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    return (
+        docs.withColumn("_n_copies", n)
+        .withColumn("epoch", F.explode(copies))
+        .drop("_n_copies")
+    )

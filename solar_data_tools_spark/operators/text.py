@@ -260,3 +260,98 @@ def gopher_rules(
     for name in checks:
         gate = F.col(name) if gate is None else gate & F.col(name)
     return out.withColumn("gopher_pass", gate)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_term_col: str = "term",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query under the
+    Okapi BM25 ranking function — the sparse-retrieval counterpart of
+    the embedding ANN tier (hybrid RAG pipelines run both),
+
+        score(q, d) = sum_{t in q} idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl/avgdl)),
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1).
+
+    ``queries`` is a long (query_id, term) table (terms are matched
+    against the same normalization as the postings).
+
+    Plan shape at corpus scale: postings = one (doc, term)-keyed agg
+    with map-side combine; df = a term-keyed agg bounded by |vocab|;
+    N/avgdl = one 1-row broadcast; the QUERY term table (small by
+    contract) broadcasts onto the postings, so the corpus text never
+    joins anything bigger than the vocabulary; the final top-k is a
+    per-query window over only the docs that share a term with the
+    query (inverted-index semantics — no all-pairs scan).
+
+    Determinism contract (the q143 recipe): each (term, doc)
+    contribution is fixed-pointed to a LONG (1e-6 ticks) BEFORE the
+    per-(query, doc) sum, so the score is an integer sum —
+    order-independent across partitionings and engines; ranks tie-break
+    on doc id.
+
+    Output: (query_id, doc_id, score, rank), rank 1..k.
+    """
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).where(F.length("term") > 0)
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_term_col).alias("term")
+    ).distinct()
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    contrib_fp = F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(df_t, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(contrib_fp).alias("_s_fp"))
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("_s_fp") / F.lit(1e6)).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -6581,6 +6581,117 @@ FROM rebuilt r JOIN counts c USING (doc_id)
 """
 
 
+def q161_epoch_mix(spark, sf_dir):
+    """Epoch-aware mixing by repetition factor (the "how many epochs of
+    each subset" knob of a pretraining mix): src0 upsamples to ~2.5
+    epochs, src1 subsamples to 0.4, src2 to ~1.7, everything else rides
+    at 1.0. Copy counts are a pure md5-hash function of the doc id —
+    deterministic, partitioning-invariant, and replayed exactly by the
+    oracle. Zero shuffle (row-local explode), stream-legal."""
+    from solar_data_tools_spark.operators.sampling import epoch_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = epoch_mix(
+        docs,
+        {"src0": 2.5, "src1": 0.4, "src2": 1.7},
+        default_factor=1.0,
+        seed=3,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+Q161_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 1.7 ELSE 1.0 END AS w,
+         ('0x' || substring(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT / 4294967296.0 AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(w) AS INT)
+         + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
+  FROM f
+)
+SELECT doc_id, source, CAST(e AS INT) AS epoch
+FROM n, unnest(range(1, n + 1)) r(e)
+WHERE n >= 1
+"""
+
+
+def q162_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (the sparse half of a hybrid RAG stack):
+    top-10 documents per query under Okapi BM25, queries being the
+    first five tokens of docs 0-2. Inverted-index plan — postings agg,
+    vocab-bounded df table, broadcast query terms; only docs sharing a
+    query term are ever scored. Per-term contributions are 1e-6
+    fixed-pointed LONGs so the per-(query, doc) score is an integer
+    sum (the q143 determinism recipe) — exactly oracle-replayable."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qt = (
+        docs.where(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("pos", "term"),
+        )
+        .where((F.col("pos") < 5) & (F.length("term") > 0))
+        .select("query_id", "term")
+    )
+    out = bm25_topk(docs, qt, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", R).alias("score"),
+        "rank",
+    )
+
+
+Q162_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokl AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tokf AS (SELECT doc_id, term FROM tokl WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+  FROM toks, unnest(range(1, least(len(t), 5) + 1)) u(i)
+  WHERE doc_id < 3 AND length(t[i]) > 0
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           * 1e6 + 0.5) AS BIGINT) AS c_fp
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(sum(c_fp) AS BIGINT) / 1e6 AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -6787,6 +6898,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q160_within_doc_dedup": QuerySpec(
         q160_within_doc_dedup, Q160_SQL, "dedup-within-doc"
+    ),
+    "q161_epoch_mix": QuerySpec(
+        q161_epoch_mix, Q161_SQL, "sampling-epoch-mix"
+    ),
+    "q162_bm25_topk": QuerySpec(
+        q162_bm25_topk, Q162_SQL, "retrieval-bm25"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7018,6 +7135,8 @@ _QUERY_ORDER: list[str] = [
     "q158_cluster_balanced_sample",
     "q159_semantic_decontamination",
     "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -51,6 +51,8 @@ _TWO_SCALE = [
     "q158_cluster_balanced_sample",
     "q159_semantic_decontamination",
     "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
 ]
 
 

@@ -420,3 +420,32 @@ def test_temperature_sample_null_stratum_not_dropped(spark):
     assert len(out) == 100  # null-stratum rows survive as their own group
     nulls = out[out["lang"].isna()]
     assert len(nulls) == 10 and (nulls["rate"] == 1.0).all()  # smallest
+
+
+def test_epoch_mix_semantics(spark):
+    """floor(w) guaranteed copies + probabilistic fractional copy;
+    factors < 1 subsample; epoch counters are 1..n; deterministic
+    under repartitioning."""
+    from solar_data_tools_spark.operators.sampling import epoch_mix
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i % 2 else "web") for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = epoch_mix(docs, {"wiki": 2.25, "web": 0.5}, seed=9).toPandas()
+    per_doc = out.groupby("doc_id").epoch.agg(["count", "max"])
+    assert (per_doc["count"] == per_doc["max"]).all()  # epochs are 1..n
+    wiki = out[out.source == "wiki"].groupby("doc_id").size()
+    assert wiki.isin([2, 3]).all()          # floor 2, maybe +1
+    assert 200 * 2 < wiki.sum() < 200 * 3   # expectation ~2.25 each
+    web = out[out.source == "web"].groupby("doc_id").size()
+    assert (web == 1).all()                 # kept docs appear once
+    assert 0 < len(web) < 200               # ~50% subsample
+
+    again = (
+        epoch_mix(docs.repartition(13), {"wiki": 2.25, "web": 0.5}, seed=9)
+        .toPandas()
+    )
+    a = sorted(map(tuple, out[["doc_id", "epoch"]].to_numpy()))
+    b = sorted(map(tuple, again[["doc_id", "epoch"]].to_numpy()))
+    assert a == b

@@ -1,0 +1,69 @@
+"""Text-operator unit tests (BM25 retrieval and friends)."""
+
+from __future__ import annotations
+
+
+def test_bm25_known_ranking(spark):
+    """The doc matching BOTH query terms outranks docs repeating a
+    single term (BM25's tf saturation at work); a doc sharing no query
+    term never appears in the candidate set (inverted-index
+    semantics)."""
+    from solar_data_tools_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words fill this document common common"),
+            (2, "rareterm appears here with common words"),
+            (3, "totally unrelated content nothing shared"),
+            (4, "rareterm rareterm heavy document"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "rareterm"), (0, "common")], "query_id long, term string"
+    )
+    out = bm25_topk(docs, q, k=4).orderBy("rank").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                 # no shared term -> never scored
+    assert ids[0] == 2                  # matches both terms -> rank 1
+    assert set(ids) == {1, 2, 4}
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] > out[-1]["score"]
+
+
+def test_bm25_partitioning_invariant_scores(spark, sf_small):
+    """Integer fixed-point contribution sums: scores are BIT-equal
+    between a 1-partition and a 16-partition run (the q143 recipe)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.text import bm25_topk
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    qt = (
+        docs.where(F.col("doc_id") < 2)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("pos", "term"),
+        )
+        .where((F.col("pos") < 5) & (F.length("term") > 0))
+        .select("query_id", "term")
+    )
+    a = (
+        bm25_topk(docs.coalesce(1), qt, k=20)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    b = (
+        bm25_topk(docs.repartition(16), qt, k=20)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (
+        a["score"].to_numpy().view(np.int64)
+        == b["score"].to_numpy().view(np.int64)
+    ).all()
