@@ -6692,6 +6692,68 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q163_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: build a 4 x 512 CMS over the
+    corpus tokens (fixed-size mergeable aggregate — the 100 TB path
+    where an exact frequency table means shuffling the whole vocab),
+    then point-query it for the exact top-20 tokens and emit
+    (token, true_cnt, cms_cnt). The md5 bucket hash makes construction
+    AND queries exactly DuckDB-replayable, and the oracle match also
+    certifies the one-sided error property on this corpus
+    (cms_cnt >= true_cnt by construction)."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cms = cms_build(docs, width=512, depth=4, seed=5)
+    true_top = (
+        docs.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = cms_estimate(cms, true_top, width=512, depth=4, seed=5)
+    return true_top.join(est, "token").select(
+        "token", "true_cnt", "cms_cnt"
+    )
+
+
+Q163_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokl AS (SELECT unnest(t) AS tok FROM toks),
+tokf AS (SELECT tok FROM tokl WHERE length(tok) > 0),
+cms AS (
+  SELECT d, ('0x' || substring(md5('5:' || CAST(d AS VARCHAR) || ':' || tok),
+                     1, 8))::BIGINT % 512 AS bucket, count(*) AS cnt
+  FROM tokf, unnest([0, 1, 2, 3]) dd(d)
+  GROUP BY 1, 2
+),
+true_top AS (
+  SELECT tok AS token, count(*) AS true_cnt
+  FROM tokf GROUP BY tok
+  ORDER BY true_cnt DESC, token LIMIT 20
+),
+probes AS (
+  SELECT t.token, t.true_cnt, dd.d,
+         ('0x' || substring(md5('5:' || CAST(dd.d AS VARCHAR) || ':' || t.token),
+                            1, 8))::BIGINT % 512 AS bucket
+  FROM true_top t, unnest([0, 1, 2, 3]) dd(d)
+)
+SELECT p.token, p.true_cnt, min(coalesce(c.cnt, 0)) AS cms_cnt
+FROM probes p LEFT JOIN cms c USING (d, bucket)
+GROUP BY 1, 2
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -6904,6 +6966,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q162_bm25_topk": QuerySpec(
         q162_bm25_topk, Q162_SQL, "retrieval-bm25"
+    ),
+    "q163_cms_heavy_hitters": QuerySpec(
+        q163_cms_heavy_hitters, Q163_SQL, "sketch-cms"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7137,6 +7202,7 @@ _QUERY_ORDER: list[str] = [
     "q160_within_doc_dedup",
     "q161_epoch_mix",
     "q162_bm25_topk",
+    "q163_cms_heavy_hitters",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -53,6 +53,7 @@ _TWO_SCALE = [
     "q160_within_doc_dedup",
     "q161_epoch_mix",
     "q162_bm25_topk",
+    "q163_cms_heavy_hitters",
 ]
 
 

@@ -67,3 +67,52 @@ def test_bm25_partitioning_invariant_scores(spark, sf_small):
         a["score"].to_numpy().view(np.int64)
         == b["score"].to_numpy().view(np.int64)
     ).all()
+
+
+def test_cms_one_sided_and_mergeable(spark, sf_small):
+    """CMS invariants: estimates never undercount (one-sided error),
+    and the sketch of a union equals the elementwise sum of the parts'
+    sketches — the mergeability that makes it a distributed aggregate."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    cms = cms_build(docs, width=256, depth=4, seed=2)
+    truth = (
+        docs.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    est = cms_estimate(cms, truth, width=256, depth=4, seed=2)
+    j = truth.join(est, "token").toPandas()
+    assert (j.cms_cnt >= j.true_cnt).all()
+    # mergeability: sum of the halves' sketches == the whole's sketch
+    a = cms_build(docs.where(F.col("doc_id") % 2 == 0), width=256,
+                  depth=4, seed=2)
+    b = cms_build(docs.where(F.col("doc_id") % 2 == 1), width=256,
+                  depth=4, seed=2)
+    merged = (
+        a.unionByName(b).groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(docs, width=256, depth=4, seed=2)
+    diff = (
+        merged.join(whole, ["d", "bucket"], "full")
+        .where(
+            F.coalesce(merged["cnt"], F.lit(0))
+            != F.coalesce(whole["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
