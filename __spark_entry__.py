@@ -36,9 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     events = read_table(spark, "/root/testdata/sf0.001/events.parquet")
     meas = events_as_measurements(events).select("site", "ts", "seq", "value")
-    rep = fleet_report(
-        meas, sampling_seconds=300, fix_shifts=True, correct_tz=True
-    )
+    # per-site native-cadence mode (no explicit sampling): each site
+    # grids at its own inferred, divisor-snapped cadence
+    rep = fleet_report(meas, fix_shifts=True, correct_tz=True)
     return rep.select(
         "site",
         "num_days",

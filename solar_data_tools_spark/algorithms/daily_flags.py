@@ -262,13 +262,22 @@ def detect_time_shifts(
 def apply_time_shift_correction(
     measurements: DataFrame,
     shifts: DataFrame,
-    slots_per_day: int,
+    slots_per_day: int | str,
     site_col: str = "site",
 ) -> DataFrame:
-    """W6 — turn shift_hours into per-day slot rolls and apply them."""
+    """W6 — turn shift_hours into per-day slot rolls and apply them.
+
+    ``slots_per_day`` may be a column NAME on ``measurements`` (per-site
+    native grids — the heterogeneous-fleet path): the per-site value
+    joins onto the small shifts table for the roll arithmetic."""
     from solar_data_tools_spark.operators.windows import circular_roll_slots
 
-    slots_per_hour = slots_per_day / 24.0
+    if isinstance(slots_per_day, str):
+        spd_tbl = measurements.select(site_col, slots_per_day).distinct()
+        shifts = shifts.join(F.broadcast(spd_tbl), site_col)
+        slots_per_hour = F.col(slots_per_day) / F.lit(24.0)
+    else:
+        slots_per_hour = F.lit(slots_per_day / 24.0)
     roll = shifts.select(
         site_col,
         "date",

@@ -355,7 +355,7 @@ def score_site_matrix(mat: np.ndarray) -> dict:
 
 def daily_quality_scores(
     standardized: DataFrame,
-    slots_per_day: int = 288,
+    slots_per_day: int | None = 288,
     site_col: str = "site",
     capture_errors: bool = False,
 ) -> DataFrame:
@@ -363,6 +363,11 @@ def daily_quality_scores(
     long table (site, grid_ts, value). Emits one row per (site, date)
     with the five reference daily-score vectors, the quality flags, and
     the per-site scalars repeated on each row.
+
+    ``slots_per_day=None`` infers each SITE's slot count from its own
+    grid (rows / distinct dates) — the heterogeneous-fleet path where
+    every site is standardized at its native cadence; the whole-days
+    contract is still enforced per site.
 
     ``capture_errors=True`` adds an ``error`` column and turns a site's
     failure into a 1-row null record instead of a job failure (the
@@ -386,13 +391,25 @@ def daily_quality_scores(
         # otherwise surfaces as an opaque numpy reshape error deep in an
         # executor task
         site_id = pdf[site_col].iloc[0] if len(pdf) else "<empty>"
-        if len(pdf) % slots_per_day != 0:
+        if slots_per_day is None:
+            # per-site native grid: infer slots from the site's own rows
+            if len(day_index) == 0 or len(pdf) % len(day_index) != 0:
+                raise ValueError(
+                    f"site {site_id!r}: {len(pdf)} rows over "
+                    f"{len(day_index)} distinct dates is not a whole "
+                    "number of equal days — standardize_grid() must run "
+                    "before scoring"
+                )
+            spd = len(pdf) // len(day_index)
+        else:
+            spd = slots_per_day
+        if len(pdf) % spd != 0:
             raise ValueError(
                 f"site {site_id!r}: standardized series has {len(pdf)} rows, "
-                f"not a whole number of {slots_per_day}-slot days — "
+                f"not a whole number of {spd}-slot days — "
                 "standardize_grid() must run before scoring"
             )
-        n_days = len(pdf) // slots_per_day
+        n_days = len(pdf) // spd
         if len(day_index) != n_days:
             raise ValueError(
                 f"site {site_id!r}: {len(day_index)} distinct dates but "
@@ -401,7 +418,7 @@ def daily_quality_scores(
             )
         mat = (
             pdf.value.to_numpy(dtype=np.float64)
-            .reshape(-1, slots_per_day)
+            .reshape(-1, spd)
             .T
         )
         out = score_site_matrix(mat)

@@ -31,20 +31,27 @@ from pyspark.sql import functions as F
 def with_time_columns(
     df: DataFrame,
     ts_col: str = "ts",
-    sampling_seconds: int = 300,
+    sampling_seconds: int | str = 300,
 ) -> DataFrame:
     """Add ``date``, ``slot`` and ``hod`` derived columns.
 
     ``slot = seconds_since_midnight / sampling_seconds`` (integer division)
     mirrors the reference's row index into the day matrix.
+    ``sampling_seconds`` may be a column NAME (per-site native cadences —
+    the heterogeneous-fleet path) instead of a scalar.
     """
     ts = F.col(ts_col)
     sec_of_day = (
         F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
     ).cast("long")
+    samp = (
+        F.col(sampling_seconds)
+        if isinstance(sampling_seconds, str)
+        else F.lit(sampling_seconds)
+    )
     return (
         df.withColumn("date", F.to_date(ts))
-        .withColumn("slot", (sec_of_day / F.lit(sampling_seconds)).cast("int"))
+        .withColumn("slot", (sec_of_day / samp).cast("int"))
         .withColumn("hod", (sec_of_day / F.lit(3600.0)))
     )
 

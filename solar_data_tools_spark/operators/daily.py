@@ -40,6 +40,7 @@ def daily_statistics(
     density_threshold: float = 0.02,
     sun_threshold_frac: float = 0.05,
     approx_capacity: bool = False,
+    sampling_col: str | None = None,
 ) -> DataFrame:
     """One wide pass building the ``fact_daily`` table.
 
@@ -64,6 +65,11 @@ def daily_statistics(
     ``approx_capacity=True`` (the pipeline default) uses the mergeable
     ``percentile_approx`` sketch instead of the exact sort-based
     percentile — the right trade at fleet scale; oracle tests pin exact.
+
+    ``sampling_col`` (per-site native cadences, the heterogeneous-fleet
+    path): when given, the energy integral scales by each SITE's own
+    sampling (``sum(v) * sampling/3600`` hours) instead of the global
+    ``24/slots_per_day``.
     """
     cap = site_capacity(
         df, site_col=site_col, value_col=value_col, approx=approx_capacity
@@ -71,9 +77,17 @@ def daily_statistics(
     v = F.col(value_col)
     with_cap = df.join(F.broadcast(cap), on=site_col)
     sun_thresh = F.col("capacity") * F.lit(sun_threshold_frac)
+    if sampling_col is not None:
+        energy = (
+            F.sum(v) * F.first(sampling_col) / F.lit(3600.0)
+        ).alias("energy")
+    else:
+        energy = (
+            F.sum(v) * F.lit(24.0) / F.lit(float(slots_per_day))
+        ).alias("energy")
 
     return with_cap.groupBy(site_col, "date").agg(
-        (F.sum(v) * F.lit(24.0) / F.lit(float(slots_per_day))).alias("energy"),
+        energy,
         F.avg(
             (v > F.lit(density_threshold) * F.col("capacity")).cast("int")
         ).alias("density"),

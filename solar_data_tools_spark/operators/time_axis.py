@@ -59,9 +59,40 @@ def infer_sampling_seconds(
     )
 
 
+def snap_sampling_to_day_divisor(
+    sampling: DataFrame,
+    site_col: str = "site",
+) -> DataFrame:
+    """Snap each site's inferred sampling to the nearest DIVISOR of
+    86400 s (ties toward the smaller divisor), so a day always holds a
+    whole number of grid slots. The reference's real-world cadences
+    (1/5/15/30/60 min) are all divisors already; synthetic or jittery
+    feeds can infer moduli like 340 s whose grid would drift across
+    midnight and break the day-matrix contract.
+
+    Input: (site, sampling_seconds). Output adds ``grid_seconds``.
+    The table is site-sized — the divisor cross join is trivially small.
+    """
+    spark = sampling.sparkSession
+    divisors = [d for d in range(1, 86401) if 86400 % d == 0]
+    divs = spark.createDataFrame(
+        [(d,) for d in divisors], "grid_seconds long"
+    )
+    j = sampling.crossJoin(F.broadcast(divs))
+    pick = Window.partitionBy(site_col).orderBy(
+        F.abs(F.col("grid_seconds") - F.col("sampling_seconds")),
+        F.asc("grid_seconds"),
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(site_col, "sampling_seconds", "grid_seconds")
+    )
+
+
 def standardize_time_axis(
     df: DataFrame,
-    sampling_seconds: int,
+    sampling_seconds: int | DataFrame,
     site_col: str = "site",
     ts_col: str = "ts",
     seq_col: str = "seq",
@@ -79,6 +110,14 @@ def standardize_time_axis(
     (inclusive); equidistant ties go to the LATER raw point; a single raw
     point may serve several adjacent slots.
 
+    ``sampling_seconds`` may be a scalar (one fleet-wide grid — the
+    single-site reference semantics) or a per-site DataFrame
+    (site, sampling_seconds) — e.g. ``infer_sampling_seconds``'s output
+    — so a heterogeneous fleet grids each site at its NATIVE cadence
+    (regridding a 48-min site onto a 5-min fleet grid would be ~90 %
+    null slots and garbage density scores). The per-site table is tiny
+    and broadcasts.
+
     Plan shape (scale notes):
       1. one aggregation for per-site (start, end) bounds — tiny table;
       2. grid = ``explode(sequence(start, end, interval))`` — generated,
@@ -93,11 +132,25 @@ def standardize_time_axis(
     Returns (site, grid_ts, value) with NULL where no raw row lies within
     one sampling interval.
     """
-    us = int(sampling_seconds) * 1_000_000
+    if isinstance(sampling_seconds, DataFrame):
+        samp = sampling_seconds.select(
+            site_col,
+            (F.col("sampling_seconds").cast("long") * 1_000_000).alias(
+                "_us"
+            ),
+        )
+        prepared = df.join(F.broadcast(samp), site_col)
+        us = F.col("_us")
+    else:
+        prepared = df.withColumn(
+            "_us", F.lit(int(sampling_seconds) * 1_000_000)
+        )
+        us = F.col("_us")
 
-    bounds = df.groupBy(site_col).agg(
+    bounds = prepared.groupBy(site_col).agg(
         F.date_trunc("day", F.min(ts_col)).alias("start_day"),
         F.date_trunc("day", F.max(ts_col)).alias("last_day"),
+        F.first("_us").alias("_us"),
     )
     grid = bounds.select(
         site_col,
@@ -106,35 +159,44 @@ def standardize_time_axis(
                 F.col("start_day"),
                 # up to but not including midnight after the last day
                 F.timestamp_micros(
-                    F.unix_micros(F.date_add(F.col("last_day"), 1).cast("timestamp"))
-                    - F.lit(us)
+                    F.unix_micros(
+                        F.date_add(F.col("last_day"), 1).cast("timestamp")
+                    )
+                    - F.col("_us")
                 ),
-                F.expr(f"INTERVAL {int(sampling_seconds)} SECONDS"),
+                F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0),
+                    (F.col("_us") / F.lit(1_000_000)).cast("int"),
+                ),
             )
         ).alias("grid_ts"),
     )
 
     # candidate slots: k0-1, k0, k0+1 where k0 = nearest slot index; keep
     # candidates within one full step (pandas limit=1 distance bound)
-    half = us // 2
-    k0 = F.floor((F.unix_micros(F.col(ts_col)) + F.lit(half)) / F.lit(us))
+    half = (us / F.lit(2)).cast("long")
+    k0 = F.floor((F.unix_micros(F.col(ts_col)) + half) / us)
     candidates = (
-        df.select(
+        prepared.select(
             F.col(site_col),
             F.col(ts_col),
             F.col(seq_col),
             F.col(value_col),
+            F.col("_us"),
             k0.alias("_k0"),
         )
         .withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .withColumn(
-            "grid_ts", F.timestamp_micros(((F.col("_k0") + F.col("_off")) * us).cast("long"))
+            "grid_ts",
+            F.timestamp_micros(
+                ((F.col("_k0") + F.col("_off")) * F.col("_us")).cast("long")
+            ),
         )
         .withColumn(
             "dist_us",
             F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("grid_ts"))),
         )
-        .where(F.col("dist_us") <= F.lit(us))
+        .where(F.col("dist_us") <= F.col("_us"))
     )
 
     pick = Window.partitionBy(site_col, "grid_ts").orderBy(

@@ -152,7 +152,7 @@ def dedup_timestamps(
 def circular_roll_slots(
     df: DataFrame,
     shifts: DataFrame,
-    slots_per_day: int,
+    slots_per_day: int | str,
     site_col: str = "site",
 ) -> DataFrame:
     """W6 — circular per-day roll of the slot index (time-shift correction,
@@ -160,9 +160,14 @@ def circular_roll_slots(
 
     ``shifts`` is a small (site, date, roll_k) table (solver-layer output);
     broadcast-joined, then ``slot' = (slot + k) % slots_per_day`` — a pure
-    projection, zero extra shuffles of the big table.
+    projection, zero extra shuffles of the big table. ``slots_per_day``
+    may be a column NAME on ``df`` (per-site grids).
     """
-    m = F.lit(slots_per_day)
+    m = (
+        F.col(slots_per_day)
+        if isinstance(slots_per_day, str)
+        else F.lit(slots_per_day)
+    )
     return (
         df.join(F.broadcast(shifts), on=[site_col, "date"], how="left")
         .withColumn(

@@ -118,37 +118,32 @@ def run_fleet_pipeline(
         F.broadcast(bad_sites.select(site_col)), site_col, "left_anti"
     )
 
-    # ---- relational core: clamp -> standardize -> daily stats
+    # ---- relational core: clamp -> standardize -> daily stats.
+    # With no explicit sampling, each site grids at its OWN inferred
+    # cadence (per_site mode) — the faithful fleet semantics: the
+    # reference runs one site at a time, so its grid is always native,
+    # and forcing a heterogeneous fleet onto one global grid turns every
+    # slower site into mostly-null slots and garbage density scores.
+    per_site = sampling_seconds is None and slots_per_day is None
     core = run_pipeline(
         good,
         sampling_seconds=sampling_seconds,
         max_val=max_val,
         min_val=min_val,
         slots_per_day=slots_per_day,
+        per_site=per_site,
     )
-    if slots_per_day is None:
-        if sampling_seconds is not None:
-            # the grid run_pipeline standardized onto IS the explicit
-            # sampling — deriving slots from the fleet's inferred modal
-            # delta here would disagree with the actual grid and fail
-            # every site's whole-days contract in the scorer
-            slots_per_day = max(int(86400 // sampling_seconds), 1)
-        else:
-            # recover the value run_pipeline inferred: the fleet modal
-            # sampling (the same tiny aggregate run_pipeline collected)
-            row = (
-                core.sampling.groupBy("sampling_seconds")
-                .count()
-                .orderBy(F.desc("count"), F.asc("sampling_seconds"))
-                .first()
-            )
-            eff_sampling = int(row["sampling_seconds"]) if row else 300
-            slots_per_day = max(int(86400 // eff_sampling), 1)
+    if not per_site and slots_per_day is None:
+        # the grid run_pipeline standardized onto IS the explicit
+        # sampling — deriving slots from the fleet's inferred modal
+        # delta here would disagree with the actual grid and fail
+        # every site's whole-days contract in the scorer
+        slots_per_day = max(int(86400 // sampling_seconds), 1)
 
     # ---- scoring stage (per-site grouped map, error-isolated)
     scores = daily_quality_scores(
         core.standardized,
-        slots_per_day=slots_per_day,
+        slots_per_day=None if per_site else slots_per_day,
         site_col=site_col,
         capture_errors=True,
     )
@@ -207,33 +202,50 @@ def run_fleet_pipeline(
     # ---- standardized output: optional shift fix + tz roll
     std_out = core.standardized
     if fix_shifts:
-        std_meas = std_out.select(
+        if per_site:
+            samp = core.sampling.select(
+                site_col,
+                F.col("grid_seconds").cast("long").alias("_samp_s"),
+            )
+            base = std_out.join(F.broadcast(samp), site_col)
+            us_col = F.col("_samp_s") * F.lit(1_000_000)
+            spd_expr = (F.lit(86400) / F.col("_samp_s")).cast("int")
+        else:
+            base = std_out.withColumn(
+                "_samp_s", F.lit(int(86400 // slots_per_day))
+            )
+            us_col = F.col("_samp_s") * F.lit(1_000_000)
+            spd_expr = F.lit(int(slots_per_day))
+        std_meas = base.select(
             site_col,
             F.col("grid_ts").alias("ts"),
             F.col("value"),
+            F.col("_samp_s"),
+            spd_expr.alias("_spd"),
             F.to_date("grid_ts").alias("date"),
             (
                 (
                     F.unix_micros("grid_ts")
                     - F.unix_micros(F.date_trunc("DAY", "grid_ts"))
                 )
-                / F.lit(86_400_000_000.0 / slots_per_day)
+                / us_col
             ).cast("int").alias("slot"),
         )
         fixed = apply_time_shift_correction(
             std_meas,
             shifts.where(F.col("error") == _NOERR),
-            slots_per_day,
+            "_spd",
             site_col=site_col,
         )
         # the roll rewrites `slot`; rebuild the grid timestamp from
         # (date, rolled slot) so the corrected long table is canonical
-        us_per_slot = int(86_400_000_000 // slots_per_day)
         std_out = fixed.select(
             site_col,
             F.timestamp_micros(
                 F.unix_micros(F.col("date").cast("timestamp"))
-                + F.col("slot").cast("long") * F.lit(us_per_slot)
+                + F.col("slot").cast("long")
+                * F.col("_samp_s")
+                * F.lit(1_000_000)
             ).alias("grid_ts"),
             "value",
         )
@@ -398,9 +410,16 @@ def run_fleet_pipeline(
         ),
         F.first("error").alias("time_shift_error"),
     )
+    # the reference's data_sampling is the GRID cadence — report the
+    # snapped per-site grid when in native-cadence mode
+    samp_col = (
+        "grid_seconds"
+        if "grid_seconds" in core.sampling.columns
+        else "sampling_seconds"
+    )
     sampling_report = core.sampling.select(
         site_col,
-        (F.col("sampling_seconds") / 60.0).alias("sampling_minutes"),
+        (F.col(samp_col) / 60.0).alias("sampling_minutes"),
     )
 
     report = (

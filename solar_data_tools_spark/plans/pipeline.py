@@ -48,6 +48,7 @@ def run_pipeline(
     max_val: float | None = None,
     min_val: float | None = None,
     slots_per_day: int | None = None,
+    per_site: bool = False,
 ) -> PipelineResult:
     """Run the relational pipeline for every site in ``measurements``.
 
@@ -55,8 +56,62 @@ def run_pipeline(
     it is inferred per-fleet as the global modal delta (T1) — one tiny
     aggregate collected to the driver, mirroring the reference's scalar
     ``data_sampling`` attribute.
+
+    ``per_site=True`` grids each site at its OWN inferred cadence (the
+    reference runs one site at a time, so its grid is always native; a
+    heterogeneous fleet forced onto one global grid turns every
+    slower-cadence site into mostly-null slots and garbage density
+    scores). In this mode ``sampling_seconds``/``slots_per_day`` are
+    ignored and the daily energy integral scales by each site's own
+    sampling.
     """
     sampling = infer_sampling_seconds(measurements)
+    clamped = clamp_to_null(measurements, "value", min_val, max_val)
+
+    if per_site:
+        from solar_data_tools_spark.operators.time_axis import (
+            snap_sampling_to_day_divisor,
+        )
+
+        # grid cadence = nearest 86400-divisor of the inferred sampling,
+        # so every site's day holds a whole number of slots
+        sampling = snap_sampling_to_day_divisor(sampling)
+        grid = sampling.select(
+            "site", F.col("grid_seconds").alias("sampling_seconds")
+        )
+        standardized = standardize_time_axis(clamped, grid)
+        samp = sampling.select(
+            "site",
+            F.col("grid_seconds").cast("long").alias("_samp_s"),
+        )
+        std_meas = with_time_columns(
+            standardized.join(F.broadcast(samp), "site").select(
+                "site",
+                F.col("grid_ts").alias("ts"),
+                (
+                    F.unix_micros("grid_ts")
+                    / (F.col("_samp_s") * F.lit(1_000_000))
+                )
+                .cast("long")
+                .alias("seq"),
+                "value",
+                "_samp_s",
+            ),
+            sampling_seconds="_samp_s",
+        )
+        daily = daily_statistics(
+            std_meas, approx_capacity=True, sampling_col="_samp_s"
+        )
+        clip = clipping_stats(std_meas)
+        daily = daily.join(clip, on=["site", "date"], how="left")
+        report = dataset_report(daily)
+        return PipelineResult(
+            standardized=standardized,
+            daily=daily,
+            report=report,
+            sampling=sampling,
+        )
+
     if sampling_seconds is None:
         # fleet-level modal sampling: cheap driver-side scalar (guard stage,
         # SURVEY §4.1 "early-exit guards run as a separate small action")

@@ -6385,9 +6385,11 @@ def q157_fleet_report(spark, sf_dir):
     from solar_data_tools_spark.plans.fleet import fleet_report
 
     m = _meas(spark, sf_dir)
+    # no explicit sampling: per-site native-cadence mode — each site
+    # grids at its own inferred (86400-divisor-snapped) cadence, the
+    # faithful fleet semantics for this heterogeneous synthetic fleet
     rep = fleet_report(
         m.select("site", "ts", "seq", "value"),
-        sampling_seconds=300,
         fix_shifts=True,
         correct_tz=True,
         run_loss_analysis=True,

@@ -233,3 +233,37 @@ def test_loss_analysis_leg(spark):
         meas, sampling_seconds=900, time_shift_w1=5.0
     ).collect()[0]
     assert off["run_loss_analysis_error"] == "Loss analysis not requested"
+
+
+def test_per_site_native_cadence_fleet(spark):
+    """Heterogeneous fleet (5-min and 45-min sites) with no explicit
+    sampling: each site grids at its OWN divisor-snapped cadence, both
+    score cleanly (no whole-days violations, no mostly-null regrid), and
+    sampling_minutes reports each site's actual grid."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    slots_fast, slots_slow = 288, 32  # 5-min and 45-min days
+    rows = []
+    for slots, site, step_min in ((slots_fast, 0, 5), (slots_slow, 1, 45)):
+        hod = np.arange(slots) * 24.0 / slots
+        bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None) * 4.0
+        for d in range(12):
+            base = pd.Timestamp("2024-04-01") + pd.Timedelta(days=d)
+            for i in range(slots):
+                rows.append(
+                    (site, base + pd.Timedelta(minutes=step_min * i),
+                     float(bell[i]))
+                )
+    meas = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "ts", "value"])
+    ).select("site", "ts", F.monotonically_increasing_id().alias("seq"),
+             "value")
+    rep = {r["site"]: r for r in fleet_report(
+        meas, time_shift_w1=5.0
+    ).collect()}
+    assert rep[0]["sampling_minutes"] == pytest.approx(5.0)
+    assert rep[1]["sampling_minutes"] == pytest.approx(45.0)
+    for s in (0, 1):
+        assert rep[s]["run_pipeline_error"] == "No error", rep[s]
+        assert rep[s]["num_days"] == 12
+        assert rep[s]["capacity"] == pytest.approx(4.0, rel=0.05)
