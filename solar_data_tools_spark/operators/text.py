@@ -355,3 +355,48 @@ def bm25_topk(
         .where(F.col("rank") <= int(k))
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack et
+    al. 2009) — the standard hybrid-retrieval combiner (BM25 + dense ANN
+    in a RAG stack): ``rrf(d) = sum_systems 1 / (rrf_k + rank_s(d))``,
+    summed over the systems that returned ``d``.
+
+    Inputs are (query_id, id, rank) tables (e.g. ``bm25_topk`` and
+    ``brute_force_topk`` outputs). Plan: one union + one
+    (query, doc)-keyed agg + a per-query window — candidate lists are
+    k-bounded per query, so every stage is tiny regardless of corpus
+    size. With exactly two systems the fused score is a sum of at most
+    TWO doubles — commutative-exact in IEEE, hence engine- and
+    partitioning-stable without a fixed-point step.
+
+    Output: (query_id, id, rrf_score, rank).
+    """
+    from pyspark.sql import Window
+
+    a = ranked_a.select(query_id_col, id_col, "rank")
+    b = ranked_b.select(query_id_col, id_col, "rank")
+    pooled = a.unionByName(b).select(
+        query_id_col,
+        id_col,
+        (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("_c"),
+    )
+    fused = pooled.groupBy(query_id_col, id_col).agg(
+        F.sum("_c").alias("rrf_score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(query_id_col, id_col, "rrf_score", "rank")
+    )

@@ -6756,6 +6756,116 @@ GROUP BY 1, 2
 """
 
 
+def q164_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (q162) and the dense cosine ranking (q46) for the same
+    three queries — the standard two-tower RAG retrieval stack in one
+    composed, exactly-oracle-replayable query (embeddings align with
+    documents by id). With two systems the fused score is a sum of at
+    most two doubles — commutative-exact, no fixed-point needed."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+    from solar_data_tools_spark.operators.text import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = (
+        docs.where(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("pos", "term"),
+        )
+        .where((F.col("pos") < 5) & (F.length("term") > 0))
+        .select("query_id", "term")
+    )
+    sparse = bm25_topk(docs, qt, k=10)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse(sparse, dense, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("rrf_score", R).alias("rrf_score"),
+        "rank",
+    )
+
+
+Q164_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tokl AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tokf AS (SELECT doc_id, term FROM tokl WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, t[i] AS term
+  FROM toks, unnest(range(1, least(len(t), 5) + 1)) u(i)
+  WHERE doc_id < 3 AND length(t[i]) > 0
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           * 1e6 + 0.5) AS BIGINT) AS c_fp
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+bscored AS (
+  SELECT query_id, doc_id, CAST(sum(c_fp) AS BIGINT) / 1e6 AS score
+  FROM contrib GROUP BY 1, 2
+),
+branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bscored
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 3),
+dscored AS (
+  SELECT qv.query_id, e.vec_id,
+         list_dot_product(e.v, qv.qvec)
+         / sqrt(list_dot_product(e.v, e.v)
+              * list_dot_product(qv.qvec, qv.qvec)) AS cos
+  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id
+),
+dranked AS (
+  SELECT query_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM dscored
+),
+pooled AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+  FROM branked WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+  FROM dranked WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS rrf_score
+  FROM pooled GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score, rank
+FROM franked WHERE rank <= 10
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -6971,6 +7081,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q163_cms_heavy_hitters": QuerySpec(
         q163_cms_heavy_hitters, Q163_SQL, "sketch-cms"
+    ),
+    "q164_hybrid_rrf": QuerySpec(
+        q164_hybrid_rrf, Q164_SQL, "retrieval-hybrid-rrf"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7205,6 +7318,7 @@ _QUERY_ORDER: list[str] = [
     "q161_epoch_mix",
     "q162_bm25_topk",
     "q163_cms_heavy_hitters",
+    "q164_hybrid_rrf",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -54,6 +54,7 @@ _TWO_SCALE = [
     "q161_epoch_mix",
     "q162_bm25_topk",
     "q163_cms_heavy_hitters",
+    "q164_hybrid_rrf",
 ]
 
 

@@ -116,3 +116,23 @@ def test_cms_one_sided_and_mergeable(spark, sf_small):
         .count()
     )
     assert diff == 0
+
+
+def test_rrf_fusion_semantics(spark):
+    """A doc ranked well by BOTH systems outranks docs each system
+    ranks alone; scores are exactly 1/(60+r_a) + 1/(60+r_b)."""
+    from solar_data_tools_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert out[11]["rank"] == 1  # in both lists
+    assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61
+    assert set(out) == {10, 11, 12, 13}
