@@ -230,3 +230,50 @@ def test_dsir_ratio_table_broadcasts(spark, sf_small):
     plan = _formatted_plan(out)
     assert "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_bm25_query_terms_broadcast_no_cartesian(spark, sf_small):
+    """q162: the query-term table must broadcast onto the postings (the
+    corpus never joins anything bigger than the vocabulary) and the plan
+    must contain no cartesian/nested-loop join."""
+    plan = _formatted_plan(QUERIES["q162_bm25_topk"].fn(spark, sf_small))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is expected and correct: the 1-row
+    # (n_docs, avgdl) scalar table cross-joins by broadcast; anything
+    # more would mean a real unkeyed join crept in (formatted mode
+    # prints each node twice — header list + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_semantic_decontaminate_corpus_never_shuffles(spark, sf_small):
+    """q159: the eval matrix is a task closure, so the train corpus must
+    reach its verdicts without ANY exchange (pure mapInPandas scan)."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    out = semantic_decontaminate(
+        emb.where(F.col("vec_id") % 41 != 0),
+        emb.where(F.col("vec_id") % 41 == 0),
+        tau=0.35,
+    )
+    plan = _formatted_plan(out)
+    assert "Exchange" not in plan
+
+
+def test_cms_build_is_one_partial_agg(spark, sf_small):
+    """q163: the sketch aggregate must show a partial (map-side) hash
+    aggregate before the exchange — each task emits at most depth*width
+    rows no matter how much text it scanned."""
+    from solar_data_tools_spark.operators.sketches import cms_build
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(cms_build(docs, width=128, depth=4))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "EvalPython" not in plan
