@@ -125,6 +125,12 @@ def run_fleet_pipeline(
     # and forcing a heterogeneous fleet onto one global grid turns every
     # slower site into mostly-null slots and garbage density scores.
     per_site = sampling_seconds is None and slots_per_day is None
+    if sampling_seconds is None and slots_per_day is not None:
+        # slots alone defines the grid: derive the sampling from it so
+        # run_pipeline standardizes onto the SAME grid the scorer will
+        # reshape by (letting it infer the fleet-modal sampling instead
+        # would desync grid and slots and fail the whole-days contract)
+        sampling_seconds = max(int(86400 // slots_per_day), 1)
     core = run_pipeline(
         good,
         sampling_seconds=sampling_seconds,
@@ -250,7 +256,11 @@ def run_fleet_pipeline(
             "value",
         )
 
-    # ---- tz check (reference :622-640): offset = round(12 - mean noon)
+    # ---- tz check (reference :622-640): offset = round(12 - mean noon).
+    # Computed from the PRE-fix daily noon (the reference reads the
+    # post-fix matrix, :623): a whole-hour tz offset survives the
+    # sub-hour shift fix by construction, so the rounded offset agrees;
+    # documented divergence kept for one fewer pass over the fleet.
     tz = (
         core.daily.groupBy(site_col)
         .agg(F.avg("solar_noon_rs").alias("_noon"))

@@ -267,3 +267,16 @@ def test_per_site_native_cadence_fleet(spark):
         assert rep[s]["run_pipeline_error"] == "No error", rep[s]
         assert rep[s]["num_days"] == 12
         assert rep[s]["capacity"] == pytest.approx(4.0, rel=0.05)
+
+
+def test_slots_only_grid_spec(spark):
+    """Passing slots_per_day ALONE derives the sampling from it, so the
+    standardization grid and the scorer's reshape agree (previously a
+    TypeError / whole-days mismatch)."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    meas = _bell_fleet(spark, n_sites=1, n_days=6)
+    r = fleet_report(meas, slots_per_day=288, time_shift_w1=5.0).collect()[0]
+    assert r["run_pipeline_error"] == "No error"
+    assert r["num_days"] == 6
+    assert r["sampling_minutes"] == pytest.approx(5.0)
