@@ -280,3 +280,47 @@ def test_slots_only_grid_spec(spark):
     assert r["run_pipeline_error"] == "No error"
     assert r["num_days"] == 6
     assert r["sampling_minutes"] == pytest.approx(5.0)
+
+
+def test_planted_time_shift_detected_and_fixed(spark):
+    """True-positive side of the shift stage through the FACADE: a
+    planted 1-hour clock shift over the second half of the record must
+    set time_shift_correction=True (the knee-picked w1 must not smooth
+    a real step away), and fix_shifts=True must realign the corrected
+    grid so the post-fix energy center of mass agrees across halves."""
+    from solar_data_tools_spark.plans.fleet import run_fleet_pipeline
+
+    slots = 96
+    hod = np.arange(slots) * 24.0 / slots
+    bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None) * 4.0
+    rows = []
+    for d in range(60):
+        base = pd.Timestamp("2024-02-01") + pd.Timedelta(days=d)
+        shift = 4 if d >= 30 else 0  # 4 slots = 1 hour late
+        for i in range(slots):
+            rows.append(
+                (7, base + pd.Timedelta(minutes=15 * i),
+                 float(bell[(i - shift) % slots]))
+            )
+    meas = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "ts", "value"])
+    ).select("site", "ts", F.monotonically_increasing_id().alias("seq"),
+             "value")
+    res = run_fleet_pipeline(meas, fix_shifts=True)
+    r = res.report.collect()[0]
+    assert r["run_pipeline_error"] == "No error"
+    assert bool(r["time_shift_correction"]) is True
+
+    # post-fix: the energy center of mass must agree across the halves
+    fixed = res.standardized.toPandas()
+    fixed["date"] = pd.to_datetime(fixed.grid_ts).dt.normalize()
+    fixed["hod"] = (
+        pd.to_datetime(fixed.grid_ts) - fixed.date
+    ).dt.total_seconds() / 3600.0
+    com = (
+        fixed.assign(w=fixed.hod * fixed.value)
+        .groupby("date")
+        .apply(lambda g: g.w.sum() / g.value.sum(), include_groups=False)
+    )
+    first, second = com.iloc[:30].mean(), com.iloc[30:].mean()
+    assert abs(first - second) < 0.15, (first, second)
