@@ -2162,3 +2162,47 @@ def test_avi_mjpeg_frame_sampling_and_feature(spark):
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
     assert feats[1]["sniffed_mime"] == "video/avi"
     assert feats[1]["duration_s"] == pytest.approx(6 / fps, abs=1e-6)
+
+
+def test_standardize_per_site_table_equals_scalar(spark):
+    """standardize_time_axis with a per-site sampling TABLE must produce
+    byte-identical grids to the scalar path when every site shares the
+    cadence — the equivalence that makes per-site mode a strict
+    generalization."""
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.time_axis import (
+        standardize_time_axis,
+    )
+
+    rows = []
+    for s in range(3):
+        for i in range(200):
+            # jittered, gappy 5-min-ish series
+            if (i * 7 + s) % 11 == 0:
+                continue
+            rows.append(
+                (s,
+                 pd.Timestamp("2024-05-01")
+                 + pd.Timedelta(seconds=300 * i + (i % 3) * 20),
+                 i, float(i % 17))
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["site", "ts", "seq", "value"])
+    )
+    scalar = (
+        standardize_time_axis(df, 300)
+        .orderBy("site", "grid_ts").toPandas()
+    )
+    tbl = spark.createDataFrame(
+        [(s, 300) for s in range(3)], "site long, sampling_seconds long"
+    )
+    per_site = (
+        standardize_time_axis(df, tbl)
+        .orderBy("site", "grid_ts").toPandas()
+    )
+    assert len(scalar) == len(per_site)
+    assert (scalar["grid_ts"].to_numpy() == per_site["grid_ts"].to_numpy()).all()
+    a = scalar["value"].to_numpy()
+    b = per_site["value"].to_numpy()
+    assert ((a == b) | (pd.isna(a) & pd.isna(b))).all()
