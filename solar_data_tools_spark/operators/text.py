@@ -457,3 +457,119 @@ def rrf_fuse(
         .where(F.col("rank") <= int(k))
         .select(query_id_col, id_col, "rrf_score", "rank")
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty vs the REST of the corpus: the fraction of a
+    doc's distinct word n-grams that appear in at least one OTHER
+    document (``word_ngrams`` emits distinct grams per doc, so corpus
+    doc-frequency >= 2 means shared). ``dup_frac`` near 1 marks
+    boilerplate/templated docs; the per-source mean is the standard
+    data-card diversity statistic. The within-corpus counterpart of
+    ``decontaminate``'s eval-overlap fraction.
+
+    Scale shape: one shingle explode + a gram-keyed doc-frequency agg
+    (bounded by |distinct grams|, map-side combined) joined back onto
+    the postings by gram — the same cost class as the n-gram Jaccard
+    index's first pass, no pairwise term anywhere.
+
+    Output: (id_col, n_grams_distinct, n_shared, dup_frac).
+    """
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+
+    grams = word_ngrams(docs, n=n, id_col=id_col, text_col=text_col)
+    dfreq = grams.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        grams.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams_distinct"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams_distinct",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams_distinct")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap BETWEEN sources — the
+    dataset-overlap report run before mixing corpora (two "different"
+    dumps sharing 60 % of their shingle space should be mixed as one):
+
+        J(A, B) = |grams(A) ∩ grams(B)| / |grams(A) ∪ grams(B)|
+
+    over each source's distinct shingle SET.
+
+    Scale shape: distinct (source, gram) pairs (one agg), a gram-keyed
+    self-join whose per-gram fan-out is bounded by the SOURCE count
+    squared (a handful — never doc-pairs), and a source-pair aggregate
+    of at most |sources|^2 rows. Output: (source_a, source_b,
+    n_common, n_a, n_b, jaccard) for source_a < source_b.
+    """
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+
+    sg = (
+        word_ngrams(
+            docs, n=n, id_col=id_col, text_col=text_col,
+            carry_cols=[source_col],
+        )
+        .select(source_col, "shingle")
+        .distinct()
+    )
+    sizes = sg.groupBy(source_col).agg(F.count("*").alias("n_grams"))
+    a = sg.select(F.col(source_col).alias("source_a"), "shingle")
+    b = sg.select(F.col(source_col).alias("source_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(source_col).alias("source_a"),
+                    F.col("n_grams").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(source_col).alias("source_b"),
+                    F.col("n_grams").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -6866,6 +6866,93 @@ FROM franked WHERE rank <= 10
 """
 
 
+def q165_novelty_scores(spark, sf_dir):
+    """Per-document novelty vs the rest of the corpus: the fraction of
+    each doc's distinct 4-grams appearing in >= 1 OTHER document —
+    boilerplate detection and the data-card diversity statistic
+    (within-corpus counterpart of q100's eval-overlap fraction).
+    dup_frac is a ratio of exact integers, so the oracle hash is
+    stable by construction."""
+    from solar_data_tools_spark.operators.text import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = novelty_scores(docs, n=4)
+    return out.select(
+        "doc_id",
+        "n_grams_distinct",
+        "n_shared",
+        F.round("dup_frac", R).alias("dup_frac"),
+    )
+
+
+Q165_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+3], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 2)) u(i)
+  WHERE len(t) >= 4
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM grams GROUP BY 1)
+SELECT g.doc_id,
+       count(*) AS n_grams_distinct,
+       sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+       round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+             / count(*), 6) AS dup_frac
+FROM grams g JOIN dfreq d USING (shingle)
+GROUP BY g.doc_id
+"""
+
+
+def q166_source_overlap(spark, sf_dir):
+    """Pairwise 3-gram Jaccard overlap BETWEEN sources — the dataset-
+    overlap report run before mixing corpora (two 'different' dumps
+    sharing most of their shingle space should be mixed as one). The
+    per-gram join fan-out is bounded by the source count squared, never
+    doc pairs."""
+    from solar_data_tools_spark.operators.text import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = source_overlap(docs, n=3)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round("jaccard", R).alias("jaccard"),
+    )
+
+
+Q166_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sg a JOIN sg b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.n_common,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       round(c.n_common / (sa.n_grams + sb.n_grams - c.n_common), 6)
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7084,6 +7171,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q164_hybrid_rrf": QuerySpec(
         q164_hybrid_rrf, Q164_SQL, "retrieval-hybrid-rrf"
+    ),
+    "q165_novelty_scores": QuerySpec(
+        q165_novelty_scores, Q165_SQL, "datacard-novelty"
+    ),
+    "q166_source_overlap": QuerySpec(
+        q166_source_overlap, Q166_SQL, "datacard-source-overlap"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7319,6 +7412,8 @@ _QUERY_ORDER: list[str] = [
     "q162_bm25_topk",
     "q163_cms_heavy_hitters",
     "q164_hybrid_rrf",
+    "q165_novelty_scores",
+    "q166_source_overlap",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

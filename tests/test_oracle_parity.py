@@ -55,6 +55,8 @@ _TWO_SCALE = [
     "q162_bm25_topk",
     "q163_cms_heavy_hitters",
     "q164_hybrid_rrf",
+    "q165_novelty_scores",
+    "q166_source_overlap",
 ]
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_bm25_known_ranking(spark):
     """The doc matching BOTH query terms outranks docs repeating a
@@ -136,3 +138,48 @@ def test_rrf_fusion_semantics(spark):
     assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
     assert out[10]["rrf_score"] == 1.0 / 61
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_novelty_scores_planted(spark):
+    """Two identical docs share every gram (dup_frac 1); a unique doc
+    shares none (dup_frac 0)."""
+    from solar_data_tools_spark.operators.text import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_scores(docs, n=4).collect()}
+    assert out[1]["dup_frac"] == 1.0 and out[2]["dup_frac"] == 1.0
+    assert out[3]["dup_frac"] == 0.0
+    assert out[3]["n_grams_distinct"] == 2  # 5 tokens -> two 4-grams
+
+
+def test_source_overlap_planted(spark):
+    """Disjoint sources overlap 0; a source repeating another's text
+    overlaps 1; the half-shared pair lands exactly at its Jaccard."""
+    from solar_data_tools_spark.operators.text import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),
+            (2, "b", "one two three four"),     # b == a
+            (3, "c", "five six seven eight"),   # disjoint from a/b
+            (4, "d", "one two three nine"),     # shares 1 of a's 2 grams? n=3
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, n=3).collect()
+    }
+    assert out[("a", "b")]["jaccard"] == 1.0
+    assert ("a", "c") not in out  # zero common grams -> no row
+    ad = out[("a", "d")]
+    # a: {one two three, two three four}; d: {one two three, two three nine}
+    assert ad["n_common"] == 1 and ad["n_a"] == 2 and ad["n_b"] == 2
+    assert ad["jaccard"] == pytest.approx(1.0 / 3.0)
