@@ -6953,6 +6953,83 @@ JOIN sizes sb ON sb.source = c.source_b
 """
 
 
+def q167_source_overlap_minhash(spark, sf_dir):
+    """Sketch-tier source overlap: per-SOURCE MinHash signatures (the
+    min over a source's whole 3-gram set — ``minhash_signatures`` with
+    ``id_col="source"``; min-aggregates merge, so the union-set
+    signature is the same groupBy) and the pairwise match-fraction
+    Jaccard estimate. At 100 TB this replaces q166's exact gram-set
+    self-join with |sources| x 64 longs; the md5_60 permutation hash
+    makes the whole estimate DuckDB-replayable, and a local invariant
+    test pins the estimate against q166's exact Jaccard within MinHash
+    error bounds."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(
+        docs,
+        num_hashes=64,
+        n=3,
+        id_col="source",
+        token_hash="md5_60",
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"), F.col("signature").alias("_sa")
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"), F.col("signature").alias("_sb")
+    )
+    match = None
+    for i in range(64):  # unrolled: codegen, no interpreted HOF lambda
+        term = (F.col("_sa")[i] == F.col("_sb")[i]).cast("int")
+        match = term if match is None else match + term
+    return (
+        a.crossJoin(b)
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            match.alias("n_match"),
+            F.round(match / F.lit(64.0), R).alias("est_jaccard"),
+        )
+    )
+
+
+def _q167_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT)"
+        f" AS sig{i}"
+        for i in range(64)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT source,
+       {mins}
+  FROM sh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       {matches} AS n_match,
+       round(({matches}) / 64.0, 6) AS est_jaccard
+FROM sigs a JOIN sigs b ON a.source < b.source
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7177,6 +7254,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q166_source_overlap": QuerySpec(
         q166_source_overlap, Q166_SQL, "datacard-source-overlap"
+    ),
+    "q167_source_overlap_minhash": QuerySpec(
+        q167_source_overlap_minhash, Q167_SQL, "datacard-overlap-sketch"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7414,6 +7494,7 @@ _QUERY_ORDER: list[str] = [
     "q164_hybrid_rrf",
     "q165_novelty_scores",
     "q166_source_overlap",
+    "q167_source_overlap_minhash",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -57,6 +57,7 @@ _TWO_SCALE = [
     "q164_hybrid_rrf",
     "q165_novelty_scores",
     "q166_source_overlap",
+    "q167_source_overlap_minhash",
 ]
 
 

@@ -183,3 +183,32 @@ def test_source_overlap_planted(spark):
     # a: {one two three, two three four}; d: {one two three, two three nine}
     assert ad["n_common"] == 1 and ad["n_a"] == 2 and ad["n_b"] == 2
     assert ad["jaccard"] == pytest.approx(1.0 / 3.0)
+
+
+def test_minhash_source_overlap_tracks_exact(spark, sf_small):
+    """The 64-hash per-source MinHash Jaccard estimate (q167) must land
+    within 4 standard errors (se = sqrt(J(1-J)/64) <= 0.0625) of q166's
+    exact gram-set Jaccard for every source pair — the accuracy contract
+    that justifies the sketch as the 100 TB path."""
+    from solar_data_tools_spark.registry import QUERIES
+
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in QUERIES["q166_source_overlap"].fn(
+            spark, sf_small
+        ).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in QUERIES["q167_source_overlap_minhash"].fn(
+            spark, sf_small
+        ).collect()
+    }
+    assert len(est) > 0
+    checked = 0
+    for pair, j_est in est.items():
+        j = exact.get(pair, 0.0)
+        se = max((j * (1 - j) / 64.0) ** 0.5, 1e-9)
+        assert abs(j_est - j) <= max(4 * se, 0.08), (pair, j, j_est)
+        checked += 1
+    assert checked == len(est)
