@@ -7470,16 +7470,20 @@ _QUERY_ORDER: list[str] = [
     # 2. oracle queries whose CODE changed this round (q103/q115 LM
     #    scorers gained the same fixed-point contract; q138's featurizer
     #    grew the single-token bigram guard)
-    # 3. new this round: the fleet DataHandler facade (rows-only) and
-    #    three new oracle queries (cluster-balanced sampling, semantic
-    #    decontamination, within-doc dedup)
+    # 3. new this round: the fleet DataHandler facade (q157 rows-only)
+    #    and TEN new oracle queries (q158-q167: cluster-balanced
+    #    sampling, semantic decontamination, within-doc dedup, epoch
+    #    mixing, BM25, CMS heavy hitters, hybrid RRF, novelty, source
+    #    overlap exact + MinHash sketch)
     # 4. q131/q133/q134/q137 — never externally driver-run (fell outside
     #    every window r1-r6; VERDICT r6 item 3)
-    # 5. the oldest-checked oracle class (last external pass r4); the
-    #    last three of that class yield their slots to the new oracles
-    # Tail: remaining r5 class, then the entire r6 window class (checked
-    # most recently). The full registry is swept locally every session
-    # by tests/test_oracle_parity.py regardless of the window.
+    # 5. the oldest-checked oracle class (last external pass r4) fills
+    #    the remaining window slots; its last entries (q42 onward) sit
+    #    just past the boundary and lead the tail
+    # Tail: rest of the r4 class, the r5 class, then the entire r6
+    # window class (checked most recently). The full registry is swept
+    # locally every session by tests/test_oracle_parity.py AND by
+    # tools/driver_sim.py --all regardless of the window.
     "q143_dsir_selection",
     "q103_unigram_logprob",
     "q115_bigram_logprob",
