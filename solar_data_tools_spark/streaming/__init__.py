@@ -17,3 +17,6 @@ from solar_data_tools_spark.streaming.dedup_stream import (  # noqa: F401
 from solar_data_tools_spark.streaming.packing_stream import (  # noqa: F401
     streaming_pack_sequences,
 )
+from solar_data_tools_spark.streaming.sketch_stream import (  # noqa: F401
+    streaming_cms,
+)

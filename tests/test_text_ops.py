@@ -212,3 +212,42 @@ def test_minhash_source_overlap_tracks_exact(spark, sf_small):
         assert abs(j_est - j) <= max(4 * se, 0.08), (pair, j, j_est)
         checked += 1
     assert checked == len(est)
+
+
+def test_streaming_cms_matches_batch(spark, sf_small, tmp_path):
+    """The CMS is a bounded additive aggregate: the streaming grid after
+    ingesting the whole corpus equals cms_build's batch grid exactly —
+    watermark-free stateful aggregation whose state is capped at
+    depth*width rows forever."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.sketches import cms_build
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_cms
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "cms_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    q = (
+        streaming_cms(stream, width=256, depth=4, seed=2)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream_test").collect()
+    }
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build(docs, width=256, depth=4, seed=2).collect()
+    }
+    assert streamed == batch and len(batch) > 0
