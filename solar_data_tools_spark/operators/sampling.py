@@ -683,3 +683,98 @@ def epoch_mix(
         .withColumn("epoch", F.explode(copies))
         .drop("_n_copies")
     )
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    budget: int,
+    quality_col: str,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+    sub_buckets: int = 256,
+) -> DataFrame:
+    """Exact token-budget corpus cut — the final step of building a
+    pretraining mix: walk documents in (quality DESC, seeded-hash, id)
+    order and keep every doc whose INCLUSIVE cumulative token count
+    stays within ``budget``. The hash randomizes within equal-quality
+    ties so the cut is an unbiased sample of the boundary stratum, and
+    the whole selection is a pure function of (ids, seed) —
+    deterministic, partitioning-invariant, engine-replayable.
+
+    Scale shape (the reason this is not "one global window"): a naive
+    cumulative sum over the corpus order moves EVERYTHING to one
+    partition. Instead:
+
+    1. per-quality-value totals → a bucket table bounded by
+       |distinct quality values|; its cumulative sum is a window over
+       that SMALL table only. Buckets whose cumulative total fits are
+       kept whole; exactly one bucket straddles the budget.
+    2. the straddling bucket's docs hash into ``sub_buckets`` ordered
+       ranges of the tie-break key; their totals cumsum the same way;
+       full sub-buckets are kept whole.
+    3. only the one straddling SUB-bucket (~1/sub_buckets of one
+       quality stratum) pays a single-partition running sum.
+
+    Output: the kept docs with their original columns.
+    """
+    u = hash_uniform(F.col(id_col), seed)
+    d = docs.withColumn("_u", u)
+    q = F.col(quality_col)
+
+    # ---- level 1: per-quality buckets (small table)
+    b = d.groupBy(quality_col).agg(F.sum(n_tokens_col).alias("_bt"))
+    wq = Window.orderBy(F.desc(quality_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    b = b.withColumn("_cum", F.sum("_bt").over(wq)).withColumn(
+        "_before", F.col("_cum") - F.col("_bt")
+    )
+    full_q = b.where(F.col("_cum") <= budget).select(quality_col)
+    straddle = b.where(
+        (F.col("_before") < budget) & (F.col("_cum") > budget)
+    ).select(quality_col, F.col("_before"))
+    kept_full = d.join(F.broadcast(full_q), quality_col, "left_semi")
+
+    # ---- level 2: sub-buckets of the straddling stratum by hash range
+    sb = (
+        d.join(F.broadcast(straddle), quality_col)
+        .withColumn(
+            "_sb", F.floor(F.col("_u") * F.lit(int(sub_buckets))).cast("int")
+        )
+    )
+    sbt = sb.groupBy("_sb").agg(F.sum(n_tokens_col).alias("_sbt"))
+    wsb = Window.orderBy(F.asc("_sb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sbt = (
+        sbt.crossJoin(F.broadcast(straddle.select("_before")))
+        .withColumn("_scum", F.sum("_sbt").over(wsb))
+        .withColumn("_sbefore", F.col("_scum") - F.col("_sbt"))
+    )
+    full_sb = sbt.where(
+        F.col("_before") + F.col("_scum") <= budget
+    ).select("_sb")
+    straddle_sb = sbt.where(
+        (F.col("_before") + F.col("_sbefore") < budget)
+        & (F.col("_before") + F.col("_scum") > budget)
+    ).select("_sb", (F.col("_before") + F.col("_sbefore")).alias("_sb0"))
+    kept_sb = sb.join(F.broadcast(full_sb), "_sb", "left_semi")
+
+    # ---- level 3: exact running sum inside the ONE straddling
+    # sub-bucket (the only single-partition window, provably
+    # ~1/sub_buckets of one quality stratum)
+    tail = sb.join(F.broadcast(straddle_sb), "_sb")
+    wt = Window.orderBy(F.asc("_u"), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_tail = tail.withColumn(
+        "_rcum", F.col("_sb0") + F.sum(n_tokens_col).over(wt)
+    ).where(F.col("_rcum") <= budget)
+
+    cols = docs.columns
+    return (
+        kept_full.select(*cols)
+        .unionByName(kept_sb.select(*cols))
+        .unionByName(kept_tail.select(*cols))
+    )

@@ -7030,6 +7030,52 @@ FROM sigs a JOIN sigs b ON a.source < b.source
 Q167_SQL = _q167_sql()
 
 
+def q168_token_budget_cut(spark, sf_dir):
+    """Exact token-budget corpus cut — the final 'take the best docs
+    until the budget is spent' step of building a pretraining mix: walk
+    docs in (quality DESC, seeded-hash, id) order, keep while the
+    inclusive cumulative token count fits 10k tokens (binding at every
+    test scale, so the cut boundary itself is oracle-exercised). The Spark plan
+    is the bucketed two-level prefix sum (only ~1/256 of one quality
+    stratum ever pays a single-partition window); the oracle replays
+    the NAIVE global running sum — a hash match proves the
+    decomposition is exactly order-equivalent. Quality = per-doc token
+    count bucket (deciles of n_chars) so strata are non-trivial."""
+    from solar_data_tools_spark.operators.sampling import (
+        token_budget_cut,
+    )
+    from solar_data_tools_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.join(
+        token_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+    ).withColumn("quality", (F.col("n_chars") / 100).cast("int"))
+    out = token_budget_cut(
+        with_tok, budget=10_000, quality_col="quality", seed=21
+    )
+    return out.select("doc_id", "quality", "n_tokens")
+
+
+Q168_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(floor(n_chars / 100) AS INT) AS quality,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END AS n_tokens,
+         ('0x' || substring(md5('21:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT / 4294967296.0 AS u
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality DESC, u, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, quality, n_tokens FROM ordered WHERE cum <= 10000
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7257,6 +7303,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q167_source_overlap_minhash": QuerySpec(
         q167_source_overlap_minhash, Q167_SQL, "datacard-overlap-sketch"
+    ),
+    "q168_token_budget_cut": QuerySpec(
+        q168_token_budget_cut, Q168_SQL, "sampling-budget-cut"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7499,6 +7548,7 @@ _QUERY_ORDER: list[str] = [
     "q165_novelty_scores",
     "q166_source_overlap",
     "q167_source_overlap_minhash",
+    "q168_token_budget_cut",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -58,6 +58,7 @@ _TWO_SCALE = [
     "q165_novelty_scores",
     "q166_source_overlap",
     "q167_source_overlap_minhash",
+    "q168_token_budget_cut",
 ]
 
 

@@ -449,3 +449,72 @@ def test_epoch_mix_semantics(spark):
     a = sorted(map(tuple, out[["doc_id", "epoch"]].to_numpy()))
     b = sorted(map(tuple, again[["doc_id", "epoch"]].to_numpy()))
     assert a == b
+
+
+def test_token_budget_cut_exact_prefix(spark):
+    """The bucketed two-level cut must equal the naive global prefix:
+    walk (quality DESC, hash, id), keep while inclusive cumsum <=
+    budget — verified against a pandas replay, plus edge cases (budget
+    covers everything; budget smaller than the first doc)."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.sampling import (
+        hash_uniform,
+        token_budget_cut,
+    )
+
+    rows = [(i, i % 7, 10 + i % 13) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, quality int, n_tokens long"
+    )
+    u = {
+        r["doc_id"]: r["u"]
+        for r in docs.select(
+            "doc_id", hash_uniform(F.col("doc_id"), 5).alias("u")
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[1], u[r[0]], r[0]))
+    cum, expect = 0, set()
+    budget = 1500
+    for did, q, nt in order:
+        cum += nt
+        if cum <= budget:
+            expect.add(did)
+    got = {
+        r["doc_id"]
+        for r in token_budget_cut(
+            docs, budget=budget, quality_col="quality", seed=5
+        ).collect()
+    }
+    assert got == expect and 0 < len(got) < 300
+
+    everything = token_budget_cut(
+        docs, budget=10**9, quality_col="quality", seed=5
+    ).count()
+    assert everything == 300
+    nothing = token_budget_cut(
+        docs, budget=5, quality_col="quality", seed=5
+    ).count()
+    assert nothing == 0
+
+
+def test_token_budget_cut_partitioning_invariant(spark):
+    from solar_data_tools_spark.operators.sampling import token_budget_cut
+
+    rows = [(i, i % 5, 7 + i % 11) for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, quality int, n_tokens long"
+    )
+    a = {
+        r["doc_id"]
+        for r in token_budget_cut(
+            docs.coalesce(1), budget=900, quality_col="quality"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in token_budget_cut(
+            docs.repartition(16), budget=900, quality_col="quality"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
