@@ -71,12 +71,33 @@ def events_as_measurements(events: DataFrame, sampling_seconds: int = 300) -> Da
     return with_time_columns(base, "ts", sampling_seconds)
 
 
+def pround(col: Column | str, digits: int = 6) -> Column:
+    """Engine-portable fixed-point rounding: ``floor(x*10^d + 0.5)/10^d``,
+    the exact same IEEE ops the DuckDB oracles spell out as
+    ``floor((x) * 1e{d} + 0.5) / 1e{d}``.
+
+    Engine ``round()`` builtins disagree on half-boundary doubles (Spark
+    rounds the exact binary expansion via BigDecimal; DuckDB multiplies
+    first, which can carry the product up to the .5 tick) — at sf0.1
+    that flipped 1-in-40k rows of q30/q37, and the r07 driver caught the
+    same flip on q165's small-integer ratios. Identical expressions on
+    both sides are bit-equal at any scale, negatives included (both
+    sides round half toward +inf — equality needs identical ops, not a
+    particular tie convention). This is the ONLY rounding allowed in an
+    oracle-certified projection (tests/test_certification_lint.py)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    p = F.lit(float(10**digits))
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def round_float(col: Column, digits: int = 6) -> Column:
     """Round a double for order-insensitive hash comparison.
 
     Spark sums partition-parallel while single-node oracles sum sequentially;
     double addition is not associative, so raw sums can differ in the last
     few ulps. Rounding both sides to the same precision removes the
-    nondeterminism without hiding real errors.
-    """
-    return F.round(col, digits)
+    nondeterminism without hiding real errors. Delegates to ``pround``
+    (the portable floor pattern) — the builtin ``F.round`` is banned from
+    certified projections."""
+    return pround(col, digits)

@@ -1141,7 +1141,9 @@ def dsir_importance_weights(
     raises at execution time when the target total is 0. The guard is
     folded into the log-ratio expression (no extra Spark job).
 
-    Output: (id_col, n_grams, logw).
+    Output: (id_col, n_grams, logw_fp LONG, logw DOUBLE) — ``logw_fp``
+    is the integer tick count (the certifiable column); ``logw`` is
+    ``logw_fp / 10^lr_round_digits`` for human consumption.
     """
     feats = hashed_ngram_features(
         raw_docs, n_features, id_col, text_col, use_bigrams, seed
@@ -1190,12 +1192,13 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("_lr_fp")).alias("_logw_fp"),
+            F.sum(F.col("cnt") * F.col("_lr_fp")).alias("logw_fp"),
         )
         .select(
             id_col,
             "n_grams",
-            (F.col("_logw_fp") / F.lit(scale)).alias("logw"),
+            F.col("logw_fp"),
+            (F.col("logw_fp") / F.lit(scale)).alias("logw"),
         )
     )
 
@@ -1215,43 +1218,59 @@ def dsir_select(
 ) -> DataFrame:
     """DSIR selection: sample ``k`` documents WITHOUT replacement,
     proportionally to their importance weights, via the Gumbel-top-k
-    trick — ``key = logw + Gumbel(0,1)`` where the Gumbel noise is
-    ``-ln(-ln(u))`` with ``u`` a seeded md5-uniform of the doc id, so
-    the draw is deterministic, partitioning-invariant, and replayable
-    in any engine (no RNG stream).
+    trick — ``key = logw + Gumbel(0,1)``.
 
-    ``logw`` arrives already bit-stable: ``dsir_importance_weights``
-    fixed-point-rounds the per-FEATURE log-ratio (``round_digits``
-    ticks) and sums in integer arithmetic, so the ranking key — hence
-    the selected set — is identical across engines and cluster layouts
-    by construction (no post-hoc rounding of a float sum, which the
-    round-6 driver proved unstable on half-tick boundaries).
+    Determinism contract — NO float ever enters the ranking key. The
+    Gumbel noise is ``gumbel_fp6(hash_u32(id))``: an integer
+    fixed-point evaluation of ``-ln(-ln(u))`` at 1e-6 ticks built from
+    LONG +-*, shifts, and truncating division only (see
+    ``operators.sampling.gumbel_fp6``), so it is bit-identical across
+    engines, partition layouts, and task retries. ``logw_fp`` arrives
+    as an integer tick sum from ``dsir_importance_weights``. The key
+    is their LONG sum ``key_fp = logw_fp + g_fp6`` — the selected set
+    and every certified column are exact integers. (Rounds 6-7 proved
+    both float routes flaky: a partition-parallel float sum first, then
+    libm ``ln`` last-ulp divergence between the JVM and DuckDB riding
+    the hashed/rounded ``key``.)
 
-    The top-k is a global ``ORDER BY key LIMIT k`` — Spark executes it
-    as TakeOrdered (per-partition heaps + driver merge of k-row heads),
-    no global sort shuffle. Output: (id_col, n_grams, logw, key, rank).
+    The top-k is a global ``ORDER BY key_fp LIMIT k`` — Spark executes
+    it as TakeOrdered (per-partition heaps + driver merge of k-row
+    heads), no global sort shuffle.
+
+    Output: (id_col, n_grams, logw_fp LONG, logw, key_fp LONG, key,
+    rank) — the LONG columns are the certification surface; the doubles
+    are derived ``/1e6`` views for human consumption.
     """
-    from solar_data_tools_spark.operators.sampling import hash_uniform
+    from solar_data_tools_spark.operators.sampling import (
+        hash_u32,
+        with_gumbel_fp6,
+    )
 
+    if round_digits != 6:
+        # gumbel_fp6 emits 1e-6 ticks; logw_fp must be on the same grid
+        raise ValueError("dsir_select requires round_digits=6 "
+                         "(gumbel_fp6 is defined at 1e-6 ticks)")
     w = dsir_importance_weights(
         raw_docs, target_docs, n_features, alpha, id_col, text_col,
         use_bigrams, seed, lr_round_digits=round_digits,
     )
-    u = hash_uniform(F.col(id_col), gumbel_seed)
-    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
-    key = F.col("logw") - F.log(-F.log(u))
+    scale = float(10**round_digits)
+    w = with_gumbel_fp6(w, hash_u32(F.col(id_col), gumbel_seed), "_g6")
     ranked = (
         w.select(
             F.col(id_col),
             "n_grams",
+            "logw_fp",
             "logw",
-            key.alias("key"),
+            (F.col("logw_fp") + F.col("_g6")).alias("key_fp"),
         )
-        .orderBy(F.desc("key"), F.asc(id_col))
+        .orderBy(F.desc("key_fp"), F.asc(id_col))
         .limit(k)
     )
     # rank over k rows only (the post-limit frame is tiny by contract)
     from pyspark.sql import Window
 
-    rw = Window.orderBy(F.desc("key"), F.asc(id_col))
-    return ranked.withColumn("rank", F.row_number().over(rw))
+    rw = Window.orderBy(F.desc("key_fp"), F.asc(id_col))
+    return ranked.withColumn(
+        "rank", F.row_number().over(rw)
+    ).withColumn("key", F.col("key_fp") / F.lit(scale))

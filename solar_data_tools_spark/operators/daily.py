@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.operators.canonical import pround
+
 
 def site_capacity(
     df: DataFrame,
@@ -189,8 +191,8 @@ def binned_mean_pivot(
     """A16 — mean of ``value`` grouped by rounded (x, y) bins
     (polar_transform.py:87-102). The pivot to a grid is presentation-side;
     the scalable artifact is the long (x_bin, y_bin, avg) table."""
-    xb = (F.round(F.col(x_col) / x_bin) * x_bin).alias("x_bin")
-    yb = (F.round(F.col(y_col) / y_bin) * y_bin).alias("y_bin")
+    xb = (pround(F.col(x_col) / x_bin, 0) * x_bin).alias("x_bin")
+    yb = (pround(F.col(y_col) / y_bin, 0) * y_bin).alias("y_bin")
     return df.groupBy(xb, yb).agg(F.avg(value_col).alias("avg_value"))
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.operators.canonical import pround
+
 
 def normalize_text(col):
     """Lowercase, collapse whitespace — shared normalization for all dedup
@@ -675,7 +677,7 @@ def embedding_cosine_duplicates(
         return (
             pairs.withColumn("cosine", cos)
             .where(F.col("cosine") >= F.lit(threshold))
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
         )
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
@@ -729,7 +731,7 @@ def embedding_cosine_duplicates(
     return (
         cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
     )
 
 

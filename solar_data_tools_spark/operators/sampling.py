@@ -44,10 +44,162 @@ def hash_uniform(key: Column, seed: int | str = 0) -> Column:
 
     md5 is JVM-side (whole-stage codegen); one hash per row, no shuffle.
     """
+    return hash_u32(key, seed) / F.lit(4294967296.0)
+
+
+def hash_u32(key: Column, seed: int | str = 0) -> Column:
+    """Deterministic 32-bit unsigned integer (as LONG) from a key column:
+    the first 8 hex chars of ``md5(seed || ':' || key)``. DuckDB mirror:
+    ``('0x' || substring(md5(seed || ':' || key), 1, 8))::BIGINT``.
+    The integer form (rather than the ``/2^32`` uniform) is what the
+    fixed-point noise generators consume — no float ever enters."""
     h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(4294967296.0)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+# fixed-point scale for gumbel_fp6 / _ilog_fp: 2^30
+_FP_S = 1 << 30
+# round(ln(2) * 2^30): the ONLY transcendental constant in the pipeline,
+# baked as an integer literal so both engines use the identical value
+_FP_LN2 = 744261118
+# floor(sqrt(2) * 2^30): mantissa renormalization threshold
+_FP_SQRT2 = 1518500249
+
+
+def _ilog_fp_steps(df: DataFrame, x: str, s: str) -> DataFrame:
+    """Fixed-point natural log of the positive LONG column ``x`` via
+    pure integer arithmetic: appends temp columns suffixed ``s`` ending
+    with ``_k{s}`` / ``_l{s}`` such that
+    ``ln(x) * 2^30 ~= _k{s} * _FP_LN2 + _l{s}``.
+
+    Algorithm: write ``x = 2^k * m``; renormalize ``m`` into
+    ``[sqrt(2)/2, sqrt(2))`` (bumping k) so the atanh series argument
+    ``t = (m-1)/(m+1)`` stays in ``[-0.172, 0.172]``; evaluate
+    ``ln(m) = 2*(t + t^3/3 + t^5/5 + t^7/7 + t^9/9)`` in scaled-integer
+    arithmetic (series error < 1e-9 at that radius; integer truncation
+    dominates at ~1e-8).
+
+    Every op is LONG +-*, shiftleft/shiftright, and ``div`` — all of
+    which Spark and DuckDB evaluate bit-identically (both integer
+    divisions truncate toward zero, verified for negative operands), so
+    the result is the SAME integer in both engines for every input.
+    That is the property float ``ln`` cannot give: libm implementations
+    legitimately differ in the last ulp, which is exactly what kept
+    q143's hashed Gumbel key flaky across two driver rounds.
+
+    Built as CHAINED PROJECTIONS (withColumn steps), not one nested
+    Column: each intermediate is referenced several times downstream,
+    so a nested expression tree grows exponentially (the first attempt
+    OOM'd the analyzer); as projection steps the plan stays linear and
+    Catalyst's CollapseProject leaves multiply-referenced non-cheap
+    aliases in place."""
+    S = F.lit(_FP_S).cast("long")
+    df = df.withColumn(
+        f"_k0{s}", (F.length(F.bin(F.col(x))) - F.lit(1)).cast("int")
     )
+    df = df.withColumn(
+        f"_m0{s}",
+        F.when(
+            F.col(f"_k0{s}") <= F.lit(30),
+            F.call_function(
+                "shiftleft",
+                F.col(x),
+                F.greatest(F.lit(30) - F.col(f"_k0{s}"), F.lit(0)),
+            ),
+        ).otherwise(
+            F.call_function(
+                "shiftright",
+                F.col(x),
+                F.greatest(F.col(f"_k0{s}") - F.lit(30), F.lit(0)),
+            )
+        ),
+    )
+    renorm = F.col(f"_m0{s}") > F.lit(_FP_SQRT2)
+    df = df.withColumn(
+        f"_k{s}",
+        F.when(renorm, F.col(f"_k0{s}") + F.lit(1)).otherwise(
+            F.col(f"_k0{s}")
+        ),
+    ).withColumn(
+        f"_m{s}",
+        F.when(
+            renorm, F.call_function("shiftright", F.col(f"_m0{s}"), F.lit(1))
+        ).otherwise(F.col(f"_m0{s}")),
+    )
+    m = F.col(f"_m{s}")
+    df = df.withColumn(
+        f"_t{s}", F.call_function("div", (m - S) * S, m + S)
+    )
+    t = F.col(f"_t{s}")
+    df = df.withColumn(f"_t2{s}", F.call_function("div", t * t, S))
+    t2 = F.col(f"_t2{s}")
+    df = df.withColumn(f"_t3{s}", F.call_function("div", t2 * t, S))
+    df = df.withColumn(
+        f"_t5{s}", F.call_function("div", F.col(f"_t3{s}") * t2, S)
+    )
+    df = df.withColumn(
+        f"_t7{s}", F.call_function("div", F.col(f"_t5{s}") * t2, S)
+    )
+    df = df.withColumn(
+        f"_t9{s}", F.call_function("div", F.col(f"_t7{s}") * t2, S)
+    )
+    return df.withColumn(
+        f"_l{s}",
+        F.lit(2)
+        * (
+            t
+            + F.call_function("div", F.col(f"_t3{s}"), F.lit(3))
+            + F.call_function("div", F.col(f"_t5{s}"), F.lit(5))
+            + F.call_function("div", F.col(f"_t7{s}"), F.lit(7))
+            + F.call_function("div", F.col(f"_t9{s}"), F.lit(9))
+        ),
+    )
+
+
+def with_gumbel_fp6(df: DataFrame, h: Column, out: str) -> DataFrame:
+    """Append column ``out``: integer fixed-point Gumbel(0,1) noise at
+    1e-6 ticks (LONG) from the 32-bit hash integer column ``h`` (see
+    ``hash_u32``) — the deterministic, engine-exact replacement for
+    ``-ln(-ln(h / 2^32))``.
+
+    Two chained ``_ilog_fp_steps`` passes — ``e = 32*ln2 - ln(h)`` then
+    ``g = 30*ln2 - ln(e * 2^30)`` — entirely in LONG arithmetic, so the
+    output is bit-identical across Spark/DuckDB/partition layouts by
+    construction. Deviation from the ideal Gumbel quantile function is
+    < 5e-4 over u in (1e-7, 1 - 1e-7); the extreme right tail
+    (u > 1 - ~1e-7, ~400 keys in 2^32) is compressed toward ~+15-20
+    (still the largest values emitted), and h = 0 is clamped to 1
+    (g ~= -3.1, near the distribution's floor). Max |g| ~= 21, so at
+    1e-6 ticks the LONG never overflows.
+
+    Mirror the DuckDB side with ``_gumbel_fp6_sql`` in the registry —
+    the two spell out the identical integer ops.
+
+    Scale: a per-row expression chain (no shuffle, no UDF, whole-stage
+    codegen); the md5 hash is the only non-arithmetic op.
+    """
+    S = F.lit(_FP_S).cast("long")
+    keep = list(df.columns)
+    df = df.withColumn("_gh", F.greatest(h, F.lit(1)).cast("long"))
+    df = _ilog_fp_steps(df, "_gh", "a")
+    df = df.withColumn(
+        "_geln",
+        F.greatest(
+            (F.lit(32) - F.col("_ka")).cast("long") * F.lit(_FP_LN2)
+            - F.col("_la"),
+            F.lit(1),
+        ).cast("long"),
+    )
+    df = _ilog_fp_steps(df, "_geln", "b")
+    gfp = (F.lit(30) - F.col("_kb")).cast("long") * F.lit(_FP_LN2) - F.col(
+        "_lb"
+    )
+    df = df.withColumn(
+        out,
+        F.call_function("div", (gfp + F.lit(4) * S) * F.lit(1000000), S)
+        - F.lit(4000000),
+    )
+    return df.select(*keep, out)
 
 
 def hash_sample(
@@ -716,10 +868,28 @@ def token_budget_cut(
     3. only the one straddling SUB-bucket (~1/sub_buckets of one
        quality stratum) pays a single-partition running sum.
 
+    NULL quality is rejected at execution time: a NULL would form its
+    own groupBy bucket but never match the non-null-safe semi/inner
+    joins below, so those docs would be silently neither kept nor
+    counted against the budget. A corpus cut that silently ignores part
+    of the corpus is a data bug, not a policy — impute or filter
+    explicitly before calling.
+
     Output: the kept docs with their original columns.
     """
     u = hash_uniform(F.col(id_col), seed)
-    d = docs.withColumn("_u", u)
+    d = docs.withColumn(
+        quality_col,
+        F.when(
+            F.col(quality_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"token_budget_cut: NULL {quality_col} — filter or "
+                    "impute quality before the budget cut"
+                )
+            ),
+        ).otherwise(F.col(quality_col)),
+    ).withColumn("_u", u)
     q = F.col(quality_col)
 
     # ---- level 1: per-quality buckets (small table)

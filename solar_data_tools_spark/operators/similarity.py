@@ -58,9 +58,14 @@ def brute_force_topk(
 
       * ``"map"`` (default) — the query matrix is collected driver-side
         (bounded by ``query_cap`` — this is a top-k SEARCH operator, the
-        query set is the small side by contract) and closed over a
+        query set is the small side by contract; note the collect runs
+        at CALL time, not action time) and closed over a
         ``mapInPandas`` pass, so each corpus vector crosses the Arrow
-        boundary ONCE instead of once per query. Round-7 warm local[32]
+        boundary ONCE instead of once per query. When the query set
+        exceeds ``query_cap`` under the DEFAULT dispatch, the call
+        falls back to the lazy ``join-pandas`` engine instead of
+        raising (an explicit ``engine="map"`` still raises — the caller
+        asked for the bounded engine by name). Round-7 warm local[32]
         medians at sf0.1 (50k x 64-dim): parity with the join engine at
         10 queries (~0.72 s, Arrow batching amortizes the duplication),
         1.8x faster at 100 queries (0.92 s vs 1.63 s) — the join ships
@@ -78,6 +83,7 @@ def brute_force_topk(
     Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken
     by vec_id for determinism.
     """
+    explicit_engine = engine is not None
     if engine is None:
         engine = "map" if vectorized else "join-hof"
     corpus = _as_double(embeddings, vec_col).select(
@@ -90,11 +96,18 @@ def brute_force_topk(
     if engine == "map":
         qrows = q.limit(query_cap + 1).collect()
         if len(qrows) > query_cap:
-            raise ValueError(
-                f"brute_force_topk(engine='map'): query set exceeds "
-                f"query_cap={query_cap}; pass engine='join-pandas' for "
-                "corpus-sized query sets (or raise query_cap)"
-            )
+            if explicit_engine:
+                raise ValueError(
+                    f"brute_force_topk(engine='map'): query set exceeds "
+                    f"query_cap={query_cap}; pass engine='join-pandas' "
+                    "for corpus-sized query sets (or raise query_cap)"
+                )
+            # default dispatch (vectorized=True): fall back to the lazy
+            # join engine rather than erroring — the map engine's
+            # driver-side query matrix is an optimization, not a
+            # contract, and pre-round-7 callers with large query sets
+            # got the join engine by default
+            engine = "join-pandas"
         if qrows:
             qids = [r[query_id_col] for r in qrows]
             Q = np.array([r["_qvec"] for r in qrows], dtype=np.float64)

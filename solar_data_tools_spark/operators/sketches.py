@@ -81,7 +81,11 @@ def cms_estimate(
     The sketch is at most ``depth * width`` rows and broadcasts; the
     token probe set joins it ``depth`` times cheaper than any corpus
     re-scan. Missing buckets read as 0 (token never seen).
-    Output: tokens' columns + ``cms_cnt``.
+
+    Output: (``token_col``, ``cms_cnt``) — ONLY the token column
+    survives (the probe explodes ``depth`` ways and re-groups on the
+    token alone); join the result back to the probe table to recover
+    other columns, as q163 does with its true-count side.
     """
     probes = tokens.select(
         F.col(token_col),
@@ -101,3 +105,107 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt")
         )
     )
+
+
+def hll_build(
+    df: DataFrame,
+    token_col: str = "token",
+    group_cols: list[str] | None = None,
+    p: int = 12,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic HyperLogLog register table (Flajolet et al. 2007)
+    — the cardinality companion of ``cms_build`` when the ESTIMATE must
+    be engine-exact and mergeable, which Spark's built-in
+    ``approx_count_distinct`` (q151) is not: its HLL++ hash is
+    JVM-internal, so no external oracle can replay it, and two engines
+    never agree bit-for-bit.
+
+    Construction is pure integer arithmetic on md5 bits: take 60 bits
+    of ``md5(seed || ':' || token)`` (the ``md5_60`` convention of the
+    MinHash pipeline), split into a ``p``-bit bucket and a
+    ``(60-p)``-bit tail, and record per bucket the max rank
+    ``rho = (60-p) - bit_length(tail) + 1`` (the 1-based position of
+    the tail's leading 1-bit; an all-zero tail scores ``61-p``).
+    Registers merge by MAX, so the table is a partial-aggregate-friendly
+    groupBy bounded at ``2^p`` rows per group — at 100 TB the shuffle
+    carries at most ``|groups| * 4096`` rows regardless of corpus size,
+    the same discipline as the CMS grid.
+
+    Output: (*group_cols, bucket LONG, rho INT) — all integers, so the
+    register table itself is hash-certifiable against a DuckDB replay
+    (q170). Empty buckets are absent (they read as rho 0 at estimate
+    time).
+    """
+    g = list(group_cols or [])
+    tail_bits = 60 - int(p)
+    h = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(token_col).cast("string"))
+    )
+    h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    bucket = F.call_function(
+        "shiftright", h60, F.lit(tail_bits)
+    ).alias("bucket")
+    tail = F.pmod(h60, F.lit(1 << tail_bits))
+    # bit_length(tail) = length(bin(tail)) except bin(0) = '0' has
+    # length 1; the all-zero tail is exactly the rho = tail_bits + 1
+    # case, handled by the WHEN
+    rho = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits) - F.length(F.bin(tail)) + F.lit(1)
+    )
+    return (
+        df.select(*g, bucket, rho.cast("int").alias("_rho"))
+        .groupBy(*g, "bucket")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Cardinality estimate from an ``hll_build`` register table, with
+    the harmonic sum kept EXACT in integer arithmetic so the estimate
+    is bit-identical across engines and partition layouts:
+
+        sum_j 2^(-rho_j)  =  s_fp / 2^R,   R = 61 - p
+
+    where ``s_fp = sum(2^(R - rho_j))`` over PRESENT buckets plus
+    ``2^R`` per absent bucket (rho 0) — every term a power of two, the
+    sum an exact LONG (max ``2^p * 2^R = 2^61``, no overflow). The only
+    float op is the final ``alpha_m * m^2 * 2^R / s_fp`` — two IEEE
+    multiplications and one division on identical inputs in any engine.
+
+    The raw estimate is emitted WITHOUT the small-range linear-counting
+    correction (that branch needs ``ln``, whose last-ulp engine
+    divergence is exactly what this module's determinism contract
+    bans); instead ``n_zero`` (absent-bucket count) is emitted so the
+    caller — or a test — can apply corrections. The accuracy invariant
+    against exact distinct counts is pinned in tests (sigma ~
+    1.04/sqrt(m) ~ 1.6% at p=12).
+
+    Output: (*group_cols, m, n_zero, s_fp LONG, raw_est DOUBLE-exact).
+    """
+    g = list(group_cols or [])
+    m = 1 << int(p)
+    big_r = 61 - int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(big_r) - F.col("rho"))
+    )
+    agg = registers.groupBy(*g).agg(
+        F.count("*").alias("_present"),
+        F.sum(term).alias("_s_present"),
+    )
+    n_zero = (F.lit(m) - F.col("_present")).alias("n_zero")
+    s_fp = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("_present"))
+        * F.lit(1 << big_r).cast("long")
+    ).alias("s_fp")
+    out = agg.select(*g, F.lit(m).alias("m"), n_zero, s_fp)
+    raw = (
+        F.lit(alpha * m * m * float(1 << big_r)) / F.col("s_fp")
+    ).alias("raw_est")
+    return out.select(*g, "m", "n_zero", "s_fp", raw)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.operators.canonical import pround
+
 
 def infer_sampling_seconds(
     df: DataFrame,
@@ -37,12 +39,13 @@ def infer_sampling_seconds(
         .withColumn(
             "delta_s",
             (
-                F.round(
+                pround(
                     (
                         F.unix_micros(F.col(ts_col))
                         - F.unix_micros(F.col("_prev_ts"))
                     )
-                    / F.lit(1_000_000.0 * round_to)
+                    / F.lit(1_000_000.0 * round_to),
+                    0,
                 )
                 * round_to
             ).cast("long"),

@@ -115,7 +115,37 @@ def wrap_capture_errors(
 
     Returns (wrapped_fn, schema + ", error string").
     """
-    col_names = [c.strip().split()[0] for c in schema.split(",")]
+    # Split on TOP-LEVEL commas only: a naive comma-split would silently
+    # mis-derive names from parameterized types (decimal(10,2),
+    # struct<a:int,b:string>) and emit a malformed error row.
+    # (pyspark's _parse_datatype_string needs an active session, which
+    # this helper must not assume — it's called while building plans.)
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    col_names = []
+    for part in parts:
+        toks = part.strip().split(None, 1)
+        if len(toks) != 2:
+            raise ValueError(
+                f"wrap_capture_errors: cannot derive a column name from "
+                f"schema fragment {part.strip()!r} in {schema!r}"
+            )
+        col_names.append(toks[0])
+    if site_col not in col_names:
+        raise ValueError(
+            f"wrap_capture_errors: site_col {site_col!r} not in schema "
+            f"{schema!r} (parsed columns: {col_names})"
+        )
 
     def _wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
         try:

@@ -278,6 +278,18 @@ def run_fleet_pipeline(
         tz = tz.select(
             site_col, F.lit(0).alias("time_zone_correction")
         )
+    # Divergence from the reference's roll (data_handler.py:629-640):
+    # the reference rolls VALUES circularly within the fixed day index
+    # (np.roll semantics — hours shifted past midnight wrap into the
+    # same day), while this shifts grid_ts, so corrected values spill
+    # into the neighbouring day and the first/last |offset| hours of
+    # the span move outside it. Interior-day daytime windows (what
+    # every downstream scoring/fit stage consumes) are identical under
+    # both; only the two boundary days and the midnight wrap differ —
+    # kept because a timestamp shift is shuffle-free while a roll costs
+    # a per-day window, and because wrapped-into-the-wrong-day values
+    # are an artifact, not data. Sub-day shift correction (fix_shifts)
+    # DOES roll within days, matching the reference exactly.
     if correct_tz:
         std_out = (
             std_out.join(F.broadcast(tz), site_col, "left")

@@ -31,7 +31,10 @@ from solar_data_tools_spark.operators import dedup as dd
 from solar_data_tools_spark.operators import similarity as sim
 from solar_data_tools_spark.operators import sampling as sp
 from solar_data_tools_spark.operators import text as tx
-from solar_data_tools_spark.operators.canonical import events_as_measurements
+from solar_data_tools_spark.operators.canonical import (
+    events_as_measurements,
+    pround,
+)
 from solar_data_tools_spark.operators import daily as dy
 from solar_data_tools_spark.operators import filters as fl
 from solar_data_tools_spark.operators import joins as jn
@@ -60,15 +63,98 @@ R = 6  # float rounding digits for hash-stable comparison
 
 
 def _pround(col, digits: int = R):
-    """Engine-portable fixed-point rounding for NON-NEGATIVE values:
-    floor(x*10^d + 0.5)/10^d, the exact same FP ops the oracle SQL spells
-    out. Engine round() builtins disagree on half-boundary doubles (Spark
-    rounds the exact binary expansion via BigDecimal; DuckDB multiplies
-    first, which can carry the product up to the .5 tick) — at sf0.1 that
-    flipped 1-in-40k rows of q30/q37. Identical expressions on both sides
-    make the outputs bit-equal at any scale."""
-    p = F.lit(float(10**digits))
-    return F.floor(col * p + F.lit(0.5)) / p
+    """Engine-portable fixed-point rounding: floor(x*10^d + 0.5)/10^d,
+    the exact same FP ops the oracle SQL spells out as
+    ``floor((x) * 1e{d} + 0.5) / 1e{d}``. Engine round() builtins
+    disagree on half-boundary doubles (Spark rounds the exact binary
+    expansion via BigDecimal; DuckDB multiplies first, which can carry
+    the product up to the .5 tick) — at sf0.1 that flipped 1-in-40k rows
+    of q30/q37, and the r07 driver caught the same flip on q165's
+    small-integer ratios. Identical expressions on both sides make the
+    outputs bit-equal at any scale, for negatives too (both sides round
+    half toward +inf — equality needs identical ops, not any particular
+    tie convention). Since round 8 this is the ONLY rounding allowed in
+    an oracle-certified projection (enforced by
+    tests/test_certification_lint.py); builtin F.round must not appear
+    in the registry at all."""
+    return pround(col, digits)
+
+def _ilog_fp_sql_steps(s: str) -> list[tuple[str, str]]:
+    """Per-step (name, expr) pairs mirroring
+    ``operators.sampling._ilog_fp_steps`` for the BIGINT column
+    ``x{s}``: ends with ``k{s}`` / ``l{s}`` such that
+    ``ln(x) * 2^30 ~= k{s} * 744261118 + l{s}``, using only BIGINT
+    +-*, shifts, and ``//`` (which truncates toward zero in BOTH
+    engines, verified for negative operands). Shift amounts are clamped
+    non-negative so the unselected CASE branch can never raise."""
+    return [
+        (f"k0{s}", f"length(bin(x{s})) - 1"),
+        (
+            f"m0{s}",
+            f"CASE WHEN k0{s} <= 30 THEN x{s} << greatest(30 - k0{s}, 0)"
+            f" ELSE x{s} >> greatest(k0{s} - 30, 0) END",
+        ),
+        (
+            f"k{s}",
+            f"CASE WHEN m0{s} > 1518500249 THEN k0{s} + 1 ELSE k0{s} END",
+        ),
+        (
+            f"m{s}",
+            f"CASE WHEN m0{s} > 1518500249 THEN m0{s} >> 1 ELSE m0{s} END",
+        ),
+        (
+            f"t{s}",
+            f"((m{s} - 1073741824) * 1073741824) // (m{s} + 1073741824)",
+        ),
+        (f"t2{s}", f"(t{s} * t{s}) // 1073741824"),
+        (f"t3{s}", f"(t2{s} * t{s}) // 1073741824"),
+        (f"t5{s}", f"(t3{s} * t2{s}) // 1073741824"),
+        (f"t7{s}", f"(t5{s} * t2{s}) // 1073741824"),
+        (f"t9{s}", f"(t7{s} * t2{s}) // 1073741824"),
+        (
+            f"l{s}",
+            f"2 * (t{s} + t3{s} // 3 + t5{s} // 5 + t7{s} // 7"
+            f" + t9{s} // 9)",
+        ),
+    ]
+
+
+def _gumbel_fp6_sql_ctes(src: str, h: str, prefix: str = "gum") -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ``operators.sampling.with_gumbel_fp6``:
+    returns ``(cte_text, last_cte_name)`` where the last CTE is
+    ``SELECT src.*, g6`` — integer fixed-point Gumbel(0,1) noise at
+    1e-6 ticks from the 32-bit hash expression ``h``. Bit-identical to
+    the Spark column by construction (same integer ops, same order).
+
+    Each step is its own ``AS MATERIALIZED`` CTE: DuckDB inlines plain
+    CTEs and lateral aliases by textual substitution, so a nested
+    spelling of this chain (every intermediate referenced several times
+    downstream) explodes exponentially at bind time — the MATERIALIZED
+    barrier keeps it linear, exactly like the chained projections on
+    the Spark side."""
+    steps = (
+        [("xa", f"greatest(({h})::BIGINT, 1)")]
+        + _ilog_fp_sql_steps("a")
+        + [("xb", "greatest((32 - ka)::BIGINT * 744261118 - la, 1)")]
+        + _ilog_fp_sql_steps("b")
+        + [
+            (
+                "g6",
+                "((30 - kb)::BIGINT * 744261118 - lb + 4294967296) * 1000000"
+                " // 1073741824 - 4000000",
+            )
+        ]
+    )
+    ctes = []
+    prev = src
+    for i, (name, expr) in enumerate(steps):
+        cte = f"{prefix}{i}"
+        ctes.append(
+            f"{cte} AS MATERIALIZED (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = cte
+    return ",\n".join(ctes), prev
+
 
 # DuckDB-side tokenization shared by the text/curation oracles — must
 # mirror operators.dedup.normalize_text + split(" ") exactly
@@ -90,12 +176,12 @@ def q01_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
+            _pround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            _pround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            _pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(
+            _pround(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -103,9 +189,9 @@ def q01_pricing_summary(spark, sf_dir):
                 ),
                 4,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
-            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            _pround(F.avg("l_quantity"), R).alias("avg_qty"),
+            _pround(F.avg("l_extendedprice"), R).alias("avg_price"),
+            _pround(F.avg("l_discount"), R).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -113,13 +199,13 @@ def q01_pricing_summary(spark, sf_dir):
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)       AS sum_qty,
-       round(sum(l_extendedprice), 4)  AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6)       AS avg_qty,
-       round(avg(l_extendedprice), 6)  AS avg_price,
-       round(avg(l_discount), 6)       AS avg_disc,
+       floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4       AS sum_qty,
+       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4  AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e4 + 0.5) / 1e4 AS sum_charge,
+       floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6       AS avg_qty,
+       floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6  AS avg_price,
+       floor((avg(l_discount)) * 1e6 + 0.5) / 1e6       AS avg_disc,
        count(*)                        AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -141,7 +227,7 @@ def q02_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
+            _pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
@@ -151,7 +237,7 @@ def q02_revenue_by_nation(spark, sf_dir):
 
 Q02_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -208,12 +294,12 @@ def q05_topk_orders_per_customer(spark, sf_dir):
     return (
         o.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("total"), "rank")
+        .select("o_custkey", "o_orderkey", _pround("o_totalprice", 4).alias("total"), "rank")
     )
 
 
 Q05_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total, rank
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 1e4 + 0.5) / 1e4 AS total, rank
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -227,10 +313,10 @@ def q06_conditional_pivot(spark, sf_dir):
     """Conditional aggregation == pivot (certifies S5/A16 pivot shape)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
+        _pround(
             F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4
         ).alias("sum_f"),
-        F.round(
+        _pround(
             F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 4
         ).alias("sum_o"),
         F.sum(
@@ -244,8 +330,8 @@ def q06_conditional_pivot(spark, sf_dir):
 
 Q06_SQL = """
 SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 4) AS sum_f,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 4) AS sum_o,
+       floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)) * 1e4 + 0.5) / 1e4 AS sum_f,
+       floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)) * 1e4 + 0.5) / 1e4 AS sum_o,
        CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
        CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
 FROM lineitem
@@ -258,7 +344,7 @@ def q07_group_having(spark, sf_dir):
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            _pround(F.sum("o_totalprice"), 4).alias("total_spend"),
             F.count("*").alias("n_orders"),
         )
         .where(F.col("n_orders") >= 3)
@@ -266,7 +352,7 @@ def q07_group_having(spark, sf_dir):
 
 
 Q07_SQL = """
-SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend,
+SELECT o_custkey, floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS total_spend,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -286,14 +372,14 @@ def q08_correlated_subquery(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_small"),
-            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            _pround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
         )
     )
 
 
 Q08_SQL = """
 SELECT l_partkey, count(*) AS n_small,
-       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+       floor((sum(l_extendedprice) / 7.0) * 1e4 + 0.5) / 1e4 AS avg_yearly
 FROM lineitem l1
 WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
                     WHERE l2.l_partkey = l1.l_partkey)
@@ -307,12 +393,12 @@ def q09_monthly_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    ).agg(_pround(F.sum("o_totalprice"), 4).alias("revenue"))
     w = Window.partitionBy("yr").orderBy("mo").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return monthly.withColumn(
-        "cum_revenue", F.round(F.sum("revenue").over(w), 4)
+        "cum_revenue", _pround(F.sum("revenue").over(w), 4)
     )
 
 
@@ -320,12 +406,12 @@ Q09_SQL = """
 WITH monthly AS (
   SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
          CAST(date_part('month', o_orderdate) AS INT) AS mo,
-         round(sum(o_totalprice), 4) AS revenue
+         floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS revenue
   FROM orders GROUP BY 1, 2
 )
 SELECT yr, mo, revenue,
-       round(sum(revenue) OVER (PARTITION BY yr ORDER BY mo
-                                ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue
+       floor((sum(revenue) OVER (PARTITION BY yr ORDER BY mo
+                                ROWS UNBOUNDED PRECEDING)) * 1e4 + 0.5) / 1e4 AS cum_revenue
 FROM monthly
 """
 
@@ -347,12 +433,12 @@ def q10_daily_energy(spark, sf_dir):
     """A1 — daily energy integral per site."""
     m = _meas(spark, sf_dir)
     return m.groupBy("site", "date").agg(
-        F.round(F.sum("value") * 24.0 / 288.0, R).alias("energy")
+        _pround(F.sum("value") * 24.0 / 288.0, R).alias("energy")
     )
 
 
 Q10_SQL = f"""
-SELECT site, date, round(sum(value) * 24.0 / 288.0, 6) AS energy
+SELECT site, date, floor((sum(value) * 24.0 / 288.0) * 1e6 + 0.5) / 1e6 AS energy
 FROM ({_EV})
 GROUP BY site, date
 """
@@ -362,10 +448,10 @@ def q11_daily_stats(spark, sf_dir):
     """A4/A5/A12 — daily max, log-max, count, energy center of mass."""
     m = _meas(spark, sf_dir)
     return m.groupBy("site", "date").agg(
-        F.round(F.max("value"), R).alias("day_max"),
-        F.round(F.log(F.max("value")), R).alias("log_day_max"),
+        _pround(F.max("value"), R).alias("day_max"),
+        _pround(F.log(F.max("value")), R).alias("log_day_max"),
         F.count("value").alias("n_obs"),
-        F.round(F.sum(F.col("hod") * F.col("value")) / F.sum("value"), R).alias(
+        _pround(F.sum(F.col("hod") * F.col("value")) / F.sum("value"), R).alias(
             "solar_noon_com"
         ),
     )
@@ -373,10 +459,10 @@ def q11_daily_stats(spark, sf_dir):
 
 Q11_SQL = f"""
 SELECT site, date,
-       round(max(value), 6) AS day_max,
-       round(ln(max(value)), 6) AS log_day_max,
+       floor((max(value)) * 1e6 + 0.5) / 1e6 AS day_max,
+       floor((ln(max(value))) * 1e6 + 0.5) / 1e6 AS log_day_max,
        count(value) AS n_obs,
-       round(sum(hod * value) / sum(value), 6) AS solar_noon_com
+       floor((sum(hod * value) / sum(value)) * 1e6 + 0.5) / 1e6 AS solar_noon_com
 FROM ({_EV})
 GROUP BY site, date
 """
@@ -386,12 +472,12 @@ def q12_site_capacity(spark, sf_dir):
     """A3 — per-site capacity = exact 95th percentile."""
     m = _meas(spark, sf_dir)
     return dy.site_capacity(m).select(
-        "site", F.round("capacity", R).alias("capacity")
+        "site", _pround("capacity", R).alias("capacity")
     )
 
 
 Q12_SQL = f"""
-SELECT site, round(quantile_cont(value, 0.95), 6) AS capacity
+SELECT site, floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6 AS capacity
 FROM ({_EV})
 GROUP BY site
 """
@@ -405,7 +491,7 @@ def q13_daily_density(spark, sf_dir):
         m.join(F.broadcast(cap), "site")
         .groupBy("site", "date")
         .agg(
-            F.round(
+            _pround(
                 F.avg((F.col("value") > 0.02 * F.col("capacity")).cast("int")), R
             ).alias("density")
         )
@@ -416,7 +502,7 @@ Q13_SQL = f"""
 WITH m AS ({_EV}),
 cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site)
 SELECT m.site, m.date,
-       round(avg(CASE WHEN m.value > 0.02 * cap.capacity THEN 1 ELSE 0 END), 6) AS density
+       floor((avg(CASE WHEN m.value > 0.02 * cap.capacity THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS density
 FROM m JOIN cap ON m.site = cap.site
 GROUP BY m.site, m.date
 """
@@ -432,7 +518,7 @@ Q14_SQL = f"""
 WITH m AS ({_EV}),
 d AS (
   SELECT site,
-         CAST(round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 10000000.0) * 10 AS BIGINT) AS delta_s
+         CAST(floor(((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 10000000.0) * 1e0 + 0.5) / 1e0 * 10 AS BIGINT) AS delta_s
   FROM m
   WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
 ),
@@ -453,13 +539,13 @@ def q15_first_diff(spark, sf_dir):
     """W1 — first difference along each series."""
     m = _meas(spark, sf_dir)
     return wd.first_diff(m).select(
-        "site", "seq", F.round("diff1", R).alias("diff1")
+        "site", "seq", _pround("diff1", R).alias("diff1")
     )
 
 
 Q15_SQL = f"""
 SELECT site, seq,
-       round(value - lag(value) OVER (PARTITION BY site ORDER BY ts, seq), 6) AS diff1
+       floor((value - lag(value) OVER (PARTITION BY site ORDER BY ts, seq)) * 1e6 + 0.5) / 1e6 AS diff1
 FROM ({_EV})
 """
 
@@ -468,14 +554,14 @@ def q16_rolling_mean(spark, sf_dir):
     """W9 — centered rolling mean, window 2+1+2."""
     m = _meas(spark, sf_dir)
     return wd.rolling_mean(m, 2, 2).select(
-        "site", "seq", F.round("rolling_mean", R).alias("rolling_mean")
+        "site", "seq", _pround("rolling_mean", R).alias("rolling_mean")
     )
 
 
 Q16_SQL = f"""
 SELECT site, seq,
-       round(avg(value) OVER (PARTITION BY site ORDER BY ts, seq
-                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rolling_mean
+       floor((avg(value) OVER (PARTITION BY site ORDER BY ts, seq
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) * 1e6 + 0.5) / 1e6 AS rolling_mean
 FROM ({_EV})
 """
 
@@ -536,7 +622,7 @@ def q19_gap_fill(spark, sf_dir):
     m = _meas(spark, sf_dir)
     clamped = fl.clamp_to_null(m, "value", max_val=400.0)
     return wd.gap_fill_linear(clamped).select(
-        "site", "seq", F.round("value_filled", R).alias("value_filled")
+        "site", "seq", _pround("value_filled", R).alias("value_filled")
     )
 
 
@@ -556,12 +642,12 @@ ctx AS (
          wf AS (PARTITION BY site ORDER BY ts, seq ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT site, seq,
-       round(CASE
+       floor((CASE
          WHEN value IS NOT NULL THEN value
          WHEN prev_v IS NULL THEN NULL
          WHEN next_v IS NULL THEN prev_v
          ELSE prev_v + (next_v - prev_v) * (epoch_us(ts) - prev_t) / (next_t - prev_t)
-       END, 6) AS value_filled
+       END) * 1e6 + 0.5) / 1e6 AS value_filled
 FROM ctx
 """
 
@@ -573,8 +659,8 @@ def q20_range_clamp(spark, sf_dir):
     return clamped.groupBy("site").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_nulled"),
-        F.round(F.min("value"), R).alias("min_kept"),
-        F.round(F.max("value"), R).alias("max_kept"),
+        _pround(F.min("value"), R).alias("min_kept"),
+        _pround(F.max("value"), R).alias("max_kept"),
     )
 
 
@@ -585,8 +671,8 @@ WITH m AS (
 )
 SELECT site, count(*) AS n_rows,
        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
-       round(min(value), 6) AS min_kept,
-       round(max(value), 6) AS max_kept
+       floor((min(value)) * 1e6 + 0.5) / 1e6 AS min_kept,
+       floor((max(value)) * 1e6 + 0.5) / 1e6 AS max_kept
 FROM m GROUP BY site
 """
 
@@ -599,7 +685,7 @@ def q21_iqr_filter(spark, sf_dir):
     kept = fl.iqr_filter(ev, "value", ["event_type"], k=1.5)
     return kept.groupBy("event_type").agg(
         F.count("*").alias("n_kept"),
-        F.round(F.sum("value"), 4).alias("sum_kept"),
+        _pround(F.sum("value"), 4).alias("sum_kept"),
     )
 
 
@@ -610,7 +696,7 @@ WITH b AS (
          quantile_cont(value, 0.75) AS q3
   FROM events GROUP BY event_type
 )
-SELECT e.event_type, count(*) AS n_kept, round(sum(e.value), 4) AS sum_kept
+SELECT e.event_type, count(*) AS n_kept, floor((sum(e.value)) * 1e4 + 0.5) / 1e4 AS sum_kept
 FROM events e JOIN b ON e.event_type = b.event_type
 WHERE e.value BETWEEN b.q1 - 1.5 * (b.q3 - b.q1) AND b.q3 + 1.5 * (b.q3 - b.q1)
 GROUP BY e.event_type
@@ -658,13 +744,13 @@ def q24_resample_hourly(spark, sf_dir):
     m = _meas(spark, sf_dir)
     out = ta.resample_aggregate(m, 3600, "avg")
     return out.select(
-        "site", "bucket_start", F.round("avg_value", R).alias("avg_value")
+        "site", "bucket_start", _pround("avg_value", R).alias("avg_value")
     )
 
 
 Q24_SQL = f"""
 SELECT site, date_trunc('hour', ts) AS bucket_start,
-       round(avg(value), 6) AS avg_value
+       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
 FROM ({_EV})
 GROUP BY site, date_trunc('hour', ts)
 """
@@ -677,7 +763,7 @@ def q25_avg_day_profile(spark, sf_dir):
         ev.select(F.col("user_id").alias("site"), "ts", "value")
     )
     return prof.select(
-        "site", "hh", "mm", F.round("avg_value", R).alias("avg_value")
+        "site", "hh", "mm", _pround("avg_value", R).alias("avg_value")
     )
 
 
@@ -685,7 +771,7 @@ Q25_SQL = """
 SELECT user_id AS site,
        CAST(date_part('hour', ts) AS INT) AS hh,
        CAST(date_part('minute', ts) AS INT) AS mm,
-       round(avg(value), 6) AS avg_value
+       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -713,7 +799,7 @@ def q26_asof_join(spark, sf_dir):
         "site",
         "seq",
         F.col("matched_ts"),
-        F.round("value", R).alias("purchase_value"),
+        _pround("value", R).alias("purchase_value"),
     )
 
 
@@ -735,7 +821,7 @@ ranked AS (
 )
 SELECT c.site, c.seq,
        r.pts AS matched_ts,
-       round(r.value, 6) AS purchase_value
+       floor((r.value) * 1e6 + 0.5) / 1e6 AS purchase_value
 FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
   ON c.site = r.site AND c.seq = r.seq
 """
@@ -746,7 +832,7 @@ def q28_daily_smoothness(spark, sf_dir):
     m = _meas(spark, sf_dir)
     d2 = wd.second_diff(m)
     return d2.groupBy("site", "date").agg(
-        F.round(F.sum(F.abs(F.col("diff2"))), 4).alias("smoothness_l1")
+        _pround(F.sum(F.abs(F.col("diff2"))), 4).alias("smoothness_l1")
     )
 
 
@@ -758,7 +844,7 @@ d AS (
   FROM m
   WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
 )
-SELECT site, date, round(sum(abs(diff2)), 4) AS smoothness_l1
+SELECT site, date, floor((sum(abs(diff2))) * 1e4 + 0.5) / 1e4 AS smoothness_l1
 FROM d GROUP BY site, date
 """
 
@@ -771,9 +857,9 @@ def q29_sunrise_sunset(spark, sf_dir):
     thresh = 0.05 * F.col("capacity")
     v = F.col("value")
     return j.groupBy("site", "date").agg(
-        F.round(F.min(F.when(v > thresh, F.col("hod"))), R).alias("sunrise"),
-        F.round(F.max(F.when(v > thresh, F.col("hod"))), R).alias("sunset"),
-        F.round(
+        _pround(F.min(F.when(v > thresh, F.col("hod"))), R).alias("sunrise"),
+        _pround(F.max(F.when(v > thresh, F.col("hod"))), R).alias("sunset"),
+        _pround(
             (
                 F.min(F.when(v > thresh, F.col("hod")))
                 + F.max(F.when(v > thresh, F.col("hod")))
@@ -788,10 +874,10 @@ Q29_SQL = f"""
 WITH m AS ({_EV}),
 cap AS (SELECT site, quantile_cont(value, 0.95) AS capacity FROM m GROUP BY site)
 SELECT m.site, m.date,
-       round(min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END), 6) AS sunrise,
-       round(max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END), 6) AS sunset,
-       round((min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)
-            + max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)) / 2.0, 6) AS solar_noon_rs
+       floor((min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)) * 1e6 + 0.5) / 1e6 AS sunrise,
+       floor((max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)) * 1e6 + 0.5) / 1e6 AS sunset,
+       floor(((min(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)
+            + max(CASE WHEN m.value > 0.05 * cap.capacity THEN m.hod END)) / 2.0) * 1e6 + 0.5) / 1e6 AS solar_noon_rs
 FROM m JOIN cap ON m.site = cap.site
 GROUP BY m.site, m.date
 """
@@ -838,14 +924,14 @@ def q31_binned_mean(spark, sf_dir):
         y_bin=10.0,
     )
     return binned.select(
-        F.col("x_bin"), F.col("y_bin"), F.round("avg_value", R).alias("avg_value")
+        F.col("x_bin"), F.col("y_bin"), _pround("avg_value", R).alias("avg_value")
     )
 
 
 Q31_SQL = """
-SELECT round(value / 50.0) * 50.0 AS x_bin,
-       round(CAST(user_id AS DOUBLE) / 10.0) * 10.0 AS y_bin,
-       round(avg(value), 6) AS avg_value
+SELECT floor((value / 50.0) * 1e0 + 0.5) / 1e0 * 50.0 AS x_bin,
+       floor((CAST(user_id AS DOUBLE) / 10.0) * 1e0 + 0.5) / 1e0 * 10.0 AS y_bin,
+       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -867,8 +953,8 @@ def q32_rayleigh(spark, sf_dir):
     return out.select(
         "event_type",
         "n",
-        F.round("resultant_length", R).alias("resultant_length"),
-        F.round("rayleigh_z", R).alias("rayleigh_z"),
+        _pround("resultant_length", R).alias("resultant_length"),
+        _pround("rayleigh_z", R).alias("rayleigh_z"),
     )
 
 
@@ -883,8 +969,8 @@ agg AS (
   FROM a GROUP BY event_type
 )
 SELECT event_type, n,
-       round(sqrt(sc * sc + ss * ss) / n, 6) AS resultant_length,
-       round(n * (sqrt(sc * sc + ss * ss) / n) * (sqrt(sc * sc + ss * ss) / n), 6) AS rayleigh_z
+       floor((sqrt(sc * sc + ss * ss) / n) * 1e6 + 0.5) / 1e6 AS resultant_length,
+       floor((n * (sqrt(sc * sc + ss * ss) / n) * (sqrt(sc * sc + ss * ss) / n)) * 1e6 + 0.5) / 1e6 AS rayleigh_z
 FROM agg
 """
 
@@ -896,10 +982,10 @@ def q33_solar_geometry(spark, sf_dir):
     doys = li.select(F.dayofyear("l_shipdate").alias("doy")).distinct()
     return doys.select(
         "doy",
-        F.round(sol.eot_duffie(F.col("doy")), R).alias("eot_duffie"),
-        F.round(sol.eot_da_rosa(F.col("doy")), R).alias("eot_da_rosa"),
-        F.round(sol.delta_cooper(F.col("doy")), R).alias("delta_cooper"),
-        F.round(
+        _pround(sol.eot_duffie(F.col("doy")), R).alias("eot_duffie"),
+        _pround(sol.eot_da_rosa(F.col("doy")), R).alias("eot_da_rosa"),
+        _pround(sol.delta_cooper(F.col("doy")), R).alias("delta_cooper"),
+        _pround(
             sol.num_daylight_hours(37.45, sol.delta_cooper(F.col("doy"))), R
         ).alias("daylight_hours"),
     )
@@ -914,14 +1000,14 @@ geo AS (
   FROM doys
 )
 SELECT doy,
-       round(229.2 * (0.000075 + 0.001868 * cos(b) - 0.032077 * sin(b)
-             - 0.014615 * cos(2 * b) - 0.04089 * sin(2 * b)), 6) AS eot_duffie,
-       round(9.87 * sin(2 * (2 * pi() * (doy - 81) / 364.0))
+       floor((229.2 * (0.000075 + 0.001868 * cos(b) - 0.032077 * sin(b)
+             - 0.014615 * cos(2 * b) - 0.04089 * sin(2 * b))) * 1e6 + 0.5) / 1e6 AS eot_duffie,
+       floor((9.87 * sin(2 * (2 * pi() * (doy - 81) / 364.0))
              - 7.53 * cos(2 * pi() * (doy - 81) / 364.0)
-             - 1.5 * sin(2 * pi() * (doy - 81) / 364.0), 6) AS eot_da_rosa,
-       round(delta_cooper, 6) AS delta_cooper,
-       round(2.0 * degrees(acos(greatest(-1.0, least(1.0,
-             -tan(radians(37.45)) * tan(radians(delta_cooper)))))) / 15.0, 6) AS daylight_hours
+             - 1.5 * sin(2 * pi() * (doy - 81) / 364.0)) * 1e6 + 0.5) / 1e6 AS eot_da_rosa,
+       floor((delta_cooper) * 1e6 + 0.5) / 1e6 AS delta_cooper,
+       floor((2.0 * degrees(acos(greatest(-1.0, least(1.0,
+             -tan(radians(37.45)) * tan(radians(delta_cooper)))))) / 15.0) * 1e6 + 0.5) / 1e6 AS daylight_hours
 FROM geo
 """
 
@@ -930,7 +1016,7 @@ def q27_standardize_grid(spark, sf_dir):
     reference's standardize_time_axis)."""
     m = _meas(spark, sf_dir)
     out = ta.standardize_time_axis(m, 3600)
-    return out.select("site", "grid_ts", F.round("value", R).alias("value"))
+    return out.select("site", "grid_ts", _pround("value", R).alias("value"))
 
 
 Q27_SQL = f"""
@@ -959,7 +1045,7 @@ best AS (
     FROM cand
     WHERE abs(epoch_us(ts) - epoch_us(grid_ts)) <= 3600000000) WHERE rn = 1
 )
-SELECT g.site, g.grid_ts, round(best.value, 6) AS value
+SELECT g.site, g.grid_ts, floor((best.value) * 1e6 + 0.5) / 1e6 AS value
 FROM grid g LEFT JOIN best ON g.site = best.site AND g.grid_ts = best.grid_ts
 """
 
@@ -981,7 +1067,7 @@ def q34_longitude_estimate(spark, sf_dir):
         ),
     )
     return est.groupBy("site").agg(
-        F.round(F.expr("percentile(lon_day, 0.5)"), R).alias("longitude")
+        _pround(F.expr("percentile(lon_day, 0.5)"), R).alias("longitude")
     )
 
 
@@ -1001,7 +1087,7 @@ est AS (
          AS lon_day
   FROM noon
 )
-SELECT site, round(quantile_cont(lon_day, 0.5), 6) AS longitude
+SELECT site, floor((quantile_cont(lon_day, 0.5)) * 1e6 + 0.5) / 1e6 AS longitude
 FROM est GROUP BY site
 """
 
@@ -1027,7 +1113,7 @@ def q35_latitude_estimate(spark, sf_dir):
         ).alias("lat_day"),
     )
     return est.groupBy("site").agg(
-        F.round(F.expr("percentile(lat_day, 0.5)"), R).alias("latitude")
+        _pround(F.expr("percentile(lat_day, 0.5)"), R).alias("latitude")
     )
 
 
@@ -1047,7 +1133,7 @@ est AS (
                       / tan(radians(23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0))))) AS lat_day
   FROM daylight WHERE hours_daylight > 0
 )
-SELECT site, round(quantile_cont(lat_day, 0.5), 6) AS latitude
+SELECT site, floor((quantile_cont(lat_day, 0.5)) * 1e6 + 0.5) / 1e6 AS latitude
 FROM est GROUP BY site
 """
 
@@ -1064,12 +1150,12 @@ def q36_linearity_mode(spark, sf_dir):
     decimal repr), so bucket keys must be integer-exact.
     """
     m = _meas(spark, sf_dir)
-    m = m.withColumn("vc", F.round(F.col("value") * 100).cast("long"))
+    m = m.withColumn("vc", _pround(F.col("value") * 100, 0).cast("long"))
     w = Window.partitionBy("site").orderBy("ts", "seq")
     d = m.withColumn("dc", F.col("vc") - F.lag("vc").over(w)).where(
         F.col("dc").isNotNull()
     )
-    d = d.withColumn("rdiff", F.round(F.col("dc") / 10.0).cast("long"))
+    d = d.withColumn("rdiff", _pround(F.col("dc") / 10.0, 0).cast("long"))
     counts = d.groupBy("site", "date", "rdiff").agg(F.count("*").alias("cnt"))
     w2 = Window.partitionBy("site", "date").orderBy(F.desc("cnt"), F.asc("rdiff"))
     return (
@@ -1086,12 +1172,12 @@ def q36_linearity_mode(spark, sf_dir):
 
 Q36_SQL = f"""
 WITH m AS (
-  SELECT site, ts, seq, date, CAST(round(value * 100) AS BIGINT) AS vc
+  SELECT site, ts, seq, date, CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS vc
   FROM ({_EV})
 ),
 d AS (
   SELECT site, date,
-         CAST(round((vc - lag(vc) OVER (PARTITION BY site ORDER BY ts, seq)) / 10.0) AS BIGINT) AS rdiff
+         CAST(floor(((vc - lag(vc) OVER (PARTITION BY site ORDER BY ts, seq)) / 10.0) * 1e0 + 0.5) / 1e0 AS BIGINT) AS rdiff
   FROM m
 ),
 c AS (
@@ -1148,7 +1234,7 @@ def q88_cdf_resample_approx(spark, sf_dir):
     )
     return per_site.select(
         "site", F.posexplode("cdf").alias("q_ix", "v")
-    ).select("site", "q_ix", F.round("v", R).alias("cdf_value"))
+    ).select("site", "q_ix", _pround("v", R).alias("cdf_value"))
 
 
 def q89_embedding_dedup(spark, sf_dir):
@@ -1188,7 +1274,7 @@ def q90_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id",
         "vec_id",
-        F.round("cosine_sim", 6).alias("cosine_sim"),
+        _pround("cosine_sim", 6).alias("cosine_sim"),
         "rank",
     )
 
@@ -1214,7 +1300,7 @@ def q137_ivf_topk_distributed(spark, sf_dir):
     return out.select(
         "query_id",
         "vec_id",
-        F.round("cosine_sim", 6).alias("cosine_sim"),
+        _pround("cosine_sim", 6).alias("cosine_sim"),
         "rank",
     )
 
@@ -1224,11 +1310,8 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         list_dot_product(a.v, b.v)
-         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-         6
-       ) AS cosine
+       floor((list_dot_product(a.v, b.v)
+         / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) * 1e6 + 0.5) / 1e6 AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
@@ -1295,13 +1378,13 @@ def q39_doy_median_profile(spark, sf_dir):
     m = _meas(spark, sf_dir)
     return (
         m.groupBy("site", F.dayofyear("date").alias("doy"))
-        .agg(F.round(F.expr("percentile(value, 0.5)"), R).alias("median_value"))
+        .agg(_pround(F.expr("percentile(value, 0.5)"), R).alias("median_value"))
     )
 
 
 Q39_SQL = f"""
 SELECT site, CAST(date_part('doy', date) AS INT) AS doy,
-       round(quantile_cont(value, 0.5), 6) AS median_value
+       floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 AS median_value
 FROM ({_EV})
 GROUP BY 1, 2
 """
@@ -1323,7 +1406,7 @@ def q52_make_time_series(spark, sf_dir):
     out = make_time_series(long_db, min_nonnull=10, tz_offset_hours=1)
     return out.groupBy("series_key").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        _pround(F.sum("value"), 4).alias("sum_value"),
         F.min("ts").alias("first_ts"),
     )
 
@@ -1342,7 +1425,7 @@ keep AS (
   SELECT series_key FROM dedup WHERE value IS NOT NULL
   GROUP BY series_key HAVING count(*) >= 10
 )
-SELECT d.series_key, count(*) AS n_rows, round(sum(d.value), 4) AS sum_value,
+SELECT d.series_key, count(*) AS n_rows, floor((sum(d.value)) * 1e4 + 0.5) / 1e4 AS sum_value,
        min(d.ts) AS first_ts
 FROM dedup d SEMI JOIN keep k ON d.series_key = k.series_key
 GROUP BY d.series_key
@@ -1386,18 +1469,18 @@ def q56_pivot_wide(spark, sf_dir):
     out = (
         ev.groupBy(F.col("user_id").alias("site"))
         .pivot("event_type", types)
-        .agg(F.round(F.avg("value"), R))
+        .agg(_pround(F.avg("value"), R))
     )
     return out
 
 
 Q56_SQL = """
 SELECT user_id AS site,
-       round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-       round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-       round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-       round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+       floor((avg(CASE WHEN event_type = 'click' THEN value END)) * 1e6 + 0.5) / 1e6 AS click,
+       floor((avg(CASE WHEN event_type = 'error' THEN value END)) * 1e6 + 0.5) / 1e6 AS error,
+       floor((avg(CASE WHEN event_type = 'purchase' THEN value END)) * 1e6 + 0.5) / 1e6 AS purchase,
+       floor((avg(CASE WHEN event_type = 'signup' THEN value END)) * 1e6 + 0.5) / 1e6 AS signup,
+       floor((avg(CASE WHEN event_type = 'view' THEN value END)) * 1e6 + 0.5) / 1e6 AS view
 FROM events
 GROUP BY user_id
 """
@@ -1409,7 +1492,7 @@ def q57_segment_pooled_diffs(spark, sf_dir):
     m = _meas(spark, sf_dir)
     # synthesize a piecewise-constant signal: daily mean rounded to 100s
     daily = m.groupBy("site", "date").agg(
-        (F.round(F.avg("value") / 100.0) * 100.0).alias("level")
+        (_pround(F.avg("value") / 100.0, 0) * 100.0).alias("level")
     )
     sig = daily.select(
         "site",
@@ -1424,7 +1507,7 @@ def q57_segment_pooled_diffs(spark, sf_dir):
     return out.select(
         "site",
         "seg_id",
-        F.round("pooled_diff", 4).alias("pooled_diff"),
+        _pround("pooled_diff", 4).alias("pooled_diff"),
         "seg_length",
     )
 
@@ -1434,7 +1517,7 @@ WITH m AS ({_EV}),
 daily AS (
   SELECT site, CAST(date AS TIMESTAMP) AS ts,
          CAST(epoch_us(CAST(date AS TIMESTAMP)) / 86400000000 AS BIGINT) AS seq,
-         round(avg(value) / 100.0) * 100.0 AS value
+         floor((avg(value) / 100.0) * 1e0 + 0.5) / 1e0 * 100.0 AS value
   FROM m GROUP BY site, date
 ),
 d AS (
@@ -1455,7 +1538,7 @@ runs AS (
     SELECT *, lag(nz) OVER (PARTITION BY site ORDER BY ts, seq) AS prev_nz
     FROM flagged)
 )
-SELECT site, seg_id, round(sum(dv), 4) AS pooled_diff, count(*) AS seg_length
+SELECT site, seg_id, floor((sum(dv)) * 1e4 + 0.5) / 1e4 AS pooled_diff, count(*) AS seg_length
 FROM runs WHERE nz = 1
 GROUP BY site, seg_id
 """
@@ -1532,8 +1615,8 @@ def q70_cos_theta_geometry(spark, sf_dir):
     return grid.select(
         "doy",
         F.col("solar_hour"),
-        F.round(omega, R).alias("omega_deg"),
-        F.round(ct, R).alias("cos_theta"),
+        _pround(omega, R).alias("omega_deg"),
+        _pround(ct, R).alias("cos_theta"),
     )
 
 
@@ -1545,14 +1628,12 @@ g AS (SELECT doy, solar_hour,
              15.0 * (solar_hour - 12.0) AS omega_deg
       FROM doys CROSS JOIN hours)
 SELECT doy, solar_hour,
-       round(omega_deg, 6) AS omega_deg,
-       round(
-         sin(radians(delta_deg)) * sin(radians(37.45)) * cos(radians(20.0))
+       floor((omega_deg) * 1e6 + 0.5) / 1e6 AS omega_deg,
+       floor((sin(radians(delta_deg)) * sin(radians(37.45)) * cos(radians(20.0))
          - sin(radians(delta_deg)) * cos(radians(37.45)) * sin(radians(20.0)) * cos(radians(0.0))
          + cos(radians(delta_deg)) * cos(radians(37.45)) * cos(radians(20.0)) * cos(radians(omega_deg))
          + cos(radians(delta_deg)) * sin(radians(37.45)) * sin(radians(20.0)) * cos(radians(0.0)) * cos(radians(omega_deg))
-         + cos(radians(delta_deg)) * sin(radians(20.0)) * sin(radians(0.0)) * sin(radians(omega_deg)),
-       6) AS cos_theta
+         + cos(radians(delta_deg)) * sin(radians(20.0)) * sin(radians(0.0)) * sin(radians(omega_deg))) * 1e6 + 0.5) / 1e6 AS cos_theta
 FROM g
 """
 
@@ -1563,17 +1644,17 @@ def q71_declination_binned_mean(spark, sf_dir):
     m = _meas(spark, sf_dir)
     delta = sol.delta_cooper(F.dayofyear("date"))
     binned = m.select(
-        (F.round(delta / 2.0) * 2.0).alias("delta_bin"), F.col("value")
+        (_pround(delta / 2.0, 0) * 2.0).alias("delta_bin"), F.col("value")
     )
     return binned.groupBy("delta_bin").agg(
-        F.round(F.avg("value"), R).alias("avg_value"),
+        _pround(F.avg("value"), R).alias("avg_value"),
         F.count("*").alias("n"),
     )
 
 
 Q71_SQL = f"""
-SELECT round(23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0) / 2.0) * 2.0 AS delta_bin,
-       round(avg(value), 6) AS avg_value,
+SELECT floor((23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0) / 2.0) * 1e0 + 0.5) / 1e0 * 2.0 AS delta_bin,
+       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value,
        count(*) AS n
 FROM ({_EV})
 GROUP BY 1
@@ -1589,16 +1670,16 @@ def q72_pv_quantiles(spark, sf_dir):
     variant is fully relational, so it carries an exact DuckDB oracle."""
     m = _meas(spark, sf_dir)
     return m.groupBy("site", "slot").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("q50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("q90"),
+        _pround(F.expr("percentile(value, 0.5)"), 4).alias("q50"),
+        _pround(F.expr("percentile(value, 0.9)"), 4).alias("q90"),
     )
 
 
 Q72_SQL = f"""
 SELECT site,
        CAST(((epoch_us(ts) // 1000000) % 86400) // 300 AS BIGINT) AS slot,
-       round(quantile_cont(value, 0.5), 4) AS q50,
-       round(quantile_cont(value, 0.9), 4) AS q90
+       floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS q50,
+       floor((quantile_cont(value, 0.9)) * 1e4 + 0.5) / 1e4 AS q90
 FROM ({_EV})
 GROUP BY 1, 2
 """
@@ -1625,7 +1706,7 @@ def q73_performance_index(spark, sf_dir):
     return daily.select(
         "site",
         "date",
-        F.round(
+        _pround(
             F.when(base > 0, F.col("energy") / base), 4
         ).alias("performance_index"),
     )
@@ -1645,7 +1726,7 @@ b AS (
   FROM daily
 )
 SELECT site, date,
-       round(CASE WHEN baseline > 0 THEN energy / baseline END, 4)
+       floor((CASE WHEN baseline > 0 THEN energy / baseline END) * 1e4 + 0.5) / 1e4
          AS performance_index
 FROM b
 """
@@ -1662,8 +1743,8 @@ def q81_profile_normalization(spark, sf_dir):
         m.join(q95, on=["site", "date"])
         .groupBy("site", "date")
         .agg(
-            F.round(F.max(F.col("value") / F.col("q95")), R).alias("norm_max"),
-            F.round(F.avg(F.col("value") / F.col("q95")), R).alias("norm_avg"),
+            _pround(F.max(F.col("value") / F.col("q95")), R).alias("norm_max"),
+            _pround(F.avg(F.col("value") / F.col("q95")), R).alias("norm_avg"),
         )
     )
 
@@ -1673,8 +1754,8 @@ WITH m AS ({_EV}),
 q AS (SELECT site, date, quantile_cont(value, 0.95) AS q95
       FROM m GROUP BY site, date)
 SELECT m.site, m.date,
-       round(max(m.value / q.q95), 6) AS norm_max,
-       round(avg(m.value / q.q95), 6) AS norm_avg
+       floor((max(m.value / q.q95)) * 1e6 + 0.5) / 1e6 AS norm_max,
+       floor((avg(m.value / q.q95)) * 1e6 + 0.5) / 1e6 AS norm_avg
 FROM m JOIN q ON m.site = q.site AND m.date = q.date
 GROUP BY m.site, m.date
 """
@@ -1692,7 +1773,7 @@ def q82_quality_counts(spark, sf_dir):
         F.sum((daytime & F.col("v_clean").isNotNull()).cast("int"))
         .cast("long")
         .alias("n_daytime_valid"),
-        F.round(
+        _pround(
             F.sum((daytime & F.col("v_clean").isNotNull()).cast("int"))
             / F.sum(daytime.cast("int")),
             R,
@@ -1708,8 +1789,8 @@ WITH m AS (
 SELECT site,
        CAST(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_daytime,
        CAST(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 AND v_clean IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_daytime_valid,
-       round(sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 AND v_clean IS NOT NULL THEN 1 ELSE 0 END)
-             * 1.0 / sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 THEN 1 ELSE 0 END), 6) AS quality_ratio
+       floor((sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 AND v_clean IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / sum(CASE WHEN hod BETWEEN 6.0 AND 18.0 THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS quality_ratio
 FROM m GROUP BY site
 """
 
@@ -1730,9 +1811,9 @@ def q83_doy_model_join(spark, sf_dir):
         .select(
             "site",
             "date",
-            F.round("energy", 4).alias("energy"),
-            F.round("model_energy", 4).alias("model_energy"),
-            F.round(F.col("energy") / F.col("model_energy"), R).alias("ratio"),
+            _pround("energy", 4).alias("energy"),
+            _pround("model_energy", 4).alias("model_energy"),
+            _pround(F.col("energy") / F.col("model_energy"), R).alias("ratio"),
         )
     )
 
@@ -1746,9 +1827,9 @@ model AS (
   SELECT CAST(date_part('doy', date) AS INT) AS doy, avg(energy) AS model_energy
   FROM daily GROUP BY 1
 )
-SELECT d.site, d.date, round(d.energy, 4) AS energy,
-       round(m.model_energy, 4) AS model_energy,
-       round(d.energy / m.model_energy, 6) AS ratio
+SELECT d.site, d.date, floor((d.energy) * 1e4 + 0.5) / 1e4 AS energy,
+       floor((m.model_energy) * 1e4 + 0.5) / 1e4 AS model_energy,
+       floor((d.energy / m.model_energy) * 1e6 + 0.5) / 1e6 AS ratio
 FROM daily d JOIN model m ON CAST(date_part('doy', d.date) AS INT) = m.doy
 """
 
@@ -1767,13 +1848,13 @@ def q84_string_ops(spark, sf_dir):
     return (
         keyed.where(F.col("event_type").like("%i%"))
         .groupBy("series_key")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _pround(F.sum("value"), 4).alias("sum_value"))
     )
 
 
 Q84_SQL = """
 SELECT printf('%d_%s', user_id, event_type) AS series_key,
-       count(*) AS n, round(sum(value), 4) AS sum_value
+       count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
 FROM events
 WHERE event_type LIKE '%i%'
 GROUP BY 1
@@ -1839,11 +1920,11 @@ def q43_quality_scores(spark, sf_dir):
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("mean_word_len", R).alias("mean_word_len"),
-        F.round("punct_ratio", R).alias("punct_ratio"),
-        F.round("digit_ratio", R).alias("digit_ratio"),
-        F.round("stopword_ratio", R).alias("stopword_ratio"),
-        F.round("quality_score", R).alias("quality_score"),
+        _pround("mean_word_len", R).alias("mean_word_len"),
+        _pround("punct_ratio", R).alias("punct_ratio"),
+        _pround("digit_ratio", R).alias("digit_ratio"),
+        _pround("stopword_ratio", R).alias("stopword_ratio"),
+        _pround("quality_score", R).alias("quality_score"),
     )
 
 
@@ -1867,14 +1948,14 @@ r AS (
   FROM f
 )
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(mean_word_len, 6) AS mean_word_len,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(digit_ratio, 6) AS digit_ratio,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       floor((mean_word_len) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor((punct_ratio) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       floor((digit_ratio) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+       floor((stopword_ratio) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       floor((CASE WHEN n_tokens < 5 THEN 0.0 ELSE
          least(n_tokens / 100.0, 1.0) * 0.4
          + least(stopword_ratio * 4.0, 1.0) * 0.4
-         + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2 END, 6) AS quality_score
+         + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2 END) * 1e6 + 0.5) / 1e6 AS quality_score
 FROM r
 """
 
@@ -1948,7 +2029,7 @@ def q91_curation_pipeline(spark, sf_dir):
         .select(
             "doc_id",
             "predicted_lang",
-            F.round("quality_score", 6).alias("quality_score"),
+            _pround("quality_score", 6).alias("quality_score"),
         )
     )
 
@@ -1995,7 +2076,7 @@ canon AS (
   FROM documents
 ),
 rep AS (SELECT norm, min(doc_id) AS rep_id FROM canon GROUP BY norm)
-SELECT c.doc_id, l.predicted_lang, round(q.quality_score, 6) AS quality_score
+SELECT c.doc_id, l.predicted_lang, floor((q.quality_score) * 1e6 + 0.5) / 1e6 AS quality_score
 FROM canon c
 JOIN q ON q.doc_id = c.doc_id
 JOIN lang l ON l.doc_id = c.doc_id
@@ -2092,7 +2173,7 @@ def q45_ngram_jaccard(spark, sf_dir):
         "id_a",
         "id_b",
         F.col("n_common").cast("long").alias("n_common"),
-        F.round("jaccard", R).alias("jaccard"),
+        _pround("jaccard", R).alias("jaccard"),
     )
 
 
@@ -2109,7 +2190,7 @@ common AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.id_a, c.id_b, c.n_common,
-       round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+       floor((CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
@@ -2125,7 +2206,7 @@ def q46_knn_bruteforce(spark, sf_dir):
     )
     out = sim.brute_force_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "vec_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+        "query_id", "vec_id", _pround("cosine_sim", R).alias("cosine_sim"), "rank"
     )
 
 
@@ -2144,7 +2225,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(cosine_sim, 6) AS cosine_sim, rank
+SELECT query_id, vec_id, floor((cosine_sim) * 1e6 + 0.5) / 1e6 AS cosine_sim, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -2165,7 +2246,7 @@ def q47_minhash_near_dups(spark, sf_dir):
         threshold=0.7,
         block_cols=["lang", "source"],
     )
-    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+    return out.select("id_a", "id_b", _pround("jaccard", R).alias("jaccard"))
 
 
 def q48_simhash(spark, sf_dir):
@@ -2271,8 +2352,8 @@ def q115_bigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        F.round("avg_logprob", R).alias("avg_logprob"),
-        F.round("bits_per_token", R).alias("bits_per_token"),
+        _pround("avg_logprob", R).alias("avg_logprob"),
+        _pround("bits_per_token", R).alias("bits_per_token"),
     )
 
 
@@ -2297,9 +2378,9 @@ lp AS (
   FROM counts JOIN ctx USING (w1) CROSS JOIN vq
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*), 6)
+       floor((CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6
          AS avg_logprob,
-       round(-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2), 6)
+       floor((-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2)) * 1e6 + 0.5) / 1e6
          AS bits_per_token
 FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id
 """
@@ -2320,7 +2401,7 @@ def q116_semdedup(spark, sf_dir):
     return out.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
-        F.round("max_prior_cos", R).alias("max_prior_cos"),
+        _pround("max_prior_cos", R).alias("max_prior_cos"),
         "is_dup",
     )
 
@@ -2354,7 +2435,7 @@ mx AS (
   GROUP BY a.vec_id
 )
 SELECT m.vec_id, m.cluster,
-       round(mx.max_prior_cos, 6) AS max_prior_cos,
+       floor((mx.max_prior_cos) * 1e6 + 0.5) / 1e6 AS max_prior_cos,
        coalesce(mx.max_prior_cos >= 0.35, FALSE) AS is_dup
 FROM m LEFT JOIN mx ON m.vec_id = mx.vec_id
 """
@@ -2475,10 +2556,10 @@ def q118_media_frames(spark, sf_dir):
         "media_id",
         "frame_idx",
         "n_frames_total",
-        F.round("t_s", R).alias("t_s"),
+        _pround("t_s", R).alias("t_s"),
         "height",
         "width",
-        F.round(F.element_at("feature", 1), R).alias("c_mean"),
+        _pround(F.element_at("feature", 1), R).alias("c_mean"),
     )
 
 
@@ -2496,10 +2577,10 @@ picks AS (
 )
 SELECT doc_id AS media_id, k AS frame_idx, total AS n_frames_total,
        -- start of frame k = sum of delays 10+5*(j%3) over j < k
-       round((10 * k + 15 * (k // 3)
-              + CASE WHEN k % 3 = 2 THEN 5 ELSE 0 END) / 100.0, 6) AS t_s,
+       floor(((10 * k + 15 * (k // 3)
+              + CASE WHEN k % 3 = 2 THEN 5 ELSE 0 END) / 100.0) * 1e6 + 0.5) / 1e6 AS t_s,
        CAST(12 AS BIGINT) AS height, CAST(16 AS BIGINT) AS width,
-       round(CAST((doc_id * 37 + k * 101) % 256 AS DOUBLE), 6) AS c_mean
+       floor((CAST((doc_id * 37 + k * 101) % 256 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS c_mean
 FROM picks
 """
 
@@ -2553,7 +2634,7 @@ def q119_media_resize(spark, sf_dir):
         "decoded",
         "height",
         "width",
-        F.round(F.element_at("feature", 1), R).alias("c_mean"),
+        _pround(F.element_at("feature", 1), R).alias("c_mean"),
     )
 
 
@@ -2566,8 +2647,8 @@ WITH d AS (
 )
 SELECT doc_id AS media_id, TRUE AS decoded,
        CAST(1 AS BIGINT) AS height, CAST(4 AS BIGINT) AS width,
-       round((c0 + round(0.75 * c0 + 0.25 * c1)
-              + round(0.25 * c0 + 0.75 * c1) + c1) / 4.0, 6) AS c_mean
+       floor(((c0 + round(0.75 * c0 + 0.25 * c1)
+              + round(0.25 * c0 + 0.75 * c1) + c1) / 4.0) * 1e6 + 0.5) / 1e6 AS c_mean
 FROM d
 """
 
@@ -2584,11 +2665,11 @@ def q120_embedding_quantize(spark, sf_dir):
     out = sim.quantize_embeddings(emb, bits=8)
     return out.select(
         "vec_id",
-        F.round("vmin", R).alias("vmin"),
-        F.round("vmax", R).alias("vmax"),
+        _pround("vmin", R).alias("vmin"),
+        _pround("vmax", R).alias("vmax"),
         F.md5(F.concat_ws(",", F.col("quantized"))).alias("quantized_md5"),
-        F.round("mean_abs_err", R).alias("mean_abs_err"),
-        F.round("max_abs_err", R).alias("max_abs_err"),
+        _pround("mean_abs_err", R).alias("mean_abs_err"),
+        _pround("max_abs_err", R).alias("max_abs_err"),
     )
 
 
@@ -2614,10 +2695,10 @@ err AS (
          abs(v[u.i] - (lo + CAST(qv[u.i] AS DOUBLE) * scale / 255)) AS e1
   FROM q, unnest(range(1, len(v) + 1)) AS u(i)
 )
-SELECT vec_id, round(lo, 6) AS vmin, round(lo + scale, 6) AS vmax,
+SELECT vec_id, floor((lo) * 1e6 + 0.5) / 1e6 AS vmin, floor((lo + scale) * 1e6 + 0.5) / 1e6 AS vmax,
        md5(array_to_string(qv, ',')) AS quantized_md5,
-       round(sum(e1) / count(*), 6) AS mean_abs_err,
-       round(max(e1), 6) AS max_abs_err
+       floor((sum(e1) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_abs_err,
+       floor((max(e1)) * 1e6 + 0.5) / 1e6 AS max_abs_err
 FROM err GROUP BY vec_id, lo, scale, qv
 """
 
@@ -3412,10 +3493,10 @@ def q127_gopher_rules(spark, sf_dir):
     g = txo.gopher_rules(multi)
     return g.select(
         "doc_id", "n_words",
-        F.round("mean_word_len", R).alias("mean_word_len"),
-        F.round("symbol_ratio", R).alias("symbol_ratio"),
-        F.round("bullet_ratio", R).alias("bullet_ratio"),
-        F.round("ellipsis_ratio", R).alias("ellipsis_ratio"),
+        _pround("mean_word_len", R).alias("mean_word_len"),
+        _pround("symbol_ratio", R).alias("symbol_ratio"),
+        _pround("bullet_ratio", R).alias("bullet_ratio"),
+        _pround("ellipsis_ratio", R).alias("ellipsis_ratio"),
         "required_hits", "ok_word_count", "ok_mean_word_len", "ok_symbols",
         "ok_bullets", "ok_ellipsis", "ok_stopwords", "gopher_pass",
     )
@@ -3457,10 +3538,10 @@ WITH m AS (
               AS BIGINT) AS required_hits
   FROM f
 )
-SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-       round(symbol_ratio, 6) AS symbol_ratio,
-       round(bullet_ratio, 6) AS bullet_ratio,
-       round(ellipsis_ratio, 6) AS ellipsis_ratio, required_hits,
+SELECT doc_id, n_words, floor((mean_word_len) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor((symbol_ratio) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+       floor((bullet_ratio) * 1e6 + 0.5) / 1e6 AS bullet_ratio,
+       floor((ellipsis_ratio) * 1e6 + 0.5) / 1e6 AS ellipsis_ratio, required_hits,
        (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
        (symbol_ratio <= 0.1) AS ok_symbols,
@@ -3537,8 +3618,8 @@ def q129_matryoshka_truncate(spark, sf_dir):
     out = sim.truncate_embeddings(emb, dim=8)
     return out.select(
         "vec_id",
-        F.round("trunc_norm", R).alias("trunc_norm"),
-        F.round("energy_ratio", R).alias("energy_ratio"),
+        _pround("trunc_norm", R).alias("trunc_norm"),
+        _pround("energy_ratio", R).alias("energy_ratio"),
         F.md5(
             F.concat_ws(
                 ",",
@@ -3569,8 +3650,8 @@ WITH e AS (
          END AS rq
   FROM s
 )
-SELECT vec_id, round(trunc_norm, 6) AS trunc_norm,
-       round(energy_ratio, 6) AS energy_ratio,
+SELECT vec_id, floor((trunc_norm) * 1e6 + 0.5) / 1e6 AS trunc_norm,
+       floor((energy_ratio) * 1e6 + 0.5) / 1e6 AS energy_ratio,
        md5(array_to_string(rq, ',')) AS renormed_md5
 FROM r
 """
@@ -3593,7 +3674,7 @@ def q130_json_metadata(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
             F.sum((F.col("k") % 7 == 0).cast("long")).alias("n_k_div7"),
-            F.round(F.avg("value"), R).alias("avg_value"),
+            _pround(F.avg("value"), R).alias("avg_value"),
         )
     )
 
@@ -3607,7 +3688,7 @@ WITH e AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_div7,
-       round(avg(value), 6) AS avg_value
+       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
 FROM e WHERE k IS NOT NULL GROUP BY event_type
 """
 
@@ -3678,7 +3759,7 @@ def q113_tfidf_terms(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "tok",
         F.col("tf").cast("long").alias("tf"),
-        F.round("score", R).alias("score"),
+        _pround("score", R).alias("score"),
     )
 
 
@@ -3706,7 +3787,7 @@ ranked AS (
                             ORDER BY score DESC, tok) AS rank
   FROM scored
 )
-SELECT doc_id, rank, tok, tf, round(score, 6) AS score
+SELECT doc_id, rank, tok, tf, floor((score) * 1e6 + 0.5) / 1e6 AS score
 FROM ranked WHERE rank <= 5
 """
 
@@ -3768,7 +3849,7 @@ def q110_centroid_assignment(spark, sf_dir):
     )
     out = centroid_assign(emb, seeds, engine="expr")
     return out.select(
-        "vec_id", "cluster", F.round("cosine", 6).alias("cosine")
+        "vec_id", "cluster", _pround("cosine", 6).alias("cosine")
     )
 
 
@@ -3790,7 +3871,7 @@ best AS (
                             ORDER BY cos DESC, cluster) AS rn
   FROM scored
 )
-SELECT vec_id, cluster, round(cos, 6) AS cosine FROM best WHERE rn = 1
+SELECT vec_id, cluster, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine FROM best WHERE rn = 1
 """
 
 
@@ -4200,7 +4281,7 @@ def q140_crawl_curation_pipeline(spark, sf_dir):
     ).select("doc_id")
     final = s4.join(dropped, "doc_id", "left_anti")
     return final.select(
-        "doc_id", "domain", "n_chars", F.round("prob", R).alias("prob")
+        "doc_id", "domain", "n_chars", _pround("prob", R).alias("prob")
     ).orderBy("doc_id")
 
 
@@ -4340,7 +4421,7 @@ clr AS (
   FROM clq
 ),
 droppers AS (SELECT node AS doc_id FROM clr WHERE rn > 1)
-SELECT doc_id, domain, n_chars, round(prob, 6) AS prob
+SELECT doc_id, domain, n_chars, floor((prob) * 1e6 + 0.5) / 1e6 AS prob
 FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM droppers)
 ORDER BY doc_id
 """
@@ -4476,20 +4557,29 @@ def q143_dsir_selection(spark, sf_dir):
     replacement — the standard recipe for carving a domain-matched
     pretraining subset out of a web dump. Both the md5 feature hash and
     the seeded Gumbel noise are engine-portable, so the oracle replays
-    model fitting, weighting, AND the stochastic selection exactly."""
+    model fitting, weighting, AND the stochastic selection exactly.
+
+    Certification surface is ALL-INTEGER: ``logw_fp`` / ``key_fp`` are
+    the 1e-6-tick LONG columns (``dsir_select`` also emits derived
+    ``/1e6`` doubles, deliberately NOT hashed — rounds 6-7 proved that
+    libm ``ln`` last-ulp divergence between the JVM and DuckDB riding a
+    rounded float key flips the driver hash; the integer fixed-point
+    Gumbel in ``operators.sampling.gumbel_fp6`` removes the float
+    entirely)."""
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == "en")
     out = cu.dsir_select(
         docs, target, k=100, n_features=2048, alpha=0.5, seed=0
     )
-    return out.select(
-        "doc_id",
-        "n_grams",
-        _pround(F.col("logw")).alias("logw"),
-        _pround(F.col("key")).alias("key"),
-        "rank",
-    )
+    return out.select("doc_id", "n_grams", "logw_fp", "key_fp", "rank")
 
+
+# fixed-point Gumbel CTE chain over the per-doc weight table `w`
+_GUM143 = _gumbel_fp6_sql_ctes(
+    "w",
+    "('0x' || substring(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8))::BIGINT",
+)
 
 Q143_SQL = f"""
 WITH toks AS ({_TOKS_SQL}),
@@ -4527,25 +4617,17 @@ lr AS (
   FROM rawc r LEFT JOIN tgtc t USING (feature_id), tot
 ),
 w AS (
-  SELECT d.doc_id, sum(d.cnt) AS n_grams,
-         CAST(sum(d.cnt * lr.lr_fp) AS BIGINT) / 1e6 AS logw
+  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+         CAST(sum(d.cnt * lr.lr_fp) AS BIGINT) AS logw_fp
   FROM dfc d JOIN lr USING (feature_id) GROUP BY 1
 ),
-keyed AS (
-  SELECT doc_id, n_grams, logw,
-         logw - ln(-ln(least(greatest(
-             ('0x' || substring(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)),
-                                1, 8))::BIGINT / 4294967296.0,
-             1e-12), 1.0 - 1e-12))) AS key
-  FROM w
-),
+{_GUM143[0]},
 ranked AS (
-  SELECT doc_id, n_grams, logw, key,
-         row_number() OVER (ORDER BY key DESC, doc_id) AS rank
-  FROM keyed
+  SELECT doc_id, n_grams, logw_fp, logw_fp + g6 AS key_fp,
+         row_number() OVER (ORDER BY logw_fp + g6 DESC, doc_id) AS rank
+  FROM {_GUM143[1]}
 )
-SELECT doc_id, n_grams, logw,
-       floor(key * 1e6 + 0.5) / 1e6 AS key, rank
+SELECT doc_id, n_grams, logw_fp, key_fp, rank
 FROM ranked WHERE rank <= 100
 """
 
@@ -5066,7 +5148,7 @@ def q100_decontaminate(spark, sf_dir):
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_contaminated").cast("long").alias("n_contaminated"),
-        F.round("contamination_frac", R).alias("contamination_frac"),
+        _pround("contamination_frac", R).alias("contamination_frac"),
     )
 
 
@@ -5084,7 +5166,7 @@ hits AS (
   FROM tr JOIN ev USING (g) GROUP BY doc_id
 )
 SELECT h.doc_id, s.n_grams, h.n_contaminated,
-       round(CAST(h.n_contaminated AS DOUBLE) / s.n_grams, 6)
+       floor((CAST(h.n_contaminated AS DOUBLE) / s.n_grams) * 1e6 + 0.5) / 1e6
          AS contamination_frac
 FROM hits h JOIN sizes s USING (doc_id)
 """
@@ -5101,9 +5183,9 @@ def q101_repetition_stats(spark, sf_dir):
     return out.select(
         "doc_id",
         "n_tokens",
-        F.round("distinct_token_ratio", R).alias("distinct_token_ratio"),
-        F.round("top_token_frac", R).alias("top_token_frac"),
-        F.round("dup_bigram_frac", R).alias("dup_bigram_frac"),
+        _pround("distinct_token_ratio", R).alias("distinct_token_ratio"),
+        _pround("top_token_frac", R).alias("top_token_frac"),
+        _pround("dup_bigram_frac", R).alias("dup_bigram_frac"),
     )
 
 
@@ -5127,10 +5209,10 @@ bstats AS (
   FROM bcnt GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_tokens,
-       round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+       floor((CAST(t.n_distinct AS DOUBLE) / t.n_tokens) * 1e6 + 0.5) / 1e6
          AS distinct_token_ratio,
-       round(CAST(tt.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
-       round(coalesce(CAST(b.dup AS DOUBLE) / b.m, 0), 6)
+       floor((CAST(tt.top_c AS DOUBLE) / t.n_tokens) * 1e6 + 0.5) / 1e6 AS top_token_frac,
+       floor((coalesce(CAST(b.dup AS DOUBLE) / b.m, 0)) * 1e6 + 0.5) / 1e6
          AS dup_bigram_frac
 FROM tstats t
 JOIN ttop tt USING (doc_id)
@@ -5214,8 +5296,8 @@ def q103_unigram_logprob(spark, sf_dir):
     return out.select(
         "doc_id",
         "n_tokens",
-        F.round("avg_logprob", R).alias("avg_logprob"),
-        F.round("bits_per_token", R).alias("bits_per_token"),
+        _pround("avg_logprob", R).alias("avg_logprob"),
+        _pround("bits_per_token", R).alias("bits_per_token"),
     )
 
 
@@ -5336,7 +5418,7 @@ def q106_budget_mix(spark, sf_dir):
         docs, {"src0": 500.0, "src1": 1200.0}, default_budget=None
     )
     return out.select(
-        "doc_id", "source", "n_tokens", F.round("rate", R).alias("rate")
+        "doc_id", "source", "n_tokens", _pround("rate", R).alias("rate")
     )
 
 
@@ -5363,7 +5445,7 @@ rates AS (
          END AS rate
   FROM totals
 )
-SELECT t.doc_id, t.source, t.n_tokens, round(r.rate, 6) AS rate
+SELECT t.doc_id, t.source, t.n_tokens, floor((r.rate) * 1e6 + 0.5) / 1e6 AS rate
 FROM toks t JOIN rates r ON t.source = r.source
 WHERE ('0x' || substring(md5('0:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
       / 4294967296.0 < r.rate
@@ -5388,7 +5470,7 @@ def q104_minhash_pipeline_md5(spark, sf_dir):
         block_cols=["lang", "source"],
         token_hash="md5_60",
     )
-    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+    return out.select("id_a", "id_b", _pround("jaccard", R).alias("jaccard"))
 
 
 def _q104_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
@@ -5433,8 +5515,8 @@ common AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT c.id_a, c.id_b,
-       round(CAST(c.n_common AS DOUBLE)
-             / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+       floor((CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM common c
 JOIN sizes sa ON c.id_a = sa.doc_id
 JOIN sizes sb ON c.id_b = sb.doc_id
@@ -5457,9 +5539,9 @@ lp AS (SELECT tok,
                    AS BIGINT) AS logp_fp
        FROM vocab, tot)
 SELECT doc_id, count(*) AS n_tokens,
-       round(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*), 6)
+       floor((CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6
          AS avg_logprob,
-       round(-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2), 6)
+       floor((-(CAST(sum(logp_fp) AS BIGINT) / 1e6 / count(*)) / ln(2)) * 1e6 + 0.5) / 1e6
          AS bits_per_token
 FROM tokf JOIN lp USING (tok) GROUP BY doc_id
 """
@@ -5489,8 +5571,8 @@ def q138_classifier_score(spark, sf_dir):
     return out.select(
         "doc_id",
         "n_grams",
-        F.round("score", R).alias("score"),
-        F.round("prob", R).alias("prob"),
+        _pround("score", R).alias("score"),
+        _pround("prob", R).alias("prob"),
     )
 
 
@@ -5522,8 +5604,8 @@ scored AS (
   FROM gf LEFT JOIN w USING (feature_id)
   GROUP BY gf.doc_id
 )
-SELECT doc_id, n_grams, round(score, 6) AS score,
-       round(1.0 / (1.0 + exp(-score)), 6) AS prob
+SELECT doc_id, n_grams, floor((score) * 1e6 + 0.5) / 1e6 AS score,
+       floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) / 1e6 AS prob
 FROM scored
 """
 
@@ -5541,7 +5623,7 @@ def q49_lsh_topk(spark, sf_dir):
     )
     out = sim.lsh_topk(emb, queries, planes, k=5, max_hamming=6)
     return out.select(
-        "query_id", "vec_id", F.round("cosine_sim", R).alias("cosine_sim"), "rank"
+        "query_id", "vec_id", _pround("cosine_sim", R).alias("cosine_sim"), "rank"
     )
 
 
@@ -5569,8 +5651,8 @@ def q60_time_shift_detection(spark, sf_dir):
     return out.select(
         "site",
         "date",
-        F.round("noon_pwc", 4).alias("noon_pwc"),
-        F.round("shift_hours", 4).alias("shift_hours"),
+        _pround("noon_pwc", 4).alias("noon_pwc"),
+        _pround("shift_hours", 4).alias("shift_hours"),
     )
 
 
@@ -5584,7 +5666,7 @@ def q61_capacity_change_labels(spark, sf_dir):
     daily = _daily_for_flags(spark, sf_dir)
     out = detect_capacity_changes(daily, w1=0.3)
     return out.select(
-        "site", "date", F.round("cap_level", 4).alias("cap_level"),
+        "site", "date", _pround("cap_level", 4).alias("cap_level"),
         "capacity_label", "cap_changed",
     )
 
@@ -5730,7 +5812,7 @@ def q50_seasonal_quantile_fit(spark, sf_dir):
     )
     out = fit_seasonal_quantile(daily, "energy", tau=0.75)
     return out.select(
-        "site", "date", F.round("seasonal_fit", 4).alias("seasonal_fit")
+        "site", "date", _pround("seasonal_fit", 4).alias("seasonal_fit")
     )
 
 
@@ -5748,8 +5830,8 @@ def q74_w1_grid_search(spark, sf_dir):
     out = tune_time_shift_w1(daily, w1_grid=[0.1, 0.5, 2.0, 8.0])
     return out.select(
         "site",
-        F.round("best_w1", 4).alias("best_w1"),
-        F.round("holdout_mse", 4).alias("holdout_mse"),
+        _pround("best_w1", 4).alias("best_w1"),
+        _pround("holdout_mse", 4).alias("holdout_mse"),
         "n_grid",
     )
 
@@ -5772,8 +5854,8 @@ def q75_orientation_fit(spark, sf_dir):
     out = estimate_orientation(samples, lat_deg=37.45)
     return out.select(
         "site",
-        F.round("tilt_deg", 2).alias("tilt_deg"),
-        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+        _pround("tilt_deg", 2).alias("tilt_deg"),
+        _pround("azimuth_deg", 2).alias("azimuth_deg"),
     )
 
 
@@ -5794,7 +5876,7 @@ def q131_longitude_study(spark, sf_dir):
         "eot_calculation",
         "solar_noon_method",
         "day_selection_method",
-        F.round("longitude", 4).alias("longitude"),
+        _pround("longitude", 4).alias("longitude"),
     )
 
 
@@ -5815,7 +5897,7 @@ def q132_latitude_study(spark, sf_dir):
         "declination_method",
         "daylight_calculation",
         "day_selection_method",
-        F.round("latitude", 4).alias("latitude"),
+        _pround("latitude", 4).alias("latitude"),
     )
 
 
@@ -5874,7 +5956,7 @@ samples AS (
      OR (g.day_selection_method = 'cloudy' AND NOT f.clear)
 )
 SELECT site, declination_method, daylight_calculation, day_selection_method,
-       round(quantile_cont(lat_day, 0.5), 4) AS latitude
+       floor((quantile_cont(lat_day, 0.5)) * 1e4 + 0.5) / 1e4 AS latitude
 FROM samples
 WHERE lat_day IS NOT NULL
 GROUP BY site, declination_method, daylight_calculation, day_selection_method
@@ -5902,7 +5984,7 @@ def q135_longitude_study_closed(spark, sf_dir):
         "eot_calculation",
         "solar_noon_method",
         "day_selection_method",
-        F.round("longitude", 4).alias("longitude"),
+        _pround("longitude", 4).alias("longitude"),
     )
 
 
@@ -5961,8 +6043,8 @@ samples AS (
 )
 SELECT site, estimator, eot_calculation, solar_noon_method,
        day_selection_method,
-       round(CASE WHEN estimator = 'fit_l2' THEN avg(lon_day)
-                  ELSE quantile_cont(lon_day, 0.5) END, 4) AS longitude
+       floor((CASE WHEN estimator = 'fit_l2' THEN avg(lon_day)
+                  ELSE quantile_cont(lon_day, 0.5) END) * 1e4 + 0.5) / 1e4 AS longitude
 FROM samples
 WHERE lon_day IS NOT NULL
 GROUP BY site, estimator, eot_calculation, solar_noon_method,
@@ -5987,8 +6069,8 @@ def q133_tilt_azimuth_study(spark, sf_dir):
         "declination_method",
         "init_tilt",
         "init_azimuth",
-        F.round("tilt_deg", 2).alias("tilt_deg"),
-        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+        _pround("tilt_deg", 2).alias("tilt_deg"),
+        _pround("azimuth_deg", 2).alias("azimuth_deg"),
     )
 
 
@@ -6005,10 +6087,10 @@ def q134_system_parameters(spark, sf_dir):
     out = estimate_system_parameters(m, gmt_offset=0.0)
     return out.select(
         "site",
-        F.round("longitude", 4).alias("longitude"),
-        F.round("latitude", 4).alias("latitude"),
-        F.round("tilt_deg", 2).alias("tilt_deg"),
-        F.round("azimuth_deg", 2).alias("azimuth_deg"),
+        _pround("longitude", 4).alias("longitude"),
+        _pround("latitude", 4).alias("latitude"),
+        _pround("tilt_deg", 2).alias("tilt_deg"),
+        _pround("azimuth_deg", 2).alias("azimuth_deg"),
     )
 
 
@@ -6040,12 +6122,12 @@ def q136_ground_truth_tilt_azimuth(spark, sf_dir):
     out = ground_truth_tilt_azimuth(polys)
     return out.select(
         "home_id",
-        F.round("ave_tilt", 4).alias("ave_tilt"),
-        F.round("med_tilt", 4).alias("med_tilt"),
-        F.round("std_tilt", 4).alias("std_tilt"),
-        F.round("ave_azimuth", 4).alias("ave_azimuth"),
-        F.round("med_azimuth", 4).alias("med_azimuth"),
-        F.round("std_azimuth", 4).alias("std_azimuth"),
+        _pround("ave_tilt", 4).alias("ave_tilt"),
+        _pround("med_tilt", 4).alias("med_tilt"),
+        _pround("std_tilt", 4).alias("std_tilt"),
+        _pround("ave_azimuth", 4).alias("ave_azimuth"),
+        _pround("med_azimuth", 4).alias("med_azimuth"),
+        _pround("std_azimuth", 4).alias("std_azimuth"),
         "n_polygons",
     )
 
@@ -6101,12 +6183,12 @@ angles AS (
   FROM normals
 )
 SELECT home_id,
-       round(avg(tilt_deg), 4) AS ave_tilt,
-       round(quantile_cont(tilt_deg, 0.5), 4) AS med_tilt,
-       round(stddev_pop(tilt_deg), 4) AS std_tilt,
-       round(avg(azimuth_deg), 4) AS ave_azimuth,
-       round(quantile_cont(azimuth_deg, 0.5), 4) AS med_azimuth,
-       round(stddev_pop(azimuth_deg), 4) AS std_azimuth,
+       floor((avg(tilt_deg)) * 1e4 + 0.5) / 1e4 AS ave_tilt,
+       floor((quantile_cont(tilt_deg, 0.5)) * 1e4 + 0.5) / 1e4 AS med_tilt,
+       floor((stddev_pop(tilt_deg)) * 1e4 + 0.5) / 1e4 AS std_tilt,
+       floor((avg(azimuth_deg)) * 1e4 + 0.5) / 1e4 AS ave_azimuth,
+       floor((quantile_cont(azimuth_deg, 0.5)) * 1e4 + 0.5) / 1e4 AS med_azimuth,
+       floor((stddev_pop(azimuth_deg)) * 1e4 + 0.5) / 1e4 AS std_azimuth,
        count(*) AS n_polygons
 FROM angles GROUP BY home_id
 """
@@ -6125,7 +6207,7 @@ def q76_sessionization(spark, sf_dir):
         "session_start",
         "session_end",
         "n_events",
-        F.round("session_value", 4).alias("session_value"),
+        _pround("session_value", 4).alias("session_value"),
     )
 
 
@@ -6147,7 +6229,7 @@ sess AS (
   FROM flagged
 )
 SELECT site, session_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 4) AS session_value
+       count(*) AS n_events, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS session_value
 FROM sess GROUP BY site, session_id
 """
 
@@ -6162,19 +6244,19 @@ def q77_scd2_merge(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     dim = c.select(
         F.col("c_custkey").alias("key"),
-        F.round("c_acctbal", 4).alias("balance"),
+        _pround("c_acctbal", 4).alias("balance"),
         F.lit("1990-01-01").cast("timestamp").alias("effective_from"),
     )
     updates = o.select(
         F.col("o_custkey").alias("key"),
-        F.round("o_totalprice", 4).alias("balance"),
+        _pround("o_totalprice", 4).alias("balance"),
         F.col("o_orderdate").alias("update_ts"),
     )
     merged = scd2_merge(dim, updates, "key", ["balance"])
     return merged.groupBy("key").agg(
         F.count("*").alias("n_versions"),
         F.sum(F.col("is_current").cast("int")).cast("long").alias("n_current"),
-        F.round(F.max(F.when(F.col("is_current"), F.col("balance"))), 4).alias(
+        _pround(F.max(F.when(F.col("is_current"), F.col("balance"))), 4).alias(
             "current_balance"
         ),
     )
@@ -6183,14 +6265,14 @@ def q77_scd2_merge(spark, sf_dir):
 Q77_SQL = """
 WITH latest AS (
   SELECT key, balance, update_ts FROM (
-    SELECT o_custkey AS key, round(o_totalprice, 4) AS balance, o_orderdate AS update_ts,
+    SELECT o_custkey AS key, floor((o_totalprice) * 1e4 + 0.5) / 1e4 AS balance, o_orderdate AS update_ts,
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate DESC,
-                                       round(o_totalprice, 4) DESC) AS rn
+                                       floor((o_totalprice) * 1e4 + 0.5) / 1e4 DESC) AS rn
     FROM orders) WHERE rn = 1
 ),
 dim AS (
-  SELECT c_custkey AS key, round(c_acctbal, 4) AS balance,
+  SELECT c_custkey AS key, floor((c_acctbal) * 1e4 + 0.5) / 1e4 AS balance,
          TIMESTAMP '1990-01-01' AS effective_from
   FROM customer
 ),
@@ -6212,7 +6294,7 @@ merged AS (
 )
 SELECT key, count(*) AS n_versions,
        CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
-       round(max(CASE WHEN is_current THEN balance END), 4) AS current_balance
+       floor((max(CASE WHEN is_current THEN balance END)) * 1e4 + 0.5) / 1e4 AS current_balance
 FROM merged GROUP BY key
 """
 
@@ -6224,7 +6306,7 @@ def q78_rollup(spark, sf_dir):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            _pround(F.sum("l_extendedprice"), 4).alias("sum_price"),
             F.count("*").alias("n"),
         )
         .select(
@@ -6239,7 +6321,7 @@ def q78_rollup(spark, sf_dir):
 Q78_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_extendedprice), 4) AS sum_price,
+       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sum_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -6267,8 +6349,8 @@ def q79_sensor_identification(spark, sf_dir):
     return out.select(
         "site",
         "sensor",
-        F.round("corr", 4).alias("corr"),
-        F.round("cv_rmse", 4).alias("cv_rmse"),
+        _pround("corr", 4).alias("corr"),
+        _pround("cv_rmse", 4).alias("cv_rmse"),
         "is_best",
     )
 
@@ -6295,9 +6377,9 @@ def q80_shade_analysis(spark, sf_dir):
         "site",
         "delta_bin",
         "dil_slot",
-        F.round("observed", 4).alias("observed"),
-        F.round("clearsky", 4).alias("clearsky"),
-        F.round("shade_frac", 4).alias("shade_frac"),
+        _pround("observed", 4).alias("observed"),
+        _pround("clearsky", 4).alias("clearsky"),
+        _pround("shade_frac", 4).alias("shade_frac"),
         "is_shaded",
     )
 
@@ -6325,7 +6407,7 @@ def q85_quantile_surface(spark, sf_dir):
     dil = _dilated(spark, sf_dir)
     out = estimate_quantiles(dil, nvals=16, levels=(0.1, 0.5, 0.9))
     return out.select(
-        "site", "date", "dil_slot", "level", F.round("qvalue", 4).alias("qvalue")
+        "site", "date", "dil_slot", "level", _pround("qvalue", 4).alias("qvalue")
     )
 
 
@@ -6361,14 +6443,14 @@ def q87_quality_scores(spark, sf_dir):
     return out.select(
         "site",
         "date",
-        F.round("density", 4).alias("density"),
-        F.round("linearity", 4).alias("linearity"),
-        F.round("clipping_1", 4).alias("clipping_1"),
+        _pround("density", 4).alias("density"),
+        _pround("linearity", 4).alias("linearity"),
+        _pround("clipping_1", 4).alias("clipping_1"),
         "quality_clustering",
         "no_errors",
         "clear",
-        F.round("data_quality_score", 4).alias("data_quality_score"),
-        F.round("data_clearness_score", 4).alias("data_clearness_score"),
+        _pround("data_quality_score", 4).alias("data_quality_score"),
+        _pround("data_clearness_score", 4).alias("data_clearness_score"),
     )
 
 
@@ -6397,18 +6479,18 @@ def q157_fleet_report(spark, sf_dir):
     return rep.select(
         "site",
         "num_days",
-        F.round("length_years", R).alias("length_years"),
-        F.round("capacity", R).alias("capacity"),
-        F.round("sampling_minutes", R).alias("sampling_minutes"),
-        F.round("quality_score", R).alias("quality_score"),
-        F.round("clearness_score", R).alias("clearness_score"),
+        _pround("length_years", R).alias("length_years"),
+        _pround("capacity", R).alias("capacity"),
+        _pround("sampling_minutes", R).alias("sampling_minutes"),
+        _pround("quality_score", R).alias("quality_score"),
+        _pround("clearness_score", R).alias("clearness_score"),
         "inverter_clipping",
-        F.round("clipped_fraction", R).alias("clipped_fraction"),
+        _pround("clipped_fraction", R).alias("clipped_fraction"),
         "capacity_change",
         "data_quality_warning",
         "time_shift_correction",
         "time_zone_correction",
-        F.round("degradation_rate_pct_per_year", R).alias(
+        _pround("degradation_rate_pct_per_year", R).alias(
             "degradation_rate_pct_per_year"
         ),
         "get_data_error",
@@ -6446,7 +6528,7 @@ def q158_cluster_balanced_sample(spark, sf_dir):
     return out.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
-        F.round("cosine", R).alias("cosine"),
+        _pround("cosine", R).alias("cosine"),
     )
 
 
@@ -6477,7 +6559,7 @@ ranked AS (
          ) AS rn2
   FROM assigned
 )
-SELECT vec_id, cluster, round(cos, 6) AS cosine
+SELECT vec_id, cluster, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
 FROM ranked WHERE rn2 <= 30
 """
 
@@ -6498,7 +6580,7 @@ def q159_semantic_decontamination(spark, sf_dir):
     return out.select(
         "vec_id",
         "nearest_eval_id",
-        F.round("max_eval_cos", R).alias("max_eval_cos"),
+        _pround("max_eval_cos", R).alias("max_eval_cos"),
         "is_contaminated",
     )
 
@@ -6522,7 +6604,7 @@ best AS (
                             ORDER BY cos DESC, eid) AS rn
   FROM scored
 )
-SELECT vec_id, eid AS nearest_eval_id, round(cos, 6) AS max_eval_cos,
+SELECT vec_id, eid AS nearest_eval_id, floor((cos) * 1e6 + 0.5) / 1e6 AS max_eval_cos,
        cos >= 0.35 AS is_contaminated
 FROM best WHERE rn = 1
 """
@@ -6650,7 +6732,7 @@ def q162_bm25_topk(spark, sf_dir):
     return out.select(
         "query_id",
         "doc_id",
-        F.round("score", R).alias("score"),
+        _pround("score", R).alias("score"),
         "rank",
     )
 
@@ -6689,7 +6771,7 @@ ranked AS (
                             ORDER BY score DESC, doc_id) AS rank
   FROM scored
 )
-SELECT query_id, doc_id, round(score, 6) AS score, rank
+SELECT query_id, doc_id, floor((score) * 1e6 + 0.5) / 1e6 AS score, rank
 FROM ranked WHERE rank <= 10
 """
 
@@ -6790,7 +6872,7 @@ def q164_hybrid_rrf(spark, sf_dir):
     return out.select(
         "query_id",
         "doc_id",
-        F.round("rrf_score", R).alias("rrf_score"),
+        _pround("rrf_score", R).alias("rrf_score"),
         "rank",
     )
 
@@ -6861,7 +6943,7 @@ franked AS (
                             ORDER BY rrf_score DESC, doc_id) AS rank
   FROM fused
 )
-SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score, rank
+SELECT query_id, doc_id, floor((rrf_score) * 1e6 + 0.5) / 1e6 AS rrf_score, rank
 FROM franked WHERE rank <= 10
 """
 
@@ -6871,8 +6953,13 @@ def q165_novelty_scores(spark, sf_dir):
     each doc's distinct 4-grams appearing in >= 1 OTHER document —
     boilerplate detection and the data-card diversity statistic
     (within-corpus counterpart of q100's eval-overlap fraction).
-    dup_frac is a ratio of exact integers, so the oracle hash is
-    stable by construction."""
+    dup_frac is a ratio of exact integers — the input double is
+    bit-identical on both engines — but the ROUNDED value must go
+    through ``_pround`` (identical floor/mul ops both sides), not the
+    builtin round pair: small-integer ratios land on exact half-tick
+    doubles (n/2^k denominators), where Spark's BigDecimal rounding and
+    DuckDB's multiply-first rounding legitimately disagree — the r07
+    driver caught exactly that flip on this query."""
     from solar_data_tools_spark.operators.text import novelty_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -6881,7 +6968,7 @@ def q165_novelty_scores(spark, sf_dir):
         "doc_id",
         "n_grams_distinct",
         "n_shared",
-        F.round("dup_frac", R).alias("dup_frac"),
+        _pround(F.col("dup_frac")).alias("dup_frac"),
     )
 
 
@@ -6896,9 +6983,10 @@ grams AS (
 dfreq AS (SELECT shingle, count(*) AS df FROM grams GROUP BY 1)
 SELECT g.doc_id,
        count(*) AS n_grams_distinct,
-       sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared,
-       round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
-             / count(*), 6) AS dup_frac
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       floor(CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac
 FROM grams g JOIN dfreq d USING (shingle)
 GROUP BY g.doc_id
 """
@@ -6920,7 +7008,7 @@ def q166_source_overlap(spark, sf_dir):
         "n_common",
         "n_a",
         "n_b",
-        F.round("jaccard", R).alias("jaccard"),
+        _pround("jaccard", R).alias("jaccard"),
     )
 
 
@@ -6945,7 +7033,7 @@ common AS (
 )
 SELECT c.source_a, c.source_b, c.n_common,
        sa.n_grams AS n_a, sb.n_grams AS n_b,
-       round(c.n_common / (sa.n_grams + sb.n_grams - c.n_common), 6)
+       floor((c.n_common / (sa.n_grams + sb.n_grams - c.n_common)) * 1e6 + 0.5) / 1e6
          AS jaccard
 FROM common c
 JOIN sizes sa ON sa.source = c.source_a
@@ -6981,6 +7069,14 @@ def q167_source_overlap_minhash(spark, sf_dir):
     for i in range(64):  # unrolled: codegen, no interpreted HOF lambda
         term = (F.col("_sa")[i] == F.col("_sb")[i]).cast("int")
         match = term if match is None else match + term
+    # DELIBERATE crossJoin (same justification class as the
+    # broadcast-scalar crossJoins elsewhere): both sides are the
+    # |sources|-row signature table — a handful of rows per CORPUS, by
+    # construction of the operator (sources are dumps/crawls, not
+    # docs) — so the pair fan-out is |sources|^2/2 rows of 64 longs
+    # each. At 100 TB |sources| stays O(10-100): the join is
+    # kilobytes, and the expensive part (per-source signatures) is the
+    # upstream min-aggregate, which scales linearly.
     return (
         a.crossJoin(b)
         .where(F.col("source_a") < F.col("source_b"))
@@ -6988,7 +7084,7 @@ def q167_source_overlap_minhash(spark, sf_dir):
             "source_a",
             "source_b",
             match.alias("n_match"),
-            F.round(match / F.lit(64.0), R).alias("est_jaccard"),
+            _pround(match / F.lit(64.0), R).alias("est_jaccard"),
         )
     )
 
@@ -7022,7 +7118,7 @@ sigs AS (
 )
 SELECT a.source AS source_a, b.source AS source_b,
        {matches} AS n_match,
-       round(({matches}) / 64.0, 6) AS est_jaccard
+       floor((({matches}) / 64.0) * 1e6 + 0.5) / 1e6 AS est_jaccard
 FROM sigs a JOIN sigs b ON a.source < b.source
 """
 
@@ -7076,6 +7172,91 @@ SELECT doc_id, quality, n_tokens FROM ordered WHERE cum <= 10000
 """
 
 
+def q169_fleet_relational_spine(spark, sf_dir):
+    """Oracle certification of the fleet facade's RELATIONAL spine —
+    the report fields that are pure grid facts (reference
+    data_handler.py:718-782 semantics): per site, ``num_days`` (days on
+    the standardized grid, = count of score rows since scoring emits
+    one row per grid day — asserted in tests/test_fleet_report.py),
+    ``length_years`` (= num_days/365, plans/fleet.py:497) and
+    ``sampling_minutes`` (= snapped grid cadence / 60, :444). Runs the
+    SAME ``run_pipeline(per_site=True)`` core the facade runs (q157
+    certifies the full 11-field report rows-only; this row makes its
+    relational spine hash-certified). The oracle replays the whole
+    chain in SQL: q14's modal-delta inference, the nearest-86400-divisor
+    snap (ties to the smaller divisor), and the midnight-to-midnight
+    day-span of the generated grid."""
+    from solar_data_tools_spark.plans.pipeline import run_pipeline
+
+    m = _meas(spark, sf_dir)
+    core = run_pipeline(m.select("site", "ts", "seq", "value"), per_site=True)
+    days = core.standardized.groupBy("site").agg(
+        F.count_distinct(F.to_date("grid_ts")).alias("num_days")
+    )
+    samp = core.sampling.select(
+        "site",
+        F.col("grid_seconds"),
+        (F.col("grid_seconds") / F.lit(60.0)).alias("sampling_minutes"),
+    )
+    return days.join(samp, "site").select(
+        "site",
+        "num_days",
+        _pround(F.col("num_days") / F.lit(365.0)).alias("length_years"),
+        "grid_seconds",
+        _pround(F.col("sampling_minutes")).alias("sampling_minutes"),
+    )
+
+
+Q169_SQL = f"""
+WITH m AS ({_EV}),
+d AS (
+  SELECT site,
+         CAST(floor(((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 10000000.0) * 1e0 + 0.5) / 1e0 * 10 AS BIGINT) AS delta_s
+  FROM m
+  WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
+),
+c AS (
+  SELECT site, delta_s, count(*) AS cnt
+  FROM d WHERE delta_s IS NOT NULL
+  GROUP BY site, delta_s
+),
+modal AS (
+  SELECT site, delta_s AS sampling_seconds
+  FROM (SELECT site, delta_s,
+               row_number() OVER (PARTITION BY site
+                                  ORDER BY cnt DESC, delta_s ASC) AS rn
+        FROM c)
+  WHERE rn = 1
+),
+divs AS (
+  SELECT d AS grid_seconds FROM range(1, 86401) t(d) WHERE 86400 % d = 0
+),
+snap AS (
+  SELECT site, grid_seconds
+  FROM (SELECT site, grid_seconds,
+               row_number() OVER (
+                   PARTITION BY site
+                   ORDER BY abs(grid_seconds - sampling_seconds),
+                            grid_seconds ASC) AS rn
+        FROM modal CROSS JOIN divs)
+  WHERE rn = 1
+),
+span AS (
+  SELECT site,
+         date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+           AS num_days
+  FROM m GROUP BY site
+)
+SELECT span.site,
+       CAST(span.num_days AS BIGINT) AS num_days,
+       floor((span.num_days / 365.0) * 1e6 + 0.5) / 1e6 AS length_years,
+       snap.grid_seconds,
+       floor((snap.grid_seconds / 60.0) * 1e6 + 0.5) / 1e6
+         AS sampling_minutes
+FROM span JOIN snap ON span.site = snap.site
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7091,7 +7272,7 @@ def q66_dilation(spark, sf_dir):
     )
     out = dilate(m, rs, nvals=32)
     return out.select(
-        "site", "date", "dil_slot", F.round("dil_value", 4).alias("dil_value")
+        "site", "date", "dil_slot", _pround("dil_value", 4).alias("dil_value")
     )
 
 
@@ -7123,11 +7304,11 @@ def q67_loss_factors(spark, sf_dir):
     out = run_loss_factor_analysis(joined, label_col="capacity_label")
     return out.select(
         "site",
-        F.round("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
-        F.round("loss_seasonal", 6).alias("loss_seasonal"),
-        F.round("loss_degradation", 6).alias("loss_degradation"),
-        F.round("loss_soiling", 6).alias("loss_soiling"),
-        F.round("loss_capacity", 6).alias("loss_capacity"),
+        _pround("degradation_rate_pct_per_year", 4).alias("deg_rate_pct_yr"),
+        _pround("loss_seasonal", 6).alias("loss_seasonal"),
+        _pround("loss_degradation", 6).alias("loss_degradation"),
+        _pround("loss_soiling", 6).alias("loss_soiling"),
+        _pround("loss_capacity", 6).alias("loss_capacity"),
     )
 
 
@@ -7145,9 +7326,9 @@ def q68_mc_degradation(spark, sf_dir):
     out = mc_degradation_estimate(daily, n_samples=8)
     return out.select(
         "site",
-        F.round("rate_median", 4).alias("rate_median"),
-        F.round("rate_lo", 4).alias("rate_lo"),
-        F.round("rate_hi", 4).alias("rate_hi"),
+        _pround("rate_median", 4).alias("rate_median"),
+        _pround("rate_lo", 4).alias("rate_lo"),
+        _pround("rate_hi", 4).alias("rate_hi"),
         "n_samples",
     )
 
@@ -7306,6 +7487,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q168_token_budget_cut": QuerySpec(
         q168_token_budget_cut, Q168_SQL, "sampling-budget-cut"
+    ),
+    "q169_fleet_relational_spine": QuerySpec(
+        q169_fleet_relational_spine, Q169_SQL, "fleet-facade-spine"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7549,6 +7733,7 @@ _QUERY_ORDER: list[str] = [
     "q166_source_overlap",
     "q167_source_overlap_minhash",
     "q168_token_budget_cut",
+    "q169_fleet_relational_spine",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -1,0 +1,164 @@
+"""Structural certification rule: no builtin rounding rides an oracle
+hash.
+
+Rounds 6-7 chased the same defect class one query at a time — engine
+``round()`` builtins legitimately disagree on half-boundary doubles
+(Spark rounds the exact binary expansion via BigDecimal; DuckDB
+multiplies first), and libm transcendentals differ in the last ulp —
+so round 8 encodes the rule once:
+
+* the Spark side of every certified query rounds ONLY via
+  ``canonical.pround`` (the floor/mul pattern), never ``F.round``;
+* the DuckDB side spells the identical ``floor((x) * 1e{d} + 0.5) /
+  1e{d}`` ops, never builtin ``round()``;
+* q143's ranking key is integer fixed-point end to end (no DoubleType
+  at all) — the two-rounds-red driver row that motivated the rule.
+
+These are source-level lints: they run in milliseconds and fail the
+suite the moment someone reintroduces the trap, before any driver
+window can catch it on real data.
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+
+from solar_data_tools_spark import registry
+
+# builtin round( not preceded by an identifier char (excludes pround(,
+# _pround(, and method names like np.round which don't appear in SQL)
+_SQL_ROUND = re.compile(r"(?<![A-Za-z0-9_.])round\(")
+
+# Documented exceptions: q119's oracle models numpy's rounding INSIDE the
+# resize engine analytically; its inputs are engineered off half
+# boundaries (see the q119 docstring) and the final projection is still
+# floor-pattern rounded.
+_SQL_ALLOWLIST = {"q119_media_resize"}
+
+
+def _certified():
+    return {
+        name: spec
+        for name, spec in registry.QUERIES.items()
+        if spec.oracle is not None
+    }
+
+
+def test_no_builtin_round_anywhere_in_registry_source():
+    src = inspect.getsource(registry)
+    assert "F.round(" not in src, (
+        "builtin F.round reintroduced in registry.py — use _pround "
+        "(canonical.pround); see its docstring for the half-boundary "
+        "divergence it prevents"
+    )
+
+
+def test_no_builtin_round_in_certified_oracle_sql():
+    offenders = {}
+    for name, spec in _certified().items():
+        if name in _SQL_ALLOWLIST:
+            continue
+        hits = _SQL_ROUND.findall(spec.oracle)
+        if hits:
+            offenders[name] = len(hits)
+    assert not offenders, (
+        f"builtin round() in certified oracle SQL (use the "
+        f"floor((x) * 1eD + 0.5) / 1eD pattern): {offenders}"
+    )
+
+
+def test_no_builtin_round_in_certified_query_sources():
+    offenders = []
+    seen = set()
+    for name, spec in _certified().items():
+        fn = spec.fn
+        key = getattr(fn, "__qualname__", name)
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "F.round(" in src:
+            offenders.append(name)
+    assert not offenders, (
+        f"builtin F.round in certified query functions: {offenders}"
+    )
+
+
+def test_q143_projection_is_all_integer(spark):
+    """The DSIR driver row went red twice on float columns riding the
+    hash; the fix is structural — assert the certified projection has
+    no floating-point column at all (LONGs + rank only)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    sdf = registry.QUERIES["q143_dsir_selection"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    floats = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+    assert not floats, (
+        f"q143 certified projection must be all-integer, found {floats}"
+    )
+
+
+def test_gumbel_fp6_matches_pure_python_reference(spark):
+    """Bit-exactness of the fixed-point Gumbel across Spark and an
+    independent pure-Python evaluation of the same integer algorithm
+    (the DuckDB side is pinned by q143's oracle run; this pins the
+    Spark side against drift in either engine's arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.sampling import with_gumbel_fp6
+
+    S = 1 << 30
+    LN2 = 744261118
+    SQ = 1518500249
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    def ilog(x):
+        k = x.bit_length() - 1
+        m = (x << (30 - k)) if k <= 30 else (x >> (k - 30))
+        if m > SQ:
+            k += 1
+            m >>= 1
+        t = tdiv((m - S) * S, m + S)
+        t2 = tdiv(t * t, S)
+        t3 = tdiv(t2 * t, S)
+        t5 = tdiv(t3 * t2, S)
+        t7 = tdiv(t5 * t2, S)
+        t9 = tdiv(t7 * t2, S)
+        return k, 2 * (
+            t + tdiv(t3, 3) + tdiv(t5, 5) + tdiv(t7, 7) + tdiv(t9, 9)
+        )
+
+    def gref(h):
+        h = max(h, 1)
+        k1, l1 = ilog(h)
+        eln = max((32 - k1) * LN2 - l1, 1)
+        k2, l2 = ilog(eln)
+        return tdiv(((30 - k2) * LN2 - l2 + 4 * S) * 1000000, S) - 4000000
+
+    # edge cases: clamp, both shift directions, sqrt2-renorm boundary,
+    # extreme tail, plus a deterministic spread
+    hs = sorted(
+        set(
+            [0, 1, 2, 3, (1 << 31) - 1, 1 << 31, (1 << 32) - 1, SQ, SQ + 1]
+            + [(i * 2654435761) % (1 << 32) for i in range(500)]
+        )
+    )
+    sdf = spark.createDataFrame([(h,) for h in hs], "h long")
+    got = {
+        r["h"]: r["g"]
+        for r in with_gumbel_fp6(sdf, F.col("h"), "g").collect()
+    }
+    for h in hs:
+        assert got[h] == gref(h), (h, got[h], gref(h))
