@@ -493,6 +493,82 @@ def top_k_sample(
     )
 
 
+def with_ln_fp6(df: DataFrame, weight_col: str, out: str) -> DataFrame:
+    """Append column ``out``: integer fixed-point ``ln(weight)`` at
+    1e-6 ticks (LONG) for a POSITIVE integer weight column — the
+    deterministic, engine-exact log that ``weighted_sample_without_
+    replacement`` adds to its Gumbel noise.
+
+    Reuses ``_ilog_fp_steps`` (``ln(w)*2^30 ~= k*LN2 + L``), then
+    rescales to 1e-6 ticks in one truncating division. Non-positive or
+    NULL weights raise at execution time: ln is undefined there, and a
+    weighted sampler that silently zeroes part of the corpus is a data
+    bug. Max weight 2^62 -> (k*LN2+L)*1e6 < 4.7e16, no LONG overflow.
+    """
+    keep = list(df.columns)
+    df = df.withColumn(
+        "_lnw_x",
+        F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0),
+            F.raise_error(
+                F.lit(
+                    f"with_ln_fp6: non-positive {weight_col} — weights "
+                    "must be positive integers"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(weight_col).cast("long")),
+    )
+    df = _ilog_fp_steps(df, "_lnw_x", "w")
+    lnw = F.col("_kw").cast("long") * F.lit(_FP_LN2) + F.col("_lw")
+    df = df.withColumn(
+        out,
+        F.call_function(
+            "div", lnw * F.lit(1000000), F.lit(_FP_S).cast("long")
+        ),
+    )
+    return df.select(*keep, out)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int | str = "wswr",
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement, proportionally to a
+    positive integer weight, via the Gumbel-top-k trick:
+    ``key = ln(w) + Gumbel(0,1)`` — distributionally identical to
+    Efraimidis-Spirakis ``u^(1/w)`` reservoir sampling, but (unlike a
+    reservoir) a pure function of (id, seed): deterministic,
+    partitioning-invariant, replayable in any engine.
+
+    The determinism contract is the q143 one — NO float enters the
+    ranking key: ``key_fp = ln_fp6(w) + gumbel_fp6(hash_u32(id))`` is a
+    LONG sum of two integer fixed-point terms, so the selected set and
+    every certified column are exact integers (q171's oracle replays
+    the whole draw in DuckDB).
+
+    The top-k is a global ``ORDER BY key_fp LIMIT k`` — TakeOrdered
+    (per-partition heaps + driver merge), no global sort shuffle; the
+    noise generation is a per-row expression chain, so the operator is
+    a single pass at any corpus size.
+
+    Output: input columns + ``lnw_fp``, ``key_fp`` (LONG, 1e-6 ticks)
+    and ``rank`` (1..k).
+    """
+    df = with_ln_fp6(df, weight_col, "lnw_fp")
+    df = with_gumbel_fp6(df, hash_u32(F.col(id_col), seed), "_g6")
+    ranked = (
+        df.withColumn("key_fp", F.col("lnw_fp") + F.col("_g6"))
+        .drop("_g6")
+        .orderBy(F.desc("key_fp"), F.asc(id_col))
+        .limit(int(k))
+    )
+    rw = Window.orderBy(F.desc("key_fp"), F.asc(id_col))
+    return ranked.withColumn("rank", F.row_number().over(rw))
+
+
 def stratified_top_k_sample(
     df: DataFrame,
     k: int,

@@ -156,6 +156,34 @@ def _gumbel_fp6_sql_ctes(src: str, h: str, prefix: str = "gum") -> tuple[str, st
     return ",\n".join(ctes), prev
 
 
+def _ln_fp6_sql_ctes(
+    src: str, x: str, out: str, prefix: str = "lnf"
+) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ``operators.sampling.with_ln_fp6``:
+    one ``_ilog_fp`` pass over the positive BIGINT expression ``x``,
+    rescaled to 1e-6 ticks as ``{out}``. Same MATERIALIZED-barrier
+    construction as ``_gumbel_fp6_sql_ctes`` (see there for why)."""
+    steps = (
+        [("xw", f"({x})::BIGINT")]
+        + _ilog_fp_sql_steps("w")
+        + [
+            (
+                out,
+                "((kw)::BIGINT * 744261118 + lw) * 1000000 // 1073741824",
+            )
+        ]
+    )
+    ctes = []
+    prev = src
+    for i, (name, expr) in enumerate(steps):
+        cte = f"{prefix}{i}"
+        ctes.append(
+            f"{cte} AS MATERIALIZED (SELECT *, {expr} AS {name} FROM {prev})"
+        )
+        prev = cte
+    return ",\n".join(ctes), prev
+
+
 # DuckDB-side tokenization shared by the text/curation oracles — must
 # mirror operators.dedup.normalize_text + split(" ") exactly
 _TOKS_SQL = (
@@ -7257,6 +7285,152 @@ FROM span JOIN snap ON span.site = snap.site
 """
 
 
+# HLL face constants (q170): p=10 -> m=1024 registers, 50-bit tails
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_TAIL = 1 << (60 - _HLL_P)  # 2^50
+_HLL_POW = 1 << (61 - _HLL_P)  # 2^51
+_HLL_ALPHA_NUM = (
+    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(_HLL_POW)
+)
+
+
+def q170_hll_cardinality(spark, sf_dir):
+    """Engine-exact HyperLogLog cardinality per source (distinct
+    3-grams) — the sketch every dedup/mixing planner runs before
+    committing to a join strategy ("how many distinct shingles does
+    this dump actually have?"). Spark's builtin approx_count_distinct
+    (q151) is HLL++ too but its hash is JVM-internal — no oracle can
+    replay it; this face hashes md5 bits, keeps the harmonic sum as an
+    exact LONG (`s_fp`), and leaves ONE float op (a constant divided by
+    s_fp), so registers AND estimate hash-certify against DuckDB. The
+    exact distinct count rides along, making the row self-validating
+    (|est-exact|/exact bounded by ~1.04/sqrt(1024) ~ 3.3 sigma in
+    tests). At 100 TB the register shuffle is |sources| x 1024 rows —
+    corpus-size-independent, the same discipline as q163's CMS grid."""
+    from solar_data_tools_spark.operators import sketches as sk
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, n=3, id_col="source")
+    regs = sk.hll_build(
+        grams, token_col="shingle", group_cols=["source"], p=_HLL_P, seed=0
+    )
+    est = sk.hll_estimate(regs, group_cols=["source"], p=_HLL_P)
+    exact = grams.groupBy("source").agg(
+        F.count_distinct("shingle").alias("n_exact")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        F.col("m").cast("long").alias("m"),
+        "n_zero",
+        "s_fp",
+        _pround(F.col("raw_est")).alias("raw_est"),
+        "n_exact",
+    )
+
+
+Q170_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 1)) u(i)
+  WHERE len(t) >= 3
+),
+h AS (
+  SELECT source, shingle,
+         ('0x' || substring(md5('0:' || shingle), 1, 15))::BIGINT AS h60
+  FROM sh
+),
+reg AS (
+  SELECT source, h60 >> {60 - _HLL_P} AS bucket,
+         max(CASE WHEN h60 % {_HLL_TAIL} = 0 THEN {60 - _HLL_P + 1}
+                  ELSE {60 - _HLL_P} - length(bin(h60 % {_HLL_TAIL})) + 1
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*) AS present,
+         CAST(sum(1::BIGINT << ({61 - _HLL_P} - rho)) AS BIGINT)
+           AS s_present
+  FROM reg GROUP BY 1
+),
+ex AS (SELECT source, count(DISTINCT shingle) AS n_exact FROM sh GROUP BY 1)
+SELECT a.source,
+       CAST({_HLL_M} AS BIGINT) AS m,
+       CAST({_HLL_M} - present AS BIGINT) AS n_zero,
+       CAST(s_present + ({_HLL_M} - present) * {_HLL_POW} AS BIGINT)
+         AS s_fp,
+       floor(({_HLL_ALPHA_NUM!r}
+              / (s_present + ({_HLL_M} - present) * {_HLL_POW}))
+             * 1e6 + 0.5) / 1e6 AS raw_est,
+       ex.n_exact
+FROM agg a JOIN ex ON a.source = ex.source
+"""
+
+
+def q171_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Gumbel-top-k,
+    distributionally Efraimidis-Spirakis): draw 100 docs proportionally
+    to token count — the 'sample long docs more' draw used for
+    curriculum/mix ablations. The ranking key is the q143 determinism
+    contract end-to-end: ``key_fp = ln_fp6(n_tokens) +
+    gumbel_fp6(hash_u32(doc_id))`` — a LONG sum of two integer
+    fixed-point terms (no float, no libm), so the selected set is
+    bit-identical across engines and layouts and the oracle replays
+    the entire stochastic draw. Zero-token docs are filtered first
+    (the operator raises on non-positive weights by contract)."""
+    from solar_data_tools_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    from solar_data_tools_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.join(
+        token_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+    ).where(F.col("n_tokens") > 0)
+    out = weighted_sample_without_replacement(
+        with_tok, k=100, weight_col="n_tokens", id_col="doc_id", seed="wswr"
+    )
+    return out.select("doc_id", "n_tokens", "lnw_fp", "key_fp", "rank")
+
+
+_LN171 = _ln_fp6_sql_ctes("t171", "n_tokens", "lnw_fp", prefix="ln171_")
+_GUM171 = _gumbel_fp6_sql_ctes(
+    _LN171[1],
+    "('0x' || substring(md5('wswr:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8))::BIGINT",
+    prefix="gum171_",
+)
+
+Q171_SQL = f"""
+WITH t171 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END AS n_tokens
+  FROM documents
+  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         END) > 0
+),
+{_LN171[0]},
+{_GUM171[0]},
+ranked AS (
+  SELECT doc_id, n_tokens, lnw_fp, lnw_fp + g6 AS key_fp,
+         row_number() OVER (ORDER BY lnw_fp + g6 DESC, doc_id) AS rank
+  FROM {_GUM171[1]}
+)
+SELECT doc_id, n_tokens, lnw_fp, key_fp, rank
+FROM ranked WHERE rank <= 100
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7490,6 +7664,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q169_fleet_relational_spine": QuerySpec(
         q169_fleet_relational_spine, Q169_SQL, "fleet-facade-spine"
+    ),
+    "q170_hll_cardinality": QuerySpec(
+        q170_hll_cardinality, Q170_SQL, "sketch-hll"
+    ),
+    "q171_weighted_sample": QuerySpec(
+        q171_weighted_sample, Q171_SQL, "sampling-weighted-gumbel"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7734,6 +7914,8 @@ _QUERY_ORDER: list[str] = [
     "q167_source_overlap_minhash",
     "q168_token_budget_cut",
     "q169_fleet_relational_spine",
+    "q170_hll_cardinality",
+    "q171_weighted_sample",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

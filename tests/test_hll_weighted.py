@@ -1,0 +1,142 @@
+"""Round-8 additions: engine-exact HyperLogLog and Gumbel-top-k
+weighted sampling (the integer fixed-point machinery applied beyond
+DSIR).
+
+The oracle-parity suite pins both against DuckDB (q170/q171); these
+tests pin the SEMANTICS — HLL accuracy and mergeability, weighted
+sampling's proportionality and determinism — which no SQL replay can
+certify.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators import sketches as sk
+from solar_data_tools_spark.operators.sampling import (
+    weighted_sample_without_replacement,
+    with_ln_fp6,
+)
+
+
+def _tokens(spark, n, prefix="tok"):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{prefix}-"), F.col("id")).alias("token")
+    )
+
+
+def test_hll_estimate_within_error_bounds(spark):
+    # sigma = 1.04 / sqrt(m); allow 4 sigma at p=10 (m=1024) -> 13%
+    for true_n in (5_000, 40_000):
+        regs = sk.hll_build(_tokens(spark, true_n), p=10)
+        est = sk.hll_estimate(regs, p=10).collect()[0]["raw_est"]
+        assert abs(est - true_n) / true_n < 4 * 1.04 / math.sqrt(1024), (
+            true_n,
+            est,
+        )
+
+
+def test_hll_linear_counting_from_emitted_n_zero(spark):
+    # below 2.5*m the raw estimate is biased by design; the operator
+    # deliberately emits n_zero instead of applying the ln-based
+    # correction (libm ln is banned from certified columns) — verify
+    # the caller-side correction m*ln(m/V) recovers the small range
+    row = sk.hll_estimate(sk.hll_build(_tokens(spark, 500), p=10), p=10)
+    r = row.collect()[0]
+    assert r["raw_est"] > 2.5 * 1024 or r["n_zero"] > 0
+    corrected = 1024 * math.log(1024 / r["n_zero"])
+    assert abs(corrected - 500) / 500 < 4 * 1.04 / math.sqrt(1024), (
+        corrected,
+        r,
+    )
+
+
+def test_hll_registers_merge_by_max(spark):
+    # union-then-build == build-then-merge(max): the mergeability that
+    # makes the sketch shuffle-bounded at any scale
+    a = _tokens(spark, 3_000, "a")
+    b = _tokens(spark, 3_000, "b")
+    both = sk.hll_build(a.union(b), p=10)
+    merged = (
+        sk.hll_build(a, p=10)
+        .union(sk.hll_build(b, p=10))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    got = {(r["bucket"], r["rho"]) for r in both.collect()}
+    want = {(r["bucket"], r["rho"]) for r in merged.collect()}
+    assert got == want
+
+
+def test_hll_registers_partitioning_invariant(spark):
+    toks = _tokens(spark, 2_000)
+    one = {
+        (r["bucket"], r["rho"])
+        for r in sk.hll_build(toks.coalesce(1), p=10).collect()
+    }
+    many = {
+        (r["bucket"], r["rho"])
+        for r in sk.hll_build(toks.repartition(16), p=10).collect()
+    }
+    assert one == many
+
+
+def test_ln_fp6_matches_libm_within_tick_tolerance(spark):
+    # the fixed-point ln is a DEFINED function (engine-exactness is the
+    # contract, not libm equality) but it must track ln closely enough
+    # to keep the sampler honest: < 1e-6 relative + series truncation
+    xs = [1, 2, 3, 10, 999, 12345, 10**6, 10**9, 2**40, 2**62 - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "w long")
+    got = {
+        r["w"]: r["lnw"] / 1e6
+        for r in with_ln_fp6(df, "w", "lnw").collect()
+    }
+    for x in xs:
+        assert abs(got[x] - math.log(x)) < 5e-5, (x, got[x], math.log(x))
+
+
+def test_ln_fp6_raises_on_nonpositive(spark):
+    df = spark.createDataFrame([(0,)], "w long")
+    with pytest.raises(Exception, match="non-positive"):
+        with_ln_fp6(df, "w", "lnw").collect()
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    pick = lambda d: [  # noqa: E731
+        (r["doc_id"], r["rank"])
+        for r in weighted_sample_without_replacement(
+            d, k=50, weight_col="w", id_col="doc_id"
+        ).collect()
+    ]
+    assert sorted(pick(df.coalesce(1))) == sorted(pick(df.repartition(16)))
+
+
+def test_weighted_sample_is_proportional(spark):
+    # two weight classes 1 vs 9: in a k=400-of-2000 draw the heavy
+    # class (10% of rows, 50% of weight) must be strongly over-drawn;
+    # the exact expectation needs without-replacement math, so assert
+    # a generous corridor that a uniform sampler (40 +- noise) or a
+    # weight-squared sampler would both miss
+    rows = [(i, 9 if i % 10 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_without_replacement(
+        df, k=400, weight_col="w", id_col="doc_id"
+    ).collect()
+    heavy = sum(1 for r in got if r["w"] == 9)
+    assert 90 < heavy < 200, heavy  # uniform would give ~40
+
+
+def test_weighted_sample_rank_ordering(spark):
+    rows = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", id_col="doc_id"
+    ).collect()
+    keys = [r["key_fp"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert keys == sorted(keys, reverse=True)
+    assert len(got) == 10
