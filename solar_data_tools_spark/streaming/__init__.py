@@ -19,4 +19,5 @@ from solar_data_tools_spark.streaming.packing_stream import (  # noqa: F401
 )
 from solar_data_tools_spark.streaming.sketch_stream import (  # noqa: F401
     streaming_cms,
+    streaming_hll,
 )

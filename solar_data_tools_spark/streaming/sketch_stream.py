@@ -56,3 +56,42 @@ def streaming_cms(
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def streaming_hll(
+    docs: DataFrame,
+    n: int = 3,
+    p: int = 12,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Maintain HyperLogLog registers over a document STREAM: same md5
+    bits, same (bucket, rho) ranks as the batch ``hll_build`` — one
+    stateful MAX aggregation whose state never exceeds
+    ``|groups| * 2^p`` rows, watermark-free for the same reason as
+    ``streaming_cms`` (a fixed key space + a monotone aggregate; MAX is
+    as stream-legal as SUM). The registers at any point equal
+    ``hll_build`` over everything ingested so far (streaming==batch
+    contract test), and feed the batch ``hll_estimate`` unchanged —
+    live "distinct shingles so far" without ever holding the shingle
+    set.
+
+    Output (streaming aggregate): (*group_cols, bucket, rho).
+    """
+    from solar_data_tools_spark.operators.sketches import hll_build
+
+    g = list(group_cols or [])
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    sh = (
+        docs.select(*g, tokens.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(*g, F.explode(grams).alias("shingle"))
+    )
+    # hll_build is groupBy(bucket).max(rho) — already stream-legal; no
+    # array_distinct needed (duplicates cannot change a MAX)
+    return hll_build(sh, token_col="shingle", group_cols=g, p=p, seed=seed)

@@ -140,3 +140,42 @@ def test_weighted_sample_rank_ordering(spark):
     keys = [r["key_fp"] for r in sorted(got, key=lambda r: r["rank"])]
     assert keys == sorted(keys, reverse=True)
     assert len(got) == 10
+
+
+def test_streaming_hll_matches_batch(spark, sf_small, tmp_path):
+    """HLL registers are a bounded MAX aggregate: the streaming register
+    table after ingesting the whole corpus equals hll_build's batch
+    table exactly — watermark-free, state capped at |groups| * 2^p."""
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_hll
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "source", "text"
+    )
+    src = str(tmp_path / "hll_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("source string, text string").parquet(
+        src
+    )
+    q = (
+        streaming_hll(stream, n=3, p=10, group_cols=["source"], seed=0)
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["source"], r["bucket"], r["rho"])
+        for r in spark.sql("select * from hll_stream_test").collect()
+    }
+    grams = word_ngrams(docs, n=3, id_col="source")
+    batch = {
+        (r["source"], r["bucket"], r["rho"])
+        for r in sk.hll_build(
+            grams, token_col="shingle", group_cols=["source"], p=10, seed=0
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
