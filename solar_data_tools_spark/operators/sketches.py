@@ -209,3 +209,125 @@ def hll_estimate(
         F.lit(alpha * m * m * float(1 << big_r)) / F.col("s_fp")
     ).alias("raw_est")
     return out.select(*g, "m", "n_zero", "s_fp", raw)
+
+
+def bloom_build(
+    df: DataFrame,
+    token_col: str = "token",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic Bloom filter over a token set — the broadcastable
+    membership sketch that replaces a corpus-vs-eval JOIN at 100 TB:
+    instead of shuffling every training shingle against the eval set,
+    build ``num_bits`` bits over the (small) eval side once and probe
+    the big side with a broadcast map-side lookup. One-sided: a miss is
+    a GUARANTEED non-member; a hit is a member with false-positive rate
+    ~ (1 - e^(-k*n/m))^k (k hashes, n members, m bits).
+
+    Engine-exact by the module convention: bit positions come from md5
+    (``pos_i = md5_60(seed:i:token) % num_bits``), the bitmap is LONG
+    words of 63 usable bits (``word = pos div 63``, ``bit = pos mod
+    63`` — bit 63 stays clear so no word ever goes negative, keeping
+    shifts/modulo engine-portable) OR-merged with the
+    ``bit_or`` aggregate both engines provide — the filter table is
+    hash-certifiable against a DuckDB replay (q172). Absent words are
+    all-zero.
+
+    The aggregate is bounded by ``ceil(num_bits/63)`` rows regardless of how
+    many tokens flow in — the same fixed-key-space discipline as the
+    CMS grid and HLL registers (and like them it is streaming-legal:
+    bit_or over a fixed key space needs no watermark).
+
+    Output: (word LONG, bits LONG), one row per word with >= 1 bit set.
+    """
+    k = int(num_hashes)
+    rows = df.select(
+        F.col(token_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("_i").cast("string"),
+            F.lit(":"),
+            F.col(token_col).cast("string"),
+        )
+    )
+    pos = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.lit(int(num_bits)),
+    )
+    # 63 usable bits per LONG word: bit 63 would flip the sign, and
+    # arithmetic-vs-logical right-shift of negatives is exactly the
+    # kind of engine divergence this module bans — keeping the top bit
+    # clear makes every word, shift, and modulo operate on positives
+    word = F.call_function("div", pos, F.lit(63)).alias("word")
+    bit = F.pmod(pos, F.lit(63))
+    contrib = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), bit.cast("int")
+    )
+    return (
+        rows.select(word, contrib.alias("_b"))
+        .groupBy("word")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    tokens: DataFrame,
+    token_col: str = "token",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Membership probe against a ``bloom_build`` filter: a token is
+    ``maybe_member`` iff ALL ``num_hashes`` of its bits are set. The
+    filter is at most ``ceil(num_bits/63)`` rows (~130 KiB of longs at the
+    default 2^20 bits) and broadcasts; each probe token fans out to
+    ``num_hashes`` (word, bit) lookups — map-side, no corpus shuffle.
+
+    Same md5 positions as the builder, so probe results are engine-
+    exact and the q172 oracle replays build AND probe.
+
+    Output: (``token_col``, maybe_member BOOLEAN) — distinct tokens
+    only (the probe groups on the token; join back for carry columns,
+    the ``cms_estimate`` convention).
+    """
+    k = int(num_hashes)
+    rows = tokens.select(
+        F.col(token_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("_i").cast("string"),
+            F.lit(":"),
+            F.col(token_col).cast("string"),
+        )
+    )
+    pos = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.lit(int(num_bits)),
+    )
+    probe = rows.select(
+        F.col(token_col),
+        F.call_function("div", pos, F.lit(63)).alias("word"),
+        F.pmod(pos, F.lit(63)).alias("_bit"),
+    )
+    joined = probe.join(F.broadcast(bloom), "word", "left")
+    hit = F.pmod(
+        F.call_function(
+            "shiftright",
+            F.coalesce(F.col("bits"), F.lit(0).cast("long")),
+            F.col("_bit").cast("int"),
+        ),
+        F.lit(2),
+    )
+    return (
+        joined.groupBy(token_col)
+        .agg((F.min(hit) == 1).alias("maybe_member"))
+    )

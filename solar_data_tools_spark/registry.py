@@ -1522,15 +1522,16 @@ def q57_segment_pooled_diffs(spark, sf_dir):
     daily = m.groupBy("site", "date").agg(
         (_pround(F.avg("value") / 100.0, 0) * 100.0).alias("level")
     )
+    # deterministic seq from the date (dates are unique per site, so the
+    # tie-break never fires, but the ordering column must still be a
+    # pure function of the row — partition-dependent id generators are
+    # banned from certified queries by the lint)
     sig = daily.select(
         "site",
         F.col("date").cast("timestamp").alias("ts"),
-        F.monotonically_increasing_id().alias("seq"),
+        F.unix_date(F.col("date")).cast("long").alias("seq"),
         F.col("level").alias("value"),
     )
-    # dates are unique per site -> seq tie-break never fires; re-derive a
-    # deterministic seq from the date for ordering stability
-    sig = sig.withColumn("seq", F.unix_date(F.col("ts").cast("date")).cast("long"))
     out = wd.segment_pooled_diffs(sig)
     return out.select(
         "site",
@@ -7431,6 +7432,98 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def q172_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination pre-screen — the broadcast
+    membership sketch that replaces the corpus-vs-eval 8-gram JOIN at
+    100 TB (probe map-side against ~130 KiB of filter words instead of
+    shuffling every training shingle): docs with ``doc_id % 19 == 0``
+    play the eval set; the filter is built over their distinct 8-grams
+    and every training doc reports its gram count, bloom-flagged count,
+    and EXACT overlap count (the self-validation column — bloom is
+    one-sided, so ``n_flagged >= n_exact`` always, with the gap bounded
+    by the false-positive rate; the invariant is asserted in tests).
+    Build AND probe hash md5 bits into 63-bit LONG words (bit 63 stays
+    clear — sign-safe shifts are the module's portability contract), so
+    the oracle replays the entire sketch in DuckDB."""
+    from solar_data_tools_spark.operators import sketches as sk
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 19 == 0)
+    tr = docs.where(F.col("doc_id") % 19 != 0)
+    evg = word_ngrams(ev, n=8).select("shingle").distinct()
+    bloom = sk.bloom_build(
+        evg, token_col="shingle", num_bits=1 << 18, num_hashes=4, seed=7
+    )
+    trg = word_ngrams(tr, n=8)
+    probed = sk.bloom_probe(
+        bloom,
+        trg.select("shingle").distinct(),
+        token_col="shingle",
+        num_bits=1 << 18,
+        num_hashes=4,
+        seed=7,
+    )
+    j = trg.join(probed, "shingle").join(
+        evg.withColumn("_inev", F.lit(1)), "shingle", "left"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+        F.sum(F.coalesce(F.col("_inev"), F.lit(0)).cast("long")).alias(
+            "n_exact"
+        ),
+    )
+
+
+Q172_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 6)) u(i)
+  WHERE len(t) >= 8
+),
+evg AS (
+  SELECT DISTINCT shingle FROM grams WHERE doc_id % 19 = 0
+),
+evpos AS (
+  SELECT shingle,
+         ('0x' || substring(md5('7:' || i || ':' || shingle), 1, 15))
+           ::BIGINT % 262144 AS pos
+  FROM evg, unnest([0, 1, 2, 3]) h(i)
+),
+bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+  FROM evpos GROUP BY 1
+),
+trg AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 19 <> 0),
+trpos AS (
+  SELECT shingle,
+         ('0x' || substring(md5('7:' || i || ':' || shingle), 1, 15))
+           ::BIGINT % 262144 AS pos
+  FROM (SELECT DISTINCT shingle FROM trg), unnest([0, 1, 2, 3]) h(i)
+),
+probe AS (
+  SELECT t.shingle,
+         min((coalesce(b.bits, 0) >> CAST(t.pos % 63 AS INT)) % 2) = 1
+           AS maybe_member
+  FROM trpos t LEFT JOIN bloom b ON t.pos // 63 = b.word
+  GROUP BY t.shingle
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN p.maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact
+FROM trg g
+JOIN probe p ON g.shingle = p.shingle
+LEFT JOIN evg e ON g.shingle = e.shingle
+GROUP BY g.doc_id
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7670,6 +7763,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q171_weighted_sample": QuerySpec(
         q171_weighted_sample, Q171_SQL, "sampling-weighted-gumbel"
+    ),
+    "q172_bloom_decontaminate": QuerySpec(
+        q172_bloom_decontaminate, Q172_SQL, "sketch-bloom"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -7916,6 +8012,7 @@ _QUERY_ORDER: list[str] = [
     "q169_fleet_relational_spine",
     "q170_hll_cardinality",
     "q171_weighted_sample",
+    "q172_bloom_decontaminate",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",

@@ -88,6 +88,33 @@ def test_no_builtin_round_in_certified_query_sources():
     )
 
 
+def test_no_nondeterminism_in_certified_query_sources():
+    """A certified query must be a pure function of the input tables:
+    RNG columns, partition-dependent ids, and wall-clock functions can
+    never hash-match a single-node oracle (and would flake across
+    layouts even if they did once)."""
+    banned = (
+        "F.rand(",
+        "F.randn(",
+        "monotonically_increasing_id",
+        "current_timestamp",
+        "current_date",
+        "spark_partition_id",
+    )
+    offenders = {}
+    for name, spec in _certified().items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        hits = [b for b in banned if b in src]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"nondeterministic constructs in certified queries: {offenders}"
+    )
+
+
 def test_q143_projection_is_all_integer(spark):
     """The DSIR driver row went red twice on float columns riding the
     hash; the fix is structural — assert the certified projection has

@@ -179,3 +179,34 @@ def test_streaming_hll_matches_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """One-sidedness: every member probes true (NO false negatives,
+    the property decontamination correctness rests on); non-members
+    probe true only at the false-positive rate (~(1-e^(-kn/m))^k —
+    generous 5x bound)."""
+    members = _tokens(spark, 3_000, "in")
+    others = _tokens(spark, 10_000, "out")
+    bloom = sk.bloom_build(members, num_bits=1 << 18, num_hashes=4, seed=3)
+    got_m = sk.bloom_probe(
+        bloom, members, num_bits=1 << 18, num_hashes=4, seed=3
+    ).collect()
+    assert all(r["maybe_member"] for r in got_m)
+    got_o = sk.bloom_probe(
+        bloom, others, num_bits=1 << 18, num_hashes=4, seed=3
+    ).collect()
+    fp = sum(1 for r in got_o if r["maybe_member"]) / len(got_o)
+    k, n, m = 4, 3_000, 1 << 18
+    expected = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp <= 5 * expected + 1e-4, (fp, expected)
+
+
+def test_bloom_words_stay_nonnegative(spark):
+    """The 63-bit word contract: bit 63 never set, so shifts/modulo in
+    the probe operate on positives in every engine."""
+    bloom = sk.bloom_build(
+        _tokens(spark, 5_000), num_bits=1 << 16, num_hashes=4, seed=1
+    )
+    bad = bloom.where(F.col("bits") < 0).count()
+    assert bad == 0

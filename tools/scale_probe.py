@@ -285,6 +285,29 @@ def main() -> None:
     timed("pii_redaction", cu.redact_pii(docs), timings)
     timed("unigram_logprob", cu.unigram_logprob(docs), timings)
 
+    # --- round-8 fixed-point tier: HLL registers over all 3-grams
+    # (shuffle bounded at 2^12 rows however large the corpus) and the
+    # all-integer Gumbel-top-k weighted draw (TakeOrdered, one pass)
+    from solar_data_tools_spark.operators import sketches as sk
+
+    grams8 = dd.word_ngrams(docs, n=3)
+    timed(
+        "hll_build_p12",
+        sk.hll_build(grams8, token_col="shingle", p=12),
+        timings,
+    )
+    timed(
+        "weighted_sample_1k",
+        sp.weighted_sample_without_replacement(
+            docs.withColumn(
+                "w", (F.length("text") + F.lit(1)).cast("long")
+            ),
+            k=1000,
+            weight_col="w",
+        ),
+        timings,
+    )
+
     # --- embedding layer: synthetic unit-ish vectors from JVM-side hash
     # noise (dim 64, ~n/256 planted near-duplicate cohorts via canonical
     # ids), then the similarity/dedup operators at corpus scale.
