@@ -18,6 +18,7 @@ from solar_data_tools_spark.streaming.packing_stream import (  # noqa: F401
     streaming_pack_sequences,
 )
 from solar_data_tools_spark.streaming.sketch_stream import (  # noqa: F401
+    streaming_bloom,
     streaming_cms,
     streaming_hll,
 )

@@ -95,3 +95,44 @@ def streaming_hll(
     # hll_build is groupBy(bucket).max(rho) — already stream-legal; no
     # array_distinct needed (duplicates cannot change a MAX)
     return hll_build(sh, token_col="shingle", group_cols=g, p=p, seed=seed)
+
+
+def streaming_bloom(
+    docs: DataFrame,
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    text_col: str = "text",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Maintain a Bloom filter over a document STREAM — the live
+    decontamination screen: as eval/benchmark docs arrive, their
+    n-gram bits OR into a fixed ``ceil(num_bits/63)``-word state, and
+    the materialized words feed the batch ``bloom_probe`` unchanged.
+    ``bit_or`` over a fixed key space is monotone and watermark-free
+    for the same reason as the CMS grid and HLL registers; state never
+    exceeds the word count however much text flows through. The words
+    at any point equal ``bloom_build`` over everything ingested
+    (streaming==batch contract test).
+
+    Output (streaming aggregate): (word, bits).
+    """
+    from solar_data_tools_spark.operators.sketches import bloom_build
+
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    sh = (
+        docs.select(tokens.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.explode(grams).alias("shingle"))
+    )
+    return bloom_build(
+        sh,
+        token_col="shingle",
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        seed=seed,
+    )

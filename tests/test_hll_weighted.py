@@ -210,3 +210,42 @@ def test_bloom_words_stay_nonnegative(spark):
     )
     bad = bloom.where(F.col("bits") < 0).count()
     assert bad == 0
+
+
+def test_streaming_bloom_matches_batch(spark, sf_small, tmp_path):
+    """Bloom words are a bounded bit_or aggregate: the streaming filter
+    after ingesting the whole corpus equals bloom_build's batch words
+    exactly — watermark-free, state capped at ceil(num_bits/63)."""
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.streaming import streaming_bloom
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "text"
+    )
+    src = str(tmp_path / "bloom_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("text string").parquet(src)
+    q = (
+        streaming_bloom(stream, n=8, num_bits=1 << 16, num_hashes=4, seed=5)
+        .writeStream.format("memory")
+        .queryName("bloom_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["word"], r["bits"])
+        for r in spark.sql("select * from bloom_stream_test").collect()
+    }
+    docs_id = docs.withColumn("doc_id", F.lit(1))
+    grams = word_ngrams(docs_id, n=8).select("shingle")
+    batch = {
+        (r["word"], r["bits"])
+        for r in sk.bloom_build(
+            grams, token_col="shingle", num_bits=1 << 16,
+            num_hashes=4, seed=5,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
