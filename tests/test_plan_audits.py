@@ -277,3 +277,70 @@ def test_cms_build_is_one_partial_agg(spark, sf_small):
     plan = _formatted_plan(cms_build(docs, width=128, depth=4))
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "EvalPython" not in plan
+
+
+def test_hll_build_is_one_partial_agg(spark, sf_small):
+    """q170: the register aggregate must map-side combine — each task
+    emits at most 2^p rows however many shingles it scanned — and stay
+    entirely JVM-side."""
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+    from solar_data_tools_spark.operators.sketches import hll_build
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    grams = word_ngrams(docs, n=3, id_col="source")
+    plan = _formatted_plan(
+        hll_build(grams, token_col="shingle", group_cols=["source"], p=10)
+    )
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "EvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_small):
+    """q172: the filter words must broadcast onto the probe grams (the
+    corpus side never shuffles for the membership check)."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+    from solar_data_tools_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet")
+    ev = word_ngrams(
+        docs.where(F.col("doc_id") % 19 == 0), n=8
+    ).select("shingle").distinct()
+    tr = word_ngrams(
+        docs.where(F.col("doc_id") % 19 != 0), n=8
+    ).select("shingle").distinct()
+    bloom = bloom_build(ev, token_col="shingle", num_bits=1 << 16)
+    plan = _formatted_plan(
+        bloom_probe(bloom, tr, token_col="shingle", num_bits=1 << 16)
+    )
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered_no_python(spark, sf_small):
+    """q171: the global top-k must run as TakeOrdered (per-partition
+    heaps + driver merge of k-row heads), never a global sort shuffle,
+    and the whole fixed-point noise chain must stay JVM-side."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") + F.lit(1)).cast("long").alias("w")
+    )
+    out = weighted_sample_without_replacement(
+        docs, k=25, weight_col="w", id_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
