@@ -44,6 +44,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     ordered_sum: bool = False,
+    fixed_point: bool = False,
+    scale: int = 10**9,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list; returns
     ``(node, rank)`` with ranks scaled so they average 1.0 (rank =
@@ -52,6 +54,32 @@ def pagerank(
 
     Nodes are the union of both endpoint columns; duplicate edges are
     collapsed (simple-graph semantics, so both engines agree on degree).
+
+    ``fixed_point=True`` runs the ENTIRE trajectory in LONG arithmetic
+    at ``scale`` ticks per unit rank (the round-8 determinism contract,
+    and what q148 certifies): contributions are truncating divisions
+    ``rank_fp div deg``, inbound mass is an INTEGER sum — order-free,
+    so no sorted fold is needed — and the damped update uses the
+    rational ``round(damping * 1e4) / 1e4``. Bit-identical across
+    engines, partitionings, and scales by construction. (The
+    ``ordered_sum`` float fold made both engines execute the same IEEE
+    add SEQUENCE, but the sf0.1 sweep still caught 4/5000 one-tick
+    flips after six rounds green at sf0.01 — per-element division
+    results can differ in the last ulp once any upstream iterate
+    drifts, and rounding amplifies a ulp into a tick. Integers close
+    the class.) Quantization error per node per iteration is
+    < in_degree ticks (1e-9 at the default scale) — invisible at the
+    1e-6 certification grid after 5 iterations. Adds a ``rank_fp``
+    LONG column beside the derived ``rank`` double.
+
+    Overflow guard: worst-case inbound mass is the whole graph's
+    ``n_nodes * scale`` ticks, multiplied by the 1e4 damping
+    denominator — the call raises if that cannot fit a LONG, with the
+    remedy (lower ``scale``) in the message. At the default 1e9 scale
+    that bounds certified graphs to ~460k nodes; billion-node crawl
+    graphs run at scale 1e5-1e6 (resolution 1e-5..1e-6 rank units),
+    or with ``fixed_point=False`` where cross-engine equality is not
+    needed.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -68,6 +96,10 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    if fixed_point:
+        return _pagerank_fp(
+            e, nodes, deg, n_nodes, n_iters, damping, int(scale)
+        )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(n_iters):
@@ -123,3 +155,75 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def _pagerank_fp(
+    e: DataFrame,
+    nodes: DataFrame,
+    deg: DataFrame,
+    n_nodes: int,
+    n_iters: int,
+    damping: float,
+    scale: int,
+) -> DataFrame:
+    """All-LONG PageRank power iteration (see ``pagerank`` docstring
+    for the contract). Same plan shape as the float path: one
+    (dst, contribution) shuffle with map-side partial INTEGER sums per
+    round, broadcast degree table, per-round localCheckpoint."""
+    DEN = 10_000
+    d_fp = int(round(damping * DEN))
+    # worst case: one node holds the whole graph's mass, then the
+    # damped update multiplies by d_fp before dividing
+    if n_nodes * scale > (1 << 62) // DEN:
+        raise ValueError(
+            f"pagerank(fixed_point=True): n_nodes * scale = "
+            f"{n_nodes * scale:.2e} risks LONG overflow against the "
+            f"1e4 damping denominator; lower scale (currently {scale})"
+        )
+    S = F.lit(int(scale)).cast("long")
+    base_fp = F.lit(int(scale - (d_fp * scale) // DEN)).cast("long")
+    ranks = nodes.withColumn("rank_fp", S)
+    for _ in range(n_iters):
+        out = ranks.join(deg, ranks["node"] == deg["_s"], "left")
+        dangling = out.where(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_dm")
+        )
+        per_edge = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .join(deg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.call_function("div", F.col("rank_fp"), F.col("_deg"))
+                .alias("_c"),
+            )
+        )
+        contrib = per_edge.groupBy("node").agg(
+            F.sum("_c").cast("long").alias("_contrib")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    base_fp
+                    + F.call_function(
+                        "div",
+                        F.lit(d_fp).cast("long")
+                        * (
+                            F.coalesce(F.col("_contrib"), F.lit(0))
+                            + F.call_function(
+                                "div", F.col("_dm"), F.lit(int(n_nodes))
+                            )
+                        ),
+                        F.lit(DEN),
+                    )
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        (F.col("rank_fp") / F.lit(float(scale))).alias("rank"),
+    )

@@ -4881,11 +4881,16 @@ def q148_pagerank(spark, sf_dir):
     """Link-graph PageRank (crawl-frontier/host ranking, Page et al.
     1999): 5 damped power iterations over a deterministic synthetic
     link graph (a ring guaranteeing every node in/out degree >= 1,
-    plus two chord families). With ``ordered_sum`` every iterate is a
-    source-id-sorted left fold — the same IEEE add sequence on BOTH
-    engines — so the whole trajectory is bit-identical and the DuckDB
-    oracle replays it with a recursive CTE carrying an iteration
-    counter (list(ORDER BY src) + list_reduce = the same fold)."""
+    plus two chord families). The trajectory is ALL-INTEGER
+    (``fixed_point=True``, 1e9 ticks/rank-unit): contributions are
+    truncating divisions and inbound mass is a LONG sum, so every
+    iterate is bit-identical across engines by construction and the
+    recursive-CTE oracle replays it in BIGINTs. (The previous
+    sorted-float-fold spelling survived six rounds at sf0.01 but the
+    round-8 sf0.1 sweep caught 4/5000 one-tick flips — per-element
+    float divisions drift a ulp once any iterate differs, and the
+    1e-6 rounding amplifies it. Integer trajectories close the class;
+    the certified column is the LONG ``rank_fp``.)"""
     from solar_data_tools_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -4902,10 +4907,10 @@ def q148_pagerank(spark, sf_dir):
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 13 + 1) % n).alias("dst"),
     )
-    out = pagerank(ring.union(c1).union(c2), n_iters=5, ordered_sum=True)
-    return out.select(
-        F.col("node").alias("doc_id"), _pround(F.col("rank")).alias("rank")
+    out = pagerank(
+        ring.union(c1).union(c2), n_iters=5, fixed_point=True
     )
+    return out.select(F.col("node").alias("doc_id"), "rank_fp")
 
 
 Q148_SQL = """
@@ -4924,13 +4929,15 @@ e AS (
 ),
 deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
 pr AS (
-  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it
+  -- all-BIGINT trajectory at 1e9 ticks/rank-unit, mirroring
+  -- _pagerank_fp exactly: trunc-div contributions, integer sum,
+  -- damped update via the rational 8500/10000
+  SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS rank_fp, 0 AS it
   FROM documents
   UNION ALL
   SELECT e.dst,
-         (1.0 - 0.85) + 0.85 * list_reduce(
-             list(pr.rank / deg.d ORDER BY pr.node),
-             (a, b) -> a + b),
+         CAST(150000000 + 8500 * CAST(sum(pr.rank_fp // deg.d) AS BIGINT)
+              // 10000 AS BIGINT),
          min(pr.it) + 1
   FROM pr
   JOIN e ON pr.node = e.src
@@ -4938,7 +4945,7 @@ pr AS (
   WHERE pr.it < 5
   GROUP BY e.dst
 )
-SELECT node AS doc_id, floor(rank * 1e6 + 0.5) / 1e6 AS rank
+SELECT node AS doc_id, rank_fp
 FROM pr WHERE it = 5
 """
 

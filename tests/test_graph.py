@@ -69,3 +69,32 @@ def test_damping_validation(spark):
     e = spark.createDataFrame([Row(src=0, dst=1)])
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+
+
+def test_fixed_point_trajectory_partitioning_invariant(spark):
+    """The all-LONG trajectory (q148's certified path) is bit-exact
+    across partitionings BY CONSTRUCTION (integer sums commute) — no
+    sorted fold needed — and tracks the float path to quantization
+    tolerance (< in_degree ticks/iter at 1e9 ticks/unit)."""
+    e = spark.createDataFrame(
+        [Row(src=i % 11, dst=(i * 5 + 2) % 11) for i in range(30)]
+    )
+    fa = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(e, n_iters=5, fixed_point=True).collect()
+    }
+    fb = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            e.repartition(7), n_iters=5, fixed_point=True
+        ).collect()
+    }
+    assert fa == fb  # exact integers
+    c = _ranks(pagerank(e, n_iters=5))
+    assert all(abs(fa[k] / 1e9 - c[k]) < 1e-6 for k in fa)
+
+
+def test_fixed_point_overflow_guard(spark):
+    e = spark.createDataFrame([Row(src=0, dst=1), Row(src=1, dst=0)])
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(e, fixed_point=True, scale=10**18)
