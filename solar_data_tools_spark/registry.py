@@ -7531,6 +7531,130 @@ GROUP BY g.doc_id
 """
 
 
+def q173_screened_weighted_mix(spark, sf_dir):
+    """Composed mix-builder over the round-8 fixed-point tier,
+    certified END-TO-END by one oracle: (1) Bloom-screen training docs
+    against the eval set's 8-grams (docs with ANY flagged gram drop —
+    bloom is one-sided, so no contaminated doc can survive; FP-rate
+    over-dropping is the accepted trade), then (2) draw a 50-doc
+    weighted sample (without replacement, proportional to token count)
+    from the survivors via the all-LONG Gumbel-top-k key. Every stage
+    is integer/engine-exact, so the hash certifies the SCREEN and the
+    STOCHASTIC DRAW and their composition — the 'pieces interoperate'
+    proof for the tier. Docs with < 8 tokens have no grams to screen
+    and pass through (mirrored in both engines via the gram left
+    join)."""
+    from solar_data_tools_spark.operators import sketches as sk
+    from solar_data_tools_spark.operators.dedup import word_ngrams
+    from solar_data_tools_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+    from solar_data_tools_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 19 == 0)
+    tr = docs.where(F.col("doc_id") % 19 != 0)
+    evg = word_ngrams(ev, n=8).select("shingle").distinct()
+    bloom = sk.bloom_build(
+        evg, token_col="shingle", num_bits=1 << 18, num_hashes=4, seed=7
+    )
+    trg = word_ngrams(tr, n=8)
+    probed = sk.bloom_probe(
+        bloom,
+        trg.select("shingle").distinct(),
+        token_col="shingle",
+        num_bits=1 << 18,
+        num_hashes=4,
+        seed=7,
+    )
+    flagged = (
+        trg.join(probed, "shingle")
+        .where(F.col("maybe_member"))
+        .select("doc_id")
+        .distinct()
+    )
+    clean = tr.join(flagged, "doc_id", "left_anti")
+    with_tok = clean.join(
+        token_stats(clean).select("doc_id", "n_tokens"), "doc_id"
+    ).where(F.col("n_tokens") > 0)
+    out = weighted_sample_without_replacement(
+        with_tok, k=50, weight_col="n_tokens", id_col="doc_id", seed="mix8"
+    )
+    return out.select("doc_id", "n_tokens", "lnw_fp", "key_fp", "rank")
+
+
+_LN173 = _ln_fp6_sql_ctes("t173", "n_tokens", "lnw_fp", prefix="ln173_")
+_GUM173 = _gumbel_fp6_sql_ctes(
+    _LN173[1],
+    "('0x' || substring(md5('mix8:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8))::BIGINT",
+    prefix="gum173_",
+)
+
+Q173_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - 6)) u(i)
+  WHERE len(t) >= 8
+),
+evg AS (
+  SELECT DISTINCT shingle FROM grams WHERE doc_id % 19 = 0
+),
+evpos AS (
+  SELECT shingle,
+         ('0x' || substring(md5('7:' || i || ':' || shingle), 1, 15))
+           ::BIGINT % 262144 AS pos
+  FROM evg, unnest([0, 1, 2, 3]) h(i)
+),
+bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+  FROM evpos GROUP BY 1
+),
+trg AS (SELECT doc_id, shingle FROM grams WHERE doc_id % 19 <> 0),
+trpos AS (
+  SELECT shingle,
+         ('0x' || substring(md5('7:' || i || ':' || shingle), 1, 15))
+           ::BIGINT % 262144 AS pos
+  FROM (SELECT DISTINCT shingle FROM trg), unnest([0, 1, 2, 3]) h(i)
+),
+probe AS (
+  SELECT t.shingle,
+         min((coalesce(b.bits, 0) >> CAST(t.pos % 63 AS INT)) % 2) = 1
+           AS maybe_member
+  FROM trpos t LEFT JOIN bloom b ON t.pos // 63 = b.word
+  GROUP BY t.shingle
+),
+flagged AS (
+  SELECT DISTINCT g.doc_id
+  FROM trg g JOIN probe p ON g.shingle = p.shingle
+  WHERE p.maybe_member
+),
+t173 AS (
+  SELECT d.doc_id,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+         END AS n_tokens
+  FROM documents d
+  WHERE d.doc_id % 19 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    AND (CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+         END) > 0
+),
+{_LN173[0]},
+{_GUM173[0]},
+ranked AS (
+  SELECT doc_id, n_tokens, lnw_fp, lnw_fp + g6 AS key_fp,
+         row_number() OVER (ORDER BY lnw_fp + g6 DESC, doc_id) AS rank
+  FROM {_GUM173[1]}
+)
+SELECT doc_id, n_tokens, lnw_fp, key_fp, rank
+FROM ranked WHERE rank <= 50
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -7773,6 +7897,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q172_bloom_decontaminate": QuerySpec(
         q172_bloom_decontaminate, Q172_SQL, "sketch-bloom"
+    ),
+    "q173_screened_weighted_mix": QuerySpec(
+        q173_screened_weighted_mix, Q173_SQL, "composed-fp-mix"
     ),
     "q88_cdf_resample_approx": QuerySpec(
         q88_cdf_resample_approx, None, "A11-scale"
@@ -8020,6 +8147,7 @@ _QUERY_ORDER: list[str] = [
     "q170_hll_cardinality",
     "q171_weighted_sample",
     "q172_bloom_decontaminate",
+    "q173_screened_weighted_mix",
     "q131_longitude_study",
     "q133_tilt_azimuth_study",
     "q134_system_parameters",
