@@ -62,6 +62,49 @@ def _meas(spark: SparkSession, sf_dir: str) -> DataFrame:
 R = 6  # float rounding digits for hash-stable comparison
 
 
+def _ticks(col, digits: int = R):
+    """Per-term fixed-point quantization: floor(x*10^d + 0.5) as LONG —
+    the building block of ``_psum``/``_pavg``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast(
+        "long"
+    )
+
+
+def _psum(col, digits: int = R):
+    """Layout-AND-engine-exact SUM of a double column: every term
+    quantizes to 10^-d ticks (LONG) and the sum is INTEGER — order-free
+    by construction, so partition-parallel Spark and sequential DuckDB
+    agree bit-for-bit at any scale (a ``_pround(F.sum(x))`` pair merely
+    shrinks the flip window: the two engines' float sums drift by ulps
+    and the rounding amplifies a ulp into a tick whenever the true sum
+    sits near a half-tick — the q148 failure mode, latent in every
+    certified float sum until round 8). Result = tick_sum / 10^d.
+    For money-like <=d-decimal data the quantization is EXACT (it
+    recovers the decimal value each double approximates); for generic
+    doubles it adds zero-mean error <= 0.5 ticks/term. SQL mirror:
+    ``sum(CAST(floor((x) * 1eD + 0.5) AS BIGINT)) / 1eD``.
+    Tick sums are LONG: |sum| * 10^d must stay under 2^63 (~9.2e18) —
+    at larger scales raise to DECIMAL(38) or drop digits."""
+    return F.sum(_ticks(col, digits)) / F.lit(float(10**digits))
+
+
+def _pavg(col, digits: int = R):
+    """Layout-and-engine-exact AVG (see ``_psum``): integer tick sum,
+    then two IEEE divisions on identical operands. Null terms are
+    skipped on both sides (tick of NULL is NULL; count is count(x)).
+    SQL mirror: ``sum(CAST(floor((x) * 1eD + 0.5) AS BIGINT))
+    / count(x) / 1eD``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return (
+        F.sum(_ticks(col, digits))
+        / F.count(col)
+        / F.lit(float(10**digits))
+    )
+
+
 def _pround(col, digits: int = R):
     """Engine-portable fixed-point rounding: floor(x*10^d + 0.5)/10^d,
     the exact same FP ops the oracle SQL spells out as
@@ -204,22 +247,20 @@ def q01_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _pround(F.sum("l_quantity"), 4).alias("sum_qty"),
-            _pround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            _pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _psum("l_quantity", 4).alias("sum_qty"),
+            _psum("l_extendedprice", 4).alias("sum_base_price"),
+            _psum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("sum_disc_price"),
-            _pround(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            _psum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
                 4,
             ).alias("sum_charge"),
-            _pround(F.avg("l_quantity"), R).alias("avg_qty"),
-            _pround(F.avg("l_extendedprice"), R).alias("avg_price"),
-            _pround(F.avg("l_discount"), R).alias("avg_disc"),
+            _pavg("l_quantity", R).alias("avg_qty"),
+            _pavg("l_extendedprice", R).alias("avg_price"),
+            _pavg("l_discount", R).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -227,13 +268,13 @@ def q01_pricing_summary(spark, sf_dir):
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 1e4 + 0.5) / 1e4       AS sum_qty,
-       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4  AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e4 + 0.5) / 1e4 AS sum_charge,
-       floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6       AS avg_qty,
-       floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6  AS avg_price,
-       floor((avg(l_discount)) * 1e6 + 0.5) / 1e6       AS avg_disc,
+       sum(CAST(floor((l_quantity) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_qty,
+       sum(CAST(floor((l_extendedprice) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_base_price,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_disc_price,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_charge,
+       sum(CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)) / count(l_quantity) / 1e6 AS avg_qty,
+       sum(CAST(floor((l_extendedprice) * 1e6 + 0.5) AS BIGINT)) / count(l_extendedprice) / 1e6 AS avg_price,
+       sum(CAST(floor((l_discount) * 1e6 + 0.5) AS BIGINT)) / count(l_discount) / 1e6 AS avg_disc,
        count(*)                        AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -255,8 +296,8 @@ def q02_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _pround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _psum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -265,7 +306,7 @@ def q02_revenue_by_nation(spark, sf_dir):
 
 Q02_SQL = """
 SELECT r_name, n_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -341,11 +382,11 @@ def q06_conditional_pivot(spark, sf_dir):
     """Conditional aggregation == pivot (certifies S5/A16 pivot shape)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        _pround(
-            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4
+        _psum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")), 4
         ).alias("sum_f"),
-        _pround(
-            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice"))), 4
+        _psum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_extendedprice")), 4
         ).alias("sum_o"),
         F.sum(
             F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
@@ -358,8 +399,8 @@ def q06_conditional_pivot(spark, sf_dir):
 
 Q06_SQL = """
 SELECT l_returnflag,
-       floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)) * 1e4 + 0.5) / 1e4 AS sum_f,
-       floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)) * 1e4 + 0.5) / 1e4 AS sum_o,
+       sum(CAST(floor((CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_f,
+       sum(CAST(floor((CASE WHEN l_linestatus = 'O' THEN l_extendedprice END) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_o,
        CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
        CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
 FROM lineitem
@@ -372,7 +413,7 @@ def q07_group_having(spark, sf_dir):
     return (
         o.groupBy("o_custkey")
         .agg(
-            _pround(F.sum("o_totalprice"), 4).alias("total_spend"),
+            _psum("o_totalprice", 4).alias("total_spend"),
             F.count("*").alias("n_orders"),
         )
         .where(F.col("n_orders") >= 3)
@@ -380,7 +421,7 @@ def q07_group_having(spark, sf_dir):
 
 
 Q07_SQL = """
-SELECT o_custkey, floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS total_spend,
+SELECT o_custkey, sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS total_spend,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -393,23 +434,30 @@ def q08_correlated_subquery(spark, sf_dir):
     quantity is below 50% of the part's average quantity. Decorrelated to
     an aggregate + join — the plan Spark and any optimizer should reach."""
     li = _t(spark, sf_dir, "lineitem")
-    avg_q = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    # the filter threshold is also certified state: a drifting float avg
+    # could flip a boundary row in/out of the group, so it is tick-exact
+    avg_q = li.groupBy("l_partkey").agg(
+        (0.5 * _pavg("l_quantity", R)).alias("half_avg")
+    )
     return (
         li.join(F.broadcast(avg_q), "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_small"),
-            _pround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            _pround(_psum("l_extendedprice", 4) / 7.0, 4).alias(
+                "avg_yearly"
+            ),
         )
     )
 
 
 Q08_SQL = """
 SELECT l_partkey, count(*) AS n_small,
-       floor((sum(l_extendedprice) / 7.0) * 1e4 + 0.5) / 1e4 AS avg_yearly
+       floor(((sum(CAST(floor((l_extendedprice) * 1e4 + 0.5) AS BIGINT)) / 1e4) / 7.0) * 1e4 + 0.5) / 1e4 AS avg_yearly
 FROM lineitem l1
-WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+WHERE l_quantity < (SELECT 0.5 * (sum(CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)) / count(l_quantity) / 1e6)
+                    FROM lineitem l2
                     WHERE l2.l_partkey = l1.l_partkey)
 GROUP BY l_partkey
 """
@@ -421,12 +469,15 @@ def q09_monthly_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(_pround(F.sum("o_totalprice"), 4).alias("revenue"))
+    ).agg(F.sum(_ticks(F.col("o_totalprice"), 4)).alias("_rev_fp"))
     w = Window.partitionBy("yr").orderBy("mo").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return monthly.withColumn(
-        "cum_revenue", _pround(F.sum("revenue").over(w), 4)
+    return monthly.select(
+        "yr",
+        "mo",
+        (F.col("_rev_fp") / F.lit(1e4)).alias("revenue"),
+        (F.sum("_rev_fp").over(w) / F.lit(1e4)).alias("cum_revenue"),
     )
 
 
@@ -434,12 +485,12 @@ Q09_SQL = """
 WITH monthly AS (
   SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
          CAST(date_part('month', o_orderdate) AS INT) AS mo,
-         floor((sum(o_totalprice)) * 1e4 + 0.5) / 1e4 AS revenue
+         CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS rev_fp
   FROM orders GROUP BY 1, 2
 )
-SELECT yr, mo, revenue,
-       floor((sum(revenue) OVER (PARTITION BY yr ORDER BY mo
-                                ROWS UNBOUNDED PRECEDING)) * 1e4 + 0.5) / 1e4 AS cum_revenue
+SELECT yr, mo, rev_fp / 1e4 AS revenue,
+       CAST(sum(rev_fp) OVER (PARTITION BY yr ORDER BY mo
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) / 1e4 AS cum_revenue
 FROM monthly
 """
 
@@ -461,12 +512,12 @@ def q10_daily_energy(spark, sf_dir):
     """A1 — daily energy integral per site."""
     m = _meas(spark, sf_dir)
     return m.groupBy("site", "date").agg(
-        _pround(F.sum("value") * 24.0 / 288.0, R).alias("energy")
+        _pround(_psum("value", R) * 24.0 / 288.0, R).alias("energy")
     )
 
 
 Q10_SQL = f"""
-SELECT site, date, floor((sum(value) * 24.0 / 288.0) * 1e6 + 0.5) / 1e6 AS energy
+SELECT site, date, floor(((sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / 1e6) * 24.0 / 288.0) * 1e6 + 0.5) / 1e6 AS energy
 FROM ({_EV})
 GROUP BY site, date
 """
@@ -479,9 +530,9 @@ def q11_daily_stats(spark, sf_dir):
         _pround(F.max("value"), R).alias("day_max"),
         _pround(F.log(F.max("value")), R).alias("log_day_max"),
         F.count("value").alias("n_obs"),
-        _pround(F.sum(F.col("hod") * F.col("value")) / F.sum("value"), R).alias(
-            "solar_noon_com"
-        ),
+        _pround(
+            _psum(F.col("hod") * F.col("value"), R) / _psum("value", R), R
+        ).alias("solar_noon_com"),
     )
 
 
@@ -490,7 +541,7 @@ SELECT site, date,
        floor((max(value)) * 1e6 + 0.5) / 1e6 AS day_max,
        floor((ln(max(value))) * 1e6 + 0.5) / 1e6 AS log_day_max,
        count(value) AS n_obs,
-       floor((sum(hod * value) / sum(value)) * 1e6 + 0.5) / 1e6 AS solar_noon_com
+       floor(((sum(CAST(floor((hod * value) * 1e6 + 0.5) AS BIGINT)) / 1e6) / (sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / 1e6)) * 1e6 + 0.5) / 1e6 AS solar_noon_com
 FROM ({_EV})
 GROUP BY site, date
 """
@@ -713,7 +764,7 @@ def q21_iqr_filter(spark, sf_dir):
     kept = fl.iqr_filter(ev, "value", ["event_type"], k=1.5)
     return kept.groupBy("event_type").agg(
         F.count("*").alias("n_kept"),
-        _pround(F.sum("value"), 4).alias("sum_kept"),
+        _psum("value", 4).alias("sum_kept"),
     )
 
 
@@ -724,7 +775,8 @@ WITH b AS (
          quantile_cont(value, 0.75) AS q3
   FROM events GROUP BY event_type
 )
-SELECT e.event_type, count(*) AS n_kept, floor((sum(e.value)) * 1e4 + 0.5) / 1e4 AS sum_kept
+SELECT e.event_type, count(*) AS n_kept,
+       sum(CAST(floor((e.value) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_kept
 FROM events e JOIN b ON e.event_type = b.event_type
 WHERE e.value BETWEEN b.q1 - 1.5 * (b.q3 - b.q1) AND b.q3 + 1.5 * (b.q3 - b.q1)
 GROUP BY e.event_type
@@ -860,7 +912,7 @@ def q28_daily_smoothness(spark, sf_dir):
     m = _meas(spark, sf_dir)
     d2 = wd.second_diff(m)
     return d2.groupBy("site", "date").agg(
-        _pround(F.sum(F.abs(F.col("diff2"))), 4).alias("smoothness_l1")
+        _psum(F.abs(F.col("diff2")), 4).alias("smoothness_l1")
     )
 
 
@@ -872,7 +924,8 @@ d AS (
   FROM m
   WINDOW w AS (PARTITION BY site ORDER BY ts, seq)
 )
-SELECT site, date, floor((sum(abs(diff2))) * 1e4 + 0.5) / 1e4 AS smoothness_l1
+SELECT site, date,
+       sum(CAST(floor((abs(diff2)) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS smoothness_l1
 FROM d GROUP BY site, date
 """
 
@@ -1083,9 +1136,10 @@ def q34_longitude_estimate(spark, sf_dir):
     (720 - noon_min - eot)/4 + 15*gmt_offset over days."""
     m = _meas(spark, sf_dir)
     noon = m.groupBy("site", "date").agg(
-        (F.sum(F.col("hod") * F.col("value")) / F.sum("value") * 60.0).alias(
-            "noon_min"
-        )
+        (
+            _psum(F.col("hod") * F.col("value"), R) / _psum("value", R)
+            * 60.0
+        ).alias("noon_min")
     )
     doy = F.dayofyear("date")
     est = noon.select(
@@ -1102,7 +1156,9 @@ def q34_longitude_estimate(spark, sf_dir):
 Q34_SQL = f"""
 WITH m AS ({_EV}),
 noon AS (
-  SELECT site, date, sum(hod * value) / sum(value) * 60.0 AS noon_min
+  SELECT site, date,
+         (sum(CAST(floor((hod * value) * 1e6 + 0.5) AS BIGINT)) / 1e6)
+         / (sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / 1e6) * 60.0 AS noon_min
   FROM m GROUP BY site, date
 ),
 est AS (
@@ -1434,7 +1490,7 @@ def q52_make_time_series(spark, sf_dir):
     out = make_time_series(long_db, min_nonnull=10, tz_offset_hours=1)
     return out.groupBy("series_key").agg(
         F.count("*").alias("n_rows"),
-        _pround(F.sum("value"), 4).alias("sum_value"),
+        _psum("value", 4).alias("sum_value"),
         F.min("ts").alias("first_ts"),
     )
 
@@ -1453,7 +1509,8 @@ keep AS (
   SELECT series_key FROM dedup WHERE value IS NOT NULL
   GROUP BY series_key HAVING count(*) >= 10
 )
-SELECT d.series_key, count(*) AS n_rows, floor((sum(d.value)) * 1e4 + 0.5) / 1e4 AS sum_value,
+SELECT d.series_key, count(*) AS n_rows,
+       sum(CAST(floor((d.value) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_value,
        min(d.ts) AS first_ts
 FROM dedup d SEMI JOIN keep k ON d.series_key = k.series_key
 GROUP BY d.series_key
@@ -1497,18 +1554,18 @@ def q56_pivot_wide(spark, sf_dir):
     out = (
         ev.groupBy(F.col("user_id").alias("site"))
         .pivot("event_type", types)
-        .agg(_pround(F.avg("value"), R))
+        .agg(_pavg("value", R))
     )
     return out
 
 
 Q56_SQL = """
 SELECT user_id AS site,
-       floor((avg(CASE WHEN event_type = 'click' THEN value END)) * 1e6 + 0.5) / 1e6 AS click,
-       floor((avg(CASE WHEN event_type = 'error' THEN value END)) * 1e6 + 0.5) / 1e6 AS error,
-       floor((avg(CASE WHEN event_type = 'purchase' THEN value END)) * 1e6 + 0.5) / 1e6 AS purchase,
-       floor((avg(CASE WHEN event_type = 'signup' THEN value END)) * 1e6 + 0.5) / 1e6 AS signup,
-       floor((avg(CASE WHEN event_type = 'view' THEN value END)) * 1e6 + 0.5) / 1e6 AS view
+       sum(CAST(floor((CASE WHEN event_type = 'click' THEN value END) * 1e6 + 0.5) AS BIGINT)) / count(CASE WHEN event_type = 'click' THEN value END) / 1e6 AS click,
+       sum(CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 1e6 + 0.5) AS BIGINT)) / count(CASE WHEN event_type = 'error' THEN value END) / 1e6 AS error,
+       sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value END) * 1e6 + 0.5) AS BIGINT)) / count(CASE WHEN event_type = 'purchase' THEN value END) / 1e6 AS purchase,
+       sum(CAST(floor((CASE WHEN event_type = 'signup' THEN value END) * 1e6 + 0.5) AS BIGINT)) / count(CASE WHEN event_type = 'signup' THEN value END) / 1e6 AS signup,
+       sum(CAST(floor((CASE WHEN event_type = 'view' THEN value END) * 1e6 + 0.5) AS BIGINT)) / count(CASE WHEN event_type = 'view' THEN value END) / 1e6 AS view
 FROM events
 GROUP BY user_id
 """
@@ -1520,7 +1577,7 @@ def q57_segment_pooled_diffs(spark, sf_dir):
     m = _meas(spark, sf_dir)
     # synthesize a piecewise-constant signal: daily mean rounded to 100s
     daily = m.groupBy("site", "date").agg(
-        (_pround(F.avg("value") / 100.0, 0) * 100.0).alias("level")
+        (_pround(_pavg("value", R) / 100.0, 0) * 100.0).alias("level")
     )
     # deterministic seq from the date (dates are unique per site, so the
     # tie-break never fires, but the ordering column must still be a
@@ -1546,7 +1603,7 @@ WITH m AS ({_EV}),
 daily AS (
   SELECT site, CAST(date AS TIMESTAMP) AS ts,
          CAST(epoch_us(CAST(date AS TIMESTAMP)) / 86400000000 AS BIGINT) AS seq,
-         floor((avg(value) / 100.0) * 1e0 + 0.5) / 1e0 * 100.0 AS value
+         floor(((sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / count(value) / 1e6) / 100.0) * 1e0 + 0.5) / 1e0 * 100.0 AS value
   FROM m GROUP BY site, date
 ),
 d AS (
@@ -1676,14 +1733,14 @@ def q71_declination_binned_mean(spark, sf_dir):
         (_pround(delta / 2.0, 0) * 2.0).alias("delta_bin"), F.col("value")
     )
     return binned.groupBy("delta_bin").agg(
-        _pround(F.avg("value"), R).alias("avg_value"),
+        _pavg("value", R).alias("avg_value"),
         F.count("*").alias("n"),
     )
 
 
 Q71_SQL = f"""
 SELECT floor((23.45 * sin(2 * pi() * (284 + date_part('doy', date)) / 365.0) / 2.0) * 1e0 + 0.5) / 1e0 * 2.0 AS delta_bin,
-       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value,
+       sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / count(value) / 1e6 AS avg_value,
        count(*) AS n
 FROM ({_EV})
 GROUP BY 1
@@ -1773,7 +1830,7 @@ def q81_profile_normalization(spark, sf_dir):
         .groupBy("site", "date")
         .agg(
             _pround(F.max(F.col("value") / F.col("q95")), R).alias("norm_max"),
-            _pround(F.avg(F.col("value") / F.col("q95")), R).alias("norm_avg"),
+            _pavg(F.col("value") / F.col("q95"), R).alias("norm_avg"),
         )
     )
 
@@ -1784,7 +1841,7 @@ q AS (SELECT site, date, quantile_cont(value, 0.95) AS q95
       FROM m GROUP BY site, date)
 SELECT m.site, m.date,
        floor((max(m.value / q.q95)) * 1e6 + 0.5) / 1e6 AS norm_max,
-       floor((avg(m.value / q.q95)) * 1e6 + 0.5) / 1e6 AS norm_avg
+       sum(CAST(floor((m.value / q.q95) * 1e6 + 0.5) AS BIGINT)) / count(m.value / q.q95) / 1e6 AS norm_avg
 FROM m JOIN q ON m.site = q.site AND m.date = q.date
 GROUP BY m.site, m.date
 """
@@ -1828,11 +1885,13 @@ def q83_doy_model_join(spark, sf_dir):
     """J5 — join an empirical day-of-year model table (fleet-average daily
     energy per doy) back to each site's days; ratio = measured / modeled."""
     m = _meas(spark, sf_dir)
-    daily = m.groupBy("site", "date").agg(F.sum("value").alias("energy"))
+    daily = m.groupBy("site", "date").agg(
+        _psum("value", R).alias("energy")
+    )
     model = (
         daily.withColumn("doy", F.dayofyear("date"))
         .groupBy("doy")
-        .agg(F.avg("energy").alias("model_energy"))
+        .agg(_pavg("energy", R).alias("model_energy"))
     )
     return (
         daily.withColumn("doy", F.dayofyear("date"))
@@ -1849,11 +1908,13 @@ def q83_doy_model_join(spark, sf_dir):
 
 Q83_SQL = f"""
 WITH daily AS (
-  SELECT site, date, sum(value) AS energy
+  SELECT site, date,
+         sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS energy
   FROM ({_EV}) GROUP BY site, date
 ),
 model AS (
-  SELECT CAST(date_part('doy', date) AS INT) AS doy, avg(energy) AS model_energy
+  SELECT CAST(date_part('doy', date) AS INT) AS doy,
+         sum(CAST(floor((energy) * 1e6 + 0.5) AS BIGINT)) / count(energy) / 1e6 AS model_energy
   FROM daily GROUP BY 1
 )
 SELECT d.site, d.date, floor((d.energy) * 1e4 + 0.5) / 1e4 AS energy,
@@ -1877,13 +1938,14 @@ def q84_string_ops(spark, sf_dir):
     return (
         keyed.where(F.col("event_type").like("%i%"))
         .groupBy("series_key")
-        .agg(F.count("*").alias("n"), _pround(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _psum("value", 4).alias("sum_value"))
     )
 
 
 Q84_SQL = """
 SELECT printf('%d_%s', user_id, event_type) AS series_key,
-       count(*) AS n, floor((sum(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+       count(*) AS n,
+       sum(CAST(floor((value) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_value
 FROM events
 WHERE event_type LIKE '%i%'
 GROUP BY 1
@@ -2885,12 +2947,12 @@ def q155_corpus_report(spark, sf_dir):
     rep = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("total_tokens"),
-        _pround(F.avg("_nt")).alias("mean_tokens"),
+        _pavg("_nt").alias("mean_tokens"),
         (
             F.lit(1.0)
             - F.countDistinct("_h") / F.count(F.lit(1)).cast("double")
         ).alias("dup_fraction"),
-        _pround(F.avg("prob")).alias("mean_prob"),
+        _pavg("prob").alias("mean_prob"),
     )
     return rep.join(ent, "source").select(
         "source", "n_docs", "total_tokens", "mean_tokens",
@@ -2946,10 +3008,10 @@ ent AS (
 rep AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(nt) AS BIGINT) AS total_tokens,
-         floor(avg(nt) * 1e6 + 0.5) / 1e6 AS mean_tokens,
+         sum(CAST(floor((nt) * 1e6 + 0.5) AS BIGINT)) / count(nt) / 1e6 AS mean_tokens,
          floor((1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE)) * 1e6
                + 0.5) / 1e6 AS dup_fraction,
-         floor(avg(prob) * 1e6 + 0.5) / 1e6 AS mean_prob
+         sum(CAST(floor((prob) * 1e6 + 0.5) AS BIGINT)) / count(prob) / 1e6 AS mean_prob
   FROM base GROUP BY source
 )
 SELECT rep.source, n_docs, total_tokens, mean_tokens, dup_fraction,
@@ -3703,7 +3765,7 @@ def q130_json_metadata(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
             F.sum((F.col("k") % 7 == 0).cast("long")).alias("n_k_div7"),
-            _pround(F.avg("value"), R).alias("avg_value"),
+            _pavg("value", R).alias("avg_value"),
         )
     )
 
@@ -3717,7 +3779,7 @@ WITH e AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_div7,
-       floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
+       sum(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)) / count(value) / 1e6 AS avg_value
 FROM e WHERE k IS NOT NULL GROUP BY event_type
 """
 
@@ -6342,7 +6404,7 @@ def q78_rollup(spark, sf_dir):
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _pround(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            _psum("l_extendedprice", 4).alias("sum_price"),
             F.count("*").alias("n"),
         )
         .select(
@@ -6357,7 +6419,7 @@ def q78_rollup(spark, sf_dir):
 Q78_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       floor((sum(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sum_price,
+       sum(CAST(floor((l_extendedprice) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)

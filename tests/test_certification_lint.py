@@ -88,6 +88,35 @@ def test_no_builtin_round_in_certified_query_sources():
     )
 
 
+def test_no_float_sums_under_pround_in_certified_sources():
+    """Rounding a partition-parallel FLOAT sum only shrinks the flip
+    window — Spark's and DuckDB's float sums drift by ulps and the
+    rounding amplifies a ulp into a tick whenever the true sum sits
+    near a half-tick (the q148 failure mode; latent in every certified
+    float sum until round 8). Certified sums/avgs of doubles must go
+    through ``_psum``/``_pavg`` (per-term integer ticks, order-free
+    LONG sum). Sums of INTEGER-cast terms are exact in any order and
+    stay allowed (allowlisted per query below)."""
+    # integer-cast aggregates: exact-by-construction (integer-valued
+    # doubles < 2^53 sum exactly, order-free)
+    allow = {"q13_daily_density", "q82_quality_counts"}
+    pat = re.compile(r"_pround\(\s*F\.(sum|avg)\(")
+    offenders = []
+    for name, spec in _certified().items():
+        if name in allow:
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        if pat.search(src):
+            offenders.append(name)
+    assert not offenders, (
+        f"float sum/avg under _pround in certified queries (use "
+        f"_psum/_pavg): {offenders}"
+    )
+
+
 def test_no_nondeterminism_in_certified_query_sources():
     """A certified query must be a pure function of the input tables:
     RNG columns, partition-dependent ids, and wall-clock functions can
