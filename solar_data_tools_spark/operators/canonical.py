@@ -84,11 +84,88 @@ def pround(col: Column | str, digits: int = 6) -> Column:
     both sides are bit-equal at any scale, negatives included (both
     sides round half toward +inf — equality needs identical ops, not a
     particular tie convention). This is the ONLY rounding allowed in an
-    oracle-certified projection (tests/test_certification_lint.py)."""
+    oracle-certified projection (tests/test_certification_lint.py).
+
+    Magnitude contract: ``|x| * 10^d`` must stay below 2^53 (so the
+    product is exactly representable and ``floor`` agrees with the
+    oracle's DOUBLE floor) — at d=6 that is |x| < ~9.0e9. Spark's
+    ``floor`` returns LONG, so beyond ~9.2e18 it would overflow outright;
+    the 2^53 bound is the tighter, correctness-relevant one. Certified
+    columns with larger magnitude must drop digits (this is a rounding
+    helper — the value itself carries the precision)."""
     if isinstance(col, str):
         col = F.col(col)
     p = F.lit(float(10**digits))
     return F.floor(col * p + F.lit(0.5)) / p
+
+
+def ticks(col: Column | str, digits: int = 6) -> Column:
+    """Per-term fixed-point quantization ``floor(x*10^d + 0.5)`` as LONG —
+    the building block of ``tick_sum``/``tick_avg`` (and the registry's
+    ``_psum``/``_pavg``). Same magnitude contract as ``pround``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * F.lit(float(10**digits)) + F.lit(0.5)).cast("long")
+
+
+# Guard bound for LONG tick sums: max|tick| * count >= this raises
+# instead of silently wrapping past 2^63 (~9.22e18). max|tick|*count
+# bounds every partial sum (|any partial| <= sum|ticks| <= max*count),
+# so if the product stays below the bound no partition-partial can wrap
+# either. The product is computed in DOUBLE — exact enough for a guard
+# with a 2% margin below 2^63.
+_TICK_SUM_GUARD = 9.0e18
+
+
+def _guarded_tick_sum(t: Column, digits: int) -> Column:
+    bound = F.max(F.abs(t)).cast("double") * F.count(t)
+    return F.when(
+        bound >= F.lit(_TICK_SUM_GUARD),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "tick_sum overflow guard: max|tick| * count = "
+                ),
+                bound.cast("string"),
+                F.lit(
+                    f" >= {_TICK_SUM_GUARD:.1e}; the LONG tick sum could "
+                    f"wrap past 2^63 at digits={digits}. Drop digits or "
+                    "aggregate in DECIMAL(38,0)."
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.sum(t))
+
+
+def tick_sum(col: Column | str, digits: int = 6) -> Column:
+    """Layout-AND-engine-exact SUM of a double column: every term
+    quantizes to 10^-d ticks (LONG) and the sum is INTEGER — order-free
+    by construction, so partition-parallel Spark and a sequential oracle
+    agree bit-for-bit at any scale. Result = tick_sum / 10^d.
+    SQL mirror: ``sum(CAST(floor((x) * 1eD + 0.5) AS BIGINT)) / 1eD``.
+
+    Runtime-guarded (round 9): the LONG tick sum raises loudly when
+    ``max|tick| * count`` approaches 2^63 instead of silently wrapping —
+    the regime a 100 TB aggregate lives in. The guard costs one extra
+    max/count partial pair, both map-side-combined with the sum."""
+    t = ticks(col, digits)
+    return _guarded_tick_sum(t, digits) / F.lit(float(10**digits))
+
+
+def tick_avg(col: Column | str, digits: int = 6) -> Column:
+    """Layout-and-engine-exact AVG (see ``tick_sum``): guarded integer
+    tick sum, then two IEEE divisions on identical operands. Null terms
+    are skipped on both sides (tick of NULL is NULL; count is count(x)).
+    SQL mirror: ``sum(CAST(floor((x) * 1eD + 0.5) AS BIGINT))
+    / count(x) / 1eD``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    t = ticks(col, digits)
+    return (
+        _guarded_tick_sum(t, digits)
+        / F.count(col)
+        / F.lit(float(10**digits))
+    )
 
 
 def round_float(col: Column, digits: int = 6) -> Column:

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solar_data_tools_spark.operators.canonical import pround
+from solar_data_tools_spark.operators.canonical import (
+    pround,
+    tick_avg,
+    tick_sum,
+)
 
 
 def site_capacity(
@@ -115,6 +119,7 @@ def clipping_stats(
     site_col: str = "site",
     value_col: str = "value",
     near_max_frac: float = 0.995,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """A9/A10 — per-day clipping statistics (clipping.py:54-68).
 
@@ -124,6 +129,13 @@ def clipping_stats(
 
     Two-pass shape: daily max via one agg, joined back (co-partitioned on
     (site, date) so the second agg reuses the shuffle), site max broadcast.
+
+    ``exact_digits`` (round 9): when set, clip_stat_2's numerator and
+    denominator are order-free integer tick sums (``canonical.tick_sum``)
+    — required on the certified path (q30): both are many-term float
+    sums whose partition-parallel association can drift a ulp from the
+    sequential oracle and flip the downstream rounding. clip_stat_1 is a
+    ratio of two MAXes (order-free already) and needs no conversion.
     """
     v = F.col(value_col)
     day_max = df.groupBy(site_col, "date").agg(F.max(v).alias("day_max"))
@@ -131,12 +143,16 @@ def clipping_stats(
     joined = df.join(day_max, on=[site_col, "date"]).join(
         F.broadcast(site_max), on=site_col
     )
+    near = F.when(v >= F.lit(near_max_frac) * F.col("day_max"), v)
+    if exact_digits is not None:
+        clip2 = F.try_divide(
+            tick_sum(near, exact_digits), tick_sum(v, exact_digits)
+        )
+    else:
+        clip2 = F.try_divide(F.sum(near), F.sum(v))
     return joined.groupBy(site_col, "date").agg(
         (F.first("day_max") / F.first("site_max")).alias("clip_stat_1"),
-        F.try_divide(
-            F.sum(F.when(v >= F.lit(near_max_frac) * F.col("day_max"), v)),
-            F.sum(v),
-        ).alias("clip_stat_2"),
+        clip2.alias("clip_stat_2"),
     )
 
 
@@ -187,34 +203,65 @@ def binned_mean_pivot(
     value_col: str = "value",
     x_bin: float = 1.0,
     y_bin: float = 1.0,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """A16 — mean of ``value`` grouped by rounded (x, y) bins
     (polar_transform.py:87-102). The pivot to a grid is presentation-side;
-    the scalable artifact is the long (x_bin, y_bin, avg) table."""
+    the scalable artifact is the long (x_bin, y_bin, avg) table.
+
+    ``exact_digits`` (round 9): when set, the mean is computed as an
+    order-free integer tick sum (``canonical.tick_avg``) so the result
+    is bit-equal across partition layouts and engines — REQUIRED when
+    the output rides an oracle hash (certified q31; a float partial sum
+    can land a ulp from a half-tick and flip the downstream rounding —
+    the q148/q165 failure class)."""
     xb = (pround(F.col(x_col) / x_bin, 0) * x_bin).alias("x_bin")
     yb = (pround(F.col(y_col) / y_bin, 0) * y_bin).alias("y_bin")
-    return df.groupBy(xb, yb).agg(F.avg(value_col).alias("avg_value"))
+    mean = (
+        tick_avg(value_col, exact_digits)
+        if exact_digits is not None
+        else F.avg(value_col)
+    )
+    return df.groupBy(xb, yb).agg(mean.alias("avg_value"))
 
 
 def rayleigh_statistic(
     df: DataFrame,
     angle_col: str,
     group_cols: list[str] | None = None,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """A22/F11 — Rayleigh test statistic for circular uniformity
     (circular_statistics.py:14-99): mean resultant length R and z = n*R^2.
 
     Pure aggregation: sum(cos), sum(sin), count. The p-value approximation
     is scalar math on the aggregate row.
-    """
+
+    ``exact_digits`` (round 9): when set, sum(cos)/sum(sin) — many-term
+    float sums, the worst of the layout-drift offenders — are computed as
+    order-free integer tick sums (``canonical.tick_sum``), and the
+    downstream R/z arithmetic uses explicit multiplies (matching the
+    oracle's ``sc*sc`` text rather than pow). REQUIRED for the certified
+    path (q32)."""
     a = F.col(angle_col)
     g = group_cols or []
-    agg = df.groupBy(*g).agg(
-        F.sum(F.cos(a)).alias("sum_cos"),
-        F.sum(F.sin(a)).alias("sum_sin"),
-        F.count(a).alias("n"),
-    )
-    R = F.sqrt(F.col("sum_cos") ** 2 + F.col("sum_sin") ** 2) / F.col("n")
+    if exact_digits is not None:
+        agg = df.groupBy(*g).agg(
+            tick_sum(F.cos(a), exact_digits).alias("sum_cos"),
+            tick_sum(F.sin(a), exact_digits).alias("sum_sin"),
+            F.count(a).alias("n"),
+        )
+        sc, ss = F.col("sum_cos"), F.col("sum_sin")
+        R = F.sqrt(sc * sc + ss * ss) / F.col("n")
+    else:
+        agg = df.groupBy(*g).agg(
+            F.sum(F.cos(a)).alias("sum_cos"),
+            F.sum(F.sin(a)).alias("sum_sin"),
+            F.count(a).alias("n"),
+        )
+        R = F.sqrt(
+            F.col("sum_cos") ** 2 + F.col("sum_sin") ** 2
+        ) / F.col("n")
     z = F.col("n") * R * R
     return agg.select(
         *g,

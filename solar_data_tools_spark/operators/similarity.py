@@ -106,8 +106,14 @@ def brute_force_topk(
             # join engine rather than erroring — the map engine's
             # driver-side query matrix is an optimization, not a
             # contract, and pre-round-7 callers with large query sets
-            # got the join engine by default
+            # got the join engine by default. The fallback must actually
+            # DISPATCH to the join path: the collected qrows above are a
+            # TRUNCATED limit(query_cap+1) sample, so running the map
+            # body on them would silently drop queries beyond the cap
+            # (and which ones survive would be nondeterministic).
             engine = "join-pandas"
+            qrows = None
+    if engine == "map":
         if qrows:
             qids = [r[query_id_col] for r in qrows]
             Q = np.array([r["_qvec"] for r in qrows], dtype=np.float64)

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from solar_data_tools_spark.operators.canonical import pround
+from solar_data_tools_spark.operators.canonical import (
+    pround,
+    tick_avg,
+    tick_sum,
+)
 
 
 def infer_sampling_seconds(
@@ -221,6 +225,7 @@ def average_day_profile(
     site_col: str = "site",
     value_col: str = "value",
     ts_col: str = "ts",
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """T3 (first half) — mean value per (site, time-of-day).
 
@@ -228,14 +233,25 @@ def average_day_profile(
     (groupby time-of-day -> mean) to locate solar noon for gross-timezone
     checks. The profile is one groupBy; the scalar noon extraction happens
     on this tiny result.
+
+    ``exact_digits`` (round 9): when set, the mean is an order-free
+    integer tick sum (``canonical.tick_avg``) — required when the output
+    rides an oracle hash (certified q25); float partial sums drift by
+    ulps across partition layouts and a downstream rounding amplifies a
+    ulp into a tick near half-tick sums.
     """
+    mean = (
+        tick_avg(value_col, exact_digits)
+        if exact_digits is not None
+        else F.avg(value_col)
+    )
     return (
         df.groupBy(
             site_col,
             F.hour(ts_col).alias("hh"),
             F.minute(ts_col).alias("mm"),
         )
-        .agg(F.avg(value_col).alias("avg_value"))
+        .agg(mean.alias("avg_value"))
     )
 
 
@@ -246,13 +262,25 @@ def resample_aggregate(
     site_col: str = "site",
     ts_col: str = "ts",
     value_col: str = "value",
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """T7 — tumbling-window resample (deprecated pandas ``resample`` path,
     data_handler.py:139-141). ``window()`` keeps it a single partial+final
     aggregation; in streaming mode the same expression works under a
     watermark.
+
+    ``exact_digits`` (round 9): engine-exact tick aggregation for
+    ``avg``/``sum`` (see ``canonical.tick_avg``/``tick_sum``) — the
+    certified path (q24).
     """
-    agg_col = getattr(F, agg)(value_col).alias(f"{agg}_value")
+    if exact_digits is not None and agg in ("avg", "sum"):
+        agg_col = (
+            tick_avg(value_col, exact_digits)
+            if agg == "avg"
+            else tick_sum(value_col, exact_digits)
+        ).alias(f"{agg}_value")
+    else:
+        agg_col = getattr(F, agg)(value_col).alias(f"{agg}_value")
     return (
         df.groupBy(site_col, F.window(ts_col, f"{int(rule_seconds)} seconds").alias("w"))
         .agg(agg_col)

@@ -87,11 +87,31 @@ def rolling_mean(
     seq_col: str = "seq",
     value_col: str = "value",
     out_col: str = "rolling_mean",
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """W9 — centered rolling mean (model_soiling.py:71-73
-    ``rolling(n, center=True).mean()``)."""
+    ``rolling(n, center=True).mean()``).
+
+    ``exact_digits`` (round 9): when set, the window mean is computed as
+    ``sum(ticks)/count/10^d`` (per-term integer quantization, see
+    ``canonical.tick_sum``) so the value is bit-equal to a sequential
+    oracle regardless of how Spark's windowed partial sums associate —
+    the certified path (q16). No overflow guard needed here: the window
+    is bounded at ``n_before+n_after+1`` terms, so the tick sum is
+    bounded by the per-term 2^53 contract times a small constant."""
     w = _w(site_col, ts_col, seq_col).rowsBetween(-n_before, n_after)
-    return df.withColumn(out_col, F.avg(value_col).over(w))
+    if exact_digits is not None:
+        from solar_data_tools_spark.operators.canonical import ticks
+
+        t = ticks(F.col(value_col), exact_digits)
+        mean = (
+            F.sum(t).over(w)
+            / F.count(value_col).over(w)
+            / F.lit(float(10**exact_digits))
+        )
+    else:
+        mean = F.avg(value_col).over(w)
+    return df.withColumn(out_col, mean)
 
 
 def gap_fill_linear(

@@ -832,6 +832,33 @@ def test_brute_force_map_engine_query_cap(spark, sf_small):
         brute_force_topk(emb, queries, k=5, engine="map", query_cap=3)
 
 
+def test_brute_force_default_dispatch_cap_fallback_covers_all_queries(
+    spark, sf_small
+):
+    """Round-9 regression (r8 ADVICE, high): when the query set exceeds
+    query_cap under DEFAULT dispatch, the fallback must actually run the
+    join engine over the FULL query set — the r8 code reassigned
+    ``engine`` but still executed the map body on the truncated
+    limit(cap+1) collection, silently dropping queries beyond the cap."""
+    from solar_data_tools_spark.operators.similarity import brute_force_topk
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=3, query_cap=4)  # default dispatch
+    got_qids = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+    assert got_qids == set(range(10)), got_qids
+    # and the fallback result is bit-equal to the explicit join engine
+    ref = brute_force_topk(emb, queries, k=3, engine="join-pandas")
+    a = out.orderBy("query_id", "rank").collect()
+    b = ref.orderBy("query_id", "rank").collect()
+    assert [(x["query_id"], x["vec_id"], x["cosine_sim"]) for x in a] == [
+        (y["query_id"], y["vec_id"], y["cosine_sim"]) for y in b
+    ]
+
+
 def test_semantic_decontaminate_planted(spark):
     """A train vector parallel to an eval vector is contaminated at any
     tau < 1; an orthogonal one is not; nearest_eval_id ties break toward
