@@ -292,6 +292,7 @@ def quality_clustering(
     site_col: str = "site",
     eps: float = 0.03,
     min_samples: int = 10,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """M1 — density-based clustering of (density, linearity-proxy) day
     scores (reference: data_handler.py:1170-1199, sklearn DBSCAN eps=0.03).
@@ -354,12 +355,26 @@ def quality_clustering(
             }
         )
 
+    # exact_digits (round 9, certified q63 path): the per-site mean
+    # density is a many-term float sum feeding DBSCAN's eps
+    # comparisons — a ulp of layout drift could flip a neighborhood
+    # membership and re-label a cluster. Tick-exact mean + try_divide
+    # (NULL on zero mean, matching the oracle's NULLIF) close it.
+    ws = Window.partitionBy(site_col)
+    if exact_digits is not None:
+        from solar_data_tools_spark.operators.canonical import ticks
+
+        t = ticks(F.col("density"), exact_digits)
+        mean_density = (
+            F.sum(t).over(ws)
+            / F.count("density").over(ws)
+            / F.lit(float(10**exact_digits))
+        )
+        ratio = F.try_divide(F.col("density"), mean_density)
+    else:
+        ratio = F.col("density") / F.avg("density").over(ws)
     base = daily.withColumn(
-        "density_fit_ratio",
-        F.coalesce(
-            F.col("density") / F.avg("density").over(Window.partitionBy(site_col)),
-            F.lit(0.0),
-        ),
+        "density_fit_ratio", F.coalesce(ratio, F.lit(0.0))
     )
     cols = [site_col, "date", "density", "density_fit_ratio"]
     return grouped_apply(base.select(*cols), [site_col], _cluster, schema)

@@ -145,21 +145,62 @@ def polygon_tilt_azimuth(polygons: DataFrame) -> DataFrame:
 
 
 def ground_truth_tilt_azimuth(
-    polygons: DataFrame, home_col: str = "home_id"
+    polygons: DataFrame, home_col: str = "home_id",
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """Per-home ground-truth summary — the reference's return tuple
     (ave/med/std of tilt and azimuth over the home's roof polygons,
     ground_truth_estimator.py:100-107) as one groupBy. ``std`` is the
-    population std (numpy ``np.std`` default, ddof=0)."""
+    population std (numpy ``np.std`` default, ddof=0).
+
+    ``exact_digits`` (round 9, certified q136 path): means become
+    order-free integer tick sums (``canonical.tick_avg``) and the
+    population std is computed from tick moments —
+    ``sqrt(greatest(E[x^2] - mean^2, 0))`` with both expectations
+    tick-exact — instead of the engines' (different) streaming
+    variance algorithms. The cancellation error of the moment form is
+    ~0.5e-6/std per term, far inside q136's 1e-4 certification round;
+    ``greatest(.,0)`` guards the degenerate all-equal group where
+    cancellation could go epsilon-negative."""
     per_poly = polygon_tilt_azimuth(polygons)
-    return per_poly.groupBy(home_col).agg(
-        F.avg("tilt_deg").alias("ave_tilt"),
+    if exact_digits is None:
+        return per_poly.groupBy(home_col).agg(
+            F.avg("tilt_deg").alias("ave_tilt"),
+            F.expr("percentile(tilt_deg, 0.5)").alias("med_tilt"),
+            F.stddev_pop("tilt_deg").alias("std_tilt"),
+            F.avg("azimuth_deg").alias("ave_azimuth"),
+            F.expr("percentile(azimuth_deg, 0.5)").alias("med_azimuth"),
+            F.stddev_pop("azimuth_deg").alias("std_azimuth"),
+            F.count(F.lit(1)).alias("n_polygons"),
+        )
+    from solar_data_tools_spark.operators.canonical import tick_avg
+
+    d = exact_digits
+    t, a = F.col("tilt_deg"), F.col("azimuth_deg")
+    agg = per_poly.groupBy(home_col).agg(
+        tick_avg(t, d).alias("ave_tilt"),
         F.expr("percentile(tilt_deg, 0.5)").alias("med_tilt"),
-        F.stddev_pop("tilt_deg").alias("std_tilt"),
-        F.avg("azimuth_deg").alias("ave_azimuth"),
+        tick_avg(t * t, d).alias("_ex2_tilt"),
+        tick_avg(a, d).alias("ave_azimuth"),
         F.expr("percentile(azimuth_deg, 0.5)").alias("med_azimuth"),
-        F.stddev_pop("azimuth_deg").alias("std_azimuth"),
+        tick_avg(a * a, d).alias("_ex2_azimuth"),
         F.count(F.lit(1)).alias("n_polygons"),
+    )
+
+    def _std(ex2, m):
+        return F.sqrt(F.greatest(ex2 - m * m, F.lit(0.0)))
+
+    return agg.select(
+        home_col,
+        "ave_tilt",
+        "med_tilt",
+        _std(F.col("_ex2_tilt"), F.col("ave_tilt")).alias("std_tilt"),
+        "ave_azimuth",
+        "med_azimuth",
+        _std(F.col("_ex2_azimuth"), F.col("ave_azimuth")).alias(
+            "std_azimuth"
+        ),
+        "n_polygons",
     )
 
 

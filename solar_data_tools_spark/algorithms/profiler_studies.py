@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from solar_data_tools_spark.functions import solar as sol
+from solar_data_tools_spark.operators.canonical import tick_avg
 from solar_data_tools_spark.parallel import grouped_apply
 
 _LON_ESTIMATORS = ("calculated", "fit_l1", "fit_l2", "fit_huber")
@@ -132,6 +133,7 @@ def longitude_study(
     day_selections: tuple[str, ...] = _DAY_SELECTIONS,
     site_col: str = "site",
     threshold_frac: float = 0.001,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """The LongitudeStudy sweep: one longitude estimate per
     (site, estimator, eot_calculation, solar_noon_method,
@@ -188,7 +190,15 @@ def longitude_study(
         samples.where(F.col("estimator") != "fit_huber")
         .groupBy(*keys)
         .agg(
-            F.avg("lon_day").alias("_mean"),
+            # exact_digits (round 9): the fit_l2 leg is a many-term float
+            # mean riding q135's oracle hash — tick-exact when requested
+            # (canonical.tick_avg); the median legs are selection-based
+            # (order-free already).
+            (
+                tick_avg("lon_day", exact_digits)
+                if exact_digits is not None
+                else F.avg("lon_day")
+            ).alias("_mean"),
             F.expr("percentile(lon_day, 0.5)").alias("_median"),
         )
         .select(

@@ -107,6 +107,21 @@ def cms_estimate(
     )
 
 
+def _check_hll_p(p: int) -> None:
+    """The asymptotic bias constant alpha_m = 0.7213/(1 + 1.079/m) used
+    below is only valid for m >= 128 (p >= 7); standard HLL substitutes
+    0.673/0.697/0.709 for m = 16/32/64 (Flajolet et al. 2007, Fig. 3).
+    Rather than carry rarely-exercised small-m constants, reject small
+    precisions outright — p < 7 gives >= 9% standard error and has no
+    large-scale use (r8 ADVICE item)."""
+    if int(p) < 7 or int(p) > 30:
+        raise ValueError(
+            f"hll: p={p} out of range [7, 30] — the alpha_m constant "
+            "requires m >= 128 (p >= 7); use p=12 (default) for ~1.6% "
+            "error"
+        )
+
+
 def hll_build(
     df: DataFrame,
     token_col: str = "token",
@@ -137,6 +152,7 @@ def hll_build(
     (q170). Empty buckets are absent (they read as rho 0 at estimate
     time).
     """
+    _check_hll_p(p)
     g = list(group_cols or [])
     tail_bits = 60 - int(p)
     h = F.md5(
@@ -188,6 +204,7 @@ def hll_estimate(
     Output: (*group_cols, m, n_zero, s_fp LONG, raw_est DOUBLE-exact).
     """
     g = list(group_cols or [])
+    _check_hll_p(p)
     m = 1 << int(p)
     big_r = 61 - int(p)
     alpha = 0.7213 / (1.0 + 1.079 / m)

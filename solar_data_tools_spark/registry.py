@@ -2931,7 +2931,7 @@ def q155_corpus_report(spark, sf_dir):
         (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
     )
     probs = linear_classifier_score(
-        docs, weights, bias=-0.1, n_features=d, seed=0
+        docs, weights, bias=-0.1, n_features=d, seed=0, exact_digits=R
     ).select("doc_id", "prob")
     base = docs.join(probs, "doc_id").select(
         "doc_id",
@@ -2999,12 +2999,17 @@ w AS (
           / 4294967296.0) * 2.0 - 1.0 AS weight
   FROM generate_series(0, 4095) t(f)
 ),
+gfc AS (
+  SELECT doc_id, feature_id, count(*) AS cnt FROM gf GROUP BY 1, 2
+),
 scored AS (
-  SELECT gf.doc_id,
-         1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(w.weight, 0.0)) / count(*))))
-           AS prob
-  FROM gf LEFT JOIN w USING (feature_id)
-  GROUP BY gf.doc_id
+  SELECT gfc.doc_id,
+         1.0 / (1.0 + exp(-(-0.1
+             + (sum(CAST(floor((coalesce(w.weight, 0.0) * cnt) * 1e6 + 0.5)
+                         AS BIGINT)) / 1e6)
+               / CAST(sum(cnt) AS BIGINT)))) AS prob
+  FROM gfc LEFT JOIN w USING (feature_id)
+  GROUP BY gfc.doc_id
 ),
 base AS (
   SELECT d.doc_id, d.source, d.lang, s.prob,
@@ -3081,7 +3086,7 @@ def q156_curation_pipeline_v2(spark, sf_dir):
         (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
     )
     probs = linear_classifier_score(
-        s1, weights, bias=-0.1, n_features=d, seed=0
+        s1, weights, bias=-0.1, n_features=d, seed=0, exact_digits=R
     ).select("doc_id", _pround(F.col("prob")).alias("prob"))
     scored = s1.join(probs, "doc_id")
     th = scored.agg(
@@ -3163,13 +3168,18 @@ s1 AS (
       ['src2.example.com', 'example.net'])
 ),
 -- stage 2: classifier -> quartile bucket -> tiered keep
+gfc AS (
+  SELECT gf.doc_id, feature_id, count(*) AS cnt
+  FROM gf JOIN s1 USING (doc_id) GROUP BY 1, 2
+),
 scored AS (
-  SELECT gf.doc_id,
-         floor((1.0 / (1.0 + exp(-(-0.1 + sum(coalesce(w.weight, 0.0))
-                                    / count(*))))) * 1e6 + 0.5) / 1e6
-           AS prob
-  FROM gf JOIN s1 USING (doc_id) LEFT JOIN w USING (feature_id)
-  GROUP BY gf.doc_id
+  SELECT gfc.doc_id,
+         floor((1.0 / (1.0 + exp(-(-0.1
+             + (sum(CAST(floor((coalesce(w.weight, 0.0) * cnt) * 1e6 + 0.5)
+                         AS BIGINT)) / 1e6)
+               / CAST(sum(cnt) AS BIGINT))))) * 1e6 + 0.5) / 1e6 AS prob
+  FROM gfc LEFT JOIN w USING (feature_id)
+  GROUP BY gfc.doc_id
 ),
 th AS (
   SELECT floor(quantile_cont(prob, 0.25) * 1e6 + 0.5) / 1e6 AS t1,
@@ -4375,7 +4385,7 @@ def q140_crawl_curation_pipeline(spark, sf_dir):
         (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
     )
     sc = linear_classifier_score(
-        s3, w, bias=-0.1, n_features=4096
+        s3, w, bias=-0.1, n_features=4096, exact_digits=R
     ).where(F.col("score") >= -0.1)
     s4 = s3.join(sc.select("doc_id", "prob"), "doc_id")
     # 5. near-dup keep-best inside the surviving set
@@ -4476,11 +4486,16 @@ cw AS (
           / 4294967296.0) * 2.0 - 1.0 AS weight
   FROM generate_series(0, 4095) t(f)
 ),
+cfc AS (
+  SELECT doc_id, feature_id, count(*) AS cnt FROM cfid GROUP BY 1, 2
+),
 cscore AS (
-  SELECT cfid.doc_id,
-         -0.1 + sum(coalesce(cw.weight, 0.0)) / count(*) AS score
-  FROM cfid LEFT JOIN cw USING (feature_id)
-  GROUP BY cfid.doc_id
+  SELECT cfc.doc_id,
+         -0.1 + (sum(CAST(floor((coalesce(cw.weight, 0.0) * cnt) * 1e6 + 0.5)
+                          AS BIGINT)) / 1e6)
+               / CAST(sum(cnt) AS BIGINT) AS score
+  FROM cfc LEFT JOIN cw USING (feature_id)
+  GROUP BY cfc.doc_id
 ),
 s4 AS (
   SELECT s3.*, 1.0 / (1.0 + exp(-cscore.score)) AS prob
@@ -4878,7 +4893,7 @@ def q147_quality_pyramid(spark, sf_dir):
         (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
     )
     scored = linear_classifier_score(
-        docs, weights, bias=-0.1, n_features=d, seed=0
+        docs, weights, bias=-0.1, n_features=d, seed=0, exact_digits=R
     ).select("doc_id", _pround(F.col("prob")).alias("prob"))
     th = scored.agg(
         _pround(F.expr("percentile(prob, 0.25)")).alias("t1"),
@@ -4923,11 +4938,16 @@ w AS (
           / 4294967296.0) * 2.0 - 1.0 AS weight
   FROM generate_series(0, 4095) t(f)
 ),
+gfc AS (
+  SELECT doc_id, feature_id, count(*) AS cnt FROM gf GROUP BY 1, 2
+),
 scored AS (
-  SELECT gf.doc_id,
-         -0.1 + sum(coalesce(w.weight, 0.0)) / count(*) AS score
-  FROM gf LEFT JOIN w USING (feature_id)
-  GROUP BY gf.doc_id
+  SELECT gfc.doc_id,
+         -0.1 + (sum(CAST(floor((coalesce(w.weight, 0.0) * cnt) * 1e6 + 0.5)
+                          AS BIGINT)) / 1e6)
+               / CAST(sum(cnt) AS BIGINT) AS score
+  FROM gfc LEFT JOIN w USING (feature_id)
+  GROUP BY gfc.doc_id
 ),
 pr AS (
   SELECT doc_id,
@@ -5679,7 +5699,7 @@ def q138_classifier_score(spark, sf_dir):
         (hash_uniform(F.col("id"), "w13") * 2.0 - 1.0).alias("weight"),
     )
     out = linear_classifier_score(
-        docs, weights, bias=-0.1, n_features=d, seed=0
+        docs, weights, bias=-0.1, n_features=d, seed=0, exact_digits=R
     )
     return out.select(
         "doc_id",
@@ -5711,11 +5731,16 @@ w AS (
           / 4294967296.0) * 2.0 - 1.0 AS weight
   FROM generate_series(0, 4095) t(f)
 ),
+gfc AS (
+  SELECT doc_id, feature_id, count(*) AS cnt FROM gf GROUP BY 1, 2
+),
 scored AS (
-  SELECT gf.doc_id, count(*) AS n_grams,
-         -0.1 + sum(coalesce(w.weight, 0.0)) / count(*) AS score
-  FROM gf LEFT JOIN w USING (feature_id)
-  GROUP BY gf.doc_id
+  SELECT gfc.doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         -0.1 + (sum(CAST(floor((coalesce(w.weight, 0.0) * cnt) * 1e6 + 0.5)
+                          AS BIGINT)) / 1e6)
+               / CAST(sum(cnt) AS BIGINT) AS score
+  FROM gfc LEFT JOIN w USING (feature_id)
+  GROUP BY gfc.doc_id
 )
 SELECT doc_id, n_grams, floor((score) * 1e6 + 0.5) / 1e6 AS score,
        floor((1.0 / (1.0 + exp(-score))) * 1e6 + 0.5) / 1e6 AS prob
@@ -5809,7 +5834,7 @@ def q63_quality_clustering(spark, sf_dir):
             ).alias("density")
         )
     )
-    out = quality_clustering(daily, eps=0.1, min_samples=3)
+    out = quality_clustering(daily, eps=0.1, min_samples=3, exact_digits=R)
     return out.select("site", "date", "quality_cluster")
 
 
@@ -5831,7 +5856,11 @@ dens AS (
 ),
 pts AS (
   SELECT site, date, density,
-         COALESCE(density / NULLIF(avg(density) OVER (PARTITION BY site), 0), 0.0) AS ratio,
+         COALESCE(density / NULLIF(
+             sum(CAST(floor((density) * 1e6 + 0.5) AS BIGINT))
+               OVER (PARTITION BY site)
+             / count(density) OVER (PARTITION BY site) / 1e6, 0), 0.0)
+           AS ratio,
          ROW_NUMBER() OVER (PARTITION BY site ORDER BY date) - 1 AS idx
   FROM dens
 ),
@@ -6089,7 +6118,10 @@ def q135_longitude_study_closed(spark, sf_dir):
 
     m = _meas(spark, sf_dir)
     out = longitude_study(
-        m, gmt_offset=0.0, estimators=("calculated", "fit_l1", "fit_l2")
+        m,
+        gmt_offset=0.0,
+        estimators=("calculated", "fit_l1", "fit_l2"),
+        exact_digits=R,
     )
     return out.select(
         "site",
@@ -6156,7 +6188,9 @@ samples AS (
 )
 SELECT site, estimator, eot_calculation, solar_noon_method,
        day_selection_method,
-       floor((CASE WHEN estimator = 'fit_l2' THEN avg(lon_day)
+       floor((CASE WHEN estimator = 'fit_l2'
+                  THEN sum(CAST(floor((lon_day) * 1e6 + 0.5) AS BIGINT))
+                       / count(lon_day) / 1e6
                   ELSE quantile_cont(lon_day, 0.5) END) * 1e4 + 0.5) / 1e4 AS longitude
 FROM samples
 WHERE lon_day IS NOT NULL
@@ -6232,7 +6266,7 @@ def q136_ground_truth_tilt_azimuth(spark, sf_dir):
         (F.lit(35.0) + e(8) * 0.001).alias("lat3"),
         (e(9) * 10.0).alias("alt3"),
     )
-    out = ground_truth_tilt_azimuth(polys)
+    out = ground_truth_tilt_azimuth(polys, exact_digits=R)
     return out.select(
         "home_id",
         _pround("ave_tilt", 4).alias("ave_tilt"),
@@ -6294,16 +6328,33 @@ angles AS (
                 THEN 180.0 - (90.0 - degrees(atan2(ny, nx)))
               ELSE 90.0 - degrees(atan2(ny, nx)) END AS azimuth_deg
   FROM normals
+),
+moments AS (
+  SELECT home_id,
+         sum(CAST(floor((tilt_deg) * 1e6 + 0.5) AS BIGINT))
+           / count(tilt_deg) / 1e6 AS ave_tilt,
+         quantile_cont(tilt_deg, 0.5) AS med_tilt,
+         sum(CAST(floor((tilt_deg * tilt_deg) * 1e6 + 0.5) AS BIGINT))
+           / count(tilt_deg * tilt_deg) / 1e6 AS ex2_tilt,
+         sum(CAST(floor((azimuth_deg) * 1e6 + 0.5) AS BIGINT))
+           / count(azimuth_deg) / 1e6 AS ave_azimuth,
+         quantile_cont(azimuth_deg, 0.5) AS med_azimuth,
+         sum(CAST(floor((azimuth_deg * azimuth_deg) * 1e6 + 0.5) AS BIGINT))
+           / count(azimuth_deg * azimuth_deg) / 1e6 AS ex2_azimuth,
+         count(*) AS n_polygons
+  FROM angles GROUP BY home_id
 )
 SELECT home_id,
-       floor((avg(tilt_deg)) * 1e4 + 0.5) / 1e4 AS ave_tilt,
-       floor((quantile_cont(tilt_deg, 0.5)) * 1e4 + 0.5) / 1e4 AS med_tilt,
-       floor((stddev_pop(tilt_deg)) * 1e4 + 0.5) / 1e4 AS std_tilt,
-       floor((avg(azimuth_deg)) * 1e4 + 0.5) / 1e4 AS ave_azimuth,
-       floor((quantile_cont(azimuth_deg, 0.5)) * 1e4 + 0.5) / 1e4 AS med_azimuth,
-       floor((stddev_pop(azimuth_deg)) * 1e4 + 0.5) / 1e4 AS std_azimuth,
-       count(*) AS n_polygons
-FROM angles GROUP BY home_id
+       floor((ave_tilt) * 1e4 + 0.5) / 1e4 AS ave_tilt,
+       floor((med_tilt) * 1e4 + 0.5) / 1e4 AS med_tilt,
+       floor((sqrt(greatest(ex2_tilt - ave_tilt * ave_tilt, 0.0)))
+             * 1e4 + 0.5) / 1e4 AS std_tilt,
+       floor((ave_azimuth) * 1e4 + 0.5) / 1e4 AS ave_azimuth,
+       floor((med_azimuth) * 1e4 + 0.5) / 1e4 AS med_azimuth,
+       floor((sqrt(greatest(ex2_azimuth - ave_azimuth * ave_azimuth, 0.0)))
+             * 1e4 + 0.5) / 1e4 AS std_azimuth,
+       n_polygons
+FROM moments
 """
 
 

@@ -117,6 +117,140 @@ def test_no_float_sums_under_pround_in_certified_sources():
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-9 widening (r8 verdict item 1): the lint above only sees registry
+# source, so a certified query that CALLS an operator helper hashing a
+# float aggregate passed unconverted — exactly where q16/q24/q25/q30/
+# q31/q32 and the classifier family (q138/q140/q147/q155/q156) lived.
+# This lint walks one level into every package function a certified
+# query references (both ``alias.func(...)`` calls and functions
+# imported inside the query body) and enforces:
+#   1. a helper exposing ``exact_digits`` MUST be called with it — the
+#      tick-exact path is the certified contract, the float path is for
+#      non-certified callers;
+#   2. a helper WITHOUT the parameter whose source contains
+#      ``F.sum(``/``F.avg(`` must be hand-audited order-free (integer or
+#      fixed-point-LONG terms) and listed below with its justification.
+# ---------------------------------------------------------------------------
+
+# (module tail, function) -> why its F.sum/F.avg terms are exact in any
+# association (integer-valued or fixed-point LONG — no float drift)
+_AUDITED_ORDER_FREE_HELPERS = {
+    ("curation", "unigram_logprob"):
+        "sums integer gram counts and _logp_fp fixed-point LONGs",
+    ("curation", "bigram_logprob"):
+        "sums integer gram counts and _logp_fp fixed-point LONGs",
+    ("curation", "excise_contaminated_spans"):
+        "sums integer span lengths / break flags",
+    ("curation", "duplicate_clusters"):
+        "label-propagation sums of integer labels (driver-side ints)",
+    ("curation", "dsir_select"):
+        "sums integer cnt and _lr_fp fixed-point LONGs (q143 recipe)",
+    ("dedup", "simhash"):
+        "sums +-1 integer bit votes",
+    ("dedup", "substring_duplicate_spans"):
+        "running sums of integer break flags",
+    ("dedup", "line_dedup_ccnet"):
+        "running sums of integer break flags",
+    ("sampling", "budget_mix"):
+        "sums integer token counts",
+    ("sampling", "global_shuffle_rank"):
+        "windowed sums of integer counts",
+    ("sampling", "pack_sequences"):
+        "windowed sums of integer token counts",
+    ("sampling", "temperature_rebalance"):
+        "sums integer token counts",
+    ("windows", "find_runs"):
+        "running sums of integer change flags",
+    ("text", "rrf_fuse"):
+        "fuses exactly two rankers: per-(query,doc) sums have <= 2 "
+        "float terms; binary IEEE addition is commutative-exact "
+        "(see its docstring)",
+    ("text", "novelty_scores"):
+        "sums integer (df >= 2) indicator casts",
+    ("sampling", "token_budget_cut"):
+        "running/grouped sums of integer token counts",
+    ("sampling", "weighted_shuffle_rank"):
+        "windowed sums of integer counts",
+    ("graph", "pagerank"):
+        "certified path (fixed_point=True, q148) delegates to "
+        "_pagerank_fp whose trajectory is all-LONG; the float sums "
+        "are the non-certified variant's",
+    ("windows", "segment_pooled_diffs"):
+        "q57 feeds it 100-multiples (integer-valued doubles < 2^53; "
+        "diffs and sums exact in any order)",
+}
+
+_FLOAT_AGG = re.compile(r"F\.(sum|avg)\(")
+
+
+def _package_calls(fn):
+    """Yield (label, target_function, ast.Call) for every call in
+    ``fn``'s source that resolves to a solar_data_tools_spark function —
+    via a module alias (``wd.rolling_mean(...)``) or a name imported
+    inside the function body (``linear_classifier_score(...)``)."""
+    import ast
+    import importlib
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return
+    imported = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module.startswith("solar_data_tools_spark")
+        ):
+            mod = importlib.import_module(node.module)
+            for a in node.names:
+                imported[a.asname or a.name] = getattr(mod, a.name, None)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        target = label = None
+        if isinstance(f, ast.Name) and f.id in imported:
+            target, label = imported[f.id], f.id
+        elif isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+            modobj = getattr(registry, f.value.id, None)
+            if inspect.ismodule(modobj) and modobj.__name__.startswith(
+                "solar_data_tools_spark"
+            ):
+                target = getattr(modobj, f.attr, None)
+                label = f"{f.value.id}.{f.attr}"
+        if inspect.isfunction(target):
+            yield label, target, node
+
+
+def test_certified_helper_float_aggregates_are_tick_exact():
+    offenders = []
+    for name, spec in _certified().items():
+        for label, fn, call in _package_calls(spec.fn):
+            try:
+                hsrc = inspect.getsource(fn)
+            except (OSError, TypeError):
+                continue
+            if "exact_digits" in str(inspect.signature(fn)):
+                if "exact_digits" not in {k.arg for k in call.keywords}:
+                    offenders.append(
+                        (name, label, "must pass exact_digits=R")
+                    )
+            elif _FLOAT_AGG.search(hsrc):
+                key = (fn.__module__.rsplit(".", 1)[-1], fn.__name__)
+                if key not in _AUDITED_ORDER_FREE_HELPERS:
+                    offenders.append(
+                        (name, label,
+                         "float F.sum/F.avg in helper — add exact_digits "
+                         "or audit and allowlist")
+                    )
+    assert not offenders, (
+        "certified queries reference helpers with unconverted float "
+        f"aggregates: {offenders}"
+    )
+
+
 def test_no_nondeterminism_in_certified_query_sources():
     """A certified query must be a pure function of the input tables:
     RNG columns, partition-dependent ids, and wall-clock functions can
