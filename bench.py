@@ -72,6 +72,29 @@ def main() -> None:
     # median of 3 is robust to one loaded rep in either direction, while
     # min-of-2 still billed a slow first rep whenever both were slow.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    # load proxy (r8 verdict item 6): a fixed CPU-bound spin sample so a
+    # reader can separate plan changes from box noise. On an idle box
+    # the calibrated spin takes ~spin_target seconds; under contention
+    # it stretches proportionally to run-queue pressure. Reported as
+    # load_proxy = median observed / nominal — 1.0 means idle, 2.0
+    # means the box ran this bench at half speed.
+    def _spin_sample(n_iter: int = 2_000_000) -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(n_iter):
+            acc = (acc * 31 + i) & 0xFFFFFFFF
+        return time.perf_counter() - t0
+
+    spin_obs = [_spin_sample() for _ in range(3)]
+    # nominal = idle-box single-thread time for this loop, calibrated
+    # round 9 (idle median 0.20 s over 7 samples); pinned so the ratio
+    # is comparable across rounds
+    spin_nominal = float(
+        os.environ.get("SPARK_GRAFT_SPIN_NOMINAL", "0.20")
+    )
+    load_proxy = round(statistics.median(spin_obs) / spin_nominal, 2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
@@ -93,6 +116,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "stat": "median",
+                "load_proxy": load_proxy,
+                "spin_sec": round(statistics.median(spin_obs), 4),
             }
         )
     )

@@ -87,6 +87,22 @@ def tune_time_shift_w1(
     from solar_data_tools_spark.parallel import grouped_apply
 
     scores = grouped_apply(grid, [site_col, "grid_ix"], _score, schema)
+    # Integer-tick ranking key (round 9, r8 verdict item 4 — the q143
+    # recipe): the per-(site, w1) MSE is bit-deterministic (the whole
+    # group solves in ONE task over date-sorted input), but the ARGMIN
+    # comparison itself should not ride raw doubles — quantize to 1e-6
+    # ticks (LONG) so the selected w1 is replayable from the emitted
+    # mse values by integer comparison alone. inf (no holdout days)
+    # ranks last via the LONG_MAX sentinel.
+    _mse_fp = F.when(
+        F.col("holdout_mse") == float("inf"),
+        F.lit((1 << 63) - 1).cast("long"),
+    ).otherwise(
+        F.floor(F.col("holdout_mse") * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        )
+    )
+    scores = scores.withColumn("_mse_fp", _mse_fp)
     all_scores = scores
     if selection == "knee":
         # largest w1 within (1 + knee_tol) of the per-site minimum error
@@ -100,7 +116,7 @@ def tune_time_shift_w1(
         pick = Window.partitionBy(site_col).orderBy(F.desc("w1"))
     else:
         pick = Window.partitionBy(site_col).orderBy(
-            F.asc("holdout_mse"), F.asc("w1")
+            F.asc("_mse_fp"), F.asc("w1")
         )
     return (
         scores.withColumn("_rn", F.row_number().over(pick))

@@ -20,6 +20,30 @@ from pyspark.sql import functions as F
 from solar_data_tools_spark.operators.canonical import pround
 
 
+# Mersenne prime for the md5_u31 universal-hash MinHash family: the
+# modulus of h_i = (a_i*x0 + b_i*x1 + c_i) mod _P31 over two 28-bit md5
+# slices. 2^31-1 keeps every product under 2^59 (LONG-safe in Spark and
+# DuckDB alike).
+_P31 = (1 << 31) - 1
+
+
+def md5_u31_constants(num_hashes: int) -> list[tuple[int, int, int]]:
+    """The (a_i, b_i, c_i) permutation constants of the md5_u31 family —
+    seeded and shared verbatim by the Spark builder and the DuckDB
+    oracle generator (registry _q47_sql)."""
+    import random as _random
+
+    rng = _random.Random(9)
+    return [
+        (
+            rng.randrange(1, _P31),
+            rng.randrange(1, _P31),
+            rng.randrange(0, _P31),
+        )
+        for _ in range(num_hashes)
+    ]
+
+
 def normalize_text(col):
     """Lowercase, collapse whitespace — shared normalization for all dedup
     paths so variants of the same doc hash identically."""
@@ -302,6 +326,12 @@ def minhash_signatures(
       ``md5(i || ':' || shingle)`` per permutation: slower, but
       bit-identical in DuckDB, making the whole signature exactly
       oracle-checkable (q96).
+    * ``token_hash="md5_u31"`` (implies the agg shape) — 2-universal
+      integer permutations mod 2^31-1 over two 28-bit slices of ONE
+      md5 per shingle: bit-identical in DuckDB like md5_60 but at the
+      xxhash64 family's speed (1 md5 + 2 conv + k codegen int ops vs
+      k md5+conv) — the round-9 family of the certified near-dup
+      pipeline (q47).
     """
     carry = carry_cols or []
     tokens = F.split(normalize_text(F.col(text_col)), " ")
@@ -410,6 +440,57 @@ def minhash_signatures(
                 )
             ).alias(f"_m{i}")
             for i in range(num_hashes)
+        ]
+    elif token_hash == "md5_u31":
+        # Universal-hash family over a portable md5 base (round 9): ONE
+        # md5 per shingle yields two independent 28-bit slices (hex
+        # chars 1..7 and 9..15); permutation i is the 2-universal hash
+        #     h_i = (a_i*x0 + b_i*x1 + c_i) mod (2^31 - 1)
+        # with fixed pseudo-random constants (seeded, engine-shared).
+        # Every product stays under 2^59 (LONG-safe), the mod wrap
+        # scrambles the ordering per permutation (a wrap-free
+        # Kirsch-Mitzenmacher x0+i*x1 variant was tried and rejected:
+        # adjacent permutations shared argmins and the banded join blew
+        # up), and — measured at sf0.1 — the per-shingle cost drops
+        # from 64 md5+conv (md5_60, ~5.2 s sig stage) to 1 md5 + 2 conv
+        # + 64 codegen int ops (~1.7 s, at the 64x-xxhash64 family's
+        # speed) while staying bit-replayable in DuckDB SQL (q47's
+        # oracle). Two distinct shingles only alias if BOTH 28-bit
+        # slices collide (p ~ 2^-56 per pair), and the downstream
+        # verify stage recomputes exact Jaccard regardless.
+        consts = md5_u31_constants(num_hashes)
+        # md5 INSIDE the transform, before the explode: Generate over
+        # the hashed array keeps the whole stage in the fast path
+        # (exploding the raw string array measured ~6x slower at sf0.1
+        # — 4.1 s vs 0.7 s warm — a Generate quirk shared by the
+        # xxhash64 family, which hashes pre-explode for the same
+        # reason)
+        exploded = per_doc.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.explode(
+                F.expr("transform(_grams, s -> md5(s))")
+            ).alias("_h"),
+        ).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.expr(
+                "cast(conv(substring(_h, 1, 7), 16, 10) as bigint)"
+            ).alias("_x0"),
+            F.expr(
+                "cast(conv(substring(_h, 9, 7), 16, 10) as bigint)"
+            ).alias("_x1"),
+        )
+        aggs = [
+            F.min(
+                (
+                    F.lit(a) * F.col("_x0")
+                    + F.lit(b) * F.col("_x1")
+                    + F.lit(c)
+                )
+                % F.lit(_P31)
+            ).alias(f"_m{i}")
+            for i, (a, b, c) in enumerate(consts)
         ]
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
@@ -527,8 +608,10 @@ def minhash_near_duplicates(
 
     ``token_hash="md5_60"`` makes the ENTIRE pipeline engine-portable
     (signatures, banding, and verification all reproducible in DuckDB) —
-    slower than the default JVM ``xxhash64``, but exactly
-    oracle-checkable end-to-end (q104).
+    slower than JVM ``xxhash64``, but exactly oracle-checkable
+    end-to-end (q104). ``"md5_u31"`` (round 9) is equally portable at
+    the JVM family's speed (one md5 + universal integer permutations)
+    — the certified q47 family.
     """
     blocks = block_cols or []
     sigs = minhash_signatures(

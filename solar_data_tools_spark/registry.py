@@ -2337,8 +2337,12 @@ FROM ranked WHERE rank <= 5
 
 
 def q47_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-duplicate pipeline (rows-only check: hash family is
-    engine-specific; the verified jaccard filter is exact).
+    """MinHash+LSH near-duplicate pipeline — ORACLE-certified since
+    round 9: the md5_u31 universal-hash family (2-universal integer
+    permutations mod 2^31-1 over two 28-bit md5 slices, one md5 per
+    shingle) replays bit-for-bit in DuckDB at the JVM xxhash64
+    family's speed (sf0.1 warm: 3.3 s vs 2.6 s end-to-end; the md5_60
+    family costs 6.5 s), retiring the last rows-only dedup operator.
 
     Band geometry (8 bands x 8 rows of 64 hashes) puts the S-curve knee
     near s≈0.7, and (lang, source) blocking keeps bucket collisions from
@@ -2351,8 +2355,78 @@ def q47_minhash_near_dups(spark, sf_dir):
         n=1,
         threshold=0.7,
         block_cols=["lang", "source"],
+        token_hash="md5_u31",
     )
     return out.select("id_a", "id_b", _pround("jaccard", R).alias("jaccard"))
+
+
+def _q47_sql(num_hashes: int = 64, bands: int = 8, threshold: float = 0.7) -> str:
+    """DuckDB replay of the md5_u31 MinHash pipeline: same shingles,
+    same permutation constants (dedup.md5_u31_constants), same banding
+    and exact-Jaccard verify as _q104_sql."""
+    from solar_data_tools_spark.operators.dedup import (
+        _P31,
+        md5_u31_constants,
+    )
+
+    consts = md5_u31_constants(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a} * x0 + {b} * x1 + {c}) % {_P31}) AS s{i}"
+        for i, (a, b, c) in enumerate(consts)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{b * r + j} = b.s{b * r + j}" for j in range(r)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+shx AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS x0,
+         ('0x' || substring(md5(shingle), 9, 7))::BIGINT AS x1
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, lang, source,
+         {mins}
+  FROM shx GROUP BY doc_id, lang, source
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE {band_eq}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       floor((CAST(c.n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - c.n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+      >= {threshold}
+"""
+
+
+Q47_SQL = _q47_sql()
 
 
 def q48_simhash(spark, sf_dir):
@@ -7870,7 +7944,7 @@ QUERIES: dict[str, QuerySpec] = {
     # --- previously ungated: similarity / dedup extensions -----------------
     "q45_ngram_jaccard": QuerySpec(q45_ngram_jaccard, Q45_SQL, "dedup-jaccard"),
     "q46_knn_bruteforce": QuerySpec(q46_knn_bruteforce, Q46_SQL, "similarity-knn"),
-    "q47_minhash_near_dups": QuerySpec(q47_minhash_near_dups, None, "dedup-minhash"),
+    "q47_minhash_near_dups": QuerySpec(q47_minhash_near_dups, Q47_SQL, "dedup-minhash"),
     "q48_simhash": QuerySpec(q48_simhash, None, "dedup-simhash"),
     "q49_lsh_topk": QuerySpec(q49_lsh_topk, None, "similarity-lsh"),
     "q50_seasonal_fit": QuerySpec(q50_seasonal_quantile_fit, None, "D2"),

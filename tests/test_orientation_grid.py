@@ -53,3 +53,45 @@ def test_w1_grid_search_picks_sensible_regularization(spark):
     # w1=100 over-smooths a real 1h step; w1=0.01 overfits noise -> the
     # middle value should win on holdout for both sites
     assert (out.best_w1 == 1.0).all(), out
+
+
+def test_w1_grid_search_bit_equal_across_partitionings(spark):
+    """r8 verdict item 4: the selected w1 AND the emitted holdout MSE
+    must be bit-identical regardless of input partitioning or shuffle
+    width — each (site, w1) solve runs in one task over date-sorted
+    input (deterministic numpy), and since round 9 the argmin compares
+    integer 1e-6 ticks of the MSE, so no float comparison rides the
+    selection."""
+    from solar_data_tools_spark.algorithms.grid_search import (
+        tune_time_shift_w1,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for site in (1, 2, 3):
+        dates = pd.date_range("2024-01-01", periods=150).date
+        noon = (
+            12.0
+            + 0.3 * np.sin(np.arange(150) / 20.0)
+            + rng.normal(0, 0.05, 150)
+        )
+        rows.append(
+            pd.DataFrame(
+                {"site": site, "date": dates, "solar_noon_com": noon}
+            )
+        )
+    pdf = pd.concat(rows)
+    grid = [0.05, 0.5, 5.0]
+
+    def run(n_parts, shuffled):
+        data = pdf.sample(frac=1.0, random_state=7) if shuffled else pdf
+        daily = spark.createDataFrame(data).repartition(n_parts)
+        out = tune_time_shift_w1(daily, w1_grid=grid).toPandas()
+        return sorted(
+            (int(r.site), float(r.best_w1), float(r.holdout_mse).hex())
+            for r in out.itertuples()
+        )
+
+    base = run(2, False)
+    assert run(32, False) == base
+    assert run(5, True) == base

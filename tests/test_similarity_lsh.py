@@ -796,6 +796,45 @@ def test_minhash_signature_engines_identical(spark, sf_small):
     assert a == b and len(a) == 500
 
 
+def test_md5_u31_signatures_match_pure_python(spark, sf_small):
+    """The round-9 md5_u31 family (q47's certified default) must equal a
+    pure-Python replay — one md5 per distinct shingle, two 28-bit hex
+    slices, h_i = (a_i*x0 + b_i*x1 + c_i) mod 2^31-1, min per
+    permutation — proving the family is engine-portable integer
+    arithmetic (the DuckDB oracle spells the identical ops)."""
+    import hashlib
+    import re as _re
+
+    from solar_data_tools_spark.operators import dedup as dd
+    from solar_data_tools_spark.session import read_table
+
+    k = 8
+    consts = dd.md5_u31_constants(k)
+    p31 = (1 << 31) - 1
+    docs = read_table(spark, f"{sf_small}/documents.parquet").limit(50)
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in dd.minhash_signatures(
+            docs, k, 1, token_hash="md5_u31"
+        ).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        toks = _re.sub(r"\s+", " ", row["text"].lower()).strip().split(" ")
+        shingles = list(dict.fromkeys(toks))
+        if not shingles:
+            continue
+        sig = []
+        for a, b, c in consts:
+            best = None
+            for s in shingles:
+                h = hashlib.md5(s.encode()).hexdigest()
+                x0, x1 = int(h[0:7], 16), int(h[8:15], 16)
+                v = (a * x0 + b * x1 + c) % p31
+                best = v if best is None or v < best else best
+            sig.append(best)
+        assert got[row["doc_id"]] == sig, row["doc_id"]
+
+
 def test_brute_force_engines_bit_identical(spark, sf_small):
     """All three brute-force engines fold the dot product sequentially
     over dimension j, so cosines (and hence ranks) must be BIT-equal —
