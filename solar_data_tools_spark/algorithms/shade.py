@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.operators.canonical import pround
+
 from solar_data_tools_spark.shipping import ensure_package_on_executors
 
 
@@ -157,7 +159,13 @@ def shade_grid(
     normalized = dilated.withColumn(
         "norm_value",
         F.when(day_max > 0, F.col("dil_value") / day_max).otherwise(0.0),
-    ).withColumn("delta_bin", F.round(delta / delta_bin_size) * delta_bin_size)
+    ).withColumn(
+        # pround, not F.round (r8 verdict item 8): if q80 is ever
+        # promoted to an oracle the grouping key must use the portable
+        # floor pattern — engine round() builtins disagree on
+        # half-boundary doubles (see canonical.pround)
+        "delta_bin", pround(delta / delta_bin_size, 0) * delta_bin_size
+    )
     return normalized.groupBy(site_col, "delta_bin", "dil_slot").agg(
         F.avg("norm_value").alias("observed"), F.count("*").alias("n_days")
     )

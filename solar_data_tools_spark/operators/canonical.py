@@ -117,24 +117,34 @@ def ticks(col: Column | str, digits: int = 6) -> Column:
 _TICK_SUM_GUARD = 9.0e18
 
 
-def _guarded_tick_sum(t: Column, digits: int) -> Column:
+def guarded_long_sum(t: Column | str, what: str = "tick_sum") -> Column:
+    """SUM of an already-integer LONG column with a loud overflow guard:
+    raises when ``max|term| * count`` approaches 2^63 instead of letting
+    the LONG sum wrap (ANSI mode catches an actual wrap, but only when
+    one occurs in THIS run's partial-sum order — the guard is
+    layout-independent). Used by ``tick_sum``/``tick_avg`` and by
+    fixed-point aggregates (e.g. DSIR's ``logw_fp``)."""
+    if isinstance(t, str):
+        t = F.col(t)
     bound = F.max(F.abs(t)).cast("double") * F.count(t)
     return F.when(
         bound >= F.lit(_TICK_SUM_GUARD),
         F.raise_error(
             F.concat(
-                F.lit(
-                    "tick_sum overflow guard: max|tick| * count = "
-                ),
+                F.lit(f"{what} overflow guard: max|term| * count = "),
                 bound.cast("string"),
                 F.lit(
-                    f" >= {_TICK_SUM_GUARD:.1e}; the LONG tick sum could "
-                    f"wrap past 2^63 at digits={digits}. Drop digits or "
-                    "aggregate in DECIMAL(38,0)."
+                    f" >= {_TICK_SUM_GUARD:.1e}; the LONG sum could "
+                    "wrap past 2^63. Drop digits or aggregate in "
+                    "DECIMAL(38,0)."
                 ),
             )
         ).cast("long"),
     ).otherwise(F.sum(t))
+
+
+def _guarded_tick_sum(t: Column, digits: int) -> Column:
+    return guarded_long_sum(t, what=f"tick_sum(digits={digits})")
 
 
 def tick_sum(col: Column | str, digits: int = 6) -> Column:

@@ -36,6 +36,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solar_data_tools_spark.operators.canonical import guarded_long_sum
+
 from solar_data_tools_spark.operators.dedup import normalize_text, word_ngrams
 
 
@@ -1207,7 +1209,14 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("_lr_fp")).alias("logw_fp"),
+            # guarded (round 9, r8 verdict item 2): per-term cnt*lr_fp
+            # products can reach ~2e13 on pathological docs; the guard
+            # raises loudly before the LONG sum could ever wrap,
+            # layout-independently (ANSI only catches a wrap that
+            # happens in THIS run's partial-sum order)
+            guarded_long_sum(
+                F.col("cnt") * F.col("_lr_fp"), what="dsir logw_fp"
+            ).alias("logw_fp"),
         )
         .select(
             id_col,

@@ -181,7 +181,10 @@ _AUDITED_ORDER_FREE_HELPERS = {
         "diffs and sums exact in any order)",
 }
 
-_FLOAT_AGG = re.compile(r"F\.(sum|avg)\(")
+_FLOAT_AGG = re.compile(
+    r"F\.(sum|avg|mean|stddev|stddev_pop|stddev_samp|var_pop|var_samp|"
+    r"variance|skewness|kurtosis)\("
+)
 
 
 def _package_calls(fn):
