@@ -1,0 +1,214 @@
+"""Shuffle-skew diagnostics and salted two-phase aggregation.
+
+At 100 TB every ``groupBy``/``join`` shuffles rows to the reducer that
+owns their key; one heavy key becomes one straggler task that dominates
+the stage's wall time. AQE's skew handling splits oversized JOIN inputs
+(session.py enables it), but a skewed AGGREGATION key still lands every
+row on a single reducer unless the aggregate itself is decomposed. This
+module provides the two standard tools:
+
+* :func:`key_skew_report` — measure BEFORE fixing: the heaviest keys'
+  row counts, their share of the table, and a per-key skew factor
+  (count / mean group size). Scale-safe by construction: the per-key
+  count aggregate is map-side combined, the top-N pick is a
+  TakeOrdered (no global sort shuffle), and only ``top_n`` + 1 scalar
+  rows exist past the aggregate.
+* :func:`salted_agg` — fix: two-phase aggregation over decomposable
+  aggregates (count / integer sums / fixed-point tick sums / min /
+  max). Phase 1 groups on ``(keys, salt)`` so a heavy key's rows
+  spread across ``salt_buckets`` reducers; phase 2 re-combines the
+  tiny partial table on the true keys. The result is BIT-EQUAL to the
+  direct ``groupBy`` — counts and integer sums are associative-
+  commutative, float inputs ride integer tick sums
+  (:func:`~solar_data_tools_spark.operators.canonical.tick_sum`
+  semantics), and min/max are order-free — which is exactly what lets
+  the registry certify the salted plan against a plain ``GROUP BY``
+  oracle (q175).
+
+The reference has no distributed-shuffle notion at all (single-node
+numpy; see SURVEY §4.1) — both operators are Spark-native scale
+infrastructure, same tier as the bucketed layout in
+``sources/layout.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators.canonical import (
+    _TICK_SUM_GUARD,
+    pround,
+    ticks,
+)
+
+
+def _as_list(keys: str | Sequence[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    top_n: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-key shuffle-weight report for the ``top_n`` heaviest keys.
+
+    Output: one row per heavy key, ordered by weight —
+    ``keys..., cnt, rank, share, skew_factor, total_rows, n_keys`` where
+    ``share = cnt / total_rows`` and ``skew_factor = (cnt / total_rows)
+    * n_keys`` (a key's group size relative to the mean group size; a
+    uniform key space scores ~1.0, and ``skew_factor ~= salt_buckets``
+    is the signal that :func:`salted_agg` with that many buckets will
+    level the stage).
+
+    Plan shape at any scale: one map-side-combined count aggregate
+    (shuffle = |distinct keys| rows), one scalar roll-up of that, a
+    TakeOrdered top-N (never a global sort), and a broadcast of the
+    1-row stats table. Ties break deterministically on the key columns
+    ascending. ``skew_factor`` is computed as ``(cnt / total) * n_keys``
+    — divide first — so the integer product can never overflow at
+    petabyte row counts."""
+    ks = _as_list(keys)
+    counts = df.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(k).asc() for k in ks]
+    top = counts.orderBy(*order).limit(top_n)
+    # row_number over <= top_n rows — bounded, not a scale-path window
+    top = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    out = top.crossJoin(F.broadcast(stats))
+    share = F.col("cnt") / F.col("total_rows")
+    return out.select(
+        *ks,
+        "cnt",
+        "rank",
+        pround(share, digits).alias("share"),
+        pround(share * F.col("n_keys"), digits).alias("skew_factor"),
+        "total_rows",
+        "n_keys",
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    *,
+    long_sums: Mapping[str, str] | None = None,
+    tick_sums: Mapping[str, tuple[str, int]] | None = None,
+    mins: Mapping[str, str] | None = None,
+    maxs: Mapping[str, str] | None = None,
+    count_alias: str | None = "n",
+    salt_buckets: int = 32,
+    salt_seed: int = 17,
+) -> DataFrame:
+    """Two-phase (salted) aggregation — exact, for decomposable
+    aggregates, immune to key skew.
+
+    ``long_sums``: ``out_name -> integral column`` (summed as LONG,
+    overflow-guarded). ``tick_sums``: ``out_name -> (double column,
+    digits)`` — each term quantizes to integer ticks so the salted
+    two-phase sum is bit-equal to any other grouping order (the
+    ``tick_sum`` contract), returned as ``ticks / 10^digits``.
+    ``mins``/``maxs``: ``out_name -> column``. ``count_alias=None``
+    drops the count column.
+
+    The salt is ``xxhash64(all input columns, salt_seed) mod
+    salt_buckets`` — deterministic per row content, so the plan is
+    replayable; duplicates of one row share a bucket, which only
+    narrows the spread, never the correctness. Phase 1 shuffles on
+    ``(keys, salt)`` (a heavy key's rows fan out over ``salt_buckets``
+    reducers, each holding ~1/buckets of the key's rows); phase 2
+    shuffles ``|keys| * salt_buckets`` partial rows — negligible at any
+    scale. The overflow guard is evaluated in phase 2 from the
+    re-combined ``max|term| * count`` bound, which also bounds every
+    phase-1 partial, so the guard stays layout-independent.
+    """
+    ks = _as_list(keys)
+    long_sums = dict(long_sums or {})
+    tick_sums = dict(tick_sums or {})
+    mins = dict(mins or {})
+    maxs = dict(maxs or {})
+
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt_seed)),
+        F.lit(salt_buckets),
+    ).alias("_salt")
+
+    work = df.select("*", salt)
+    for out, (col, digits) in tick_sums.items():
+        work = work.withColumn(f"_t_{out}", ticks(col, digits))
+    for out, col in long_sums.items():
+        work = work.withColumn(f"_l_{out}", F.col(col).cast("long"))
+
+    p1_aggs: list[Column] = [F.count(F.lit(1)).alias("_p_cnt")]
+    for out in tick_sums:
+        t = F.col(f"_t_{out}")
+        p1_aggs += [
+            F.sum(t).alias(f"_p_sum_{out}"),
+            F.max(F.abs(t)).alias(f"_p_maxabs_{out}"),
+            F.count(t).alias(f"_p_n_{out}"),
+        ]
+    for out in long_sums:
+        t = F.col(f"_l_{out}")
+        p1_aggs += [
+            F.sum(t).alias(f"_p_sum_{out}"),
+            F.max(F.abs(t)).alias(f"_p_maxabs_{out}"),
+            F.count(t).alias(f"_p_n_{out}"),
+        ]
+    for out, col in mins.items():
+        p1_aggs.append(F.min(col).alias(f"_p_min_{out}"))
+    for out, col in maxs.items():
+        p1_aggs.append(F.max(col).alias(f"_p_max_{out}"))
+
+    partial = work.groupBy(*ks, "_salt").agg(*p1_aggs)
+
+    def _guarded_recombine(out: str) -> Column:
+        bound = F.max(f"_p_maxabs_{out}").cast("double") * F.sum(
+            f"_p_n_{out}"
+        )
+        return (
+            F.when(
+                bound >= F.lit(_TICK_SUM_GUARD),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"salted_agg({out}) overflow guard: "
+                            "max|term| * count = "
+                        ),
+                        bound.cast("string"),
+                        F.lit(
+                            f" >= {_TICK_SUM_GUARD:.1e}; the LONG sum "
+                            "could wrap past 2^63. Drop digits or "
+                            "aggregate in DECIMAL(38,0)."
+                        ),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.sum(f"_p_sum_{out}"))
+        )
+
+    p2_aggs: list[Column] = []
+    if count_alias is not None:
+        p2_aggs.append(F.sum("_p_cnt").alias(count_alias))
+    for out, (_, digits) in tick_sums.items():
+        p2_aggs.append(
+            (_guarded_recombine(out) / F.lit(float(10**digits))).alias(
+                out
+            )
+        )
+    for out in long_sums:
+        p2_aggs.append(_guarded_recombine(out).alias(out))
+    for out in mins:
+        p2_aggs.append(F.min(f"_p_min_{out}").alias(out))
+    for out in maxs:
+        p2_aggs.append(F.max(f"_p_max_{out}").alias(out))
+
+    return partial.groupBy(*ks).agg(*p2_aggs)

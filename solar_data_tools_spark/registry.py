@@ -7857,6 +7857,91 @@ FROM ranked WHERE rank <= 50
 """
 
 
+def q174_key_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnostics (round 9): the heaviest aggregation keys'
+    row counts, table share, and skew factor (group size / mean group
+    size) — the measurement that decides whether a 100 TB groupBy needs
+    salting (``operators/skew.py``). Plan: one map-side-combined count
+    aggregate, a scalar roll-up, a TakeOrdered top-10 (no global sort),
+    and a broadcast stats join; ties break on the key ascending. The
+    oracle replays counts + window rank + the divide-first skew
+    arithmetic exactly."""
+    from solar_data_tools_spark.operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events")
+    return sk.key_skew_report(ev, ["user_id"], top_n=10)
+
+
+Q174_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+         count(*) AS n_keys
+  FROM counts
+), top AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM counts
+  QUALIFY rank <= 10
+)
+SELECT user_id, cnt, rank,
+       floor((cnt / total_rows) * 1e6 + 0.5) / 1e6 AS share,
+       floor(((cnt / total_rows) * n_keys) * 1e6 + 0.5) / 1e6
+         AS skew_factor,
+       total_rows, n_keys
+FROM top, stats
+"""
+
+
+def q175_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation (round 9): ``l_returnflag`` is a
+    3-value key — the canonical skewed-aggregation shape where a plain
+    groupBy lands ~1/3 of a 100 TB table on each of three reducers.
+    ``salted_agg`` spreads phase 1 over (key, salt) buckets and
+    re-combines |keys| x buckets partial rows in phase 2; because every
+    aggregate is decomposable (count / LONG sums / per-term integer
+    tick sums / min / max) the result is BIT-EQUAL to the direct
+    groupBy — which is exactly what this oracle certifies: the plain
+    GROUP BY replay hash-matches the salted plan."""
+    from solar_data_tools_spark.operators import skew as sk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sk.salted_agg(
+        li,
+        "l_returnflag",
+        long_sums={"line_sum": "l_linenumber"},
+        tick_sums={
+            "qty_sum": ("l_quantity", 2),
+            "charge_sum": (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                4,
+            ),
+        },
+        mins={"price_min": "l_extendedprice"},
+        maxs={"price_max": "l_extendedprice"},
+        count_alias="n",
+        salt_buckets=16,
+    )
+
+
+Q175_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) / 1e2
+         AS qty_sum,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+           * 1e4 + 0.5) AS BIGINT)) / 1e4 AS charge_sum,
+       CAST(sum(l_linenumber) AS BIGINT) AS line_sum,
+       min(l_extendedprice) AS price_min,
+       max(l_extendedprice) AS price_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -8100,6 +8185,12 @@ QUERIES: dict[str, QuerySpec] = {
     "q172_bloom_decontaminate": QuerySpec(
         q172_bloom_decontaminate, Q172_SQL, "sketch-bloom"
     ),
+    "q174_key_skew_report": QuerySpec(
+        q174_key_skew_report, Q174_SQL, "skew-diagnostics"
+    ),
+    "q175_salted_agg": QuerySpec(
+        q175_salted_agg, Q175_SQL, "skew-salted-agg"
+    ),
     "q173_screened_weighted_mix": QuerySpec(
         q173_screened_weighted_mix, Q173_SQL, "composed-fp-mix"
     ),
@@ -8309,30 +8400,75 @@ QUERIES: dict[str, QuerySpec] = {
 # session (tests/test_oracle_parity.py, no window). The per-round
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # ---- round-7 window (first 50) ----
-    # 1. the one round-6 external failure (q143 DSIR hash; fixed via
-    #    order-independent integer fixed-point sums)
-    # 2. oracle queries whose CODE changed this round (q103/q115 LM
-    #    scorers gained the same fixed-point contract; q138's featurizer
-    #    grew the single-token bigram guard)
-    # 3. new this round: the fleet DataHandler facade (q157 rows-only)
-    #    and TEN new oracle queries (q158-q167: cluster-balanced
-    #    sampling, semantic decontamination, within-doc dedup, epoch
-    #    mixing, BM25, CMS heavy hitters, hybrid RRF, novelty, source
-    #    overlap exact + MinHash sketch)
-    # 4. q131/q133/q134/q137 — never externally driver-run (fell outside
-    #    every window r1-r6; VERDICT r6 item 3)
-    # 5. the oldest-checked oracle class (last external pass r4) fills
-    #    the remaining window slots; its last entries (q42 onward) sit
-    #    just past the boundary and lead the tail
-    # Tail: rest of the r4 class, the r5 class, then the entire r6
-    # window class (checked most recently). The full registry is swept
-    # locally every session by tests/test_oracle_parity.py AND by
-    # tools/driver_sim.py --all regardless of the window.
+    # ---- round-9 window (first 50) ----
+    # 1. new this round: q174 key-skew diagnostics + q175 salted
+    #    two-phase aggregation (operators/skew.py), both ORACLE
+    # 2. every query whose CODE changed after the r8 external gate ran:
+    #    q47 (default MinHash family -> md5_u31, newly ORACLE), the
+    #    operator-module tick-sum conversions (q16/q24/q25/q30/q31/q32),
+    #    the classifier/study/clustering tick conversions
+    #    (q138/q140/q147/q155/q156/q63/q135/q136), q143 (guarded
+    #    logw_fp), q74 (tick-ranked w1 argmin), q80 (pround binning)
+    # 3. the 30 least-recently-checked queries fill the rest: the r3
+    #    class (q46/q70/q71/q78/q81-q84), the whole r4 class
+    #    (q01-q08, q41-q43, q52/q53/q56-q59), and the head of the r5
+    #    class (q100/q101/q102/q104/q105)
+    # Tail: remaining r5/r6 classes, then the r7/r8 window classes
+    # (checked most recently). The full registry is swept locally every
+    # session by tests/test_oracle_parity.py AND tools/driver_sim.py
+    # --all regardless of the window.
+    "q174_key_skew_report",
+    "q175_salted_agg",
+    "q47_minhash_near_dups",
+    "q16_rolling_mean",
+    "q24_resample_hourly",
+    "q25_avg_day_profile",
+    "q30_clipping_stats",
+    "q31_binned_mean",
+    "q32_rayleigh",
+    "q138_classifier_score",
+    "q140_crawl_curation_pipeline",
+    "q147_quality_pyramid",
+    "q155_corpus_report",
+    "q156_curation_pipeline_v2",
+    "q63_quality_clustering",
+    "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
     "q143_dsir_selection",
+    "q74_w1_grid_search",
+    "q80_shade_analysis",
+    "q46_knn_bruteforce",
+    "q70_cos_theta_geometry",
+    "q71_declination_binned_mean",
+    "q78_rollup",
+    "q81_profile_normalization",
+    "q82_quality_counts",
+    "q83_doy_model_join",
+    "q84_string_ops",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_window_topk",
+    "q06_conditional_pivot",
+    "q07_group_having",
+    "q08_correlated_subquery",
+    "q41_fingerprint",
+    "q42_token_stats",
+    "q43_quality_scores",
+    "q52_make_time_series",
+    "q53_annotation_rejoin",
+    "q56_pivot_wide",
+    "q57_segment_pooled_diffs",
+    "q58_daily_median_delta",
+    "q59_set_ops",
+    "q100_decontaminate",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
+    "q104_minhash_pipeline_md5",
+    "q105_curated_corpus",
     "q103_unigram_logprob",
     "q115_bigram_logprob",
-    "q138_classifier_score",
     "q157_fleet_report",
     "q158_cluster_balanced_sample",
     "q159_semantic_decontamination",
@@ -8362,7 +8498,6 @@ _QUERY_ORDER: list[str] = [
     "q13_daily_density",
     "q14_sampling_inference",
     "q15_first_diff",
-    "q16_rolling_mean",
     "q17_run_length",
     "q18_dedup_timestamps",
     "q19_gap_fill",
@@ -8370,13 +8505,8 @@ _QUERY_ORDER: list[str] = [
     "q21_iqr_filter",
     "q22_daytime_detection",
     "q23_future_filter",
-    "q24_resample_hourly",
-    "q25_avg_day_profile",
     "q28_daily_smoothness",
     "q29_sunrise_sunset",
-    "q30_clipping_stats",
-    "q31_binned_mean",
-    "q32_rayleigh",
     "q33_solar_geometry",
     "q34_longitude_estimate",
     "q35_latitude_estimate",
@@ -8384,21 +8514,10 @@ _QUERY_ORDER: list[str] = [
     "q37_cdf_resample",
     "q38_train_test_split",
     "q39_doy_median_profile",
-    "q41_fingerprint",
-    "q42_token_stats",
-    "q43_quality_scores",
-    "q52_make_time_series",
-    "q53_annotation_rejoin",
-    "q56_pivot_wide",
-    "q57_segment_pooled_diffs",
-    "q58_daily_median_delta",
-    "q59_set_ops",
     "q77_scd2_merge",
     "q26_asof_join",
     "q27_standardize_grid",
     "q91_curation_pipeline",
-    "q100_decontaminate",
-    "q105_curated_corpus",
     "q110_centroid_assignment",
     "q117_snapshot_dedup",
     "q118_media_frames",
@@ -8423,33 +8542,13 @@ _QUERY_ORDER: list[str] = [
     "q97_topk_sample",
     "q98_leakage_safe_split",
     "q99_duplicate_clusters",
-    "q101_repetition_stats",
-    "q102_pii_redaction",
-    "q104_minhash_pipeline_md5",
     "q106_budget_mix",
     "q107_simhash_near_dups",
     "q89_embedding_dedup",
-    "q63_quality_clustering",
     "q72_pv_quantiles",
     "q73_performance_index",
     "q40_exact_dup_groups",
     "q44_language_id",
-    "q46_knn_bruteforce",
-    "q70_cos_theta_geometry",
-    "q71_declination_binned_mean",
-    "q78_rollup",
-    "q81_profile_normalization",
-    "q82_quality_counts",
-    "q83_doy_model_join",
-    "q84_string_ops",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_window_topk",
-    "q06_conditional_pivot",
-    "q07_group_having",
-    "q08_correlated_subquery",
     "q76_sessionization",
     "q45_ngram_jaccard",
     "q93_global_shuffle",
@@ -8457,7 +8556,6 @@ _QUERY_ORDER: list[str] = [
     "q116_semdedup",
     "q121_doc_chunking",
     "q125_domain_cap",
-    "q47_minhash_near_dups",
     "q48_simhash",
     "q49_lsh_topk",
     "q50_seasonal_fit",
@@ -8469,26 +8567,20 @@ _QUERY_ORDER: list[str] = [
     "q66_dilation",
     "q67_loss_factors",
     "q68_mc_degradation",
-    "q74_w1_grid_search",
     "q75_orientation_fit",
     "q79_sensor_identification",
-    "q80_shade_analysis",
     "q85_quantile_surface",
     "q86_clear_sky_labels",
     "q87_quality_scores",
     "q90_ivf_topk",
     "q111_ffd_packing",
     "q132_latitude_study",
-    "q135_longitude_study_closed",
-    "q136_ground_truth_tilt_azimuth",
     "q139_dedup_keep_best",
-    "q140_crawl_curation_pipeline",
     "q141_pq_encode",
     "q142_pq_adc_topk",
     "q144_url_blocklist",
     "q145_bpe_tokenize",
     "q146_ivfpq_topk",
-    "q147_quality_pyramid",
     "q148_pagerank",
     "q149_binary_hamming_topk",
     "q150_temperature_sample",
@@ -8496,8 +8588,6 @@ _QUERY_ORDER: list[str] = [
     "q152_weighted_shuffle",
     "q153_binary_rerank",
     "q154_chunk_dedup",
-    "q155_corpus_report",
-    "q156_curation_pipeline_v2",
 ]
 
 assert sorted(_QUERY_ORDER) == sorted(QUERIES), (

@@ -1,0 +1,129 @@
+"""Skew tooling (operators/skew.py): salted two-phase aggregation must be
+bit-equal to the direct groupBy for every supported aggregate, immune to
+the bucket count, loudly overflow-guarded, and its plan must actually
+spread phase 1 over (keys, salt); the skew report's arithmetic and
+tie-breaks are pinned against hand computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solar_data_tools_spark.operators.skew import key_skew_report, salted_agg
+
+
+def _skewed_df(spark, n=5000):
+    # key 'hot' holds ~80% of rows; values exercise negatives + floats
+    return (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 5 < 4, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+            .alias("k"),
+            (F.col("id") % 13).cast("long").alias("iv"),
+            ((F.col("id") % 997) / 7.0 - 50.0).alias("dv"),
+        )
+        .repartition(8)
+    )
+
+
+def _direct(df):
+    return df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("iv").alias("iv_sum"),
+        (
+            F.sum(F.floor(F.col("dv") * 1e4 + F.lit(0.5)).cast("long"))
+            / 1e4
+        ).alias("dv_sum"),
+        F.min("dv").alias("dv_min"),
+        F.max("dv").alias("dv_max"),
+    )
+
+
+def _salted(df, buckets):
+    return salted_agg(
+        df,
+        "k",
+        long_sums={"iv_sum": "iv"},
+        tick_sums={"dv_sum": ("dv", 4)},
+        mins={"dv_min": "dv"},
+        maxs={"dv_max": "dv"},
+        count_alias="n",
+        salt_buckets=buckets,
+    )
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_agg_bit_equal_to_direct_groupby(spark):
+    df = _skewed_df(spark)
+    assert _rows(_salted(df, 16)) == _rows(_direct(df))
+
+
+def test_salted_agg_invariant_to_bucket_count(spark):
+    df = _skewed_df(spark)
+    one = _rows(_salted(df, 1))
+    many = _rows(_salted(df, 64))
+    assert one == many == _rows(_direct(df))
+
+
+def test_salted_agg_overflow_guard_fires(spark):
+    # ticks ~ 9e14 each at digits=4 -> max|tick| * count > 9e18 at 1e4 rows
+    df = spark.range(10_000).select(
+        F.lit("k").alias("k"), F.lit(9.0e10).alias("dv")
+    )
+    out = salted_agg(
+        df, "k", tick_sums={"s": ("dv", 4)}, salt_buckets=8
+    )
+    with pytest.raises(Exception, match="overflow guard"):
+        out.collect()
+
+
+def test_salted_agg_plan_two_phase(spark):
+    """Phase 1 must exchange on (keys, salt) — the skew-leveling step —
+    and phase 2 on the bare keys; everything stays JVM-side."""
+    df = _skewed_df(spark)
+    plan = (
+        _salted(df, 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") >= 2
+    assert "_salt" in plan  # the phase-1 grouping key
+    assert "EvalPython" not in plan
+
+
+def test_key_skew_report_math_and_tiebreak(spark):
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 2
+    df = spark.createDataFrame(rows, ["k"]).repartition(4)
+    got = {
+        r["k"]: r
+        for r in key_skew_report(df, "k", top_n=3).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # d trimmed; b before c on tie
+    assert got["a"]["rank"] == 1 and got["a"]["cnt"] == 6
+    assert got["b"]["rank"] == 2 and got["c"]["rank"] == 3
+    assert got["a"]["total_rows"] == 14 and got["a"]["n_keys"] == 4
+    # share = 6/14 rounded half-up at 6 digits; skew = share * 4 keys
+    assert got["a"]["share"] == pytest.approx(0.428571, abs=1e-9)
+    assert got["a"]["skew_factor"] == pytest.approx(1.714286, abs=1e-9)
+
+
+def test_key_skew_report_no_global_sort(spark, sf_small):
+    """The top-N pick must be a TakeOrdered, not a full sort shuffle,
+    and the stats side must broadcast."""
+    from solar_data_tools_spark.session import read_table
+
+    ev = read_table(spark, f"{sf_small}/events.parquet")
+    plan = (
+        key_skew_report(ev, "user_id", top_n=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -98,15 +98,19 @@ def main() -> None:
         correct_tz=True,
         run_loss_analysis=True,
     )
+    # cache BEFORE the timed materialization: the timed noop write fills
+    # the (tiny, one-row-per-site) cache, so the cleanliness counts below
+    # read cached rows instead of re-running the whole solver lineage.
+    rep = res.report.cache()
     stages = (
-        (("report_full", res.report),)
+        (("report_full", rep),)
         if args.report_only
         else (
             ("standardize", res.standardized),
             ("scores", res.scores),
             ("capacity_changes", res.capacity_changes),
             ("time_shifts", res.time_shifts),
-            ("report_full", res.report),
+            ("report_full", rep),
         )
     )
     prev = 0.0
@@ -117,7 +121,6 @@ def main() -> None:
         timings[label] = round(now - prev, 1)
         prev = now
 
-    rep = res.report.cache()
     n_sites = rep.count()
     err_cols = [c for c in rep.columns if c.endswith("_error")]
     clean = {}
