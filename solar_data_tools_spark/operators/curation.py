@@ -1298,3 +1298,53 @@ def dsir_select(
     return ranked.withColumn(
         "rank", F.row_number().over(rw)
     ).withColumn("key", F.col("key_fp") / F.lit(scale))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("source",),
+):
+    """CDC-style crawl-snapshot diff: per-doc added / removed /
+    modified / unchanged status between two corpus snapshots — the ops
+    report that tells a pipeline operator what a re-crawl actually
+    changed (and which docs need re-processing downstream). The
+    content comparison uses the dedup tier's normalization
+    (:func:`~solar_data_tools_spark.operators.dedup.normalize_text`
+    -> md5) so formatting-only churn doesn't count as a modification.
+
+    Scale shape: each side reduces row-locally to
+    ``(id, carry..., md5)`` before the single full-outer join on
+    ``id`` — text never shuffles, and the join is a plain hash join on
+    the id key (AQE handles size asymmetry between snapshots).
+    ``carry_cols`` are annotation columns equal on both sides when
+    both exist (coalesced in the output).
+
+    Output: ``id_col, carry..., status`` with status in
+    {'added','removed','modified','unchanged'}."""
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            *[F.col(c).alias(f"_{tag}_{c}") for c in carry_cols],
+            F.md5(normalize_text(F.col(text_col))).alias(f"_{tag}_md5"),
+        )
+
+    j = _side(old, "o").join(_side(new, "n"), id_col, "full_outer")
+    status = (
+        F.when(F.col("_o_md5").isNull(), F.lit("added"))
+        .when(F.col("_n_md5").isNull(), F.lit("removed"))
+        .when(F.col("_o_md5") != F.col("_n_md5"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+            for c in carry_cols
+        ],
+        status.alias("status"),
+    )

@@ -7942,6 +7942,54 @@ GROUP BY l_returnflag
 """
 
 
+def q176_snapshot_diff(spark, sf_dir):
+    """CDC-style crawl-snapshot diff data card (round 9): what did the
+    re-crawl change? Old snapshot = docs with doc_id % 7 != 0; new
+    snapshot = docs with doc_id % 5 != 0, with every doc_id % 11 == 0
+    text amended — so all four verdicts fire (added / removed /
+    modified / unchanged). Each side reduces row-locally to (id,
+    source, md5 of normalized text); ONE full-outer hash join on the
+    id carries no text; the report is a tiny (source, status) count
+    grid. The oracle replays normalization, mutation, join, and
+    aggregation exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    d = cu.snapshot_diff(old, new, carry_cols=("source",))
+    return d.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+Q176_SQL = """
+WITH o AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+), n AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END
+         ), '\\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+), j AS (
+  SELECT coalesce(n.source, o.source) AS source,
+         CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT source, status, count(*) AS n FROM j GROUP BY source, status
+"""
+
+
 def q66_dilation(spark, sf_dir):
     """W10 — energy-preserving per-day dilation onto 32 points between
     sunrise and sunset (rows-only: numpy integral interpolation)."""
@@ -8185,6 +8233,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q172_bloom_decontaminate": QuerySpec(
         q172_bloom_decontaminate, Q172_SQL, "sketch-bloom"
     ),
+    "q176_snapshot_diff": QuerySpec(
+        q176_snapshot_diff, Q176_SQL, "curation-snapshot-diff"
+    ),
     "q174_key_skew_report": QuerySpec(
         q174_key_skew_report, Q174_SQL, "skew-diagnostics"
     ),
@@ -8412,13 +8463,16 @@ _QUERY_ORDER: list[str] = [
     # 3. the 30 least-recently-checked queries fill the rest: the r3
     #    class (q46/q70/q71/q78/q81-q84), the whole r4 class
     #    (q01-q08, q41-q43, q52/q53/q56-q59), and the head of the r5
-    #    class (q100/q101/q102/q104/q105)
-    # Tail: remaining r5/r6 classes, then the r7/r8 window classes
+    #    class (q100/q101/q102/q104; q105 displaced to the tail head
+    #    when q176 joined the window)
+    # Tail: q105 (displaced from the window by q176), then remaining
+    # r5/r6 classes, then the r7/r8 window classes
     # (checked most recently). The full registry is swept locally every
     # session by tests/test_oracle_parity.py AND tools/driver_sim.py
     # --all regardless of the window.
     "q174_key_skew_report",
     "q175_salted_agg",
+    "q176_snapshot_diff",
     "q47_minhash_near_dups",
     "q16_rolling_mean",
     "q24_resample_hourly",
@@ -8466,7 +8520,6 @@ _QUERY_ORDER: list[str] = [
     "q101_repetition_stats",
     "q102_pii_redaction",
     "q104_minhash_pipeline_md5",
-    "q105_curated_corpus",
     "q103_unigram_logprob",
     "q115_bigram_logprob",
     "q157_fleet_report",
@@ -8542,6 +8595,7 @@ _QUERY_ORDER: list[str] = [
     "q97_topk_sample",
     "q98_leakage_safe_split",
     "q99_duplicate_clusters",
+    "q105_curated_corpus",
     "q106_budget_mix",
     "q107_simhash_near_dups",
     "q89_embedding_dedup",

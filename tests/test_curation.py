@@ -833,3 +833,65 @@ def test_dsir_logw_bit_identical_across_partitionings(spark):
         a["key"].to_numpy().view(np.int64)
         == b["key"].to_numpy().view(np.int64)
     ).all()
+
+
+def test_snapshot_diff_statuses_and_carry(spark):
+    """snapshot_diff: all four verdicts, formatting-only churn counts as
+    unchanged (normalized md5), carry column coalesces from whichever
+    side exists."""
+    from solar_data_tools_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "same doc"),
+            (2, "a", "will change"),
+            (3, "b", "goes away"),
+            (4, "b", "Spaced    Text"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "same doc"),
+            (2, "a", "has changed"),
+            (4, "b", "spaced text"),  # normalization-equal => unchanged
+            (5, "c", "brand new"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["status"])
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: ("a", "unchanged"),
+        2: ("a", "modified"),
+        3: ("b", "removed"),
+        4: ("b", "unchanged"),
+        5: ("c", "added"),
+    }
+
+
+def test_snapshot_diff_text_never_joins(spark):
+    """The full-outer join must carry only (id, carry, md5) — the text
+    column reduces row-locally before the shuffle."""
+    from solar_data_tools_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    new = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    import re
+
+    plan = (
+        snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the md5 reduction happens row-locally in the side projections
+    # (text appears only as an INPUT to md5 there) ...
+    assert re.search(r"md5\(.*text#", plan), plan
+    # ... and the join itself never sees a raw text column: no join
+    # operator line references text as a key or output
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    assert all("text#" not in ln for ln in join_lines), join_lines
