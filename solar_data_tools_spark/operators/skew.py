@@ -25,6 +25,24 @@ module provides the two standard tools:
   the registry certify the salted plan against a plain ``GROUP BY``
   oracle (q175).
 
+Measured honestly (round-9 probe, 50M rows, one key holding 40M =
+skew factor 16000x, local[32]): the PLAIN groupBy ran 0.9 s vs 2.5 s
+salted, because whole-stage-codegen partial aggregation already
+collapses the hot key to one row per map task before the shuffle —
+for combiner-friendly aggregates, Spark absorbs groupBy key skew
+natively, and salting is pure overhead. ``salted_agg`` is therefore
+the tool for the RESIDUAL class where no map-side combine happens: a
+partial-agg-less plan (UDAF/guarded paths that block combining, or
+``spark.sql.aggregate.partialaggregate``-style knobs), or as the
+manual fallback when AQE is off. Key-skew victims that salting CANNOT
+fix exactly — per-key ``collect_list``/window/grouped-map state that
+genuinely needs every row of the hot key in one place — need a
+different design (pre-aggregation or the bounded per-group contract
+the fleet tier enforces; see ``parallel.grouped_apply`` and the probe
+budget in ``tools/fleet_probe.py``). :func:`key_skew_report` is the
+diagnosis step for ALL of these (joins included — AQE splits those at
+runtime).
+
 The reference has no distributed-shuffle notion at all (single-node
 numpy; see SURVEY §4.1) — both operators are Spark-native scale
 infrastructure, same tier as the bucketed layout in
