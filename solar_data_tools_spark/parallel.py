@@ -62,12 +62,43 @@ def partition_for_grouped_map(
     return df.repartition(n, *keys)
 
 
+# Per-group pandas budget for grouped-map kernels. The fleet probe
+# MEASURES the real quantity (26.5 MB for a 3-year 5-min site, 9.7 MB
+# for 400 days — tools/fleet_probe.py asserts it); the guard exists for
+# the pathological tail a 100 TB fleet will contain (a 1-second-cadence
+# site, a corrupt ingest that lands one site 1000x its share): without
+# it, ONE such group OOMs an executor and kills the whole fleet job.
+# With it, the site fails loudly (grouped_apply) or becomes a per-site
+# error annotation (wrap_capture_errors), matching the fleet-runner
+# isolation contract. The check is one pandas memory_usage(deep=True)
+# call per group — O(columns) on the numeric frames the solver tier
+# feeds (deep string scans only arise on curation-tier frames, which
+# do not route through these wrappers).
+DEFAULT_GROUP_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def _check_group_budget(
+    pdf: pd.DataFrame, budget: int | None, what: str
+) -> None:
+    if budget is None:
+        return
+    b = int(pdf.memory_usage(deep=True).sum())
+    if b > budget:
+        raise MemoryError(
+            f"{what}: group holds {b / 2**20:.0f} MiB > "
+            f"{budget / 2**20:.0f} MiB per-executor group budget "
+            "(raise group_budget_bytes or reduce the group's "
+            "cadence/span)"
+        )
+
+
 def grouped_apply(
     df: DataFrame,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema: str,
     tasks_per_core: int = 4,
+    group_budget_bytes: int | None = None,
 ) -> DataFrame:
     """``groupBy(keys).applyInPandas(fn, schema)`` with plan-owned
     parallelism and per-partition Python round-trips (see module
@@ -95,6 +126,7 @@ def grouped_apply(
         if pdf.empty:
             return
         for _, g in pdf.groupby(key_list, sort=False, dropna=False):
+            _check_group_budget(g, group_budget_bytes, "grouped_apply")
             out = fn(g.reset_index(drop=True))
             if out is not None and len(out):
                 yield out
@@ -106,12 +138,20 @@ def wrap_capture_errors(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema: str,
     site_col: str,
+    group_budget_bytes: int | None = DEFAULT_GROUP_BUDGET_BYTES,
 ) -> tuple[Callable[[pd.DataFrame], pd.DataFrame], str]:
     """Per-site failure isolation for grouped-map stages (the fleet-runner
     contract, reference sdt_dask/dask_tool/runner.py:53-146): wrap a
     grouped-apply kernel so one site's exception becomes a 1-row result
     carrying the message in an ``error`` column ("No error" otherwise)
     instead of killing the whole fleet job.
+
+    ``group_budget_bytes`` (round 9, default 512 MiB — the fleet
+    probe's measured 3-year site is 26.5 MB, 19x headroom): a site
+    whose pandas group exceeds the budget becomes an error row BEFORE
+    the kernel allocates solver state on it — one pathological site
+    (1-second cadence, corrupt fan-in) annotates instead of OOMing the
+    executor and killing the fleet job. Pass ``None`` to disable.
 
     Returns (wrapped_fn, schema + ", error string").
     """
@@ -149,6 +189,9 @@ def wrap_capture_errors(
 
     def _wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
         try:
+            _check_group_budget(
+                pdf, group_budget_bytes, "per-site group"
+            )
             out = fn(pdf)
             out = out.copy()
             out["error"] = "No error"
