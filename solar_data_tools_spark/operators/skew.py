@@ -230,3 +230,45 @@ def salted_agg(
         p2_aggs.append(F.max(f"_p_max_{out}").alias(out))
 
     return partial.groupBy(*ks).agg(*p2_aggs)
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join co-skew diagnostics: the keys whose LEFT x RIGHT row-count
+    product — the number of output pairs the join must materialize for
+    that key — is largest. A key hot on ONE side is handled by AQE's
+    skew splitting; a key hot on BOTH sides is the quadratic blowup no
+    partitioner can fix (the fix is semantic: blocking/banding like the
+    dedup tier, pre-aggregation, or dropping the key), and THIS is the
+    report that finds those keys before the join runs.
+
+    Scale shape: one map-side-combined count aggregate per side
+    (shuffle = |distinct keys| rows each), a full-outer join of the two
+    count tables (count rows, not data rows), a TakeOrdered top-N on
+    pair volume. ``pair_volume = cnt_l * cnt_r`` is computed in DOUBLE
+    (one IEEE multiply of two integer-valued doubles — identical in any
+    engine; a LONG product would overflow at ~3e9 x 3e9). Keys absent
+    from a side count 0 and produce 0 pairs (full-outer + coalesce) —
+    they still appear if the table is small, which is itself a useful
+    signal (no overlap). Ties break on the key columns ascending."""
+    ks = _as_list(keys)
+    lc = left.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt_l"))
+    rc = right.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt_r"))
+    j = lc.join(rc, ks, "full_outer").select(
+        *ks,
+        F.coalesce("cnt_l", F.lit(0)).alias("cnt_l"),
+        F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+    )
+    pv = (
+        F.col("cnt_l").cast("double") * F.col("cnt_r").cast("double")
+    ).alias("pair_volume")
+    j = j.select(*ks, "cnt_l", "cnt_r", pv)
+    order = [F.col("pair_volume").desc()] + [F.col(k).asc() for k in ks]
+    top = j.orderBy(*order).limit(top_n)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )

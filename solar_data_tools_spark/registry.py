@@ -7942,6 +7942,48 @@ GROUP BY l_returnflag
 """
 
 
+def q177_join_skew_report(spark, sf_dir):
+    """Join co-skew diagnostics (round 9): for the funnel self-join
+    "click/view activity x purchases per user", which user_ids would
+    force the largest pair volumes? A key hot on ONE side is AQE's
+    problem; hot on BOTH sides is the quadratic blowup only a semantic
+    fix (blocking/banding/pre-aggregation, as the dedup tier does)
+    removes — this report finds those keys BEFORE the join runs, from
+    the two count tables alone (count rows join, never data rows).
+    pair_volume is one IEEE multiply of integer-valued doubles —
+    engine-exact, overflow-free at any scale."""
+    from solar_data_tools_spark.operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type").isin("click", "view"))
+    right = ev.where(F.col("event_type") == "purchase")
+    return sk.join_skew_report(left, right, "user_id", top_n=10)
+
+
+Q177_SQL = """
+WITH lc AS (
+  SELECT user_id, count(*) AS cnt_l FROM events
+  WHERE event_type IN ('click', 'view') GROUP BY user_id
+), rc AS (
+  SELECT user_id, count(*) AS cnt_r FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), j AS (
+  SELECT coalesce(lc.user_id, rc.user_id) AS user_id,
+         coalesce(cnt_l, 0) AS cnt_l,
+         coalesce(cnt_r, 0) AS cnt_r
+  FROM lc FULL OUTER JOIN rc ON lc.user_id = rc.user_id
+)
+SELECT user_id, cnt_l, cnt_r,
+       CAST(cnt_l AS DOUBLE) * CAST(cnt_r AS DOUBLE) AS pair_volume,
+       row_number() OVER (
+         ORDER BY CAST(cnt_l AS DOUBLE) * CAST(cnt_r AS DOUBLE) DESC,
+                  user_id ASC
+       ) AS rank
+FROM j
+QUALIFY rank <= 10
+"""
+
+
 def q176_snapshot_diff(spark, sf_dir):
     """CDC-style crawl-snapshot diff data card (round 9): what did the
     re-crawl change? Old snapshot = docs with doc_id % 7 != 0; new
@@ -8233,6 +8275,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q172_bloom_decontaminate": QuerySpec(
         q172_bloom_decontaminate, Q172_SQL, "sketch-bloom"
     ),
+    "q177_join_skew_report": QuerySpec(
+        q177_join_skew_report, Q177_SQL, "skew-join-diagnostics"
+    ),
     "q176_snapshot_diff": QuerySpec(
         q176_snapshot_diff, Q176_SQL, "curation-snapshot-diff"
     ),
@@ -8463,8 +8508,9 @@ _QUERY_ORDER: list[str] = [
     # 3. the 30 least-recently-checked queries fill the rest: the r3
     #    class (q46/q70/q71/q78/q81-q84), the whole r4 class
     #    (q01-q08, q41-q43, q52/q53/q56-q59), and the head of the r5
-    #    class (q100/q101/q102/q104; q105 displaced to the tail head
-    #    when q176 joined the window)
+    #    class (q100/q101/q102; q104/q105 displaced to the tail when
+    #    q176/q177 joined the window — still swept locally every
+    #    session)
     # Tail: q105 (displaced from the window by q176), then remaining
     # r5/r6 classes, then the r7/r8 window classes
     # (checked most recently). The full registry is swept locally every
@@ -8473,6 +8519,7 @@ _QUERY_ORDER: list[str] = [
     "q174_key_skew_report",
     "q175_salted_agg",
     "q176_snapshot_diff",
+    "q177_join_skew_report",
     "q47_minhash_near_dups",
     "q16_rolling_mean",
     "q24_resample_hourly",
@@ -8519,7 +8566,6 @@ _QUERY_ORDER: list[str] = [
     "q100_decontaminate",
     "q101_repetition_stats",
     "q102_pii_redaction",
-    "q104_minhash_pipeline_md5",
     "q103_unigram_logprob",
     "q115_bigram_logprob",
     "q157_fleet_report",
@@ -8595,6 +8641,7 @@ _QUERY_ORDER: list[str] = [
     "q97_topk_sample",
     "q98_leakage_safe_split",
     "q99_duplicate_clusters",
+    "q104_minhash_pipeline_md5",
     "q105_curated_corpus",
     "q106_budget_mix",
     "q107_simhash_near_dups",

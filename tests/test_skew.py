@@ -127,3 +127,21 @@ def test_key_skew_report_no_global_sort(spark, sf_small):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_join_skew_report_pair_volume_and_absent_keys(spark):
+    """Co-hot keys rank first; keys absent from one side report 0
+    pairs; ties break on the key ascending."""
+    from solar_data_tools_spark.operators.skew import join_skew_report
+
+    left = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 1, ["k"]
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 6 + [("d",)] * 5, ["k"]
+    )
+    rows = {r["k"]: r for r in join_skew_report(left, right, "k").collect()}
+    assert rows["a"]["pair_volume"] == 12.0 and rows["a"]["rank"] == 1
+    assert rows["b"]["pair_volume"] == 12.0 and rows["b"]["rank"] == 2
+    assert rows["c"]["cnt_r"] == 0 and rows["c"]["pair_volume"] == 0.0
+    assert rows["d"]["cnt_l"] == 0 and rows["d"]["pair_volume"] == 0.0
