@@ -116,6 +116,14 @@ def ticks(col: Column | str, digits: int = 6) -> Column:
 # with a 2% margin below 2^63.
 _TICK_SUM_GUARD = 9.0e18
 
+# Guard bound for DECIMAL(38,0) wide sums: max|tick| * count >= this
+# raises instead of letting the decimal sum overflow 38 digits (which
+# Spark would surface as NULL in non-ANSI mode — a silent wrong answer).
+# Terms are LONG ticks (|tick| < 2^63 ~ 9.2e18), so reaching 9.0e37
+# needs ~1e19 rows in one group — the bound is a pure safety net, but a
+# LOUD one.
+_WIDE_SUM_GUARD = 9.0e37
+
 
 def guarded_long_sum(t: Column | str, what: str = "tick_sum") -> Column:
     """SUM of an already-integer LONG column with a loud overflow guard:
@@ -135,19 +143,76 @@ def guarded_long_sum(t: Column | str, what: str = "tick_sum") -> Column:
                 bound.cast("string"),
                 F.lit(
                     f" >= {_TICK_SUM_GUARD:.1e}; the LONG sum could "
-                    "wrap past 2^63. Drop digits or aggregate in "
-                    "DECIMAL(38,0)."
+                    "wrap past 2^63. Drop digits, or escalate with "
+                    "wide=True (tick_sum/tick_avg/salted_agg) / "
+                    "guarded_wide_sum to aggregate in DECIMAL(38,0)."
                 ),
             )
         ).cast("long"),
     ).otherwise(F.sum(t))
 
 
+def guarded_wide_sum(
+    t: Column | str,
+    what: str = "wide_sum",
+    _bound: float = _WIDE_SUM_GUARD,
+) -> Column:
+    """SUM of already-integer LONG terms in **DECIMAL(38,0)** — the
+    escalation path :func:`guarded_long_sum`'s error message names.
+
+    Per-term LONG ticks always fit (|tick| < 2^63 by construction);
+    only the SUM can outgrow LONG at 100 TB-class row counts, and
+    DECIMAL(38,0) holds ~1e19x more headroom (10^38 vs 9.2e18).
+    Decimal addition is exact-integer and associative-commutative, so
+    the wide sum keeps the tick-sum contract: partition-parallel Spark
+    and a sequential oracle agree bit-for-bit at any scale. The DuckDB
+    mirror is a HUGEINT (int128) sum; hash-certify the sum as a STRING
+    on both sides (``CAST(... AS VARCHAR)`` / ``.cast("string")``) —
+    exact decimal integer strings are engine-portable where an int128 /
+    decimal -> DOUBLE conversion's last ulp is not.
+
+    Guarded like the narrow path (layout-independent ``max|term| *
+    count`` bound, here vs 38 decimal digits): Spark's non-ANSI decimal
+    sum overflows to NULL — a silent wrong answer this guard turns into
+    a loud error. ``_bound`` is test plumbing (the real bound needs
+    ~1e19 rows to trip)."""
+    if isinstance(t, str):
+        t = F.col(t)
+    bound = F.max(F.abs(t)).cast("double") * F.count(t)
+    return F.when(
+        bound >= F.lit(_bound),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what} overflow guard: max|term| * count = "),
+                bound.cast("string"),
+                F.lit(
+                    f" >= {_bound:.1e}; the DECIMAL(38,0) sum could "
+                    "overflow 38 digits. Drop digits — no wider "
+                    "escalation exists."
+                ),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(F.sum(t.cast("decimal(38,0)")))
+
+
+def tick_sum_wide_ticks(col: Column | str, digits: int = 6) -> Column:
+    """Exact DECIMAL(38,0) tick count of a double column — the
+    certifiable primitive behind ``tick_sum(..., wide=True)``. Value =
+    ticks / 10^digits; certified queries project the tick count itself
+    (cast to STRING) so the hash never rides a >2^53 integer through a
+    float conversion. SQL mirror:
+    ``sum(CAST(floor((x) * 1eD + 0.5) AS HUGEINT))`` (cast the sum to
+    VARCHAR for the hash)."""
+    return guarded_wide_sum(
+        ticks(col, digits), what=f"tick_sum_wide(digits={digits})"
+    )
+
+
 def _guarded_tick_sum(t: Column, digits: int) -> Column:
     return guarded_long_sum(t, what=f"tick_sum(digits={digits})")
 
 
-def tick_sum(col: Column | str, digits: int = 6) -> Column:
+def tick_sum(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
     """Layout-AND-engine-exact SUM of a double column: every term
     quantizes to 10^-d ticks (LONG) and the sum is INTEGER — order-free
     by construction, so partition-parallel Spark and a sequential oracle
@@ -157,20 +222,44 @@ def tick_sum(col: Column | str, digits: int = 6) -> Column:
     Runtime-guarded (round 9): the LONG tick sum raises loudly when
     ``max|tick| * count`` approaches 2^63 instead of silently wrapping —
     the regime a 100 TB aggregate lives in. The guard costs one extra
-    max/count partial pair, both map-side-combined with the sum."""
+    max/count partial pair, both map-side-combined with the sum.
+
+    ``wide=True`` (round 10) is the escalation the guard message names:
+    the tick sum runs in DECIMAL(38,0) (exact, order-free, ~1e19x more
+    headroom) and the value is the decimal sum converted to DOUBLE,
+    then divided — a drop-in replacement that COMPLETES where the
+    narrow path stops. Past 2^53 ticks the final double is correctly
+    rounded on the JVM side but an oracle's int128->double conversion
+    may differ in the last ulp, so hash-certified queries at that
+    magnitude should hash :func:`tick_sum_wide_ticks` cast to STRING
+    instead of this display value (q179 is the model)."""
     t = ticks(col, digits)
+    if wide:
+        return guarded_wide_sum(
+            t, what=f"tick_sum(digits={digits}, wide=True)"
+        ).cast("double") / F.lit(float(10**digits))
     return _guarded_tick_sum(t, digits) / F.lit(float(10**digits))
 
 
-def tick_avg(col: Column | str, digits: int = 6) -> Column:
+def tick_avg(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
     """Layout-and-engine-exact AVG (see ``tick_sum``): guarded integer
     tick sum, then two IEEE divisions on identical operands. Null terms
     are skipped on both sides (tick of NULL is NULL; count is count(x)).
     SQL mirror: ``sum(CAST(floor((x) * 1eD + 0.5) AS BIGINT))
-    / count(x) / 1eD``."""
+    / count(x) / 1eD``. ``wide=True`` escalates the tick sum to
+    DECIMAL(38,0) (see ``tick_sum``; same STRING-hash caveat past 2^53
+    ticks)."""
     if isinstance(col, str):
         col = F.col(col)
     t = ticks(col, digits)
+    if wide:
+        return (
+            guarded_wide_sum(
+                t, what=f"tick_avg(digits={digits}, wide=True)"
+            ).cast("double")
+            / F.count(col)
+            / F.lit(float(10**digits))
+        )
     return (
         _guarded_tick_sum(t, digits)
         / F.count(col)

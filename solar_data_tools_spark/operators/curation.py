@@ -1327,17 +1327,24 @@ def snapshot_diff(
     from solar_data_tools_spark.operators.dedup import normalize_text
 
     def _side(df: DataFrame, tag: str) -> DataFrame:
+        # Explicit presence flag per side: a doc present with NULL text
+        # must still count as present (md5 of NULL is NULL, so hash
+        # nullity cannot stand in for row existence after the outer
+        # join).
         return df.select(
             F.col(id_col),
             *[F.col(c).alias(f"_{tag}_{c}") for c in carry_cols],
+            F.lit(True).alias(f"_{tag}_present"),
             F.md5(normalize_text(F.col(text_col))).alias(f"_{tag}_md5"),
         )
 
     j = _side(old, "o").join(_side(new, "n"), id_col, "full_outer")
     status = (
-        F.when(F.col("_o_md5").isNull(), F.lit("added"))
-        .when(F.col("_n_md5").isNull(), F.lit("removed"))
-        .when(F.col("_o_md5") != F.col("_n_md5"), F.lit("modified"))
+        F.when(F.col("_o_present").isNull(), F.lit("added"))
+        .when(F.col("_n_present").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_o_md5").eqNullSafe(F.col("_n_md5")), F.lit("modified")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return j.select(

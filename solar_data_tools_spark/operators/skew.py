@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from solar_data_tools_spark.operators.canonical import (
     _TICK_SUM_GUARD,
+    _WIDE_SUM_GUARD,
     pround,
     ticks,
 )
@@ -126,6 +127,7 @@ def salted_agg(
     count_alias: str | None = "n",
     salt_buckets: int = 32,
     salt_seed: int = 17,
+    wide: bool = False,
 ) -> DataFrame:
     """Two-phase (salted) aggregation — exact, for decomposable
     aggregates, immune to key skew.
@@ -138,22 +140,65 @@ def salted_agg(
     ``mins``/``maxs``: ``out_name -> column``. ``count_alias=None``
     drops the count column.
 
+    ``wide=True`` (round 10) escalates every sum to DECIMAL(38,0) —
+    the path the narrow overflow guard's error message names. Both
+    phases sum in decimal (a hot key's PHASE-1 partial can itself
+    outgrow LONG at 100 TB magnitudes, so the escalation must start at
+    the first sum, not the recombine); ``long_sums`` outputs become
+    exact DECIMAL(38,0), ``tick_sums`` outputs stay the familiar
+    DOUBLE display value (decimal sum -> double / 10^d — hash-certify
+    the decimal cast to STRING instead past 2^53 ticks, see
+    ``canonical.tick_sum``).
+
     The salt is ``xxhash64(all input columns, salt_seed) mod
     salt_buckets`` — deterministic per row content, so the plan is
-    replayable; duplicates of one row share a bucket, which only
-    narrows the spread, never the correctness. Phase 1 shuffles on
-    ``(keys, salt)`` (a heavy key's rows fan out over ``salt_buckets``
-    reducers, each holding ~1/buckets of the key's rows); phase 2
-    shuffles ``|keys| * salt_buckets`` partial rows — negligible at any
-    scale. The overflow guard is evaluated in phase 2 from the
-    re-combined ``max|term| * count`` bound, which also bounds every
-    phase-1 partial, so the guard stays layout-independent.
+    replayable; duplicate rows of a hot key share a bucket, which
+    narrows the spread — and in the degenerate-but-real worst case
+    where the hot key's rows are byte-identical (the same event
+    replayed millions of times), content-salting provides NO spread at
+    all: every copy lands in one bucket and the straggler survives.
+    That class needs either a distinguishing ingest column (an offset /
+    row id in ``df.columns`` re-spreads it) or pre-aggregation of the
+    duplicates upstream; a nondeterministic spread (partition-id in
+    the salt) would fix the straggler but break the replay-certified
+    plan contract this module promises, so it is deliberately not
+    offered. Phase 1 shuffles on ``(keys, salt)`` (a heavy key's rows
+    fan out over ``salt_buckets`` reducers, each holding ~1/buckets of
+    the key's rows); phase 2 shuffles ``|keys| * salt_buckets`` partial
+    rows — negligible at any scale. The overflow guard is evaluated in
+    phase 2 from the re-combined ``max|term| * count`` bound, which
+    also bounds every phase-1 partial, so the guard stays
+    layout-independent.
     """
     ks = _as_list(keys)
     long_sums = dict(long_sums or {})
     tick_sums = dict(tick_sums or {})
     mins = dict(mins or {})
     maxs = dict(maxs or {})
+
+    outs = (
+        list(tick_sums) + list(long_sums) + list(mins) + list(maxs)
+        + ([count_alias] if count_alias is not None else [])
+    )
+    dupes = sorted({o for o in outs if outs.count(o) > 1})
+    if dupes:
+        raise ValueError(
+            "salted_agg: duplicate output names across count_alias/"
+            f"long_sums/tick_sums/mins/maxs: {dupes} — every output "
+            "(including the count alias) must be distinct, or the "
+            "phase-1 partial aliases collide."
+        )
+    reserved = sorted(
+        c
+        for c in df.columns
+        if c == "_salt" or c.startswith(("_p_", "_t_", "_l_"))
+    )
+    if reserved:
+        raise ValueError(
+            "salted_agg: input columns collide with reserved internal "
+            f"names (_salt, _p_*, _t_*, _l_*): {reserved} — rename "
+            "them before salting."
+        )
 
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in df.columns], F.lit(salt_seed)),
@@ -166,18 +211,21 @@ def salted_agg(
     for out, col in long_sums.items():
         work = work.withColumn(f"_l_{out}", F.col(col).cast("long"))
 
+    def _p1_sum(t: Column) -> Column:
+        return F.sum(t.cast("decimal(38,0)") if wide else t)
+
     p1_aggs: list[Column] = [F.count(F.lit(1)).alias("_p_cnt")]
     for out in tick_sums:
         t = F.col(f"_t_{out}")
         p1_aggs += [
-            F.sum(t).alias(f"_p_sum_{out}"),
+            _p1_sum(t).alias(f"_p_sum_{out}"),
             F.max(F.abs(t)).alias(f"_p_maxabs_{out}"),
             F.count(t).alias(f"_p_n_{out}"),
         ]
     for out in long_sums:
         t = F.col(f"_l_{out}")
         p1_aggs += [
-            F.sum(t).alias(f"_p_sum_{out}"),
+            _p1_sum(t).alias(f"_p_sum_{out}"),
             F.max(F.abs(t)).alias(f"_p_maxabs_{out}"),
             F.count(t).alias(f"_p_n_{out}"),
         ]
@@ -188,13 +236,23 @@ def salted_agg(
 
     partial = work.groupBy(*ks, "_salt").agg(*p1_aggs)
 
+    guard_bound = _WIDE_SUM_GUARD if wide else _TICK_SUM_GUARD
+    guard_kind = (
+        "the DECIMAL(38,0) sum could overflow 38 digits. Drop digits "
+        "— no wider escalation exists."
+        if wide
+        else "the LONG sum could wrap past 2^63. Drop digits or "
+        "re-run with wide=True (DECIMAL(38,0))."
+    )
+    guard_cast = "decimal(38,0)" if wide else "long"
+
     def _guarded_recombine(out: str) -> Column:
         bound = F.max(f"_p_maxabs_{out}").cast("double") * F.sum(
             f"_p_n_{out}"
         )
         return (
             F.when(
-                bound >= F.lit(_TICK_SUM_GUARD),
+                bound >= F.lit(guard_bound),
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -202,13 +260,9 @@ def salted_agg(
                             "max|term| * count = "
                         ),
                         bound.cast("string"),
-                        F.lit(
-                            f" >= {_TICK_SUM_GUARD:.1e}; the LONG sum "
-                            "could wrap past 2^63. Drop digits or "
-                            "aggregate in DECIMAL(38,0)."
-                        ),
+                        F.lit(f" >= {guard_bound:.1e}; {guard_kind}"),
                     )
-                ).cast("long"),
+                ).cast(guard_cast),
             )
             .otherwise(F.sum(f"_p_sum_{out}"))
         )
@@ -217,10 +271,11 @@ def salted_agg(
     if count_alias is not None:
         p2_aggs.append(F.sum("_p_cnt").alias(count_alias))
     for out, (_, digits) in tick_sums.items():
+        recombined = _guarded_recombine(out)
+        if wide:
+            recombined = recombined.cast("double")
         p2_aggs.append(
-            (_guarded_recombine(out) / F.lit(float(10**digits))).alias(
-                out
-            )
+            (recombined / F.lit(float(10**digits))).alias(out)
         )
     for out in long_sums:
         p2_aggs.append(_guarded_recombine(out).alias(out))

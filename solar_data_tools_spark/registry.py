@@ -33,6 +33,7 @@ from solar_data_tools_spark.operators import sampling as sp
 from solar_data_tools_spark.operators import text as tx
 from solar_data_tools_spark.operators.canonical import (
     events_as_measurements,
+    guarded_wide_sum,
     pround,
     tick_avg,
     tick_sum,
@@ -8011,24 +8012,60 @@ def q176_snapshot_diff(spark, sf_dir):
 
 Q176_SQL = """
 WITH o AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, TRUE AS present,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
   FROM documents WHERE doc_id % 7 <> 0
 ), n AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, TRUE AS present,
          md5(trim(regexp_replace(lower(
            CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END
          ), '\\s+', ' ', 'g'))) AS h
   FROM documents WHERE doc_id % 5 <> 0
 ), j AS (
   SELECT coalesce(n.source, o.source) AS source,
-         CASE WHEN o.h IS NULL THEN 'added'
-              WHEN n.h IS NULL THEN 'removed'
-              WHEN o.h <> n.h THEN 'modified'
+         CASE WHEN o.present IS NULL THEN 'added'
+              WHEN n.present IS NULL THEN 'removed'
+              WHEN o.h IS DISTINCT FROM n.h THEN 'modified'
               ELSE 'unchanged' END AS status
   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 )
 SELECT source, status, count(*) AS n FROM j GROUP BY source, status
+"""
+
+
+def q179_wide_tick_sum(spark, sf_dir):
+    """DECIMAL(38,0) wide tick-sum escalation (round 10) — the
+    completion path the round-9 overflow guards' own error message
+    promises. Each term is the LONG 6-digit tick of ``value``
+    amplified by 1e10 (simulating the per-term-magnitude x row-count
+    product of a ~100 TB table on gate-sized data; max term ~4.9e18
+    keeps a 1.9x margin under the LONG ceiling, pinned by
+    tests/test_overflow_guards.py): the per-type TRUE sums land at
+    ~1e20-1e22 — past 2^63, where the narrow guarded LONG sum raises —
+    and ``guarded_wide_sum`` completes them exactly in DECIMAL(38,0).
+    Certification hashes the EXACT decimal integer as a STRING on both
+    sides (DuckDB sums in HUGEINT) — engine-portable where an
+    int128/decimal -> DOUBLE conversion's last ulp is not. The narrow
+    guard still raising on this very frame is the other half of the
+    contract (tests/test_overflow_guards.py::test_narrow_raises_wide_completes).
+    Plan shape: one map-side-combined decimal sum — same shuffle as a
+    plain GROUP BY count."""
+    ev = _t(spark, sf_dir, "events")
+    term = _ticks("value", 6) * F.lit(10_000_000_000).cast("long")
+    return ev.groupBy("event_type").agg(
+        guarded_wide_sum(term, "q179_wide_tick_sum")
+        .cast("string")
+        .alias("sum_ticks"),
+        F.count("value").alias("n"),
+    )
+
+
+Q179_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)
+                     * 10000000000 AS HUGEINT)) AS VARCHAR) AS sum_ticks,
+       count(value) AS n
+FROM events GROUP BY event_type
 """
 
 
@@ -8287,6 +8324,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q175_salted_agg": QuerySpec(
         q175_salted_agg, Q175_SQL, "skew-salted-agg"
     ),
+    "q179_wide_tick_sum": QuerySpec(
+        q179_wide_tick_sum, Q179_SQL, "canonical-wide-sum"
+    ),
     "q173_screened_weighted_mix": QuerySpec(
         q173_screened_weighted_mix, Q173_SQL, "composed-fp-mix"
     ),
@@ -8516,6 +8556,7 @@ _QUERY_ORDER: list[str] = [
     # (checked most recently). The full registry is swept locally every
     # session by tests/test_oracle_parity.py AND tools/driver_sim.py
     # --all regardless of the window.
+    "q179_wide_tick_sum",
     "q174_key_skew_report",
     "q175_salted_agg",
     "q176_snapshot_diff",

@@ -179,6 +179,9 @@ _AUDITED_ORDER_FREE_HELPERS = {
     ("windows", "segment_pooled_diffs"):
         "q57 feeds it 100-multiples (integer-valued doubles < 2^53; "
         "diffs and sums exact in any order)",
+    ("canonical", "guarded_wide_sum"):
+        "sums LONG tick terms in DECIMAL(38,0) — exact integer "
+        "arithmetic, order-free by construction (q179)",
 }
 
 _FLOAT_AGG = re.compile(

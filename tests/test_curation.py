@@ -872,6 +872,51 @@ def test_snapshot_diff_statuses_and_carry(spark):
     }
 
 
+def test_snapshot_diff_null_text_presence(spark):
+    """Presence is decided by side membership, not md5 nullity: a doc
+    present in BOTH snapshots with NULL text on one (or both) sides is
+    modified/unchanged, never added/removed (ADVICE r9, medium)."""
+    from pyspark.sql import types as T
+
+    from solar_data_tools_spark.operators.curation import snapshot_diff
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    old = spark.createDataFrame(
+        [
+            (1, "a", None),  # NULL text both sides -> unchanged
+            (2, "a", None),  # NULL -> real text  -> modified
+            (3, "a", "had text"),  # real -> NULL   -> modified
+            (4, "a", None),  # NULL text, absent in new -> removed
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, "a", "now has text"),
+            (3, "a", None),
+            (5, "a", None),  # NULL text, absent in old -> added
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "modified",
+        3: "modified",
+        4: "removed",
+        5: "added",
+    }
+
+
 def test_snapshot_diff_text_never_joins(spark):
     """The full-outer join must carry only (id, carry, md5) — the text
     column reduces row-locally before the shuffle."""

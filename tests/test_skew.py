@@ -145,3 +145,77 @@ def test_join_skew_report_pair_volume_and_absent_keys(spark):
     assert rows["b"]["pair_volume"] == 12.0 and rows["b"]["rank"] == 2
     assert rows["c"]["cnt_r"] == 0 and rows["c"]["pair_volume"] == 0.0
     assert rows["d"]["cnt_l"] == 0 and rows["d"]["pair_volume"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round 10: wide (DECIMAL(38,0)) escalation + input validation (r9
+# verdict item 1 + ADVICE items).
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_wide_matches_narrow_below_ceiling(spark):
+    """wide=True is a drop-in: below the LONG ceiling the decimal path
+    must reproduce the narrow results exactly (long sums compare as
+    ints; tick sums are the identical double display value)."""
+    df = _skewed_df(spark)
+    narrow = {r["k"]: r for r in _salted(df, 8).collect()}
+    wide = {
+        r["k"]: r
+        for r in salted_agg(
+            df,
+            "k",
+            long_sums={"iv_sum": "iv"},
+            tick_sums={"dv_sum": ("dv", 4)},
+            mins={"dv_min": "dv"},
+            maxs={"dv_max": "dv"},
+            count_alias="n",
+            salt_buckets=8,
+            wide=True,
+        ).collect()
+    }
+    assert narrow.keys() == wide.keys()
+    for k, a in narrow.items():
+        b = wide[k]
+        assert int(b["iv_sum"]) == a["iv_sum"]
+        assert b["dv_sum"] == a["dv_sum"]
+        assert (b["n"], b["dv_min"], b["dv_max"]) == (
+            a["n"], a["dv_min"], a["dv_max"],
+        )
+
+
+def test_salted_agg_wide_completes_past_long_ceiling(spark):
+    """Planted hot key whose true long-sum is ~1.2e19 (> 2^63): narrow
+    salted_agg must refuse loudly, wide must complete with the exact
+    decimal."""
+    df = spark.range(4).select(
+        F.lit("hot").alias("k"),
+        F.lit(3_000_000_000_000_000_000).alias("big"),
+    )
+    with pytest.raises(Exception, match="overflow"):
+        salted_agg(df, "k", long_sums={"s": "big"}, salt_buckets=4).collect()
+    rows = salted_agg(
+        df, "k", long_sums={"s": "big"}, salt_buckets=4, wide=True
+    ).collect()
+    assert str(rows[0]["s"]) == "12000000000000000000"
+    assert rows[0]["n"] == 4
+
+
+def test_salted_agg_rejects_duplicate_output_names(spark):
+    df = _skewed_df(spark, 100)
+    with pytest.raises(ValueError, match="duplicate output names"):
+        salted_agg(
+            df, "k",
+            long_sums={"x": "iv"},
+            tick_sums={"x": ("dv", 4)},
+        )
+    with pytest.raises(ValueError, match="duplicate output names"):
+        salted_agg(df, "k", long_sums={"n": "iv"}, count_alias="n")
+
+
+def test_salted_agg_rejects_reserved_input_columns(spark):
+    df = _skewed_df(spark, 100).withColumn("_salt", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        salted_agg(df, "k", long_sums={"s": "iv"})
+    df2 = _skewed_df(spark, 100).withColumn("_p_x", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        salted_agg(df2, "k", long_sums={"s": "iv"})
