@@ -1,7 +1,9 @@
 """Mergeable sketches for corpus-scale statistics.
 
-HyperLogLog++ cardinality rides Spark's built-in
-``approx_count_distinct`` (q151); this module adds the count-min sketch
+Cardinality rides the engine-exact HyperLogLog below (``hll_build`` /
+``hll_estimate``, q151/q170; Spark's built-in ``approx_count_distinct``
+remains the zero-dependency fast option when cross-engine certification
+isn't needed); this module adds the count-min sketch
 — the heavy-hitter / frequency-estimate companion. At 100 TB an exact
 token-frequency table means shuffling |vocab| keys (billions for web
 n-grams); a CMS reduces the aggregate to a fixed ``depth x width`` grid
@@ -176,10 +178,59 @@ def hll_build(
     )
 
 
+def _ln_fp6_int(x: int) -> int:
+    """Pure-Python evaluation of the package's integer fixed-point ln
+    (``sampling._ilog_fp_steps`` + the 1e-6 rescale of
+    ``with_ln_fp6``) for a positive int — op-for-op identical (same
+    shifts, same truncate-toward-zero divisions), so a CONSTANT like
+    ``ln_fp6(m)`` can be inlined as the same literal on the Spark and
+    DuckDB sides instead of running the column chain on a constant.
+    Pinned against the Spark column in tests/test_hll_weighted.py."""
+    if x <= 0:
+        raise ValueError("ln_fp6 needs a positive integer")
+    S = 1 << 30
+    LN2 = 744261118
+    SQ = 1518500249
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    k0 = x.bit_length() - 1
+    m0 = x << (30 - k0) if k0 <= 30 else x >> (k0 - 30)
+    k, m = (k0 + 1, m0 >> 1) if m0 > SQ else (k0, m0)
+    t = tdiv((m - S) * S, m + S)
+    t2 = tdiv(t * t, S)
+    t3 = tdiv(t2 * t, S)
+    t5 = tdiv(t3 * t2, S)
+    t7 = tdiv(t5 * t2, S)
+    t9 = tdiv(t7 * t2, S)
+    l = 2 * (
+        t + tdiv(t3, 3) + tdiv(t5, 5) + tdiv(t7, 7) + tdiv(t9, 9)
+    )
+    return tdiv((k * LN2 + l) * 1000000, S)
+
+
+def _linear_count_threshold(p: int) -> int:
+    """Integer s_fp threshold equivalent to HLL's ``raw_est <= 2.5 m``
+    small-range switch: ``raw = alpha_num / s_fp <= 2.5 m  <=>  s_fp >=
+    alpha_num / (2.5 m)``. Computed ONCE in Python and inlined as a
+    literal on both engines, so the branch decision is a deterministic
+    integer comparison — never a float compare that could flip on an
+    engine ulp."""
+    m = 1 << int(p)
+    big_r = 61 - int(p)
+    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << big_r)
+    import math
+
+    return math.ceil(alpha_num / (2.5 * m))
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str] | None = None,
     p: int = 12,
+    linear_counting: bool = False,
 ) -> DataFrame:
     """Cardinality estimate from an ``hll_build`` register table, with
     the harmonic sum kept EXACT in integer arithmetic so the estimate
@@ -193,15 +244,23 @@ def hll_estimate(
     float op is the final ``alpha_m * m^2 * 2^R / s_fp`` — two IEEE
     multiplications and one division on identical inputs in any engine.
 
-    The raw estimate is emitted WITHOUT the small-range linear-counting
-    correction (that branch needs ``ln``, whose last-ulp engine
-    divergence is exactly what this module's determinism contract
-    bans); instead ``n_zero`` (absent-bucket count) is emitted so the
-    caller — or a test — can apply corrections. The accuracy invariant
-    against exact distinct counts is pinned in tests (sigma ~
-    1.04/sqrt(m) ~ 1.6% at p=12).
+    The raw estimate historically shipped WITHOUT the small-range
+    linear-counting correction (that branch needs ``ln``, whose
+    last-ulp engine divergence is exactly what this module's
+    determinism contract bans). ``linear_counting=True`` (round 10)
+    closes that gap deterministically: the correction ``m * ln(m /
+    n_zero)`` rides the package's INTEGER fixed-point ln
+    (``sampling.with_ln_fp6`` — pure LONG arithmetic, bit-identical in
+    any engine, the q143/q171 contract), and the branch condition is an
+    integer compare of ``s_fp`` against a Python-precomputed literal
+    (:func:`_linear_count_threshold`), never a float test. The ``est``
+    column is then the standard HLL estimator: linear counting when
+    ``n_zero > 0`` and the raw estimate is under ``2.5 m``, raw
+    otherwise. The accuracy invariant against exact distinct counts is
+    pinned in tests (sigma ~ 1.04/sqrt(m) ~ 1.6% at p=12).
 
-    Output: (*group_cols, m, n_zero, s_fp LONG, raw_est DOUBLE-exact).
+    Output: (*group_cols, m, n_zero, s_fp LONG, raw_est DOUBLE-exact
+    [, est DOUBLE-exact when linear_counting]).
     """
     g = list(group_cols or [])
     _check_hll_p(p)
@@ -225,7 +284,35 @@ def hll_estimate(
     raw = (
         F.lit(alpha * m * m * float(1 << big_r)) / F.col("s_fp")
     ).alias("raw_est")
-    return out.select(*g, "m", "n_zero", "s_fp", raw)
+    out = out.select(*g, "m", "n_zero", "s_fp", raw)
+    if not linear_counting:
+        return out
+    from solar_data_tools_spark.operators.sampling import with_ln_fp6
+
+    # ln over POSITIVE inputs only: n_zero = 0 rows never take the
+    # linear-counting branch, so feed greatest(n_zero, 1) and let the
+    # CASE route them to raw (same greatest() trick in the SQL mirror)
+    lc = out.withColumn(
+        "_nz_pos", F.greatest(F.col("n_zero"), F.lit(1)).cast("long")
+    )
+    lc = with_ln_fp6(lc, "_nz_pos", "_ln_nz")
+    # m * (ln_fp6(m) - ln_fp6(n_zero)): LONG product < 2^53, one exact
+    # int->double conversion, one IEEE division — engine-portable.
+    # ln_fp6(m) is a constant, inlined via the pure-Python mirror.
+    lin = (
+        F.lit(m).cast("long")
+        * (F.lit(_ln_fp6_int(m)).cast("long") - F.col("_ln_nz"))
+    ).cast("double") / F.lit(1.0e6)
+    est = (
+        F.when(
+            (F.col("n_zero") > 0)
+            & (F.col("s_fp") >= F.lit(_linear_count_threshold(p))),
+            lin,
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("est")
+    )
+    return lc.select(*g, "m", "n_zero", "s_fp", "raw_est", est)
 
 
 def bloom_build(

@@ -5197,15 +5197,35 @@ FROM documents d JOIN rates r USING (lang)
 """
 
 
+# HLL face constants (q170): p=10 -> m=1024 registers, 50-bit tails
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_TAIL = 1 << (60 - _HLL_P)  # 2^50
+_HLL_POW = 1 << (61 - _HLL_P)  # 2^51
+_HLL_ALPHA_NUM = (
+    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(_HLL_POW)
+)
+
+
 def q151_hll_distinct_tokens(spark, sf_dir):
-    """Sketch-tier cardinality: per-source distinct-token counts via
-    HyperLogLog++ (``approx_count_distinct``, rsd=2%) next to the exact
-    distinct — the scale path for vocabulary/dedup-cardinality stats at
-    100 TB, where exact distinct means a corpus-wide shuffle of every
-    token and HLL means a few KB of mergeable sketch per partition.
-    Rows-only: sketch estimates are engine-specific; the invariant test
-    pins the documented error envelope and exact==duckdb is certified
-    by the token-stats oracles (q42/q103)."""
+    """Sketch-tier cardinality: per-source distinct-token counts via the
+    package's engine-exact HyperLogLog (``sketches.hll_build`` /
+    ``hll_estimate``, p=10) next to the exact distinct — the scale path
+    for vocabulary/dedup-cardinality stats at 100 TB, where exact
+    distinct means a corpus-wide shuffle of every token and HLL means a
+    <= 1024-row mergeable register table per source. ORACLE since round
+    10 (r9 verdict item 3): the md5-bit register construction and the
+    integer harmonic sum replay bit-exactly in DuckDB, unlike Spark's
+    builtin ``approx_count_distinct`` (HLL++ with a JVM-internal hash —
+    kept as the zero-dependency fast option for callers that don't
+    need cross-engine certification, the q47 two-family precedent).
+    The small-range regime (these sources sit far under m=1024 distinct
+    tokens) takes HLL's standard linear-counting branch — made
+    engine-exact here by the package's integer fixed-point ln
+    (``hll_estimate(linear_counting=True)``), with the branch condition
+    an integer s_fp-vs-literal compare. ``rel_err`` self-validates the
+    estimate against the exact count in the same row."""
+    from solar_data_tools_spark.operators import sketches as sk
     from solar_data_tools_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -5215,25 +5235,96 @@ def q151_hll_distinct_tokens(spark, sf_dir):
             F.split(normalize_text(F.col("text")), " ")
         ).alias("tok"),
     ).where(F.length("tok") > 0)
-    return (
-        toks.groupBy("source")
-        .agg(
-            F.countDistinct("tok").alias("exact_distinct"),
-            F.expr("approx_count_distinct(tok, 0.02)").alias(
-                "approx_distinct"
-            ),
-        )
-        .withColumn(
-            "rel_err",
-            _pround(
-                F.abs(
-                    F.col("approx_distinct").cast("double")
-                    - F.col("exact_distinct")
-                )
-                / F.col("exact_distinct")
-            ),
-        )
+    regs = sk.hll_build(
+        toks, token_col="tok", group_cols=["source"], p=_HLL_P, seed=0
     )
+    est = sk.hll_estimate(
+        regs, group_cols=["source"], p=_HLL_P, linear_counting=True
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    rel = F.abs(F.col("est") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        F.col("m").cast("long").alias("m"),
+        "n_zero",
+        "s_fp",
+        _pround("raw_est").alias("raw_est"),
+        _pround("est").alias("approx_distinct"),
+        _pround(rel).alias("rel_err"),
+    )
+
+
+from solar_data_tools_spark.operators.sketches import (
+    _linear_count_threshold as _hll_lc_threshold,
+    _ln_fp6_int as _hll_ln_fp6_int,
+)
+
+_HLL_LC_T = _hll_lc_threshold(_HLL_P)
+_HLL_LN_M_FP = _hll_ln_fp6_int(_HLL_M)  # ln_fp6(m), constant literal
+_LN151_NZ = _ln_fp6_sql_ctes("j", "nz_pos", "ln_nz", prefix="lnz151_")
+
+Q151_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (
+  SELECT source, tok,
+         ('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT AS h60
+  FROM toks
+),
+reg AS (
+  SELECT source, h60 >> {60 - _HLL_P} AS bucket,
+         max(CASE WHEN h60 % {_HLL_TAIL} = 0 THEN {60 - _HLL_P + 1}
+                  ELSE {60 - _HLL_P} - length(bin(h60 % {_HLL_TAIL})) + 1
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*) AS present,
+         CAST(sum(1::BIGINT << ({61 - _HLL_P} - rho)) AS BIGINT)
+           AS s_present
+  FROM reg GROUP BY 1
+),
+ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM toks
+       GROUP BY 1),
+j AS (
+  SELECT a.source, ex.exact_distinct,
+         CAST({_HLL_M} AS BIGINT) AS m,
+         CAST({_HLL_M} - present AS BIGINT) AS n_zero,
+         CAST(s_present + ({_HLL_M} - present) * {_HLL_POW} AS BIGINT)
+           AS s_fp,
+         {_HLL_ALPHA_NUM!r}
+           / (s_present + ({_HLL_M} - present) * {_HLL_POW}) AS raw,
+         greatest(CAST({_HLL_M} - present AS BIGINT), 1) AS nz_pos
+  FROM agg a JOIN ex ON a.source = ex.source
+),
+{_LN151_NZ[0]},
+e AS (
+  SELECT *,
+         CASE WHEN n_zero > 0 AND s_fp >= {_HLL_LC_T}
+              THEN ({_HLL_M} * ({_HLL_LN_M_FP} - ln_nz))::DOUBLE / 1e6
+              ELSE raw END AS est
+  FROM {_LN151_NZ[1]}
+)
+SELECT source, exact_distinct, m, n_zero, s_fp,
+       floor(raw * 1e6 + 0.5) / 1e6 AS raw_est,
+       floor(est * 1e6 + 0.5) / 1e6 AS approx_distinct,
+       floor((abs(est - exact_distinct) / exact_distinct) * 1e6 + 0.5)
+         / 1e6 AS rel_err
+FROM e
+"""
 
 
 def q152_weighted_shuffle(spark, sf_dir):
@@ -7496,16 +7587,6 @@ FROM span JOIN snap ON span.site = snap.site
 """
 
 
-# HLL face constants (q170): p=10 -> m=1024 registers, 50-bit tails
-_HLL_P = 10
-_HLL_M = 1 << _HLL_P
-_HLL_TAIL = 1 << (60 - _HLL_P)  # 2^50
-_HLL_POW = 1 << (61 - _HLL_P)  # 2^51
-_HLL_ALPHA_NUM = (
-    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(_HLL_POW)
-)
-
-
 def q170_hll_cardinality(spark, sf_dir):
     """Engine-exact HyperLogLog cardinality per source (distinct
     3-grams) — the sketch every dedup/mixing planner runs before
@@ -7943,6 +8024,100 @@ GROUP BY l_returnflag
 """
 
 
+def q178_capped_join(spark, sf_dir):
+    """Certified mitigation for the both-sides-hot join class q177
+    diagnoses (round 10): the funnel join "click/view x purchases per
+    user" runs through ``skew.capped_join`` — each user truncated to a
+    DETERMINISTIC top-15 activity rows and top-10 purchase rows
+    (ascending event_id, the exact two-phase top-k: no reducer ever
+    sorts a full hot key) — so the worst user emits <= 150 pairs
+    instead of cnt_l x cnt_r. Output is the operator's spill report
+    (pre-truncation counts, dropped rows, emitted vs true pair volume)
+    joined with the ACTUAL per-user pair count and an integer id
+    checksum over the joined rows, so the oracle certifies both the
+    ledger arithmetic and the joined content in one hash. The
+    bounded-output probe on a 16000x-both-sides key lives in
+    tests/test_skew.py."""
+    from solar_data_tools_spark.operators import skew as sk
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("l_id")
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("r_id")
+    )
+    joined, report = sk.capped_join(
+        left,
+        right,
+        "user_id",
+        cap_left=15,
+        cap_right=10,
+        order_left=["l_id"],
+        order_right=["r_id"],
+    )
+    em = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("l_id") + F.sum("r_id")).alias("id_checksum"),
+    )
+    return report.join(em, "user_id", "left").select(
+        "user_id",
+        "cnt_l",
+        "cnt_r",
+        "dropped_l",
+        "dropped_r",
+        "emitted_pairs",
+        "true_pairs",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+    )
+
+
+Q178_SQL = """
+WITH l AS (
+  SELECT user_id, event_id AS l_id FROM events
+  WHERE event_type IN ('click', 'view')
+), r AS (
+  SELECT user_id, event_id AS r_id FROM events
+  WHERE event_type = 'purchase'
+), tl AS (
+  SELECT user_id, l_id FROM (
+    SELECT user_id, l_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY l_id) AS rn
+    FROM l) WHERE rn <= 15
+), tr AS (
+  SELECT user_id, r_id FROM (
+    SELECT user_id, r_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY r_id) AS rn
+    FROM r) WHERE rn <= 10
+), j AS (
+  SELECT tl.user_id, l_id, r_id FROM tl JOIN tr ON tl.user_id = tr.user_id
+), em AS (
+  SELECT user_id, count(*) AS n_pairs,
+         sum(l_id) + sum(r_id) AS id_checksum
+  FROM j GROUP BY user_id
+), lc AS (
+  SELECT user_id, count(*) AS cnt_l FROM l GROUP BY user_id
+), rc AS (
+  SELECT user_id, count(*) AS cnt_r FROM r GROUP BY user_id
+), rep AS (
+  SELECT coalesce(lc.user_id, rc.user_id) AS user_id,
+         coalesce(cnt_l, 0) AS cnt_l,
+         coalesce(cnt_r, 0) AS cnt_r
+  FROM lc FULL OUTER JOIN rc ON lc.user_id = rc.user_id
+)
+SELECT rep.user_id, cnt_l, cnt_r,
+       cnt_l - least(cnt_l, 15) AS dropped_l,
+       cnt_r - least(cnt_r, 10) AS dropped_r,
+       CAST(least(cnt_l, 15) AS DOUBLE) * CAST(least(cnt_r, 10) AS DOUBLE)
+         AS emitted_pairs,
+       CAST(cnt_l AS DOUBLE) * CAST(cnt_r AS DOUBLE) AS true_pairs,
+       coalesce(n_pairs, 0) AS n_pairs,
+       coalesce(id_checksum, 0) AS id_checksum
+FROM rep LEFT JOIN em ON rep.user_id = em.user_id
+"""
+
+
 def q177_join_skew_report(spark, sf_dir):
     """Join co-skew diagnostics (round 9): for the funnel self-join
     "click/view activity x purchases per user", which user_ids would
@@ -8315,6 +8490,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q177_join_skew_report": QuerySpec(
         q177_join_skew_report, Q177_SQL, "skew-join-diagnostics"
     ),
+    "q178_capped_join": QuerySpec(
+        q178_capped_join, Q178_SQL, "skew-capped-join"
+    ),
     "q176_snapshot_diff": QuerySpec(
         q176_snapshot_diff, Q176_SQL, "curation-snapshot-diff"
     ),
@@ -8452,7 +8630,7 @@ QUERIES: dict[str, QuerySpec] = {
         q150_temperature_sample, Q150_SQL, "sampling-temperature"
     ),
     "q151_hll_distinct_tokens": QuerySpec(
-        q151_hll_distinct_tokens, None, "sketch-hll"
+        q151_hll_distinct_tokens, Q151_SQL, "sketch-hll"
     ),
     "q152_weighted_shuffle": QuerySpec(
         q152_weighted_shuffle, Q152_SQL, "sampling-weighted-shuffle"
@@ -8536,124 +8714,28 @@ QUERIES: dict[str, QuerySpec] = {
 # session (tests/test_oracle_parity.py, no window). The per-round
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # ---- round-9 window (first 50) ----
-    # 1. new this round: q174 key-skew diagnostics + q175 salted
-    #    two-phase aggregation (operators/skew.py), both ORACLE
-    # 2. every query whose CODE changed after the r8 external gate ran:
-    #    q47 (default MinHash family -> md5_u31, newly ORACLE), the
-    #    operator-module tick-sum conversions (q16/q24/q25/q30/q31/q32),
-    #    the classifier/study/clustering tick conversions
-    #    (q138/q140/q147/q155/q156/q63/q135/q136), q143 (guarded
-    #    logw_fp), q74 (tick-ranked w1 argmin), q80 (pround binning)
-    # 3. the 30 least-recently-checked queries fill the rest: the r3
-    #    class (q46/q70/q71/q78/q81-q84), the whole r4 class
-    #    (q01-q08, q41-q43, q52/q53/q56-q59), and the head of the r5
-    #    class (q100/q101/q102; q104/q105 displaced to the tail when
-    #    q176/q177 joined the window — still swept locally every
-    #    session)
-    # Tail: q105 (displaced from the window by q176), then remaining
-    # r5/r6 classes, then the r7/r8 window classes
-    # (checked most recently). The full registry is swept locally every
-    # session by tests/test_oracle_parity.py AND tools/driver_sim.py
-    # --all regardless of the window.
+    # ---- round-10 window (first 50) ----
+    # 1. new this round: q179 (DECIMAL(38,0) wide tick-sum escalation,
+    #    ORACLE vs DuckDB HUGEINT) + q178 (capped_join both-sides-hot
+    #    mitigation, ORACLE)
+    # 2. changed after the r9 gate ran: q151 (promoted rows-only ->
+    #    ORACLE on the package engine-exact HLL + integer-ln linear
+    #    counting), q176 (presence-flag/null-safe rewrite, ADVICE r9),
+    #    q175 (wide= param + input validation on salted_agg)
+    # 3. the r9 verdict's item 2 verbatim: the ENTIRE round-5 class (37
+    #    queries, last externally checked in CORRECTNESS_r05 — q77,
+    #    q26/q27, q91, the q104-q130 span, q89, q72/q73, q40/q44) and
+    #    the head of the round-6 class (q76/q45/q93/q124/q116/q121/
+    #    q125/q48) — 45 of the stale-55 set in this window
+    # Tail: the rest of the r6 class first (still stale), then r7
+    # (q35-q39), then the r8 and r9 classes (checked most recently).
+    # The full registry is swept locally every session by
+    # tests/test_oracle_parity.py AND tools/driver_sim.py --all.
     "q179_wide_tick_sum",
-    "q174_key_skew_report",
-    "q175_salted_agg",
+    "q178_capped_join",
+    "q151_hll_distinct_tokens",
     "q176_snapshot_diff",
-    "q177_join_skew_report",
-    "q47_minhash_near_dups",
-    "q16_rolling_mean",
-    "q24_resample_hourly",
-    "q25_avg_day_profile",
-    "q30_clipping_stats",
-    "q31_binned_mean",
-    "q32_rayleigh",
-    "q138_classifier_score",
-    "q140_crawl_curation_pipeline",
-    "q147_quality_pyramid",
-    "q155_corpus_report",
-    "q156_curation_pipeline_v2",
-    "q63_quality_clustering",
-    "q135_longitude_study_closed",
-    "q136_ground_truth_tilt_azimuth",
-    "q143_dsir_selection",
-    "q74_w1_grid_search",
-    "q80_shade_analysis",
-    "q46_knn_bruteforce",
-    "q70_cos_theta_geometry",
-    "q71_declination_binned_mean",
-    "q78_rollup",
-    "q81_profile_normalization",
-    "q82_quality_counts",
-    "q83_doy_model_join",
-    "q84_string_ops",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_window_topk",
-    "q06_conditional_pivot",
-    "q07_group_having",
-    "q08_correlated_subquery",
-    "q41_fingerprint",
-    "q42_token_stats",
-    "q43_quality_scores",
-    "q52_make_time_series",
-    "q53_annotation_rejoin",
-    "q56_pivot_wide",
-    "q57_segment_pooled_diffs",
-    "q58_daily_median_delta",
-    "q59_set_ops",
-    "q100_decontaminate",
-    "q101_repetition_stats",
-    "q102_pii_redaction",
-    "q103_unigram_logprob",
-    "q115_bigram_logprob",
-    "q157_fleet_report",
-    "q158_cluster_balanced_sample",
-    "q159_semantic_decontamination",
-    "q160_within_doc_dedup",
-    "q161_epoch_mix",
-    "q162_bm25_topk",
-    "q163_cms_heavy_hitters",
-    "q164_hybrid_rrf",
-    "q165_novelty_scores",
-    "q166_source_overlap",
-    "q167_source_overlap_minhash",
-    "q168_token_budget_cut",
-    "q169_fleet_relational_spine",
-    "q170_hll_cardinality",
-    "q171_weighted_sample",
-    "q172_bloom_decontaminate",
-    "q173_screened_weighted_mix",
-    "q131_longitude_study",
-    "q133_tilt_azimuth_study",
-    "q134_system_parameters",
-    "q137_ivf_topk_distributed",
-    "q88_cdf_resample_approx",
-    "q09_monthly_rollup",
-    "q10_daily_energy",
-    "q11_daily_stats",
-    "q12_site_capacity",
-    "q13_daily_density",
-    "q14_sampling_inference",
-    "q15_first_diff",
-    "q17_run_length",
-    "q18_dedup_timestamps",
-    "q19_gap_fill",
-    "q20_range_clamp",
-    "q21_iqr_filter",
-    "q22_daytime_detection",
-    "q23_future_filter",
-    "q28_daily_smoothness",
-    "q29_sunrise_sunset",
-    "q33_solar_geometry",
-    "q34_longitude_estimate",
-    "q35_latitude_estimate",
-    "q36_linearity_mode",
-    "q37_cdf_resample",
-    "q38_train_test_split",
-    "q39_doy_median_profile",
+    "q175_salted_agg",
     "q77_scd2_merge",
     "q26_asof_join",
     "q27_standardize_grid",
@@ -8726,10 +8808,104 @@ _QUERY_ORDER: list[str] = [
     "q148_pagerank",
     "q149_binary_hamming_topk",
     "q150_temperature_sample",
-    "q151_hll_distinct_tokens",
     "q152_weighted_shuffle",
     "q153_binary_rerank",
     "q154_chunk_dedup",
+    "q35_latitude_estimate",
+    "q36_linearity_mode",
+    "q37_cdf_resample",
+    "q38_train_test_split",
+    "q39_doy_median_profile",
+    "q103_unigram_logprob",
+    "q115_bigram_logprob",
+    "q157_fleet_report",
+    "q158_cluster_balanced_sample",
+    "q159_semantic_decontamination",
+    "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
+    "q163_cms_heavy_hitters",
+    "q164_hybrid_rrf",
+    "q165_novelty_scores",
+    "q166_source_overlap",
+    "q167_source_overlap_minhash",
+    "q168_token_budget_cut",
+    "q169_fleet_relational_spine",
+    "q170_hll_cardinality",
+    "q171_weighted_sample",
+    "q172_bloom_decontaminate",
+    "q173_screened_weighted_mix",
+    "q131_longitude_study",
+    "q133_tilt_azimuth_study",
+    "q134_system_parameters",
+    "q137_ivf_topk_distributed",
+    "q88_cdf_resample_approx",
+    "q09_monthly_rollup",
+    "q10_daily_energy",
+    "q11_daily_stats",
+    "q12_site_capacity",
+    "q13_daily_density",
+    "q14_sampling_inference",
+    "q15_first_diff",
+    "q17_run_length",
+    "q18_dedup_timestamps",
+    "q19_gap_fill",
+    "q20_range_clamp",
+    "q21_iqr_filter",
+    "q22_daytime_detection",
+    "q23_future_filter",
+    "q28_daily_smoothness",
+    "q29_sunrise_sunset",
+    "q33_solar_geometry",
+    "q34_longitude_estimate",
+    "q174_key_skew_report",
+    "q177_join_skew_report",
+    "q47_minhash_near_dups",
+    "q16_rolling_mean",
+    "q24_resample_hourly",
+    "q25_avg_day_profile",
+    "q30_clipping_stats",
+    "q31_binned_mean",
+    "q32_rayleigh",
+    "q138_classifier_score",
+    "q140_crawl_curation_pipeline",
+    "q147_quality_pyramid",
+    "q155_corpus_report",
+    "q156_curation_pipeline_v2",
+    "q63_quality_clustering",
+    "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
+    "q143_dsir_selection",
+    "q74_w1_grid_search",
+    "q80_shade_analysis",
+    "q46_knn_bruteforce",
+    "q70_cos_theta_geometry",
+    "q71_declination_binned_mean",
+    "q78_rollup",
+    "q81_profile_normalization",
+    "q82_quality_counts",
+    "q83_doy_model_join",
+    "q84_string_ops",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_window_topk",
+    "q06_conditional_pivot",
+    "q07_group_having",
+    "q08_correlated_subquery",
+    "q41_fingerprint",
+    "q42_token_stats",
+    "q43_quality_scores",
+    "q52_make_time_series",
+    "q53_annotation_rejoin",
+    "q56_pivot_wide",
+    "q57_segment_pooled_diffs",
+    "q58_daily_median_delta",
+    "q59_set_ops",
+    "q100_decontaminate",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
 ]
 
 assert sorted(_QUERY_ORDER) == sorted(QUERIES), (

@@ -249,3 +249,39 @@ def test_streaming_bloom_matches_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_ln_fp6_int_matches_spark_column(spark):
+    """The pure-Python mirror used to inline ln_fp6(CONSTANT) literals
+    (sketches._ln_fp6_int) must agree bit-for-bit with the Spark
+    integer-ln column on a sweep of magnitudes — drift here would
+    silently desync the q151 oracle's inlined ln_fp6(m)."""
+    from solar_data_tools_spark.operators.sampling import with_ln_fp6
+    from solar_data_tools_spark.operators.sketches import _ln_fp6_int
+
+    xs = [1, 2, 3, 7, 64, 100, 1023, 1024, 1025, 12345,
+          10**6, 2**31 - 1, 2**40 + 17, 2**62]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r["x"]: r["lnx"]
+        for r in with_ln_fp6(df, "x", "lnx").collect()
+    }
+    for x in xs:
+        assert got[x] == _ln_fp6_int(x), (x, got[x], _ln_fp6_int(x))
+
+
+def test_hll_estimate_linear_counting_option(spark):
+    """linear_counting=True: small cardinalities route through the
+    integer-ln correction (est within the linear-counting error, far
+    better than raw in this regime); n_zero=0 falls back to raw."""
+    import math as _m
+
+    row = sk.hll_estimate(
+        sk.hll_build(_tokens(spark, 500), p=10), p=10,
+        linear_counting=True,
+    ).collect()[0]
+    assert row["n_zero"] > 0
+    expect = 1024 * _m.log(1024 / row["n_zero"])
+    # integer fixed-point ln agrees with libm to ~1e-5 relative
+    assert abs(row["est"] - expect) < 0.05
+    assert abs(row["est"] - 500) / 500 < 4 * 1.04 / _m.sqrt(1024)

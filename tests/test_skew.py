@@ -219,3 +219,65 @@ def test_salted_agg_rejects_reserved_input_columns(spark):
     df2 = _skewed_df(spark, 100).withColumn("_p_x", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         salted_agg(df2, "k", long_sums={"s": "iv"})
+
+
+def test_capped_join_bounds_both_sides_hot_key(spark):
+    """Planted co-skewed pair: key 'hot' has 4000 rows on EACH side
+    (16,000,000 true pairs — the quadratic class q177 diagnoses); a
+    normal key has 5 x 3. capped_join emits exactly cap_l*cap_r pairs
+    for the hot key, the untouched cross product for the normal key,
+    and the report ledger accounts for every dropped row."""
+    from solar_data_tools_spark.operators.skew import capped_join
+
+    def side(n_hot, n_norm, col):
+        hot = spark.range(n_hot).select(
+            F.lit("hot").alias("k"), F.col("id").alias(col)
+        )
+        norm = spark.range(n_norm).select(
+            F.lit("norm").alias("k"), (F.col("id") + 10_000).alias(col)
+        )
+        return hot.unionAll(norm).repartition(8)
+
+    joined, report = capped_join(
+        side(4000, 5, "l_id"),
+        side(4000, 3, "r_id"),
+        "k",
+        cap_left=20,
+        cap_right=10,
+        order_left=["l_id"],
+        order_right=["r_id"],
+    )
+    pairs = {r["k"]: r["cnt"] for r in
+             joined.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert pairs == {"hot": 200, "norm": 15}
+    rep = {r["k"]: r for r in report.collect()}
+    assert rep["hot"]["dropped_l"] == 3980 and rep["hot"]["dropped_r"] == 3990
+    assert rep["hot"]["emitted_pairs"] == 200.0
+    assert rep["hot"]["true_pairs"] == 16_000_000.0
+    assert rep["norm"]["dropped_l"] == 0 and rep["norm"]["dropped_r"] == 0
+    assert rep["norm"]["emitted_pairs"] == 15.0 == rep["norm"]["true_pairs"]
+    # the kept rows are the DETERMINISTIC top-k by the order column:
+    # two-phase truncation == one global window
+    kept = sorted(
+        r["l_id"] for r in joined.where(F.col("k") == "hot")
+        .select("l_id").distinct().collect()
+    )
+    assert kept == list(range(20))
+
+
+def test_capped_join_report_covers_one_sided_keys(spark):
+    """Keys absent from one side appear in the report with zero
+    emitted/true pairs (inner join emits nothing) — the no-overlap
+    signal, same contract as join_skew_report."""
+    from solar_data_tools_spark.operators.skew import capped_join
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k string, l_id long")
+    right = spark.createDataFrame([("a", 9)], "k string, r_id long")
+    joined, report = capped_join(
+        left, right, "k", cap_left=5, cap_right=5,
+        order_left=["l_id"], order_right=["r_id"],
+    )
+    assert joined.count() == 1
+    rep = {r["k"]: r for r in report.collect()}
+    assert rep["b"]["cnt_r"] == 0 and rep["b"]["true_pairs"] == 0.0
+    assert rep["b"]["emitted_pairs"] == 0.0
