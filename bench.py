@@ -35,6 +35,11 @@ HEADLINE = [
     "q45_ngram_jaccard",
     "q46_knn_bruteforce",
     "q47_minhash_near_dups",
+    # LLM-extension tier (round 10, r9 verdict item 7): a pure-codegen
+    # string pipeline and an iterative all-LONG shuffle loop, so the
+    # extension half of the engine has a round-over-round perf trace
+    "q123_url_canonicalize",
+    "q148_pagerank",
     # solver layer
     "q50_seasonal_fit",
 ]

@@ -428,26 +428,31 @@ def rrf_fuse(
     summed over the systems that returned ``d``.
 
     Inputs are (query_id, id, rank) tables (e.g. ``bm25_topk`` and
-    ``brute_force_topk`` outputs). Plan: one union + one
-    (query, doc)-keyed agg + a per-query window — candidate lists are
+    ``brute_force_topk`` outputs). Plan: one (query, doc)-keyed
+    full-outer join + a per-query window — candidate lists are
     k-bounded per query, so every stage is tiny regardless of corpus
-    size. With exactly two systems the fused score is a sum of at most
-    TWO doubles — commutative-exact in IEEE, hence engine- and
-    partitioning-stable without a fixed-point step.
+    size. The fused score is ONE binary IEEE addition of the two
+    systems' terms BY CONSTRUCTION (join, not union+sum — r9 verdict
+    item 4): commutative-exact, hence engine- and partitioning-stable
+    without a fixed-point step, and structurally immune to a caller
+    passing lists with duplicate (query, doc) rows (those would have
+    silently grown a >2-term order-dependent float sum under the old
+    union+sum shape; here they surface as duplicated join rows the
+    oracle would catch).
 
     Output: (query_id, id, rrf_score, rank).
     """
     from pyspark.sql import Window
 
-    a = ranked_a.select(query_id_col, id_col, "rank")
-    b = ranked_b.select(query_id_col, id_col, "rank")
-    pooled = a.unionByName(b).select(
+    term = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))
+    a = ranked_a.select(query_id_col, id_col, term.alias("_ca"))
+    b = ranked_b.select(query_id_col, id_col, term.alias("_cb"))
+    fused = a.join(b, [query_id_col, id_col], "full_outer").select(
         query_id_col,
         id_col,
-        (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("_c"),
-    )
-    fused = pooled.groupBy(query_id_col, id_col).agg(
-        F.sum("_c").alias("rrf_score")
+        (
+            F.coalesce("_ca", F.lit(0.0)) + F.coalesce("_cb", F.lit(0.0))
+        ).alias("rrf_score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("rrf_score"), F.asc(id_col)

@@ -205,11 +205,21 @@ def segment_pooled_diffs(
     seq_col: str = "seq",
     value_col: str = "value",
     eps: float = 1e-12,
+    exact_digits: int | None = None,
 ) -> DataFrame:
     """W5 — pool adjacent nonzero first-differences into segments and report
     the summed diff mass per segment (utilities.py:124-140 ``segment_diffs``/
     ``make_pooled_dsig``). Same run-id trick as :func:`find_runs` applied to
-    the zero/nonzero flag of the diff signal."""
+    the zero/nonzero flag of the diff signal.
+
+    ``pooled_diff`` is a float sum, so certification needs order-free
+    terms. ``exact_digits`` sums in integer ticks (the ``tick_sum``
+    contract — certified callers MUST pass it, enforced by the lint);
+    without it, the helper self-enforces the only other exact case by
+    RAISING at execution on any non-integer-valued diff (r9 verdict
+    item 4 — previously this precondition lived only in the lint
+    allowlist's justification string, so a new caller with fractional
+    values silently inherited an order-dependent sum)."""
     w = _w(site_col, ts_col, seq_col)
     d = F.col(value_col) - F.lag(value_col).over(w)
     with_d = df.withColumn("_d", d).where(F.col("_d").isNotNull())
@@ -221,13 +231,38 @@ def segment_pooled_diffs(
     seg = with_flag.withColumn("_chg", changed).withColumn(
         "seg_id", F.sum("_chg").over(w2.rowsBetween(Window.unboundedPreceding, 0))
     )
+    if exact_digits is not None:
+        from solar_data_tools_spark.operators.canonical import tick_sum
+
+        pooled = tick_sum("_d", int(exact_digits))
+    else:
+        # integer-valued doubles < 2^53 sum exactly in any order; a
+        # fractional diff would make the sum layout-dependent — fail
+        # loudly instead (pass exact_digits for fractional data)
+        checked = F.when(
+            F.col("_d") != F.floor(F.col("_d")).cast("double"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "segment_pooled_diffs: non-integer-valued diff "
+                    ),
+                    F.col("_d").cast("string"),
+                    F.lit(
+                        " — float sums of fractional terms are order-"
+                        "dependent; pass exact_digits=<d> for the "
+                        "tick-exact path"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("_d"))
+        pooled = F.sum(checked)
     return (
         seg.where(F.col("_nz") == 1)
         .groupBy(site_col, "seg_id")
         .agg(
             F.min(ts_col).alias("seg_start"),
             F.max(ts_col).alias("seg_end"),
-            F.sum("_d").alias("pooled_diff"),
+            pooled.alias("pooled_diff"),
             F.count("*").alias("seg_length"),
         )
     )

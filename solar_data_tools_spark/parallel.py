@@ -74,6 +74,20 @@ def partition_for_grouped_map(
 # call per group — O(columns) on the numeric frames the solver tier
 # feeds (deep string scans only arise on curation-tier frames, which
 # do not route through these wrappers).
+#
+# Scope (honest, per the r9 ADVICE): the check runs AFTER the
+# partition's Arrow batches are concatenated, so it bounds the
+# KERNEL/SOLVER allocation the group triggers (matrices, solver state,
+# per-group numpy stacks — the multi-x amplification that actually
+# OOMs workers), NOT the raw pandas residency of the partition itself.
+# A corrupt ingest so large that merely HOLDING the rows in the Python
+# worker fails would still OOM before the guard fires; the structural
+# mitigation for that layer is the cores*4 hash spread of
+# ``repartition(n, *keys)`` (one partition holds ~1/n of the keys) plus
+# executor memory sized for ``spark.sql.execution.arrow.
+# maxRecordsPerBatch``-scale buffering. A pre-concat check cannot be
+# made per-GROUP without per-key streaming (a batch legitimately mixes
+# many small groups, and one group legitimately spans many batches).
 DEFAULT_GROUP_BUDGET_BYTES = 512 * 1024 * 1024
 
 

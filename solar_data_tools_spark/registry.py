@@ -1605,7 +1605,7 @@ def q57_segment_pooled_diffs(spark, sf_dir):
         F.unix_date(F.col("date")).cast("long").alias("seq"),
         F.col("level").alias("value"),
     )
-    out = wd.segment_pooled_diffs(sig)
+    out = wd.segment_pooled_diffs(sig, exact_digits=2)
     return out.select(
         "site",
         "seg_id",
@@ -1640,7 +1640,10 @@ runs AS (
     SELECT *, lag(nz) OVER (PARTITION BY site ORDER BY ts, seq) AS prev_nz
     FROM flagged)
 )
-SELECT site, seg_id, floor((sum(dv)) * 1e4 + 0.5) / 1e4 AS pooled_diff, count(*) AS seg_length
+SELECT site, seg_id,
+       floor((sum(CAST(floor((dv) * 1e2 + 0.5) AS BIGINT)) / 1e2) * 1e4 + 0.5)
+         / 1e4 AS pooled_diff,
+       count(*) AS seg_length
 FROM runs WHERE nz = 1
 GROUP BY site, seg_id
 """

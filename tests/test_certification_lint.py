@@ -162,10 +162,9 @@ _AUDITED_ORDER_FREE_HELPERS = {
         "sums integer token counts",
     ("windows", "find_runs"):
         "running sums of integer change flags",
-    ("text", "rrf_fuse"):
-        "fuses exactly two rankers: per-(query,doc) sums have <= 2 "
-        "float terms; binary IEEE addition is commutative-exact "
-        "(see its docstring)",
+    # ("text", "rrf_fuse") retired r10: rewritten as a full-outer join
+    # with ONE structural binary addition — no F.sum in its source, so
+    # the lint no longer needs an exemption for it.
     ("text", "novelty_scores"):
         "sums integer (df >= 2) indicator casts",
     ("sampling", "token_budget_cut"):
@@ -176,9 +175,11 @@ _AUDITED_ORDER_FREE_HELPERS = {
         "certified path (fixed_point=True, q148) delegates to "
         "_pagerank_fp whose trajectory is all-LONG; the float sums "
         "are the non-certified variant's",
-    ("windows", "segment_pooled_diffs"):
-        "q57 feeds it 100-multiples (integer-valued doubles < 2^53; "
-        "diffs and sums exact in any order)",
+    # ("windows", "segment_pooled_diffs") retired r10: the helper now
+    # exposes exact_digits (certified callers must pass it — lint
+    # branch 1) and its no-digits path RAISES at execution on any
+    # non-integer-valued diff, so the old allowlist justification is
+    # enforced in code (tests/test_components.py pins both).
     ("canonical", "guarded_wide_sum"):
         "sums LONG tick terms in DECIMAL(38,0) — exact integer "
         "arithmetic, order-free by construction (q179)",
@@ -358,3 +359,116 @@ def test_gumbel_fp6_matches_pure_python_reference(spark):
     }
     for h in hs:
         assert got[h] == gref(h), (h, got[h], gref(h))
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (r9 verdict item 5): the transcendental-margin audit is now
+# STRUCTURAL. Any certified query whose plan reaches a libm-backed
+# transcendental (directly or through package helpers, walked to depth
+# 3) must carry a margin probe in tests/test_tick_margins.py —
+# registered there in MARGIN_AUDITED — so the audit cannot be forgotten
+# when the next solar-geometry / classifier / sampling query lands.
+# F.sqrt (and F.hypot's sqrt core) are NOT flagged: IEEE 754 requires
+# correctly-rounded sqrt, so it is engine-exact like +-*/ — the risk
+# class is libm's last-ulp freedom in sin/cos/tan/exp/log/pow/....
+# ---------------------------------------------------------------------------
+
+_TRANSCENDENTAL = re.compile(
+    r"F\.(sin|cos|tan|asin|acos|atan|atan2|exp|expm1|log|log1p|log2|"
+    r"log10|pow|power|sinh|cosh|tanh|cbrt|hypot)\("
+)
+
+# certified queries whose transcendental use provably never reaches a
+# hashed value — each entry carries the audited justification
+_TRANS_EXEMPT: dict[str, str] = {}
+
+
+def _package_callees(fn):
+    """Package functions called from ``fn``: module-alias attributes
+    (``sol.calc_lon``), names imported inside the body, AND
+    module-global names (lambdas wrapping a registry query, helpers
+    calling siblings)."""
+    import ast
+    import importlib
+    import sys as _sys
+    import textwrap
+
+    out = []
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return out
+    imported = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module.startswith("solar_data_tools_spark")
+        ):
+            mod = importlib.import_module(node.module)
+            for a in node.names:
+                imported[a.asname or a.name] = getattr(mod, a.name, None)
+    own_mod = _sys.modules.get(fn.__module__)
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        target = None
+        if isinstance(f, ast.Name):
+            target = imported.get(f.id) or getattr(own_mod, f.id, None)
+        elif isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+            modobj = getattr(registry, f.value.id, None) or getattr(
+                own_mod, f.value.id, None
+            )
+            if inspect.ismodule(modobj) and modobj.__name__.startswith(
+                "solar_data_tools_spark"
+            ):
+                target = getattr(modobj, f.attr, None)
+        if inspect.isfunction(target) and target.__module__.startswith(
+            "solar_data_tools_spark"
+        ):
+            out.append(target)
+    return out
+
+
+def _transcendental_certified_queries():
+    flagged = {}
+    for name, spec in _certified().items():
+        seen, frontier, srcs = set(), [spec.fn], []
+        for _depth in range(3):
+            nxt = []
+            for f in frontier:
+                if f in seen:
+                    continue
+                seen.add(f)
+                try:
+                    srcs.append(inspect.getsource(f))
+                except (OSError, TypeError):
+                    pass
+                nxt.extend(_package_callees(f))
+            frontier = nxt
+        hits = set()
+        for s in srcs:
+            hits.update(_TRANSCENDENTAL.findall(s))
+        if hits:
+            flagged[name] = sorted(hits)
+    return flagged
+
+
+def test_transcendental_queries_have_margin_audits():
+    from tests.test_tick_margins import MARGIN_AUDITED
+
+    flagged = _transcendental_certified_queries()
+    unaudited = {
+        n: fs
+        for n, fs in flagged.items()
+        if n not in MARGIN_AUDITED and n not in _TRANS_EXEMPT
+    }
+    assert not unaudited, (
+        "certified queries hash transcendental-derived values without a "
+        f"margin probe in tests/test_tick_margins.py: {unaudited} — add "
+        "a probe + MARGIN_AUDITED entry (or a justified _TRANS_EXEMPT)"
+    )
+    stale = (set(MARGIN_AUDITED) | set(_TRANS_EXEMPT)) - set(flagged)
+    assert not stale, (
+        f"stale margin-audit entries (no transcendental found): {stale}"
+    )

@@ -75,3 +75,33 @@ def test_wrap_capture_errors_default_budget_is_generous(spark):
         _fleet_df(spark), ["site"], fn, schema
     ).collect()
     assert all(r["error"] == "No error" for r in rows)
+
+
+def test_semdedup_pair_engine_budget(spark):
+    """r9 verdict item 8: the blocked-BLAS pandas pair engine carries
+    the same per-group budget contract — a planted over-budget cell
+    raises a loud MemoryError naming the knob instead of OOMing the
+    worker; with the budget off (default) the same input completes."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 16)], "cluster int, cvec array<double>"
+    )
+    ok = semdedup(
+        vecs, cents, tau=0.99, pair_engine="pandas"
+    ).count()
+    assert ok == 200
+    with pytest.raises(Exception, match="group budget"):
+        semdedup(
+            vecs, cents, tau=0.99, pair_engine="pandas",
+            group_budget_bytes=1_000,
+        ).count()
