@@ -281,3 +281,25 @@ def test_capped_join_report_covers_one_sided_keys(spark):
     rep = {r["k"]: r for r in report.collect()}
     assert rep["b"]["cnt_r"] == 0 and rep["b"]["true_pairs"] == 0.0
     assert rep["b"]["emitted_pairs"] == 0.0
+
+
+def test_capped_join_truncation_plan_two_phase(spark):
+    """Plan audit: the per-key truncation must be the two-phase top-k —
+    a Window partitioned on (key, salt) feeding a Window on (key) —
+    never a single global-sort or a one-shot hot-key window."""
+    from solar_data_tools_spark.operators.skew import capped_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, l_id long")
+    right = spark.createDataFrame([("a", 2)], "k string, r_id long")
+    joined, _ = capped_join(
+        left, right, "k", cap_left=5, cap_right=5,
+        order_left=["l_id"], order_right=["r_id"],
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # phase A spreads each key over _cap_salt buckets...
+    assert "_cap_salt" in plan, plan
+    # ...and there is no global Sort outside window-local sorts: every
+    # Sort node in the plan is the non-global per-partition kind
+    for ln in plan.splitlines():
+        if "+- Sort [" in ln or ln.strip().startswith("Sort ["):
+            assert "false, 0" in ln, f"global sort in capped_join: {ln}"
