@@ -19,6 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _spin_worker(n_iter: int) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n_iter):
+        acc = (acc * 31 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
 HEADLINE = [
     # relational core
     "q01_pricing_summary",
@@ -100,6 +108,28 @@ def main() -> None:
     )
     load_proxy = round(statistics.median(spin_obs) / spin_nominal, 2)
 
+    # parallel stretch (round 10): the single-thread spin cannot see
+    # HOST-level CPU oversubscription that throttles 32-thread stages
+    # while one spin thread still runs near-nominal (observed r10:
+    # load_proxy 1.08 with every untouched query uniformly +25-30%).
+    # Run 16 concurrent spin PROCESSES (fork — real parallelism, no
+    # GIL): on a fairly-scheduled 32-vCPU box the wall time of 16
+    # parallel spins ~= one spin (+pool overhead, idle ratio ~1.1-1.5);
+    # under host contention it stretches toward the oversubscription
+    # factor. parallel_stretch = mt_wall / single-spin median is
+    # self-calibrating — no idle-box constant needed.
+    import multiprocessing as _mp
+
+    def _mt_sample(procs: int = 16) -> float:
+        ctx = _mp.get_context("fork")
+        with ctx.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_spin_worker, [2_000_000] * procs)
+            return time.perf_counter() - t0
+
+    mt_wall = min(_mt_sample() for _ in range(2))
+    parallel_stretch = round(mt_wall / statistics.median(spin_obs), 2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
@@ -123,6 +153,8 @@ def main() -> None:
                 "stat": "median",
                 "load_proxy": load_proxy,
                 "spin_sec": round(statistics.median(spin_obs), 4),
+                "parallel_stretch": parallel_stretch,
+                "mt_wall_sec": round(mt_wall, 4),
             }
         )
     )
