@@ -112,15 +112,19 @@ def main() -> None:
     # HOST-level CPU oversubscription that throttles 32-thread stages
     # while one spin thread still runs near-nominal (observed r10:
     # load_proxy 1.08 with every untouched query uniformly +25-30%).
-    # Run 16 concurrent spin PROCESSES (fork — real parallelism, no
-    # GIL): on a fairly-scheduled 32-vCPU box the wall time of 16
-    # parallel spins ~= one spin (+pool overhead, idle ratio ~1.1-1.5);
-    # under host contention it stretches toward the oversubscription
-    # factor. parallel_stretch = mt_wall / single-spin median is
-    # self-calibrating — no idle-box constant needed.
+    # Run cpu_count/2 concurrent spin PROCESSES (fork — real
+    # parallelism, no GIL), capped at 16: asking for at most half the
+    # advertised CPUs means a fairly-scheduled idle box completes them
+    # in ~one spin wall (+pool overhead, idle ratio ~1.1-1.5 measured
+    # on this 32-vCPU box) REGARDLESS of core count, so the ratio
+    # stays self-calibrating — no idle-box constant needed; under host
+    # contention it stretches toward the oversubscription factor. The
+    # proc count rides the JSON so readers on other shapes can judge.
     import multiprocessing as _mp
 
-    def _mt_sample(procs: int = 16) -> float:
+    mt_procs = max(2, min(16, (os.cpu_count() or 2) // 2))
+
+    def _mt_sample(procs: int = mt_procs) -> float:
         ctx = _mp.get_context("fork")
         with ctx.Pool(procs) as pool:
             t0 = time.perf_counter()
@@ -155,6 +159,7 @@ def main() -> None:
                 "spin_sec": round(statistics.median(spin_obs), 4),
                 "parallel_stretch": parallel_stretch,
                 "mt_wall_sec": round(mt_wall, 4),
+                "mt_procs": mt_procs,
             }
         )
     )

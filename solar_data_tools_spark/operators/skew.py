@@ -188,6 +188,13 @@ def salted_agg(
             "(including the count alias) must be distinct, or the "
             "phase-1 partial aliases collide."
         )
+    key_clash = sorted(set(outs) & set(ks))
+    if key_clash:
+        raise ValueError(
+            "salted_agg: output names collide with key columns: "
+            f"{key_clash} — the result frame would carry duplicate "
+            "column names (ambiguous at first downstream reference)."
+        )
     reserved = sorted(
         c
         for c in df.columns
@@ -401,6 +408,24 @@ def capped_join(
     key needs a semantic fix (pre-aggregation, blocking, drop).
     """
     ks = _as_list(keys)
+    reserved = sorted(
+        {"_cap_salt", "_cap_rn"}
+        & (set(left.columns) | set(right.columns))
+    )
+    if reserved:
+        raise ValueError(
+            "capped_join: input columns collide with reserved internal "
+            f"names: {reserved} — rename them before joining."
+        )
+    shared = sorted(
+        (set(left.columns) & set(right.columns)) - set(ks)
+    )
+    if shared:
+        raise ValueError(
+            "capped_join: non-key columns present on BOTH sides: "
+            f"{shared} — the joined frame would carry ambiguous "
+            "duplicate names; alias one side first."
+        )
     tl = _truncate_per_key(
         left, ks, int(cap_left), list(order_left), salt_buckets
     )

@@ -255,7 +255,27 @@ def segment_pooled_diffs(
                 )
             ),
         ).otherwise(F.col("_d"))
-        pooled = F.sum(checked)
+        # ...and the MAGNITUDE half of the precondition (r10 review):
+        # integer-valued terms only sum exactly while every partial
+        # stays under 2^53; max|d| * count bounds every partial
+        # layout-independently (the guarded_long_sum pattern).
+        bound = F.max(F.abs(F.col("_d"))) * F.count("_d")
+        pooled = F.when(
+            bound >= F.lit(9.0e15),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "segment_pooled_diffs: max|diff| * count = "
+                    ),
+                    bound.cast("string"),
+                    F.lit(
+                        " >= 9.0e15 — integer-valued doubles past "
+                        "2^53 no longer sum exactly; pass "
+                        "exact_digits=<d> (tick-exact LONG path)"
+                    ),
+                )
+            ),
+        ).otherwise(F.sum(checked))
     return (
         seg.where(F.col("_nz") == 1)
         .groupBy(site_col, "seg_id")

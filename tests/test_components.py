@@ -2250,3 +2250,26 @@ def test_segment_pooled_diffs_integer_values_still_pass(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = segment_pooled_diffs(df).collect()
     assert [(r["pooled_diff"], r["seg_length"]) for r in got] == [(200.0, 1)]
+
+
+def test_segment_pooled_diffs_magnitude_guard(spark):
+    """The no-digits path also enforces the <2^53 magnitude half of
+    its integer-exactness precondition (r10 review): huge
+    integer-valued diffs raise loudly instead of summing with
+    layout-dependent rounding."""
+    import pytest
+
+    from solar_data_tools_spark.operators.windows import (
+        segment_pooled_diffs,
+    )
+
+    big = float(2**53)
+    rows = [
+        (1, f"2024-01-0{i+1} 00:00:00", i, v)
+        for i, v in enumerate([0.0, big, big + 2.0, big + 4.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "site int, ts string, seq long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="max.diff. \\* count"):
+        segment_pooled_diffs(df).collect()

@@ -303,3 +303,27 @@ def test_capped_join_truncation_plan_two_phase(spark):
     for ln in plan.splitlines():
         if "+- Sort [" in ln or ln.strip().startswith("Sort ["):
             assert "false, 0" in ln, f"global sort in capped_join: {ln}"
+
+
+def test_salted_agg_rejects_output_colliding_with_key(spark):
+    df = _skewed_df(spark, 100)
+    with pytest.raises(ValueError, match="collide with key columns"):
+        salted_agg(df, "k", long_sums={"k": "iv"}, count_alias="n")
+    with pytest.raises(ValueError, match="collide with key columns"):
+        salted_agg(df, "k", long_sums={"s": "iv"}, count_alias="k")
+
+
+def test_capped_join_rejects_reserved_and_shared_columns(spark):
+    from solar_data_tools_spark.operators.skew import capped_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, l_id long")
+    right = spark.createDataFrame([("a", 2)], "k string, r_id long")
+    bad = left.withColumn("_cap_rn", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        capped_join(bad, right, "k", cap_left=5, cap_right=5,
+                    order_left=["l_id"], order_right=["r_id"])
+    shared_l = left.withColumn("v", F.lit(1))
+    shared_r = right.withColumn("v", F.lit(2))
+    with pytest.raises(ValueError, match="BOTH sides"):
+        capped_join(shared_l, shared_r, "k", cap_left=5, cap_right=5,
+                    order_left=["l_id"], order_right=["r_id"])
