@@ -226,6 +226,28 @@ def _linear_count_threshold(p: int) -> int:
     return math.ceil(alpha_num / (2.5 * m))
 
 
+def hll_merge(
+    *register_tables: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge ``hll_build`` register tables (same p/seed by contract):
+    registers combine by per-bucket MAX, so the union of any number of
+    sketches — built on different days, sources, or clusters — is one
+    groupBy away, and ``hll_estimate`` over the merged table estimates
+    the cardinality of the UNION of the underlying sets exactly as if
+    built in one pass (bit-identical: max is associative-commutative-
+    idempotent, the defining property that makes HLL a mergeable
+    sketch). This is the incremental-corpus path at 100 TB: per-dump
+    register tables are a few KB each, persist cheaply, and a fleet-
+    wide distinct count never rescans history."""
+    g = list(group_cols or [])
+    it = iter(register_tables)
+    u = next(it)
+    for t in it:
+        u = u.unionByName(t)
+    return u.groupBy(*g, "bucket").agg(F.max("rho").alias("rho"))
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str] | None = None,

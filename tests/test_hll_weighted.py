@@ -285,3 +285,28 @@ def test_hll_estimate_linear_counting_option(spark):
     # integer fixed-point ln agrees with libm to ~1e-5 relative
     assert abs(row["est"] - expect) < 0.05
     assert abs(row["est"] - 500) / 500 < 4 * 1.04 / _m.sqrt(1024)
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Mergeability: sketches built on disjoint (and overlapping)
+    slices, merged by hll_merge, must be BIT-IDENTICAL to the sketch
+    built over the union in one pass — the property that lets per-dump
+    register tables replace history rescans."""
+    toks = _tokens(spark, 900)
+    a = spark.range(600).select(
+        F.concat(F.lit("tok-"), F.col("id")).alias("token")
+    )
+    b = spark.range(400, 900).select(  # overlaps a on [400, 600)
+        F.concat(F.lit("tok-"), F.col("id")).alias("token")
+    )
+    merged = sk.hll_merge(
+        sk.hll_build(a, p=10), sk.hll_build(b, p=10)
+    )
+    single = sk.hll_build(toks, p=10)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["bucket"], r["rho"]) for r in df.collect()
+    )
+    assert rows(merged) == rows(single)
+    est_m = sk.hll_estimate(merged, p=10, linear_counting=True).collect()[0]
+    est_s = sk.hll_estimate(single, p=10, linear_counting=True).collect()[0]
+    assert est_m["est"] == est_s["est"]
