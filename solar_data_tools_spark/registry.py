@@ -5330,6 +5330,109 @@ FROM e
 """
 
 
+def q180_hll_merge(spark, sf_dir):
+    """Mergeability of the engine-exact HLL, certified (round 10): the
+    corpus splits into even/odd doc_id halves, each half builds its own
+    register table (`sketches.hll_build`), `hll_merge` unions them by
+    per-bucket MAX, and the estimate runs on the MERGED table — while
+    the oracle replays a SINGLE-PASS build over the full corpus. The
+    hash can only match if merge-of-parts is bit-identical to
+    build-of-whole (max is associative-commutative-idempotent), which
+    is the property that lets per-dump register tables at 100 TB
+    replace history rescans. Output mirrors q151 (same estimator leg,
+    incl. the integer-ln linear-counting branch)."""
+    from solar_data_tools_spark.operators import sketches as sk
+    from solar_data_tools_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    halves = [
+        sk.hll_build(
+            toks.where(F.col("doc_id") % 2 == par),
+            token_col="tok",
+            group_cols=["source"],
+            p=_HLL_P,
+            seed=0,
+        )
+        for par in (0, 1)
+    ]
+    merged = sk.hll_merge(*halves, group_cols=["source"])
+    est = sk.hll_estimate(
+        merged, group_cols=["source"], p=_HLL_P, linear_counting=True
+    )
+    return est.select(
+        "source",
+        F.col("m").cast("long").alias("m"),
+        "n_zero",
+        "s_fp",
+        _pround("raw_est").alias("raw_est"),
+        _pround("est").alias("approx_distinct"),
+    )
+
+
+_LN180_NZ = _ln_fp6_sql_ctes("j", "nz_pos", "ln_nz", prefix="lnz180_")
+
+Q180_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok
+  FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (
+  SELECT source, tok,
+         ('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT AS h60
+  FROM toks
+),
+reg AS (
+  SELECT source, h60 >> {60 - _HLL_P} AS bucket,
+         max(CASE WHEN h60 % {_HLL_TAIL} = 0 THEN {60 - _HLL_P + 1}
+                  ELSE {60 - _HLL_P} - length(bin(h60 % {_HLL_TAIL})) + 1
+             END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*) AS present,
+         CAST(sum(1::BIGINT << ({61 - _HLL_P} - rho)) AS BIGINT)
+           AS s_present
+  FROM reg GROUP BY 1
+),
+j AS (
+  SELECT source,
+         CAST({_HLL_M} AS BIGINT) AS m,
+         CAST({_HLL_M} - present AS BIGINT) AS n_zero,
+         CAST(s_present + ({_HLL_M} - present) * {_HLL_POW} AS BIGINT)
+           AS s_fp,
+         {_HLL_ALPHA_NUM!r}
+           / (s_present + ({_HLL_M} - present) * {_HLL_POW}) AS raw,
+         greatest(CAST({_HLL_M} - present AS BIGINT), 1) AS nz_pos
+  FROM agg
+),
+{_LN180_NZ[0]},
+e AS (
+  SELECT *,
+         CASE WHEN n_zero > 0 AND s_fp >= {_HLL_LC_T}
+              THEN ({_HLL_M} * ({_HLL_LN_M_FP} - ln_nz))::DOUBLE / 1e6
+              ELSE raw END AS est
+  FROM {_LN180_NZ[1]}
+)
+SELECT source, m, n_zero, s_fp,
+       floor(raw * 1e6 + 0.5) / 1e6 AS raw_est,
+       floor(est * 1e6 + 0.5) / 1e6 AS approx_distinct
+FROM e
+"""
+
+
 def q152_weighted_shuffle(spark, sf_dir):
     """Deterministic weighted global permutation (Efraimidis-Spirakis
     u^(1/w) keys): the data-mixing schedule primitive — any prefix of
@@ -8508,6 +8611,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q179_wide_tick_sum": QuerySpec(
         q179_wide_tick_sum, Q179_SQL, "canonical-wide-sum"
     ),
+    "q180_hll_merge": QuerySpec(
+        q180_hll_merge, Q180_SQL, "sketch-hll-merge"
+    ),
     "q173_screened_weighted_mix": QuerySpec(
         q173_screened_weighted_mix, Q173_SQL, "composed-fp-mix"
     ),
@@ -8729,12 +8835,15 @@ _QUERY_ORDER: list[str] = [
     #    queries, last externally checked in CORRECTNESS_r05 — q77,
     #    q26/q27, q91, the q104-q130 span, q89, q72/q73, q40/q44) and
     #    the head of the round-6 class (q76/q45/q93/q124/q116/q121/
-    #    q125/q48) — 45 of the stale-55 set in this window
+    #    q125) — with q151 (itself r6-stale) in the head, 45 of the
+    #    stale-55 set sit in this window (q180 landed late and
+    #    displaced q48, rows-only, to the tail)
     # Tail: the rest of the r6 class first (still stale), then r7
     # (q35-q39), then the r8 and r9 classes (checked most recently).
     # The full registry is swept locally every session by
     # tests/test_oracle_parity.py AND tools/driver_sim.py --all.
     "q179_wide_tick_sum",
+    "q180_hll_merge",
     "q178_capped_join",
     "q151_hll_distinct_tokens",
     "q176_snapshot_diff",
