@@ -240,6 +240,10 @@ def hll_merge(
     sketch). This is the incremental-corpus path at 100 TB: per-dump
     register tables are a few KB each, persist cheaply, and a fleet-
     wide distinct count never rescans history."""
+    if not register_tables:
+        raise ValueError(
+            "hll_merge needs at least one register table"
+        )
     g = list(group_cols or [])
     it = iter(register_tables)
     u = next(it)

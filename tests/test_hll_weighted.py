@@ -293,9 +293,7 @@ def test_hll_merge_equals_single_pass(spark):
     built over the union in one pass — the property that lets per-dump
     register tables replace history rescans."""
     toks = _tokens(spark, 900)
-    a = spark.range(600).select(
-        F.concat(F.lit("tok-"), F.col("id")).alias("token")
-    )
+    a = _tokens(spark, 600)
     b = spark.range(400, 900).select(  # overlaps a on [400, 600)
         F.concat(F.lit("tok-"), F.col("id")).alias("token")
     )
