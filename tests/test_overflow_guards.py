@@ -173,3 +173,65 @@ def test_q179_terms_keep_long_margin():
             f"read_parquet('/root/testdata/{sf}/events.parquet')"
         ).fetchone()[0]
         assert mx * 1e6 * 1e10 < 9.2e18, (sf, mx)
+
+
+def test_tick_avg_wide_matches_duckdb_below_2pow53(spark):
+    """tick_sum/tick_avg(wide=True) display values (decimal -> double
+    division) vs a DuckDB HUGEINT replay in the sub-2^53 region where
+    the int->double conversion is exact on BOTH engines — pins the
+    drop-in path's cross-engine value, complementing q179's
+    STRING-hash certification of the past-2^53 region."""
+    import duckdb
+
+    from solar_data_tools_spark.operators.canonical import tick_avg
+
+    sdf = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            tick_sum("value", 6, wide=True).alias("s"),
+            tick_avg("value", 6, wide=True).alias("a"),
+        )
+    )
+    got = {r["event_type"]: (r["s"], r["a"]) for r in sdf.collect()}
+    ora = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)"
+        "   / 1e6 AS s,"
+        " CAST(sum(CAST(floor((value) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)"
+        "   / count(value) / 1e6 AS a"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " GROUP BY event_type"
+    ).fetchall()
+    for et, s, a in ora:
+        assert got[et] == (s, a), (et, got[et], (s, a))
+
+
+def test_salted_agg_wide_matches_duckdb_hugeint(spark):
+    """salted_agg(wide=True) long-sum outputs (DECIMAL(38,0)) vs a
+    plain DuckDB GROUP BY summing in HUGEINT, compared as exact
+    integer strings — the q175-style certification extended to the
+    wide path on a planted past-2^63 frame."""
+    import duckdb
+
+    from solar_data_tools_spark.operators.skew import salted_agg
+
+    rows = [(f"k{i % 3}", 3_000_000_000_000_000_000 + i) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, big long").repartition(4)
+    got = {
+        r["k"]: (str(r["s"]), r["n"])
+        for r in salted_agg(
+            df, "k", long_sums={"s": "big"}, salt_buckets=4, wide=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, big BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ora = con.sql(
+        "SELECT k, CAST(sum(CAST(big AS HUGEINT)) AS VARCHAR) AS s,"
+        " count(*) AS n FROM t GROUP BY k"
+    ).fetchall()
+    assert len(ora) == 3
+    for k, s, n in ora:
+        assert got[k] == (s, n), (k, got[k], (s, n))
+        assert int(s) > 2**63  # genuinely past LONG
