@@ -93,11 +93,10 @@ def main() -> None:
     # load_proxy = median observed / nominal — 1.0 means idle, 2.0
     # means the box ran this bench at half speed.
     def _spin_sample(n_iter: int = 2_000_000) -> float:
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(n_iter):
-            acc = (acc * 31 + i) & 0xFFFFFFFF
-        return time.perf_counter() - t0
+        # same loop as the parallel probe's worker BY CONSTRUCTION —
+        # load_proxy and parallel_stretch divide these against each
+        # other, so they must measure identical work
+        return _spin_worker(n_iter)
 
     spin_obs = [_spin_sample() for _ in range(3)]
     # nominal = idle-box single-thread time for this loop, calibrated
@@ -125,7 +124,12 @@ def main() -> None:
     mt_procs = max(2, min(16, (os.cpu_count() or 2) // 2))
 
     def _mt_sample(procs: int = mt_procs) -> float:
-        ctx = _mp.get_context("fork")
+        # spawn, not fork: forking a live PySpark driver (JVM + py4j
+        # threads that may hold locks at fork time) can intermittently
+        # deadlock the child; _spin_worker is module-level, so spawn
+        # pickles it cleanly, and Pool creation sits outside the timed
+        # region so the slower spawn startup never biases mt_wall
+        ctx = _mp.get_context("spawn")
         with ctx.Pool(procs) as pool:
             t0 = time.perf_counter()
             pool.map(_spin_worker, [2_000_000] * procs)

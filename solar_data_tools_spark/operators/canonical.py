@@ -233,11 +233,11 @@ def tick_sum(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
     may differ in the last ulp, so hash-certified queries at that
     magnitude should hash :func:`tick_sum_wide_ticks` cast to STRING
     instead of this display value (q179 is the model)."""
-    t = ticks(col, digits)
     if wide:
-        return guarded_wide_sum(
-            t, what=f"tick_sum(digits={digits}, wide=True)"
-        ).cast("double") / F.lit(float(10**digits))
+        return tick_sum_wide_ticks(col, digits).cast("double") / F.lit(
+            float(10**digits)
+        )
+    t = ticks(col, digits)
     return _guarded_tick_sum(t, digits) / F.lit(float(10**digits))
 
 

@@ -1326,6 +1326,14 @@ def snapshot_diff(
     {'added','removed','modified','unchanged'}."""
     from solar_data_tools_spark.operators.dedup import normalize_text
 
+    clash = sorted({"present", "md5"} & set(carry_cols))
+    if clash:
+        raise ValueError(
+            "snapshot_diff: carry_cols collide with internal per-side "
+            f"names: {clash} — the _o_/_n_ prefixed aliases would be "
+            "ambiguous; rename the column first."
+        )
+
     def _side(df: DataFrame, tag: str) -> DataFrame:
         # Explicit presence flag per side: a doc present with NULL text
         # must still count as present (md5 of NULL is NULL, so hash

@@ -211,6 +211,18 @@ def _ln_fp6_int(x: int) -> int:
     return tdiv((k * LN2 + l) * 1000000, S)
 
 
+def _hll_alpha_num(p: int) -> float:
+    """The estimator's numerator ``alpha_m * m^2 * 2^R`` — ONE
+    definition (same literals, same left-associated evaluation order)
+    shared by :func:`hll_estimate`, :func:`_linear_count_threshold`,
+    and the registry's SQL-mirror constant, so the three can never
+    drift apart bitwise (the s_fp threshold only corresponds to
+    ``raw <= 2.5 m`` while they agree exactly)."""
+    m = 1 << int(p)
+    big_r = 61 - int(p)
+    return 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << big_r)
+
+
 def _linear_count_threshold(p: int) -> int:
     """Integer s_fp threshold equivalent to HLL's ``raw_est <= 2.5 m``
     small-range switch: ``raw = alpha_num / s_fp <= 2.5 m  <=>  s_fp >=
@@ -218,12 +230,10 @@ def _linear_count_threshold(p: int) -> int:
     literal on both engines, so the branch decision is a deterministic
     integer comparison — never a float compare that could flip on an
     engine ulp."""
-    m = 1 << int(p)
-    big_r = 61 - int(p)
-    alpha_num = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << big_r)
     import math
 
-    return math.ceil(alpha_num / (2.5 * m))
+    m = 1 << int(p)
+    return math.ceil(_hll_alpha_num(p) / (2.5 * m))
 
 
 def hll_merge(
@@ -292,7 +302,6 @@ def hll_estimate(
     _check_hll_p(p)
     m = 1 << int(p)
     big_r = 61 - int(p)
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     term = F.call_function(
         "shiftleft", F.lit(1).cast("long"), (F.lit(big_r) - F.col("rho"))
     )
@@ -307,9 +316,7 @@ def hll_estimate(
         * F.lit(1 << big_r).cast("long")
     ).alias("s_fp")
     out = agg.select(*g, F.lit(m).alias("m"), n_zero, s_fp)
-    raw = (
-        F.lit(alpha * m * m * float(1 << big_r)) / F.col("s_fp")
-    ).alias("raw_est")
+    raw = (F.lit(_hll_alpha_num(p)) / F.col("s_fp")).alias("raw_est")
     out = out.select(*g, "m", "n_zero", "s_fp", raw)
     if not linear_counting:
         return out
@@ -322,9 +329,13 @@ def hll_estimate(
         "_nz_pos", F.greatest(F.col("n_zero"), F.lit(1)).cast("long")
     )
     lc = with_ln_fp6(lc, "_nz_pos", "_ln_nz")
-    # m * (ln_fp6(m) - ln_fp6(n_zero)): LONG product < 2^53, one exact
-    # int->double conversion, one IEEE division — engine-portable.
-    # ln_fp6(m) is a constant, inlined via the pure-Python mirror.
+    # m * (ln_fp6(m) - ln_fp6(n_zero)): LONG product, int->double
+    # conversion, one IEEE division. The product stays under 2^53 (so
+    # the conversion is EXACT) through p=28; at p=29/30 it can round —
+    # still engine-portable (int64->double is correctly rounded in both
+    # engines), but the est value is then correctly-rounded rather than
+    # exact. ln_fp6(m) is a constant, inlined via the pure-Python
+    # mirror.
     lin = (
         F.lit(m).cast("long")
         * (F.lit(_ln_fp6_int(m)).cast("long") - F.col("_ln_nz"))

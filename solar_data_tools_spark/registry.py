@@ -5205,9 +5205,11 @@ _HLL_P = 10
 _HLL_M = 1 << _HLL_P
 _HLL_TAIL = 1 << (60 - _HLL_P)  # 2^50
 _HLL_POW = 1 << (61 - _HLL_P)  # 2^51
-_HLL_ALPHA_NUM = (
-    0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(_HLL_POW)
+from solar_data_tools_spark.operators.sketches import (
+    _hll_alpha_num as _hll_alpha_num_fn,
 )
+
+_HLL_ALPHA_NUM = _hll_alpha_num_fn(_HLL_P)  # one shared definition
 
 
 def q151_hll_distinct_tokens(spark, sf_dir):
@@ -5267,12 +5269,12 @@ from solar_data_tools_spark.operators.sketches import (
     _ln_fp6_int as _hll_ln_fp6_int,
 )
 
-_HLL_LC_T = _hll_lc_threshold(_HLL_P)
-_HLL_LN_M_FP = _hll_ln_fp6_int(_HLL_M)  # ln_fp6(m), constant literal
-_LN151_NZ = _ln_fp6_sql_ctes("j", "nz_pos", "ln_nz", prefix="lnz151_")
-
-Q151_SQL = f"""
-WITH toks AS (
+# ONE copy of the DuckDB register-construction chain (tokens -> md5-60
+# h -> per-bucket max-rho registers -> integer harmonic partials),
+# shared by Q151_SQL and Q180_SQL so a fix to the mirror can never land
+# in one oracle and miss the other (q170's shingle-based variant keeps
+# its own chain — different source CTE).
+_HLL_TOK_REG_SQL = f"""WITH toks AS (
   SELECT DISTINCT source, tok
   FROM (
     SELECT source,
@@ -5299,7 +5301,14 @@ agg AS (
          CAST(sum(1::BIGINT << ({61 - _HLL_P} - rho)) AS BIGINT)
            AS s_present
   FROM reg GROUP BY 1
-),
+),"""
+
+_HLL_LC_T = _hll_lc_threshold(_HLL_P)
+_HLL_LN_M_FP = _hll_ln_fp6_int(_HLL_M)  # ln_fp6(m), constant literal
+_LN151_NZ = _ln_fp6_sql_ctes("j", "nz_pos", "ln_nz", prefix="lnz151_")
+
+Q151_SQL = f"""
+{_HLL_TOK_REG_SQL}
 ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM toks
        GROUP BY 1),
 j AS (
@@ -5379,34 +5388,7 @@ def q180_hll_merge(spark, sf_dir):
 _LN180_NZ = _ln_fp6_sql_ctes("j", "nz_pos", "ln_nz", prefix="lnz180_")
 
 Q180_SQL = f"""
-WITH toks AS (
-  SELECT DISTINCT source, tok
-  FROM (
-    SELECT source,
-           unnest(regexp_split_to_array(
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
-             AS tok
-    FROM documents
-  ) WHERE length(tok) > 0
-),
-h AS (
-  SELECT source, tok,
-         ('0x' || substring(md5('0:' || tok), 1, 15))::BIGINT AS h60
-  FROM toks
-),
-reg AS (
-  SELECT source, h60 >> {60 - _HLL_P} AS bucket,
-         max(CASE WHEN h60 % {_HLL_TAIL} = 0 THEN {60 - _HLL_P + 1}
-                  ELSE {60 - _HLL_P} - length(bin(h60 % {_HLL_TAIL})) + 1
-             END) AS rho
-  FROM h GROUP BY 1, 2
-),
-agg AS (
-  SELECT source, count(*) AS present,
-         CAST(sum(1::BIGINT << ({61 - _HLL_P} - rho)) AS BIGINT)
-           AS s_present
-  FROM reg GROUP BY 1
-),
+{_HLL_TOK_REG_SQL}
 j AS (
   SELECT source,
          CAST({_HLL_M} AS BIGINT) AS m,
