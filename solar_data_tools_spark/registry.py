@@ -5436,7 +5436,9 @@ def q152_weighted_shuffle(spark, sf_dir):
 
 Q152_SQL = """
 WITH w AS (
-  SELECT * FROM (VALUES ('src0', 3.0), ('src1', 0.5), ('src7', 2.0))
+  SELECT * FROM (VALUES ('src0', CAST(3.0 AS DOUBLE)),
+                        ('src1', CAST(0.5 AS DOUBLE)),
+                        ('src7', CAST(2.0 AS DOUBLE)))
   t(source, w)
 ),
 keyed AS (
@@ -8182,7 +8184,7 @@ WITH l AS (
   SELECT tl.user_id, l_id, r_id FROM tl JOIN tr ON tl.user_id = tr.user_id
 ), em AS (
   SELECT user_id, count(*) AS n_pairs,
-         sum(l_id) + sum(r_id) AS id_checksum
+         CAST(sum(l_id) + sum(r_id) AS BIGINT) AS id_checksum
   FROM j GROUP BY user_id
 ), lc AS (
   SELECT user_id, count(*) AS cnt_l FROM l GROUP BY user_id
@@ -8805,28 +8807,77 @@ QUERIES: dict[str, QuerySpec] = {
 # session (tests/test_oracle_parity.py, no window). The per-round
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # ---- round-10 window (first 50) ----
-    # 1. new this round: q179 (DECIMAL(38,0) wide tick-sum escalation,
-    #    ORACLE vs DuckDB HUGEINT) + q178 (capped_join both-sides-hot
-    #    mitigation, ORACLE)
-    # 2. changed after the r9 gate ran: q151 (promoted rows-only ->
-    #    ORACLE on the package engine-exact HLL + integer-ln linear
-    #    counting), q176 (presence-flag/null-safe rewrite, ADVICE r9),
-    #    q175 (wide= param + input validation on salted_agg)
-    # 3. the r9 verdict's item 2 verbatim: the ENTIRE round-5 class (37
-    #    queries, last externally checked in CORRECTNESS_r05 — q77,
-    #    q26/q27, q91, the q104-q130 span, q89, q72/q73, q40/q44) and
-    #    the head of the round-6 class (q76/q45/q93/q124/q116/q121/
-    #    q125) — with q151 (itself r6-stale) in the head, 45 of the
-    #    stale-55 set sit in this window (q180 landed late and
-    #    displaced q48, rows-only, to the tail)
-    # Tail: the rest of the r6 class first (still stale), then r7
-    # (q35-q39), then the r8 and r9 classes (checked most recently).
-    # The full registry is swept locally every session by
-    # tests/test_oracle_parity.py AND tools/driver_sim.py --all.
+    # ---- round-11 window (first 50) ----
+    # 1. q178 first: the ONE externally red row in r10 (hash-only;
+    #    root-caused to the oracle's un-cast HUGEINT id_checksum,
+    #    fixed this round with CAST(... AS BIGINT) per the Q175
+    #    pattern) — must re-certify green.
+    # 2. q148 second: its all-LONG PageRank rewrite landed in r8 and
+    #    has NEVER been through the external driver (last checked r6,
+    #    pre-rewrite) — VERDICT r10 item 6.
+    # 3. the entire r6-stale class (29 more queries, last externally
+    #    checked in CORRECTNESS_r06): q48-q50, the q60-q68 solver
+    #    class, q75/q79/q85-q87/q90, q111, q132/q139, and the
+    #    q141-q154 retrieval/sampling span — VERDICT r10 item 3
+    #    verbatim. q152 also changed this round (oracle VALUES cast
+    #    DECIMAL->DOUBLE for the new type lint).
+    # 4. the full r7 class (q35-q39), then the head of the r8 class
+    #    (q157 fleet report + q88 + profiler studies + retrieval).
+    # Tail: the rest of the r8 class, then r9/r10 (checked most
+    # recently). The full registry is additionally swept locally every
+    # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
+    "q178_capped_join",
+    "q148_pagerank",
+    "q48_simhash",
+    "q49_lsh_topk",
+    "q50_seasonal_fit",
+    "q60_time_shift_detection",
+    "q61_capacity_change_labels",
+    "q62_clear_day_detection",
+    "q64_clipping_detection",
+    "q65_time_shift_roundtrip",
+    "q66_dilation",
+    "q67_loss_factors",
+    "q68_mc_degradation",
+    "q75_orientation_fit",
+    "q79_sensor_identification",
+    "q85_quantile_surface",
+    "q86_clear_sky_labels",
+    "q87_quality_scores",
+    "q90_ivf_topk",
+    "q111_ffd_packing",
+    "q132_latitude_study",
+    "q139_dedup_keep_best",
+    "q141_pq_encode",
+    "q142_pq_adc_topk",
+    "q144_url_blocklist",
+    "q145_bpe_tokenize",
+    "q146_ivfpq_topk",
+    "q149_binary_hamming_topk",
+    "q150_temperature_sample",
+    "q152_weighted_shuffle",
+    "q153_binary_rerank",
+    "q154_chunk_dedup",
+    "q35_latitude_estimate",
+    "q36_linearity_mode",
+    "q37_cdf_resample",
+    "q38_train_test_split",
+    "q39_doy_median_profile",
+    "q157_fleet_report",
+    "q88_cdf_resample_approx",
+    "q103_unigram_logprob",
+    "q115_bigram_logprob",
+    "q131_longitude_study",
+    "q133_tilt_azimuth_study",
+    "q134_system_parameters",
+    "q137_ivf_topk_distributed",
+    "q158_cluster_balanced_sample",
+    "q159_semantic_decontamination",
+    "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
     "q179_wide_tick_sum",
     "q180_hll_merge",
-    "q178_capped_join",
     "q151_hll_distinct_tokens",
     "q176_snapshot_diff",
     "q175_salted_agg",
@@ -8874,50 +8925,6 @@ _QUERY_ORDER: list[str] = [
     "q116_semdedup",
     "q121_doc_chunking",
     "q125_domain_cap",
-    "q48_simhash",
-    "q49_lsh_topk",
-    "q50_seasonal_fit",
-    "q60_time_shift_detection",
-    "q61_capacity_change_labels",
-    "q62_clear_day_detection",
-    "q64_clipping_detection",
-    "q65_time_shift_roundtrip",
-    "q66_dilation",
-    "q67_loss_factors",
-    "q68_mc_degradation",
-    "q75_orientation_fit",
-    "q79_sensor_identification",
-    "q85_quantile_surface",
-    "q86_clear_sky_labels",
-    "q87_quality_scores",
-    "q90_ivf_topk",
-    "q111_ffd_packing",
-    "q132_latitude_study",
-    "q139_dedup_keep_best",
-    "q141_pq_encode",
-    "q142_pq_adc_topk",
-    "q144_url_blocklist",
-    "q145_bpe_tokenize",
-    "q146_ivfpq_topk",
-    "q148_pagerank",
-    "q149_binary_hamming_topk",
-    "q150_temperature_sample",
-    "q152_weighted_shuffle",
-    "q153_binary_rerank",
-    "q154_chunk_dedup",
-    "q35_latitude_estimate",
-    "q36_linearity_mode",
-    "q37_cdf_resample",
-    "q38_train_test_split",
-    "q39_doy_median_profile",
-    "q103_unigram_logprob",
-    "q115_bigram_logprob",
-    "q157_fleet_report",
-    "q158_cluster_balanced_sample",
-    "q159_semantic_decontamination",
-    "q160_within_doc_dedup",
-    "q161_epoch_mix",
-    "q162_bm25_topk",
     "q163_cms_heavy_hitters",
     "q164_hybrid_rrf",
     "q165_novelty_scores",
@@ -8929,11 +8936,6 @@ _QUERY_ORDER: list[str] = [
     "q171_weighted_sample",
     "q172_bloom_decontaminate",
     "q173_screened_weighted_mix",
-    "q131_longitude_study",
-    "q133_tilt_azimuth_study",
-    "q134_system_parameters",
-    "q137_ivf_topk_distributed",
-    "q88_cdf_resample_approx",
     "q09_monthly_rollup",
     "q10_daily_energy",
     "q11_daily_stats",
@@ -9001,6 +9003,7 @@ _QUERY_ORDER: list[str] = [
     "q101_repetition_stats",
     "q102_pii_redaction",
 ]
+
 
 assert sorted(_QUERY_ORDER) == sorted(QUERIES), (
     "committed _QUERY_ORDER out of sync with registry: "

@@ -55,10 +55,15 @@ def _canon_cell(v):
 
 
 def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    # Per-COLUMN iteration, never per-row: df.iterrows() upcasts every row
+    # to a common dtype, so one float64 column silently floatifies the int
+    # columns and renders 945405 as 945405.0 on BOTH sides — hiding exactly
+    # the int-vs-float drift the driver's value hash fails on (the r10 q178
+    # HUGEINT incident). Column-wise access preserves each cell's own type,
+    # so the canonical strings are dtype-honest like the driver's.
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_canon_cell(row[c]) for c in cols))
+    columns = [[_canon_cell(v) for v in df[c]] for c in cols]
+    out = [tuple(t) for t in zip(*columns)]
     out.sort()
     return out
 

@@ -472,3 +472,43 @@ def test_transcendental_queries_have_margin_audits():
     assert not stale, (
         f"stale margin-audit entries (no transcendental found): {stale}"
     )
+
+
+def test_oracle_result_types_have_pandas_exact_renderings():
+    """The driver hashes canonical string renderings of BOTH engines'
+    results; DuckDB types that pandas materializes as float64 while Spark
+    emits an integer (HUGEINT from sum(BIGINT), un-cast DECIMAL) render
+    '945405.0' vs '945405' and hash-fail even when every value is equal —
+    the r10 q178 incident (VERDICT r10 "What's wrong" #1). DuckDB exposes
+    the result schema without executing, so this lint bans the whole class
+    structurally: no certified oracle may emit HUGEINT/UHUGEINT (Spark has
+    no int128 — drift is guaranteed) or DECIMAL (materializes float64;
+    cast to DOUBLE for float semantics or BIGINT for integer semantics so
+    the intent is explicit in the SQL)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    offenders = {}
+    for name, spec in _certified().items():
+        rel = con.sql(spec.oracle)
+        hits = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if any(b in str(t).upper() for b in banned)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "oracle SQL result columns with pandas-inexact DuckDB types "
+        f"(cast to BIGINT or DOUBLE): {offenders}"
+    )

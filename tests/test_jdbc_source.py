@@ -80,3 +80,28 @@ def test_jdbc_partitioned_read_matches_and_splits(spark, derby_url):
     # carries the filter (Spark pushes it into the JDBC scan)
     filt = back.where(F.col("site") == 3)
     assert filt.count() == 100
+
+
+def test_jdbc_filter_is_pushed_into_the_database_query(spark, derby_url):
+    """Plan audit (VERDICT r10 item 7): at the 100 TB shape the filter
+    must execute INSIDE the database (`WHERE site = 3` in the JDBC
+    query each cursor sends), not in Spark after shipping every row
+    over the wire. Spark's JDBC relation reports what it pushed in the
+    scan node's PushedFilters — require the EqualTo there, and require
+    column pruning (ReadSchema without the unused `value` column)."""
+    back = jdbc_source(spark, derby_url, "meas", driver=DRIVER)
+    filt = back.where(F.col("site") == 3).select("site", "seq")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (ln for ln in plan.splitlines() if "JDBCRelation" in ln), plan
+    )
+    assert "PushedFilters" in scan, plan
+    pushed = scan.split("PushedFilters:")[1].split("ReadSchema:")[0]
+    assert "EqualTo(site,3)" in pushed, (
+        f"site=3 not pushed to the JDBC query: {scan}"
+    )
+    assert "ReadSchema:" in scan, scan
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "site" in read_schema and "value" not in read_schema, (
+        f"unused column not pruned from the JDBC projection: {scan}"
+    )
