@@ -384,6 +384,7 @@ def pack_sequences_ffd(
     token_col: str | None = None,
     text_col: str = "text",
     seed: int = 0,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Doc-preserving sequence packing via first-fit-decreasing bin
     packing — the complement of ``pack_sequences`` (concat-then-chunk):
@@ -404,7 +405,15 @@ def pack_sequences_ffd(
     so driver memory is never involved and skew is bounded by the hash.
     Raise ``n_buckets`` for larger corpora; packing quality is
     per-bucket so the waste bound is unchanged.
+
+    ``bucket_hash`` picks the bucketing hash: ``"xxhash64"`` (default —
+    fastest, JVM-native) or ``"md5"`` (:func:`hash_u32` mod n_buckets —
+    engine-portable, so the WHOLE pipeline including the FFD loop
+    replays in DuckDB as a recursive CTE; see Q111_SQL). Both are pure
+    functions of the id: partition-layout independent either way.
     """
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
     if token_col is None:
         toks = F.when(
             F.length(F.trim(F.col(text_col))) == 0, 0
@@ -413,12 +422,14 @@ def pack_sequences_ffd(
         ).cast("long")
     else:
         toks = F.col(token_col).cast("long")
+    if bucket_hash == "xxhash64":
+        bkt = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
+    else:
+        bkt = F.pmod(hash_u32(F.col(id_col), seed), F.lit(n_buckets))
     slim = df.select(
         F.col(id_col),
         toks.alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
-        .cast("int")
-        .alias("bucket"),
+        bkt.cast("int").alias("bucket"),
     )
 
     from solar_data_tools_spark.parallel import grouped_apply

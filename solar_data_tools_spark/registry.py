@@ -1318,9 +1318,23 @@ def q88_cdf_resample_approx(spark, sf_dir):
     """A11 scale path — the same CDF grid via ``percentile_approx``
     (Greenwald-Khanna sketch): constant-memory per group regardless of
     group size, the variant to use at fleet scale where the exact
-    ``percentile`` aggregate would buffer every value. Rows-only: the
-    sketch is accuracy-bounded, not value-exact (invariant test checks
-    monotonicity and closeness to the exact CDF)."""
+    ``percentile`` aggregate would buffer every value.
+
+    ORACLE since round 11: the sketch is accuracy-bounded in general,
+    but in this query's regime it is provably EXACT — the GK merge
+    threshold is ``2 * (1/accuracy) * n``, which is < 2 for any group
+    with n < accuracy, so with g >= 1 per sample no compression ever
+    removes a sample and ``query(q)`` reduces to the nearest-rank
+    order statistic at rank ``ceil(q * n)`` (head/tail shortcuts only
+    fire at q=0/q=1, where they agree). Per-site group size here is
+    days-per-site (<= 366/year, vs accuracy=10000), so the DuckDB
+    oracle replays the selection exactly: row_number over clip_stat
+    joined to the grid on ``greatest(1, ceil(q * n))``. The selected
+    value is an actual data point (no interpolation), so the fixed-
+    point rounding matches bit-for-bit; verified partition-invariant
+    (3/8/32 shuffle partitions) and at sf0.001/0.01/0.1. The
+    approximation-regime behavior (n >> accuracy) stays covered by the
+    monotonicity/closeness invariant test."""
     m = _meas(spark, sf_dir)
     daily_max = m.groupBy("site", "date").agg(F.max("value").alias("day_max"))
     site_max = m.groupBy("site").agg(F.max("value").alias("site_max"))
@@ -1404,6 +1418,25 @@ def q137_ivf_topk_distributed(spark, sf_dir):
         "rank",
     )
 
+
+Q88_SQL = f"""
+WITH m AS ({_EV}),
+dm AS (SELECT site, date, max(value) AS day_max FROM m GROUP BY site, date),
+sm AS (SELECT site, max(value) AS site_max FROM m GROUP BY site),
+stat AS (SELECT dm.site, dm.day_max / sm.site_max AS clip_stat
+         FROM dm JOIN sm ON dm.site = sm.site),
+ranked AS (
+  SELECT site, clip_stat,
+         row_number() OVER (PARTITION BY site ORDER BY clip_stat) AS r,
+         count(*) OVER (PARTITION BY site) AS n
+  FROM stat
+),
+g AS (SELECT unnest(range(0, 101)) AS q_ix)
+SELECT ranked.site, CAST(g.q_ix AS INT) AS q_ix,
+       floor(clip_stat * 1000000 + 0.5) / 1000000 AS cdf_value
+FROM ranked JOIN g
+  ON ranked.r = greatest(1, CAST(ceil((g.q_ix / 100.0) * ranked.n) AS BIGINT))
+"""
 
 Q89_SQL = """
 WITH e AS (
@@ -4016,16 +4049,61 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 20
 def q111_ffd_packing(spark, sf_dir):
     """Doc-preserving sequence packing: deterministic hash-bucketed
     first-fit-decreasing bin packing (no doc straddles a context
-    window, unlike q94's concat-then-chunk). Rows-only: FFD is
-    sequential per bucket and not SQL-expressible; exact parity with a
-    pure-Python FFD reference, the capacity invariant, and
-    partitioning-invariance are pinned by
-    tests/test_sampling.py::test_ffd_packing_invariants_and_reference_parity."""
+    window, unlike q94's concat-then-chunk). ORACLE since round 11:
+    FFD is sequential per bucket, but sequential != SQL-inexpressible —
+    with the engine-portable md5 bucket hash the oracle replays the
+    whole pipeline in DuckDB, driving the per-bucket FFD loop as a
+    recursive CTE (one item per iteration per bucket, bin state as a
+    capacity LIST, first-fit via list_position over a >=-mask). The
+    capacity invariant, pure-Python parity, and partitioning-invariance
+    stay pinned by tests/test_sampling.py."""
     from solar_data_tools_spark.operators.sampling import pack_sequences_ffd
 
     docs = _t(spark, sf_dir, "documents")
-    out = pack_sequences_ffd(docs, budget=512, n_buckets=16)
+    out = pack_sequences_ffd(docs, budget=512, n_buckets=16, bucket_hash="md5")
     return out.select("doc_id", "n_tokens", "bucket", "pack_id", "oversize")
+
+
+Q111_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+         END AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 16 AS INTEGER) AS bucket
+  FROM documents
+), items AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+), step AS (
+  SELECT bucket, 0 AS i, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin,
+         false AS oversize, CAST([] AS BIGINT[]) AS caps
+  FROM (SELECT DISTINCT bucket FROM toks)
+  UNION ALL
+  SELECT bucket, i, doc_id, n_tokens,
+         CASE WHEN n_tokens > 512 OR pos = 0 THEN len(caps)
+              ELSE pos - 1 END AS bin,
+         n_tokens > 512 AS oversize,
+         CASE WHEN n_tokens > 512 THEN list_append(caps, 0)
+              WHEN pos = 0 THEN list_append(caps, 512 - n_tokens)
+              ELSE list_transform(generate_series(1, len(caps)),
+                     j -> CASE WHEN j = pos THEN caps[j] - n_tokens
+                               ELSE caps[j] END)
+         END AS caps
+  FROM (
+    SELECT r.bucket, s.i + 1 AS i, r.doc_id, r.n_tokens, s.caps,
+           coalesce(list_position(
+             list_transform(s.caps, x -> x >= r.n_tokens), true), 0) AS pos
+    FROM step s JOIN items r ON r.bucket = s.bucket AND r.rn = s.i + 1
+  )
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket AS BIGINT) * 4294967296 + bin AS pack_id, oversize
+FROM step WHERE doc_id IS NOT NULL
+"""
 
 
 def q110_centroid_assignment(spark, sf_dir):
@@ -7605,12 +7683,30 @@ def q169_fleet_relational_spine(spark, sf_dir):
     relational spine hash-certified). The oracle replays the whole
     chain in SQL: q14's modal-delta inference, the nearest-86400-divisor
     snap (ties to the smaller divisor), and the midnight-to-midnight
-    day-span of the generated grid."""
+    day-span of the generated grid.
+
+    Round 11 (VERDICT r10 item 4): two more facade fields join the
+    certified spine, each replayed END-TO-END through the grid —
+    the oracle now generates the per-site-cadence standardized grid
+    itself (the q27 nearest-join SQL generalized from the hour grid to
+    arbitrary cadence) and computes on it:
+
+    - ``time_zone_correction`` — the facade's whole-hour offset rule
+      (round(12 - mean daily solar noon), zeroed unless |offset| > 1;
+      plans/fleet.py tz check) on the exact-percentile capacity and
+      tick-summed noon mean.
+    - ``raw_clipped_fraction`` — fraction of grid days with
+      ``clip_stat_1 > 0.05 AND clip_stat_2 > 0.1`` (the facade's
+      clipped-day rule BEFORE the solver's point-mass gate,
+      algorithms/scoring.py:296-313 — the gate stays rows-only in
+      q157)."""
+    from solar_data_tools_spark.operators.daily import clipping_stats
     from solar_data_tools_spark.plans.pipeline import run_pipeline
 
     m = _meas(spark, sf_dir)
     core = run_pipeline(m.select("site", "ts", "seq", "value"), per_site=True)
-    days = core.standardized.groupBy("site").agg(
+    std = core.standardized
+    days = std.groupBy("site").agg(
         F.count_distinct(F.to_date("grid_ts")).alias("num_days")
     )
     samp = core.sampling.select(
@@ -7618,12 +7714,79 @@ def q169_fleet_relational_spine(spark, sf_dir):
         F.col("grid_seconds"),
         (F.col("grid_seconds") / F.lit(60.0)).alias("sampling_minutes"),
     )
-    return days.join(samp, "site").select(
+    # tz leg (round 11): the facade's whole-hour offset rule
+    # (plans/fleet.py tz check) replayed on the EXACT-percentile
+    # capacity — site_capacity's documented oracle convention — and
+    # with the pround half-up rule instead of F.round (identical off
+    # exact .5 halves, which a continuous noon average never hits;
+    # margin probed in tests/test_tick_margins.py).
+    cap = std.groupBy("site").agg(
+        F.expr("percentile(value, 0.95)").alias("capacity")
+    )
+    hod = (F.unix_micros("grid_ts") % F.lit(86_400_000_000)) / F.lit(
+        3_600_000_000.0
+    )
+    sun = (
+        std.join(F.broadcast(cap), "site")
+        .select(
+            "site",
+            F.to_date("grid_ts").alias("date"),
+            "value",
+            hod.alias("hod"),
+            "capacity",
+        )
+        .groupBy("site", "date")
+        .agg(
+            F.min(
+                F.when(F.col("value") > 0.05 * F.col("capacity"), F.col("hod"))
+            ).alias("sunrise"),
+            F.max(
+                F.when(F.col("value") > 0.05 * F.col("capacity"), F.col("hod"))
+            ).alias("sunset"),
+        )
+    )
+    noon = sun.select(
+        "site", ((F.col("sunrise") + F.col("sunset")) / 2.0).alias("noon")
+    )
+    tz = noon.groupBy("site").agg(
+        (_psum(F.col("noon"), R) / F.count("noon")).alias("avg_noon")
+    )
+    off0 = F.floor(F.lit(12.0) - F.col("avg_noon") + F.lit(0.5)).cast("int")
+    tz = tz.select(
         "site",
-        "num_days",
-        _pround(F.col("num_days") / F.lit(365.0)).alias("length_years"),
-        "grid_seconds",
-        _pround(F.col("sampling_minutes")).alias("sampling_minutes"),
+        F.when(F.abs(off0) > 1, off0).otherwise(F.lit(0)).alias(
+            "time_zone_correction"
+        ),
+    )
+    # clipping leg (round 11): the pre-gate clipped-day fraction — the
+    # relational core of the facade's clipped_fraction (the facade
+    # additionally applies the solver's point-mass gate on clip_stat_1,
+    # algorithms/scoring.py:296-312, which stays rows-only in q157).
+    clip = clipping_stats(
+        std.select("site", F.to_date("grid_ts").alias("date"), "value"),
+        exact_digits=R,
+    )
+    clipped = F.when(
+        (F.col("clip_stat_1") > 0.05) & (F.col("clip_stat_2") > 0.1), 1
+    ).otherwise(0)
+    cfrac = clip.groupBy("site").agg(
+        F.avg(clipped).alias("raw_clipped_fraction")
+    )
+    return (
+        days.join(samp, "site")
+        .join(tz, "site")
+        .join(cfrac, "site")
+        .select(
+            "site",
+            "num_days",
+            _pround(F.col("num_days") / F.lit(365.0)).alias("length_years"),
+            "grid_seconds",
+            _pround(F.col("sampling_minutes")).alias("sampling_minutes"),
+            "time_zone_correction",
+            _pround(F.col("raw_clipped_fraction")).alias(
+                "raw_clipped_fraction"
+            ),
+        )
     )
 
 
@@ -7666,14 +7829,107 @@ span AS (
          date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
            AS num_days
   FROM m GROUP BY site
+),
+b AS (
+  SELECT m.site, date_trunc('day', min(m.ts)) AS s,
+         date_trunc('day', max(m.ts)) AS e, min(snap.grid_seconds) AS gs
+  FROM m JOIN snap ON m.site = snap.site GROUP BY m.site
+),
+grid AS (
+  SELECT site, gs,
+         unnest(generate_series(s, e + INTERVAL 1 DAY - to_seconds(gs),
+                                to_seconds(gs))) AS grid_ts
+  FROM b
+),
+cand AS (
+  SELECT m.site, m.ts, m.seq, m.value, b.gs,
+         make_timestamp((CAST(floor((epoch_us(m.ts) + b.gs * 500000)
+                                    / (b.gs * 1000000.0)) AS BIGINT) + off)
+                        * b.gs * 1000000) AS grid_ts
+  FROM m JOIN b ON m.site = b.site
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off)
+),
+best AS (
+  SELECT site, grid_ts, value FROM (
+    SELECT site, grid_ts, value,
+           row_number() OVER (PARTITION BY site, grid_ts
+                              ORDER BY abs(epoch_us(ts) - epoch_us(grid_ts)) ASC,
+                                       ts DESC, seq ASC) AS rn
+    FROM cand
+    WHERE abs(epoch_us(ts) - epoch_us(grid_ts)) <= gs * 1000000) WHERE rn = 1
+),
+std AS (
+  SELECT g.site, g.grid_ts, best.value
+  FROM grid g LEFT JOIN best
+    ON g.site = best.site AND g.grid_ts = best.grid_ts
+),
+cap AS (
+  SELECT site, quantile_cont(value, 0.95) AS capacity FROM std GROUP BY site
+),
+sun AS (
+  SELECT std.site, CAST(grid_ts AS DATE) AS date,
+         min(CASE WHEN value > 0.05 * capacity
+                  THEN (epoch_us(grid_ts) % 86400000000) / 3600000000.0
+             END) AS sunrise,
+         max(CASE WHEN value > 0.05 * capacity
+                  THEN (epoch_us(grid_ts) % 86400000000) / 3600000000.0
+             END) AS sunset
+  FROM std JOIN cap ON std.site = cap.site
+  GROUP BY std.site, CAST(grid_ts AS DATE)
+),
+noon AS (
+  SELECT site, (sunrise + sunset) / 2.0 AS noon FROM sun
+),
+tzc AS (
+  SELECT site,
+         (sum(CAST(floor(noon * 1e6 + 0.5) AS BIGINT)) / 1e6)
+           / count(noon) AS avg_noon
+  FROM noon WHERE noon IS NOT NULL GROUP BY site
+),
+tz AS (
+  SELECT site,
+         CASE WHEN abs(CAST(floor(12.0 - avg_noon + 0.5) AS INT)) > 1
+              THEN CAST(floor(12.0 - avg_noon + 0.5) AS INT)
+              ELSE 0 END AS time_zone_correction
+  FROM tzc
+),
+dm AS (
+  SELECT site, CAST(grid_ts AS DATE) AS date, max(value) AS day_max
+  FROM std GROUP BY 1, 2
+),
+sm AS (SELECT site, max(value) AS site_max FROM std GROUP BY site),
+cs AS (
+  SELECT std.site, CAST(std.grid_ts AS DATE) AS date,
+         min(dm.day_max) / min(sm.site_max) AS clip_stat_1,
+         (sum(CAST(floor((CASE WHEN std.value >= 0.995 * dm.day_max
+                               THEN std.value END) * 1e6 + 0.5) AS BIGINT))
+            / 1e6)
+         / (sum(CAST(floor((std.value) * 1e6 + 0.5) AS BIGINT)) / 1e6)
+           AS clip_stat_2
+  FROM std
+  JOIN dm ON std.site = dm.site AND CAST(std.grid_ts AS DATE) = dm.date
+  JOIN sm ON std.site = sm.site
+  GROUP BY 1, 2
+),
+cfrac AS (
+  SELECT site,
+         avg(CASE WHEN clip_stat_1 > 0.05 AND clip_stat_2 > 0.1
+                  THEN 1 ELSE 0 END) AS raw_clipped_fraction
+  FROM cs GROUP BY site
 )
 SELECT span.site,
        CAST(span.num_days AS BIGINT) AS num_days,
        floor((span.num_days / 365.0) * 1e6 + 0.5) / 1e6 AS length_years,
        snap.grid_seconds,
        floor((snap.grid_seconds / 60.0) * 1e6 + 0.5) / 1e6
-         AS sampling_minutes
-FROM span JOIN snap ON span.site = snap.site
+         AS sampling_minutes,
+       tz.time_zone_correction,
+       floor(cfrac.raw_clipped_fraction * 1e6 + 0.5) / 1e6
+         AS raw_clipped_fraction
+FROM span
+JOIN snap ON span.site = snap.site
+JOIN tz ON span.site = tz.site
+JOIN cfrac ON span.site = cfrac.site
 """
 
 
@@ -8602,7 +8858,7 @@ QUERIES: dict[str, QuerySpec] = {
         q173_screened_weighted_mix, Q173_SQL, "composed-fp-mix"
     ),
     "q88_cdf_resample_approx": QuerySpec(
-        q88_cdf_resample_approx, None, "A11-scale"
+        q88_cdf_resample_approx, Q88_SQL, "A11-scale"
     ),
     "q89_embedding_dedup": QuerySpec(
         q89_embedding_dedup, Q89_SQL, "dedup-embedding"
@@ -8669,7 +8925,7 @@ QUERIES: dict[str, QuerySpec] = {
         q110_centroid_assignment, Q110_SQL, "similarity-centroid-assign"
     ),
     "q111_ffd_packing": QuerySpec(
-        q111_ffd_packing, None, "sampling-packing-ffd"
+        q111_ffd_packing, Q111_SQL, "sampling-packing-ffd"
     ),
     "q131_longitude_study": QuerySpec(
         q131_longitude_study, None, "profiler-longitude-study"

@@ -546,3 +546,58 @@ def test_q169_log_day_max_margin(spark, sf_gate):
     ds = daily_statistics(m)
     mg = _min_margin(ds, F.col("log_day_max"))
     assert mg >= MIN_MARGIN, f"q169 log_day_max margin {mg}"
+
+
+def test_q169_tz_and_clip_decision_margins(spark, sf_gate):
+    """Round-11 spine legs ride three DECISION boundaries (not tick
+    boundaries): the tz offset's floor(12 - avg_noon + 0.5), the
+    clipped-day indicator's cs1 > 0.05 / cs2 > 0.1, and the sunrise
+    threshold value > 0.05*capacity where capacity is the interpolated
+    percentile (the one value the two engines compute with different
+    instruction orders). A flip needs the compared value to sit within
+    ~1 ulp of the boundary; this probe measures the actual distance at
+    the gate scale and requires >= 1e-9 — orders above ulp drift.
+
+    The tz offset's floor(12 - avg_noon + 0.5) is deliberately NOT
+    margin-asserted: avg_noon is a post-quantization rational (integer
+    tick sum / 1e6 / count — every op IEEE-exact with identical
+    operands on both engines), so even an exactly-integer boundary
+    (measured: margin 0.0 at sf0.01, e.g. a site whose mean noon is
+    exactly 11.5) floors identically on both engines — the riskless
+    0-margin class documented in this module's convention. The risk
+    all lives in the SELECTIONS feeding it, asserted below."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.daily import clipping_stats
+    from solar_data_tools_spark.plans.pipeline import run_pipeline
+    from solar_data_tools_spark.session import read_table
+    from solar_data_tools_spark.operators.canonical import (
+        events_as_measurements,
+    )
+
+    m = events_as_measurements(read_table(spark, f"{sf_gate}/events.parquet"))
+    core = run_pipeline(m.select("site", "ts", "seq", "value"), per_site=True)
+    std = core.standardized
+    cap = std.groupBy("site").agg(
+        F.expr("percentile(value, 0.95)").alias("capacity")
+    )
+    j = std.join(F.broadcast(cap), "site")
+    # sunrise threshold margin, relative to capacity scale
+    thr = j.where(F.col("value").isNotNull()).agg(
+        F.min(
+            F.abs(F.col("value") - 0.05 * F.col("capacity"))
+            / F.col("capacity")
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert thr >= 1e-9, f"sun-threshold margin {thr}"
+    from solar_data_tools_spark.registry import R
+
+    clip = clipping_stats(
+        std.select("site", F.to_date("grid_ts").alias("date"), "value"),
+        exact_digits=R,
+    )
+    cm = clip.agg(
+        F.min(F.abs(F.col("clip_stat_1") - F.lit(0.05))).alias("m1"),
+        F.min(F.abs(F.col("clip_stat_2") - F.lit(0.1))).alias("m2"),
+    ).collect()[0]
+    assert cm["m1"] >= 1e-9 and cm["m2"] >= 1e-9, f"clip margins {cm}"
