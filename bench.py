@@ -121,7 +121,12 @@ def main() -> None:
     # proc count rides the JSON so readers on other shapes can judge.
     import multiprocessing as _mp
 
-    mt_procs = max(2, min(16, (os.cpu_count() or 2) // 2))
+    # ADVICE r10: on a 1-3 vCPU host the "half the CPUs" premise breaks
+    # (2 forced procs on 2 cores measure ~2x even idle, reading as
+    # phantom contention) — record the probe as n/a there instead of a
+    # misleading number; the single-thread load_proxy still reports.
+    n_cpus = os.cpu_count() or 2
+    mt_procs = min(16, n_cpus // 2) if n_cpus >= 4 else 0
 
     def _mt_sample(procs: int = mt_procs) -> float:
         # spawn, not fork: forking a live PySpark driver (JVM + py4j
@@ -135,8 +140,14 @@ def main() -> None:
             pool.map(_spin_worker, [2_000_000] * procs)
             return time.perf_counter() - t0
 
-    mt_wall = min(_mt_sample() for _ in range(2))
-    parallel_stretch = round(mt_wall / statistics.median(spin_obs), 2)
+    if mt_procs:
+        mt_wall = min(_mt_sample() for _ in range(2))
+        parallel_stretch = round(
+            mt_wall / statistics.median(spin_obs), 2
+        )
+    else:
+        mt_wall = None
+        parallel_stretch = None
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -162,7 +173,7 @@ def main() -> None:
                 "load_proxy": load_proxy,
                 "spin_sec": round(statistics.median(spin_obs), 4),
                 "parallel_stretch": parallel_stretch,
-                "mt_wall_sec": round(mt_wall, 4),
+                "mt_wall_sec": round(mt_wall, 4) if mt_wall else None,
                 "mt_procs": mt_procs,
             }
         )

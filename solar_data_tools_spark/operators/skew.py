@@ -383,6 +383,7 @@ def capped_join(
     order_left: Sequence[str],
     order_right: Sequence[str],
     salt_buckets: int = 32,
+    report_order_ties: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Certified mitigation for the both-sides-hot join class
     :func:`join_skew_report` diagnoses (round 10, r9 verdict item 6):
@@ -406,6 +407,17 @@ def capped_join(
     A row with ``dropped_l = dropped_r = 0`` passed through untouched;
     the caller decides whether the capped result is acceptable or the
     key needs a semantic fix (pre-aggregation, blocking, drop).
+
+    ``report_order_ties=True`` (ADVICE r10) audits the unique-order-
+    tuple contract instead of trusting it: the report gains
+    ``order_ties_l`` / ``order_ties_r`` = rows minus distinct order
+    tuples per key per side — any value > 0 means the contract is
+    violated and a tie straddling a cap cutoff could keep a different
+    row on a different run. Off by default because the distinct
+    aggregation shuffles (key, order-tuple) pairs — the same magnitude
+    as the join input — where the base report shuffles count tables
+    only; turn it on when first certifying a new input, off in steady
+    state.
     """
     ks = _as_list(keys)
     reserved = sorted(
@@ -434,12 +446,36 @@ def capped_join(
     )
     joined = tl.join(tr, ks, "inner")
 
-    lc = left.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt_l"))
-    rc = right.groupBy(*ks).agg(F.count(F.lit(1)).alias("cnt_r"))
+    l_aggs = [F.count(F.lit(1)).alias("cnt_l")]
+    r_aggs = [F.count(F.lit(1)).alias("cnt_r")]
+    if report_order_ties:
+        l_aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in order_left]))
+            ).alias("order_ties_l")
+        )
+        r_aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in order_right]))
+            ).alias("order_ties_r")
+        )
+    lc = left.groupBy(*ks).agg(*l_aggs)
+    rc = right.groupBy(*ks).agg(*r_aggs)
+    tie_cols = (
+        [
+            F.coalesce("order_ties_l", F.lit(0)).alias("order_ties_l"),
+            F.coalesce("order_ties_r", F.lit(0)).alias("order_ties_r"),
+        ]
+        if report_order_ties
+        else []
+    )
     cj = lc.join(rc, ks, "full_outer").select(
         *ks,
         F.coalesce("cnt_l", F.lit(0)).alias("cnt_l"),
         F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+        *tie_cols,
     )
     kept_l = F.least(F.col("cnt_l"), F.lit(int(cap_left)))
     kept_r = F.least(F.col("cnt_r"), F.lit(int(cap_right)))
@@ -455,5 +491,10 @@ def capped_join(
         (
             F.col("cnt_l").cast("double") * F.col("cnt_r").cast("double")
         ).alias("true_pairs"),
+        *(
+            [F.col("order_ties_l"), F.col("order_ties_r")]
+            if report_order_ties
+            else []
+        ),
     )
     return joined, report

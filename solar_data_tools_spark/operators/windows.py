@@ -239,7 +239,27 @@ def segment_pooled_diffs(
         # integer-valued doubles < 2^53 sum exactly in any order; a
         # fractional diff would make the sum layout-dependent — fail
         # loudly instead (pass exact_digits for fractional data)
+        # magnitude first (ADVICE r10): past ~9e15, F.floor's LONG
+        # clamp would make the integer-valuedness test lie ("non-
+        # integer-valued diff" for a perfectly integer 2^63), and
+        # which of the row-level vs aggregate-level raises surfaced
+        # was plan-dependent — ordering the magnitude condition ahead
+        # of the integer test inside the SAME row-level CASE means a
+        # huge value always gets the magnitude wording.
         checked = F.when(
+            F.abs(F.col("_d")) >= F.lit(9.0e15),
+            F.raise_error(
+                F.concat(
+                    F.lit("segment_pooled_diffs: |diff| = "),
+                    F.col("_d").cast("string"),
+                    F.lit(
+                        " >= 9.0e15 — integer-valued doubles past "
+                        "2^53 no longer sum exactly; pass "
+                        "exact_digits=<d> (tick-exact LONG path)"
+                    ),
+                )
+            ),
+        ).when(
             F.col("_d") != F.floor(F.col("_d")).cast("double"),
             F.raise_error(
                 F.concat(

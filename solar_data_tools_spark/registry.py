@@ -8557,11 +8557,12 @@ SELECT source, status, count(*) AS n FROM j GROUP BY source, status
 def q179_wide_tick_sum(spark, sf_dir):
     """DECIMAL(38,0) wide tick-sum escalation (round 10) — the
     completion path the round-9 overflow guards' own error message
-    promises. Each term is the LONG 6-digit tick of ``value``
-    amplified by 1e10 (simulating the per-term-magnitude x row-count
-    product of a ~100 TB table on gate-sized data; max term ~4.9e18
-    keeps a 1.9x margin under the LONG ceiling, pinned by
-    tests/test_overflow_guards.py): the per-type TRUE sums land at
+    promises. Each term is the 6-digit tick of ``value`` amplified by
+    1e10 IN DECIMAL(38,0) (simulating the per-term-magnitude x
+    row-count product of a ~100 TB table on gate-sized data; the
+    decimal-first cast makes the product exact by construction — no
+    LONG*LONG wrap is possible for any data, ADVICE r10): the
+    per-type TRUE sums land at
     ~1e20-1e22 — past 2^63, where the narrow guarded LONG sum raises —
     and ``guarded_wide_sum`` completes them exactly in DECIMAL(38,0).
     Certification hashes the EXACT decimal integer as a STRING on both
@@ -8572,7 +8573,13 @@ def q179_wide_tick_sum(spark, sf_dir):
     Plan shape: one map-side-combined decimal sum — same shuffle as a
     plain GROUP BY count."""
     ev = _t(spark, sf_dir, "events")
-    term = _ticks("value", 6) * F.lit(10_000_000_000).cast("long")
+    # amplify in DECIMAL, not LONG: a LONG*LONG product would silently
+    # wrap in non-ANSI Spark if a tick ever reached ~922 (ADVICE r10) —
+    # casting the tick wide FIRST makes the product exact by
+    # construction, with no data assumption to guard
+    term = _ticks("value", 6).cast("decimal(38,0)") * F.lit(
+        10_000_000_000
+    ).cast("decimal(38,0)")
     return ev.groupBy("event_type").agg(
         guarded_wide_sum(term, "q179_wide_tick_sum")
         .cast("string")
@@ -8583,8 +8590,8 @@ def q179_wide_tick_sum(spark, sf_dir):
 
 Q179_SQL = """
 SELECT event_type,
-       CAST(sum(CAST(CAST(floor((value) * 1e6 + 0.5) AS BIGINT)
-                     * 10000000000 AS HUGEINT)) AS VARCHAR) AS sum_ticks,
+       CAST(sum(CAST(CAST(floor((value) * 1e6 + 0.5) AS BIGINT) AS HUGEINT)
+                     * 10000000000) AS VARCHAR) AS sum_ticks,
        count(value) AS n
 FROM events GROUP BY event_type
 """

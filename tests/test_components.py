@@ -2271,5 +2271,8 @@ def test_segment_pooled_diffs_magnitude_guard(spark):
     df = spark.createDataFrame(
         rows, "site int, ts string, seq long, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with pytest.raises(Exception, match="max.diff. \\* count"):
+    # ADVICE r10: whichever guard evaluates first (row-level or
+    # aggregate-level), a huge value must get the MAGNITUDE wording —
+    # both spell the 9.0e15 bound and the exact_digits remedy
+    with pytest.raises(Exception, match=">= 9.0e15"):
         segment_pooled_diffs(df).collect()

@@ -161,18 +161,23 @@ def test_wide_sum_matches_duckdb_hugeint(spark):
     compare(spec.fn(spark, sf), duckdb_run(spec.oracle, sf), "q179")
 
 
-def test_q179_terms_keep_long_margin():
-    """q179's amplified per-TERM magnitude must stay under the LONG
-    ceiling with margin (the SUM is what escalates to decimal): max
-    |value| < 920 at 6 digits x 1e10 amplification."""
-    import duckdb
+def test_q179_term_amplification_is_decimal_by_construction(spark):
+    """Round 11 (ADVICE r10): q179's per-term amplification is computed
+    in DECIMAL(38,0), never as a LONG*LONG product — so a tick beyond
+    ~922 cannot silently wrap in non-ANSI Spark regardless of the data.
+    Structural check: the amplified term survives a value (1e6) that
+    WOULD have wrapped the old LONG product (1e12 ticks * 1e10 = 1e22 >
+    2^63), producing the exact decimal integer."""
+    df = spark.createDataFrame([(1_000_000.0,)], "value double")
+    from pyspark.sql import functions as F
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        mx = duckdb.sql(
-            "SELECT max(abs(value)) FROM "
-            f"read_parquet('/root/testdata/{sf}/events.parquet')"
-        ).fetchone()[0]
-        assert mx * 1e6 * 1e10 < 9.2e18, (sf, mx)
+    from solar_data_tools_spark.operators.canonical import ticks
+
+    term = ticks(F.col("value"), 6).cast("decimal(38,0)") * F.lit(
+        10_000_000_000
+    ).cast("decimal(38,0)")
+    got = df.select(term.cast("string").alias("t")).collect()[0]["t"]
+    assert got == "10000000000000000000000", got
 
 
 def test_tick_avg_wide_matches_duckdb_below_2pow53(spark):

@@ -327,3 +327,46 @@ def test_capped_join_rejects_reserved_and_shared_columns(spark):
     with pytest.raises(ValueError, match="BOTH sides"):
         capped_join(shared_l, shared_r, "k", cap_left=5, cap_right=5,
                     order_left=["l_id"], order_right=["r_id"])
+
+
+def test_capped_join_order_tie_audit(spark):
+    """ADVICE r10: report_order_ties surfaces unique-order-tuple
+    contract violations in the report instead of trusting the
+    docstring — a duplicated order tuple on a key shows up as
+    order_ties > 0 on exactly that key/side, and a clean input
+    reports all zeros."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.skew import capped_join
+
+    left = spark.createDataFrame(
+        [("k1", 1), ("k1", 1), ("k1", 2), ("k2", 5)],  # tie on k1
+        "k string, oid int",
+    ).select("k", F.col("oid").alias("l_oid"))
+    right = spark.createDataFrame(
+        [("k1", 10), ("k1", 11), ("k2", 20)], "k string, r_oid int"
+    )
+    _, report = capped_join(
+        left,
+        right,
+        "k",
+        cap_left=2,
+        cap_right=2,
+        order_left=["l_oid"],
+        order_right=["r_oid"],
+        report_order_ties=True,
+    )
+    rows = {r["k"]: r for r in report.collect()}
+    assert rows["k1"]["order_ties_l"] == 1 and rows["k1"]["order_ties_r"] == 0
+    assert rows["k2"]["order_ties_l"] == 0 and rows["k2"]["order_ties_r"] == 0
+    # default report keeps the count-tables-only shape (no tie columns)
+    _, plain = capped_join(
+        left.where(F.col("l_oid") != 1),
+        right,
+        "k",
+        cap_left=2,
+        cap_right=2,
+        order_left=["l_oid"],
+        order_right=["r_oid"],
+    )
+    assert "order_ties_l" not in plain.columns
