@@ -4998,6 +4998,113 @@ def q145_bpe_tokenize(spark, sf_dir):
     )
 
 
+
+# BPE merge list v1: trained ONCE by train_bpe_merges(n_merges=40,
+# sample_cap=256, seed=42) on the sf0.01 documents sample and PINNED —
+# the production tokenizer shape (GPT-2 ships merges.txt; training
+# happens offline, application is the corpus-scale operation). Pinning
+# makes the APPLY loop oracle-replayable: q145 keeps certifying the
+# train-on-sample determinism rows-only, q181 hash-certifies the
+# executor kernel (tokenize.encode_word) end-to-end.
+_BPE_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"),
+    ("er", "</w>"), ("s", "t"), ("h", "</w>"),
+    ("a", "t"), ("a", "</w>"), ("a", "l"),
+    ("g", "</w>"), ("i", "n"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"),
+    ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("a", "n</w>"), ("c", "an</w>"),
+    ("s", "can</w>"), ("a", "s"), ("as", "h</w>"),
+    ("h", "ash</w>"), ("a", "g"), ("ag", "g</w>"),
+    ("l", "ow</w>"), ("s", "low</w>"), ("i", "n</w>"),
+    ("j", "o"), ("jo", "in</w>"), ("at", "a</w>"),
+    ("d", "ata</w>"), ("at", "c"), ("atc", "h</w>"),
+    ("b", "atch</w>"),
+]
+
+
+def q181_bpe_apply_pinned(spark, sf_dir):
+    """BPE tokenization with a PINNED merge list (round 11) — ORACLE:
+    sequential != SQL-inexpressible, the q111 lesson applied to the
+    per-word merge loop. The oracle replays tokenize.encode_word as a
+    recursive CTE over DISTINCT words (state = the symbol list; each
+    iteration merges the leftmost occurrence of the lowest-ranked
+    adjacent pair, found via min_by over an unnested index join to the
+    merge table), then reassembles per-doc token streams in word order.
+    The token-stream md5 joins with a ' ' separator so it hashes the
+    BOUNDARIES, not just the reconstructed text (array_join(tokens,'')
+    is merge-invariant by construction). Spark side is the production
+    path unchanged: Arrow-batched memoized mapInPandas, zero shuffle."""
+    from solar_data_tools_spark.operators import tokenize as tkz
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tkz.bpe_encode(docs, _BPE_MERGES_V1)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"),
+    )
+
+
+_Q181_MERGE_VALUES = ", ".join(
+    f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(_BPE_MERGES_V1)
+)
+
+Q181_SQL = rf"""
+WITH RECURSIVE mr AS (
+  SELECT * FROM (VALUES {_Q181_MERGE_VALUES}) t(a, b, rank)
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), seq AS (
+  SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS wi
+  FROM (SELECT doc_id, string_split(t, ' ') AS parts FROM norm
+        WHERE t <> '')
+), wseq AS (
+  SELECT doc_id, wi, parts[wi] AS word FROM seq
+), dw AS (
+  SELECT DISTINCT word FROM wseq
+), step AS (
+  SELECT word, 0 AS it,
+         list_append(regexp_split_to_array(word, ''), '</w>') AS syms
+  FROM dw
+  UNION ALL
+  SELECT word, it + 1,
+         list_concat(syms[1:bi-1],
+                     list_concat([syms[bi] || syms[bi+1]], syms[bi+2:]))
+  FROM (
+    SELECT s.word, s.it, s.syms,
+           CAST((SELECT min_by(i, r.rank * 1000 + i)
+            FROM unnest(generate_series(1, len(s.syms) - 1)) u(i)
+            JOIN mr r ON r.a = s.syms[i] AND r.b = s.syms[i+1]) AS INT)
+             AS bi
+    FROM step s WHERE len(s.syms) > 1
+  ) WHERE bi IS NOT NULL
+), enc AS (
+  SELECT word, syms FROM (
+    SELECT word, syms,
+           row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+    FROM step) WHERE rn = 1
+), toks AS (
+  SELECT w.doc_id, w.wi, e.syms FROM wseq w JOIN enc e ON w.word = e.word
+), flat AS (
+  SELECT doc_id, wi, unnest(generate_series(1, len(syms))) AS sj, syms
+  FROM toks
+), stream AS (
+  SELECT doc_id, wi, sj, syms[sj] AS tok FROM flat
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY wi, sj)) AS tokens_md5
+  FROM stream GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(a.tokens_md5, md5('')) AS tokens_md5
+FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 def q146_ivfpq_topk(spark, sf_dir):
     """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape):
     coarse L2 cells + product-quantized RESIDUALS + per-query
@@ -8972,6 +9079,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q145_bpe_tokenize": QuerySpec(
         q145_bpe_tokenize, None, "tokenize-bpe"
     ),
+    "q181_bpe_apply_pinned": QuerySpec(
+        q181_bpe_apply_pinned, Q181_SQL, "tokenize-bpe-oracle"
+    ),
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
@@ -9084,13 +9194,16 @@ _QUERY_ORDER: list[str] = [
     #    q141-q154 retrieval/sampling span — VERDICT r10 item 3
     #    verbatim. q152 also changed this round (oracle VALUES cast
     #    DECIMAL->DOUBLE for the new type lint).
-    # 4. the full r7 class (q35-q39), then the head of the r8 class
+    # 4. new this round: q181 (pinned-merges BPE apply, the merge
+    #    loop replayed as a recursive CTE — ORACLE).
+    # 5. the full r7 class (q35-q39), then the head of the r8 class
     #    (q157 fleet report + q88 + profiler studies + retrieval).
     # Tail: the rest of the r8 class, then r9/r10 (checked most
     # recently). The full registry is additionally swept locally every
     # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
     "q178_capped_join",
     "q148_pagerank",
+    "q181_bpe_apply_pinned",
     "q48_simhash",
     "q49_lsh_topk",
     "q50_seasonal_fit",
