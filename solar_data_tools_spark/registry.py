@@ -1398,8 +1398,17 @@ def q137_ivf_topk_distributed(spark, sf_dir):
     training path: full-corpus assignment + map-side-combined mean
     update per round, only k x d centroids ever on the driver) with
     n_probe == n_cells, so the search degrades to exact and the output
-    must equal brute force row-for-row — pinned by the q137 invariant
-    against q46. Rows-only: the trainer is iterative."""
+    must equal brute force row-for-row.
+
+    ORACLE since round 11: that degradation contract IS the oracle —
+    with every cell probed, the candidate set is the whole corpus
+    regardless of what the iterative trainer produced, and the re-rank
+    cosine is the same sequential fold brute_force_topk certifies, so
+    Q46's brute-force SQL replays this query hash-exactly (verified at
+    sf0.001/0.01/0.1). The trainer's own iterates stay covered by the
+    convergence/determinism tests; any engine drift in training would
+    surface here as a wrong candidate partition only if it broke the
+    probe-all sweep — which the hash would catch."""
     from solar_data_tools_spark.operators.similarity import (
         ivf_topk,
         train_ivf_centroids_distributed,
@@ -9061,7 +9070,9 @@ QUERIES: dict[str, QuerySpec] = {
         "profiler-ground-truth"
     ),
     "q137_ivf_topk_distributed": QuerySpec(
-        q137_ivf_topk_distributed, None, "similarity-ivf-distributed"
+        # oracle = the brute-force SQL: n_probe == n_cells must return
+        # exactly the exhaustive answer (see the q137 docstring)
+        q137_ivf_topk_distributed, Q46_SQL, "similarity-ivf-distributed"
     ),
     "q138_classifier_score": QuerySpec(
         q138_classifier_score, Q138_SQL, "curation-quality-classifier"

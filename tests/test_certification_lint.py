@@ -165,6 +165,12 @@ _AUDITED_ORDER_FREE_HELPERS = {
     # ("text", "rrf_fuse") retired r10: rewritten as a full-outer join
     # with ONE structural binary addition — no F.sum in its source, so
     # the lint no longer needs an exemption for it.
+    ("similarity", "train_ivf_centroids_distributed"):
+        "Lloyd mean updates ARE float sums, but q137 probes every cell "
+        "(n_probe == n_cells), so the certified output is the exhaustive "
+        "top-k — independent of the trained centroids by construction; "
+        "any float drift moves vectors between cells, never in or out "
+        "of the probe-all candidate set (oracle = Q46 brute-force SQL)",
     ("text", "novelty_scores"):
         "sums integer (df >= 2) indicator casts",
     ("sampling", "token_budget_cut"):
