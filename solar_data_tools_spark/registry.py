@@ -9205,8 +9205,12 @@ _QUERY_ORDER: list[str] = [
     #    q141-q154 retrieval/sampling span — VERDICT r10 item 3
     #    verbatim. q152 also changed this round (oracle VALUES cast
     #    DECIMAL->DOUBLE for the new type lint).
-    # 4. new this round: q181 (pinned-merges BPE apply, the merge
-    #    loop replayed as a recursive CTE — ORACLE).
+    # 4. new/changed this round: q181 (pinned-merges BPE apply, the
+    #    merge loop replayed as a recursive CTE — ORACLE), q179
+    #    (decimal-first term amplification + HUGEINT-first oracle
+    #    multiply), q169 (spine extended with tz offset + clipped
+    #    fraction over an oracle-generated grid), plus the in-window
+    #    promotions q88/q111/q137 and q152's VALUES cast.
     # 5. the full r7 class (q35-q39), then the head of the r8 class
     #    (q157 fleet report + q88 + profiler studies + retrieval).
     # Tail: the rest of the r8 class, then r9/r10 (checked most
@@ -9215,6 +9219,8 @@ _QUERY_ORDER: list[str] = [
     "q178_capped_join",
     "q148_pagerank",
     "q181_bpe_apply_pinned",
+    "q179_wide_tick_sum",
+    "q169_fleet_relational_spine",
     "q48_simhash",
     "q49_lsh_topk",
     "q50_seasonal_fit",
@@ -9263,7 +9269,6 @@ _QUERY_ORDER: list[str] = [
     "q160_within_doc_dedup",
     "q161_epoch_mix",
     "q162_bm25_topk",
-    "q179_wide_tick_sum",
     "q180_hll_merge",
     "q151_hll_distinct_tokens",
     "q176_snapshot_diff",
@@ -9318,7 +9323,6 @@ _QUERY_ORDER: list[str] = [
     "q166_source_overlap",
     "q167_source_overlap_minhash",
     "q168_token_budget_cut",
-    "q169_fleet_relational_spine",
     "q170_hll_cardinality",
     "q171_weighted_sample",
     "q172_bloom_decontaminate",
