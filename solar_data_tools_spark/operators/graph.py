@@ -46,6 +46,7 @@ def pagerank(
     ordered_sum: bool = False,
     fixed_point: bool = False,
     scale: int = 10**9,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list; returns
     ``(node, rank)`` with ranks scaled so they average 1.0 (rank =
@@ -83,6 +84,10 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    # checkpoint=False keeps the full per-iteration lineage visible —
+    # the plan-audit hook (test_plan_audits.py::test_q148_...); real
+    # multi-round runs need the checkpoint or the plan tree grows
+    # exponentially with n_iters
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
@@ -98,7 +103,8 @@ def pagerank(
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     if fixed_point:
         return _pagerank_fp(
-            e, nodes, deg, n_nodes, n_iters, damping, int(scale)
+            e, nodes, deg, n_nodes, n_iters, damping, int(scale),
+            checkpoint=checkpoint,
         )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
@@ -152,8 +158,9 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -165,6 +172,7 @@ def _pagerank_fp(
     n_iters: int,
     damping: float,
     scale: int,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """All-LONG PageRank power iteration (see ``pagerank`` docstring
     for the contract). Same plan shape as the float path: one
@@ -220,8 +228,9 @@ def _pagerank_fp(
                     )
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         "rank_fp",

@@ -344,3 +344,42 @@ def test_weighted_sample_is_take_ordered_no_python(spark, sf_small):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_q148_pagerank_iteration_plan_shape(spark, sf_small):
+    """The PageRank loop's scale claims, asserted on the plan (round
+    11): per iteration ONE wide shuffle (the (dst, contribution)
+    groupBy) with map-side partial integer sums, degree/dangling sides
+    broadcast, no cartesian product, and no Python evaluation anywhere
+    (the trajectory is all-LONG codegen). The 5-iteration plan must
+    therefore stay within a bounded Exchange budget instead of growing
+    a hidden extra shuffle per round."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.graph import pagerank
+    from solar_data_tools_spark.session import read_table
+
+    # checkpoint=False keeps the iteration lineage visible (q148's own
+    # plan is an opaque Scan ExistingRDD after localCheckpoint)
+    docs = read_table(spark, f"{sf_small}/documents.parquet").select(
+        "doc_id"
+    )
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % 500).alias("dst"),
+    )
+    df = pagerank(edges, n_iters=2, fixed_point=True, checkpoint=False)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side combine on the contribution sum (partial before the
+    # shuffle) — the single wide op per iteration
+    assert "partial_sum" in plan
+    # the dangling-mass scalar rides a broadcast nested-loop (1-row
+    # crossJoin), the degree/rank joins hash-join
+    assert "BroadcastNestedLoopJoin" in plan
+    # bounded shuffle budget: the wide exchanges must not exceed
+    # ~3 per iteration (contribution agg + rank rebuild joins); a
+    # hidden extra shuffle per round would break this
+    wide = plan.count("Exchange hashpartitioning")
+    assert wide <= 8, f"{wide} wide exchanges for 2 iterations"
