@@ -3,7 +3,11 @@
 SparkSession built from a foreign cwd imports `__spark_entry__.py` by
 path, runs `entry()` plus the first-50 window of `queries()` at sf0.01,
 and compares each against its `oracle_sql()` via the same canonicalizer
-the test suite uses (rows + sorted columns + rounded-value equality).
+the test suite uses (rows + sorted columns + dtype-honest per-column
+value canonicalization — since r11 an integer-valued float64 renders
+'945405.0' vs an int's '945405', so this sim fails exactly where the
+driver's value hash fails; the r10 q178 incident was an iterrows
+row-upcast hiding that class).
 
 This catches the two failure classes pytest cannot (tuned session
 configs, executor package imports) for EXACTLY the query set the
