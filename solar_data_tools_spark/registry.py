@@ -7821,7 +7821,13 @@ def q169_fleet_relational_spine(spark, sf_dir):
 
     m = _meas(spark, sf_dir)
     core = run_pipeline(m.select("site", "ts", "seq", "value"), per_site=True)
-    std = core.standardized
+    # four legs consume the standardized grid (days, capacity, sun,
+    # clip): materialize it once instead of re-deriving the
+    # explode+nearest-join chain per leg (sf0.01: 8.2 s -> ~3 s). At
+    # fleet scale the facade (plans/fleet.py) is the production path;
+    # this query is the certification face, where one local
+    # materialization of the grid is the right trade.
+    std = core.standardized.localCheckpoint(eager=False)
     days = std.groupBy("site").agg(
         F.count_distinct(F.to_date("grid_ts")).alias("num_days")
     )
