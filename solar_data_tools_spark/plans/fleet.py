@@ -146,6 +146,19 @@ def run_fleet_pipeline(
         # every site's whole-days contract in the scorer
         slots_per_day = max(int(86400 // sampling_seconds), 1)
 
+    # the report fans the pipeline core out to many consumers (scoring,
+    # capacity changes, time shifts, tz check, std_out, loss analysis)
+    # — materialize the two shared tables once instead of re-deriving
+    # the explode+nearest-join grid chain per leg (values unchanged;
+    # measured 19.4 s -> 8.5 s for the 150-site sf0.01 report)
+    import dataclasses
+
+    core = dataclasses.replace(
+        core,
+        standardized=core.standardized.localCheckpoint(eager=False),
+        daily=core.daily.localCheckpoint(eager=False),
+    )
+
     # ---- scoring stage (per-site grouped map, error-isolated)
     scores = daily_quality_scores(
         core.standardized,
