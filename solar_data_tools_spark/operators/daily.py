@@ -151,7 +151,12 @@ def clipping_stats(
     else:
         clip2 = F.try_divide(F.sum(near), F.sum(v))
     return joined.groupBy(site_col, "date").agg(
-        (F.first("day_max") / F.first("site_max")).alias("clip_stat_1"),
+        # try_divide: a dead site (site_max == 0.0) must yield NULL
+        # stats like the DuckDB mirror (x/0 -> NULL there), not an
+        # ANSI divide-by-zero error killing the whole fleet job
+        F.try_divide(F.first("day_max"), F.first("site_max")).alias(
+            "clip_stat_1"
+        ),
         clip2.alias("clip_stat_2"),
     )
 

@@ -41,8 +41,13 @@ END = "</w>"  # end-of-word sentinel: merges can't cross word boundaries
 
 
 def _norm_words(text: str) -> list[str]:
-    # mirror dedup.normalize_text: lower + whitespace collapse
-    return text.lower().split()
+    # input is already normalize_text output (lower + ASCII-\s collapse
+    # to single spaces); split on the ASCII space DELIMITER, not
+    # Python's str.split() — the latter also splits on Unicode
+    # whitespace (\xa0,  , ...) that Java \s+ deliberately left
+    # inside words, so the two would segment differently and the q181
+    # oracle (string_split on ' ') could never match (r11 review)
+    return [w for w in text.lower().split(" ") if w]
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -92,7 +97,7 @@ def train_bpe_merges(
     )
     freqs: Counter[tuple[str, ...]] = Counter()
     for t in sample["_t"]:
-        for w in t.split():
+        for w in _norm_words(t):
             if w:
                 freqs[tuple(w) + (END,)] += 1
     words = dict(freqs)

@@ -150,7 +150,20 @@ def run_fleet_pipeline(
     # capacity changes, time shifts, tz check, std_out, loss analysis)
     # — materialize the two shared tables once instead of re-deriving
     # the explode+nearest-join grid chain per leg (values unchanged;
-    # measured 19.4 s -> 8.5 s for the 150-site sf0.01 report)
+    # measured 19.4 s -> 8.5 s for the 150-site sf0.01 report on a
+    # quiet host). The r11 review suggested moving the standardized
+    # checkpoint INSIDE run_pipeline (materialize=True) so daily's
+    # lineage reads it instead of embedding a second grid chain; an
+    # A/B on the only host available (load avg ~9, both variants
+    # re-measured with the same count() harness) was equivalent within
+    # contention noise (committed form 26.8/15.9 s cold/warm vs 47/34 s
+    # on an earlier noop harness that computes every solver column —
+    # the harness difference, not the checkpoint position, dominated).
+    # Keeping this form: it is the verified-green shape, daily's
+    # independent lineage stays Catalyst-fusable, and the duplicate
+    # materialization is one extra narrow-table pass. run_pipeline
+    # (materialize=True) remains available for single-grid consumers
+    # like the q169 spine.
     import dataclasses
 
     core = dataclasses.replace(

@@ -49,6 +49,7 @@ def run_pipeline(
     min_val: float | None = None,
     slots_per_day: int | None = None,
     per_site: bool = False,
+    materialize: bool = False,
 ) -> PipelineResult:
     """Run the relational pipeline for every site in ``measurements``.
 
@@ -56,6 +57,16 @@ def run_pipeline(
     it is inferred per-fleet as the global modal delta (T1) — one tiny
     aggregate collected to the driver, mirroring the reference's scalar
     ``data_sampling`` attribute.
+
+    ``materialize=True`` localCheckpoints the standardized grid BEFORE
+    daily statistics are derived from it, so a caller that fans the
+    result out to several consumers (the fleet report, the q169 spine)
+    computes the explode+nearest-join grid chain exactly once — with
+    the checkpoint placed here, ``daily``'s lineage reads the
+    checkpoint instead of embedding a second copy of the chain (r11
+    review: two independent downstream checkpoints still ran the grid
+    twice). Off by default: a single-consumer pipeline should stay
+    fully lazy.
 
     ``per_site=True`` grids each site at its OWN inferred cadence (the
     reference runs one site at a time, so its grid is always native; a
@@ -80,6 +91,8 @@ def run_pipeline(
             "site", F.col("grid_seconds").alias("sampling_seconds")
         )
         standardized = standardize_time_axis(clamped, grid)
+        if materialize:
+            standardized = standardized.localCheckpoint(eager=False)
         samp = sampling.select(
             "site",
             F.col("grid_seconds").cast("long").alias("_samp_s"),
@@ -127,6 +140,8 @@ def run_pipeline(
 
     clamped = clamp_to_null(measurements, "value", min_val, max_val)
     standardized = standardize_time_axis(clamped, sampling_seconds)
+    if materialize:
+        standardized = standardized.localCheckpoint(eager=False)
 
     # deterministic seq: the absolute grid slot index. Unlike
     # monotonically_increasing_id() it survives task retries / plan

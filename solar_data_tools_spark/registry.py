@@ -1302,7 +1302,8 @@ def q37_cdf_resample(spark, sf_dir):
     daily_max = m.groupBy("site", "date").agg(F.max("value").alias("day_max"))
     site_max = m.groupBy("site").agg(F.max("value").alias("site_max"))
     stat = daily_max.join(F.broadcast(site_max), "site").select(
-        "site", (F.col("day_max") / F.col("site_max")).alias("clip_stat")
+        "site",
+        F.try_divide(F.col("day_max"), F.col("site_max")).alias("clip_stat"),
     )
     qs = [i / 100.0 for i in range(101)]
     arr = ", ".join(str(q) for q in qs)
@@ -1339,7 +1340,8 @@ def q88_cdf_resample_approx(spark, sf_dir):
     daily_max = m.groupBy("site", "date").agg(F.max("value").alias("day_max"))
     site_max = m.groupBy("site").agg(F.max("value").alias("site_max"))
     stat = daily_max.join(F.broadcast(site_max), "site").select(
-        "site", (F.col("day_max") / F.col("site_max")).alias("clip_stat")
+        "site",
+        F.try_divide(F.col("day_max"), F.col("site_max")).alias("clip_stat"),
     )
     qs = [i / 100.0 for i in range(101)]
     arr = ", ".join(str(q) for q in qs)
@@ -1438,7 +1440,7 @@ ranked AS (
   SELECT site, clip_stat,
          row_number() OVER (PARTITION BY site ORDER BY clip_stat) AS r,
          count(*) OVER (PARTITION BY site) AS n
-  FROM stat
+  FROM stat WHERE clip_stat IS NOT NULL
 ),
 g AS (SELECT unnest(range(0, 101)) AS q_ix)
 SELECT ranked.site, CAST(g.q_ix AS INT) AS q_ix,
@@ -5064,7 +5066,8 @@ Q181_SQL = rf"""
 WITH RECURSIVE mr AS (
   SELECT * FROM (VALUES {_Q181_MERGE_VALUES}) t(a, b, rank)
 ), norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g'))
+           AS t
   FROM documents
 ), seq AS (
   SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS wi
@@ -5084,7 +5087,7 @@ WITH RECURSIVE mr AS (
                      list_concat([syms[bi] || syms[bi+1]], syms[bi+2:]))
   FROM (
     SELECT s.word, s.it, s.syms,
-           CAST((SELECT min_by(i, r.rank * 1000 + i)
+           CAST((SELECT min_by(i, r.rank * len(s.syms) + i)
             FROM unnest(generate_series(1, len(s.syms) - 1)) u(i)
             JOIN mr r ON r.a = s.syms[i] AND r.b = s.syms[i+1]) AS INT)
              AS bi
@@ -7820,14 +7823,15 @@ def q169_fleet_relational_spine(spark, sf_dir):
     from solar_data_tools_spark.plans.pipeline import run_pipeline
 
     m = _meas(spark, sf_dir)
-    core = run_pipeline(m.select("site", "ts", "seq", "value"), per_site=True)
-    # four legs consume the standardized grid (days, capacity, sun,
-    # clip): materialize it once instead of re-deriving the
-    # explode+nearest-join chain per leg (sf0.01: 8.2 s -> ~3 s). At
-    # fleet scale the facade (plans/fleet.py) is the production path;
-    # this query is the certification face, where one local
-    # materialization of the grid is the right trade.
-    std = core.standardized.localCheckpoint(eager=False)
+    # materialize=True: four legs consume the standardized grid (days,
+    # capacity, sun, clip) — the checkpoint inside run_pipeline makes
+    # the explode+nearest-join chain run once (sf0.01: 8.2 s -> ~3 s).
+    core = run_pipeline(
+        m.select("site", "ts", "seq", "value"),
+        per_site=True,
+        materialize=True,
+    )
+    std = core.standardized
     days = std.groupBy("site").agg(
         F.count_distinct(F.to_date("grid_ts")).alias("num_days")
     )
@@ -7871,7 +7875,12 @@ def q169_fleet_relational_spine(spark, sf_dir):
         "site", ((F.col("sunrise") + F.col("sunset")) / 2.0).alias("noon")
     )
     tz = noon.groupBy("site").agg(
-        (_psum(F.col("noon"), R) / F.count("noon")).alias("avg_noon")
+        # try_divide: a dead site (no reading ever above the sun
+        # threshold) has zero non-null noons — count 0 must yield a
+        # NULL mean (-> correction 0 below), not an ANSI divide-by-zero
+        F.try_divide(_psum(F.col("noon"), R), F.count("noon")).alias(
+            "avg_noon"
+        )
     )
     off0 = F.floor(F.lit(12.0) - F.col("avg_noon") + F.lit(0.5)).cast("int")
     tz = tz.select(
@@ -8045,12 +8054,12 @@ SELECT span.site,
        snap.grid_seconds,
        floor((snap.grid_seconds / 60.0) * 1e6 + 0.5) / 1e6
          AS sampling_minutes,
-       tz.time_zone_correction,
+       coalesce(tz.time_zone_correction, 0) AS time_zone_correction,
        floor(cfrac.raw_clipped_fraction * 1e6 + 0.5) / 1e6
          AS raw_clipped_fraction
 FROM span
 JOIN snap ON span.site = snap.site
-JOIN tz ON span.site = tz.site
+LEFT JOIN tz ON span.site = tz.site
 JOIN cfrac ON span.site = cfrac.site
 """
 

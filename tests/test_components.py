@@ -2276,3 +2276,54 @@ def test_segment_pooled_diffs_magnitude_guard(spark):
     # both spell the 9.0e15 bound and the exact_digits remedy
     with pytest.raises(Exception, match=">= 9.0e15"):
         segment_pooled_diffs(df).collect()
+
+
+def test_dead_site_yields_null_clip_stats_not_ansi_error(spark):
+    """r11 review: a site whose every value is 0.0 has site_max == 0 —
+    clip_stat_1 must be NULL (DuckDB's x/0 -> NULL, matched by
+    try_divide), never an ANSI DIVIDE_BY_ZERO that kills the fleet
+    job; and the q169-style clipped indicator must count such days as
+    not clipped."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.daily import clipping_stats
+
+    rows = [(1, f"2024-01-0{d}", 0.0) for d in range(1, 4)]
+    df = spark.createDataFrame(
+        rows, "site int, date string, value double"
+    ).withColumn("date", F.col("date").cast("date"))
+    out = clipping_stats(df, exact_digits=6).collect()
+    assert len(out) == 3
+    assert all(r["clip_stat_1"] is None for r in out)
+    clipped = [
+        r
+        for r in out
+        if r["clip_stat_1"] is not None
+        and r["clip_stat_1"] > 0.05
+        and r["clip_stat_2"] is not None
+        and r["clip_stat_2"] > 0.1
+    ]
+    assert clipped == []
+
+
+def test_dead_site_tz_mean_is_null_not_divide_by_zero(spark):
+    """The q169 tz leg's noon mean uses try_divide: zero non-null noons
+    (no reading ever above the sun threshold) must give a NULL mean ->
+    whole-hour correction 0, not an ANSI error."""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.registry import R, _psum
+
+    noon = spark.createDataFrame(
+        [(1, None), (1, None)], "site int, noon double"
+    )
+    tz = noon.groupBy("site").agg(
+        F.try_divide(_psum(F.col("noon"), R), F.count("noon")).alias(
+            "avg_noon"
+        )
+    )
+    off0 = F.floor(F.lit(12.0) - F.col("avg_noon") + F.lit(0.5)).cast("int")
+    got = tz.select(
+        F.when(F.abs(off0) > 1, off0).otherwise(F.lit(0)).alias("tzc")
+    ).collect()
+    assert [r["tzc"] for r in got] == [0]
