@@ -166,10 +166,19 @@ def run_fleet_pipeline(
     # like the q169 spine.
     import dataclasses
 
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY: the grid at fleet scale must not compete with
+    # execution memory in small-heap sessions (the sf0.1 sweep's
+    # vanilla 1g driver OOMed with the default level — r11)
     core = dataclasses.replace(
         core,
-        standardized=core.standardized.localCheckpoint(eager=False),
-        daily=core.daily.localCheckpoint(eager=False),
+        standardized=core.standardized.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        ),
+        daily=core.daily.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        ),
     )
 
     # ---- scoring stage (per-site grouped map, error-isolated)

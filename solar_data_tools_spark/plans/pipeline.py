@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from solar_data_tools_spark.operators.canonical import with_time_columns
 from solar_data_tools_spark.operators.daily import (
@@ -65,8 +66,10 @@ def run_pipeline(
     the checkpoint placed here, ``daily``'s lineage reads the
     checkpoint instead of embedding a second copy of the chain (r11
     review: two independent downstream checkpoints still ran the grid
-    twice). Off by default: a single-consumer pipeline should stay
-    fully lazy.
+    twice). The checkpoint is DISK_ONLY: a cached fleet-scale grid
+    competing for unified memory OOMed a vanilla 1g session at sf0.1
+    (r11) — the narrow table re-reads cheaply from local disk. Off by
+    default: a single-consumer pipeline should stay fully lazy.
 
     ``per_site=True`` grids each site at its OWN inferred cadence (the
     reference runs one site at a time, so its grid is always native; a
@@ -92,7 +95,9 @@ def run_pipeline(
         )
         standardized = standardize_time_axis(clamped, grid)
         if materialize:
-            standardized = standardized.localCheckpoint(eager=False)
+            standardized = standardized.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
         samp = sampling.select(
             "site",
             F.col("grid_seconds").cast("long").alias("_samp_s"),
@@ -141,7 +146,9 @@ def run_pipeline(
     clamped = clamp_to_null(measurements, "value", min_val, max_val)
     standardized = standardize_time_axis(clamped, sampling_seconds)
     if materialize:
-        standardized = standardized.localCheckpoint(eager=False)
+        standardized = standardized.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
 
     # deterministic seq: the absolute grid slot index. Unlike
     # monotonically_increasing_id() it survives task retries / plan
