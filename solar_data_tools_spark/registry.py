@@ -9225,7 +9225,9 @@ _QUERY_ORDER: list[str] = [
     #    (decimal-first term amplification + HUGEINT-first oracle
     #    multiply), q169 (spine extended with tz offset + clipped
     #    fraction over an oracle-generated grid), plus the in-window
-    #    promotions q88/q111/q137 and q152's VALUES cast.
+    #    promotions q88/q111/q137, q152's VALUES cast, and q30
+    #    (clipping_stats cs1 -> try_divide; values unchanged on
+    #    non-degenerate data, in-window per the changed-query rule).
     # 5. the full r7 class (q35-q39), then the head of the r8 class
     #    (q157 fleet report + q88 + profiler studies + retrieval).
     # Tail: the rest of the r8 class, then r9/r10 (checked most
@@ -9236,6 +9238,7 @@ _QUERY_ORDER: list[str] = [
     "q181_bpe_apply_pinned",
     "q179_wide_tick_sum",
     "q169_fleet_relational_spine",
+    "q30_clipping_stats",
     "q48_simhash",
     "q49_lsh_topk",
     "q50_seasonal_fit",
@@ -9366,7 +9369,6 @@ _QUERY_ORDER: list[str] = [
     "q16_rolling_mean",
     "q24_resample_hourly",
     "q25_avg_day_profile",
-    "q30_clipping_stats",
     "q31_binned_mean",
     "q32_rayleigh",
     "q138_classifier_score",
