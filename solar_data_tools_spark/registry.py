@@ -7907,6 +7907,7 @@ def q169_fleet_relational_spine(spark, sf_dir):
         days.join(samp, "site")
         .join(tz, "site")
         .join(cfrac, "site")
+        .join(cap, "site")
         .select(
             "site",
             "num_days",
@@ -7917,6 +7918,10 @@ def q169_fleet_relational_spine(spark, sf_dir):
             _pround(F.col("raw_clipped_fraction")).alias(
                 "raw_clipped_fraction"
             ),
+            # the facade's `capacity` field (p95 of the gridded values,
+            # data_handler.py:431-433) on the exact-percentile chain —
+            # the same cap the tz leg thresholds on
+            _pround(F.col("capacity")).alias("capacity"),
         )
     )
 
@@ -8056,11 +8061,13 @@ SELECT span.site,
          AS sampling_minutes,
        coalesce(tz.time_zone_correction, 0) AS time_zone_correction,
        floor(cfrac.raw_clipped_fraction * 1e6 + 0.5) / 1e6
-         AS raw_clipped_fraction
+         AS raw_clipped_fraction,
+       floor(cap.capacity * 1e6 + 0.5) / 1e6 AS capacity
 FROM span
 JOIN snap ON span.site = snap.site
 LEFT JOIN tz ON span.site = tz.site
 JOIN cfrac ON span.site = cfrac.site
+JOIN cap ON span.site = cap.site
 """
 
 

@@ -601,3 +601,12 @@ def test_q169_tz_and_clip_decision_margins(spark, sf_gate):
         F.min(F.abs(F.col("clip_stat_2") - F.lit(0.1))).alias("m2"),
     ).collect()[0]
     assert cm["m1"] >= 1e-9 and cm["m2"] >= 1e-9, f"clip margins {cm}"
+    # r11 late addition: the spine now HASHES the interpolated p95
+    # capacity itself (pround 1e-6) — same engine-pair interpolation
+    # class q37 has certified for six rounds; measure its tick margin
+    x = F.col("capacity") * F.lit(1e6) + F.lit(0.5)
+    frac = x - F.floor(x)
+    capm = cap.agg(
+        F.min(F.least(frac, F.lit(1.0) - frac)).alias("m")
+    ).collect()[0]["m"]
+    assert capm >= 1e-7, f"capacity tick margin {capm}"
