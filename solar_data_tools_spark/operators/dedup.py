@@ -1029,6 +1029,231 @@ def snapshot_incremental_dedup(
     return verdicts
 
 
+def minhash_incremental_dedup(
+    new_docs: DataFrame,
+    signature_store: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 8,
+    n: int = 1,
+    sim_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    token_hash: str = "md5_u31",
+    materialize: str = "local",
+) -> DataFrame:
+    """Near-dup a NEW crawl dump against a PERSISTED MinHash signature
+    store — the per-dump CCNet/RefinedWeb loop: history is represented
+    ONLY by its signatures (built once, by a previous run of
+    ``minhash_signatures`` with the same family/geometry), so each new
+    dump costs O(new) signing + a banded join, never a re-sign or
+    re-scan of the accumulated corpus text.
+
+    Inputs:
+      * ``new_docs`` — this dump's documents (``id_col``, ``text_col``,
+        ``block_cols``);
+      * ``signature_store`` — (``id_col``, ``block_cols``...,
+        ``signature array<bigint>``) rows for every KEPT historical doc.
+
+    Verdict per signed new doc (docs with no shingles are dropped, as in
+    ``minhash_near_duplicates``):
+
+      * ``history_dup``  — >= ``ceil(sim_threshold * num_hashes)`` of the
+        ``num_hashes`` signature components match some store row that
+        shares an LSH band bucket (signature-estimated similarity — the
+        history TEXT is gone by design, so the estimate IS the verdict);
+      * ``snapshot_dup`` — same criterion against a lower-id doc of THIS
+        dump (lowest id wins, the layer's canonicalization convention,
+        matching ``snapshot_incremental_dedup``);
+      * ``new``          — neither -> ``keep``.
+
+    ``matched_id`` is the minimum matching store id (history_dup) or the
+    minimum lower new id (snapshot_dup). The returned frame carries each
+    new doc's ``signature``, so the store append is exactly
+    ``out.where("keep").select(id, blocks..., "signature")`` — again, no
+    re-signing.
+
+    Scale shape (the 100 TB contract):
+      * the store contributes a NARROW projection — (id, blocks,
+        8-byte band hash) exploded x ``bands`` — to the candidate join;
+        its text is never read and its signatures are only re-joined for
+        the candidate subset (AQE broadcasts the small candidate side,
+        so the store-side signature lookup is one scan, no store-wide
+        shuffle). At production scale, persist the store bucketed by
+        (band_ix, band_hash) and the candidate join is co-located too.
+      * candidate verification is q47's back-join shape: band collision
+        proposes, a static codegen sum of per-component equalities over
+        the two 64-long arrays disposes — no HOF lambdas, no re-explode.
+      * within-dump banding reuses ``minhash_lsh_candidates``'s
+        repartition-before-alias + merge-pin pattern so the new dump's
+        signature pipeline runs once for both self-join sides.
+
+    With ``token_hash="md5_u31"`` (default) every stage replays
+    bit-for-bit in DuckDB — certified end-to-end as q182 (the q47
+    oracle parameterized over two generations).
+
+    Reference parity: solar-data-tools has no corpus tier; this is the
+    north-star extension's incremental form (VERDICT r11 item 1).
+    """
+    import math
+
+    blocks = block_cols or []
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    r = num_hashes // bands
+    min_equal = math.ceil(sim_threshold * num_hashes)
+
+    sigs_new = minhash_signatures(
+        new_docs, num_hashes, n, id_col, text_col,
+        carry_cols=blocks, token_hash=token_hash,
+    )
+    # the new dump's signature table fans out to SIX consumers (history
+    # banding + back-join, self-join banding, two self back-joins, the
+    # final verdict join) — materialize it once or the signing pipeline
+    # (the md5-per-shingle stage, the expensive part) re-executes per
+    # consumer. The STORE side is deliberately NOT checkpointed: it is
+    # already a persisted table, and re-scanning a narrow parquet
+    # projection twice beats writing a second copy of TB-scale history.
+    from solar_data_tools_spark.session import materialize_df
+
+    sigs_new = materialize_df(sigs_new, materialize)
+
+    def _banded(sig_df: DataFrame, alias: str) -> DataFrame:
+        # Same geometry + structural length guard as
+        # minhash_lsh_candidates (kept inline so this operator never
+        # perturbs the certified q47 plan); the guard matters MORE here:
+        # a store written with a different num_hashes would otherwise
+        # silently band every history row into the same short-slice
+        # buckets and mark the whole dump history_dup.
+        checked = sig_df.withColumn(
+            "signature",
+            F.when(
+                F.size("signature") == num_hashes, F.col("signature")
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "minhash signature length %s != num_hashes "
+                        + str(num_hashes),
+                        F.size("signature").cast("string"),
+                    )
+                )
+            ),
+        )
+        return checked.select(
+            F.col(id_col).alias(alias),
+            *[F.col(c) for c in blocks],
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias(
+                "band_ix"
+            ),
+            F.xxhash64(
+                F.expr(f"slice(signature, band_ix * {r} + 1, {r})"),
+                F.col("band_ix"),
+            ).alias("band_hash"),
+        )
+
+    keys = [*blocks, "band_ix", "band_hash"]
+
+    # static codegen component-match count over two signature arrays —
+    # the "agg of k static expressions beats one interpreted HOF fold"
+    # lesson from minhash_signatures applied to verification
+    def _n_equal(a: str, b: str):
+        terms = [
+            F.when(
+                F.element_at(a, i + 1) == F.element_at(b, i + 1), 1
+            ).otherwise(0)
+            for i in range(num_hashes)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    sig_cols = [id_col, *blocks, "signature"]
+
+    # --- new vs HISTORY ---------------------------------------------
+    cand_h = (
+        _banded(sigs_new, "_nid")
+        .join(_banded(signature_store.select(*sig_cols), "_sid"), on=keys)
+        .select("_nid", "_sid")
+        .distinct()
+    )
+    hist_matches = (
+        cand_h.join(
+            sigs_new.select(
+                F.col(id_col).alias("_nid"), F.col("signature").alias("_gn")
+            ),
+            "_nid",
+        )
+        .join(
+            signature_store.select(
+                F.col(id_col).alias("_sid"), F.col("signature").alias("_gs")
+            ),
+            "_sid",
+        )
+        .where(_n_equal("_gn", "_gs") >= min_equal)
+        .groupBy("_nid")
+        .agg(F.min("_sid").alias("_hist_match"))
+    )
+
+    # --- new vs NEW (within-dump) -----------------------------------
+    banded_new = _banded(sigs_new, "_id").repartition(
+        *[F.col(c) for c in keys]
+    )
+    a = banded_new.select(F.col("_id").alias("_ida"), *keys)
+    b = banded_new.select(F.col("_id").alias("_idb"), *keys)
+    cand_n = (
+        a.hint("merge")
+        .join(b, on=keys)
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    snap_matches = (
+        cand_n.join(
+            sigs_new.select(
+                F.col(id_col).alias("_ida"), F.col("signature").alias("_ga")
+            ),
+            "_ida",
+        )
+        .join(
+            sigs_new.select(
+                F.col(id_col).alias("_idb"), F.col("signature").alias("_gb")
+            ),
+            "_idb",
+        )
+        .where(_n_equal("_ga", "_gb") >= min_equal)
+        .groupBy("_idb")
+        .agg(F.min("_ida").alias("_snap_match"))
+    )
+
+    return (
+        sigs_new.join(
+            hist_matches.withColumnRenamed("_nid", id_col), id_col, "left"
+        )
+        .join(
+            snap_matches.withColumnRenamed("_idb", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in blocks],
+            F.col("signature"),
+            F.when(F.col("_hist_match").isNotNull(), F.lit("history_dup"))
+            .when(F.col("_snap_match").isNotNull(), F.lit("snapshot_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("_hist_match").isNotNull(), F.col("_hist_match"))
+            .otherwise(F.col("_snap_match"))
+            .alias("matched_id"),
+            (
+                F.col("_hist_match").isNull()
+                & F.col("_snap_match").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5117,6 +5117,135 @@ FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+def q182_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup against a persisted MinHash signature store
+    (round 12) — the per-dump CCNet/RefinedWeb loop (VERDICT r11 item
+    1). The corpus is split at the id midpoint into a HISTORY half
+    (signed once here, standing in for the persisted store a production
+    pipeline appends to every dump) and a NEW half (this dump);
+    ``minhash_incremental_dedup`` then signs ONLY the new half and
+    verdicts it against the store's signatures — history text is never
+    re-read (the not-re-signed property is probed at 1M+1M docs in
+    SURVEY §7.5; this query certifies the VALUES). md5_u31 family ->
+    every stage (signatures, banding, the >= ceil(0.7*64)=45
+    component-match rule, min-id canonicalization) replays bit-for-bit
+    in DuckDB: the q47 oracle parameterized over two generations.
+
+    Reference parity: no corpus tier in solar-data-tools; north-star
+    extension (incremental form of q47/q117)."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor((F.max("doc_id") + F.lit(1)) / 2)
+        .cast("bigint")
+        .alias("_mid")
+    )
+    d2 = docs.crossJoin(F.broadcast(mid))
+    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
+    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    store = dd.minhash_signatures(
+        hist, 64, 1, "doc_id", "text",
+        carry_cols=["lang", "source"], token_hash="md5_u31",
+    )
+    out = dd.minhash_incremental_dedup(
+        new, store, num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+        block_cols=["lang", "source"], token_hash="md5_u31",
+    )
+    return out.select("doc_id", "verdict", "matched_id", "keep")
+
+
+def _q182_sql(num_hashes: int = 64, bands: int = 8,
+              sim_threshold: float = 0.7) -> str:
+    """DuckDB replay of the incremental pipeline: q47's signature CTEs
+    over the full corpus, then the two-generation band join + static
+    component-match count + min-id verdicts."""
+    import math
+
+    from solar_data_tools_spark.operators.dedup import (
+        _P31,
+        md5_u31_constants,
+    )
+
+    consts = md5_u31_constants(num_hashes)
+    r = num_hashes // bands
+    min_equal = math.ceil(sim_threshold * num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * x0 + {b} * x1 + {c}) % {_P31}) AS s{i}"
+        for i, (a, b, c) in enumerate(consts)
+    )
+
+    def band_eq(x: str, y: str) -> str:
+        return " OR ".join(
+            "("
+            + " AND ".join(
+                f"{x}.s{b * r + j} = {y}.s{b * r + j}" for j in range(r)
+            )
+            + ")"
+            for b in range(bands)
+        )
+
+    def n_equal(x: str, y: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {x}.s{i} = {y}.s{i} THEN 1 ELSE 0 END)"
+            for i in range(num_hashes)
+        )
+
+    return f"""
+WITH mid AS (
+  SELECT (max(doc_id) + 1) // 2 AS m FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS shingle
+  FROM documents
+),
+shx AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS x0,
+         ('0x' || substring(md5(shingle), 9, 7))::BIGINT AS x1
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, lang, source,
+         {mins}
+  FROM shx GROUP BY doc_id, lang, source
+),
+hist AS (
+  SELECT n.doc_id AS doc_id, min(h.doc_id) AS m
+  FROM sig n, sig h, mid
+  WHERE n.doc_id >= mid.m AND h.doc_id < mid.m
+    AND n.lang = h.lang AND n.source = h.source
+    AND ({band_eq('n', 'h')})
+    AND ({n_equal('n', 'h')}) >= {min_equal}
+  GROUP BY n.doc_id
+),
+snap AS (
+  SELECT b.doc_id AS doc_id, min(a.doc_id) AS m
+  FROM sig a, sig b, mid
+  WHERE a.doc_id >= mid.m AND b.doc_id >= mid.m
+    AND a.doc_id < b.doc_id
+    AND a.lang = b.lang AND a.source = b.source
+    AND ({band_eq('a', 'b')})
+    AND ({n_equal('a', 'b')}) >= {min_equal}
+  GROUP BY b.doc_id
+)
+SELECT s.doc_id,
+       CASE WHEN hist.m IS NOT NULL THEN 'history_dup'
+            WHEN snap.m IS NOT NULL THEN 'snapshot_dup'
+            ELSE 'new' END AS verdict,
+       coalesce(hist.m, snap.m) AS matched_id,
+       (hist.m IS NULL AND snap.m IS NULL) AS keep
+FROM sig s
+CROSS JOIN mid
+LEFT JOIN hist ON hist.doc_id = s.doc_id
+LEFT JOIN snap ON snap.doc_id = s.doc_id
+WHERE s.doc_id >= mid.m
+"""
+
+
+Q182_SQL = _q182_sql()
+
+
 def q146_ivfpq_topk(spark, sf_dir):
     """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape):
     coarse L2 cells + product-quantized RESIDUALS + per-query
@@ -9115,6 +9244,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q181_bpe_apply_pinned": QuerySpec(
         q181_bpe_apply_pinned, Q181_SQL, "tokenize-bpe-oracle"
     ),
+    "q182_minhash_incremental": QuerySpec(
+        q182_minhash_incremental, Q182_SQL, "dedup-minhash-incremental"
+    ),
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
@@ -9240,6 +9372,7 @@ _QUERY_ORDER: list[str] = [
     # Tail: the rest of the r8 class, then r9/r10 (checked most
     # recently). The full registry is additionally swept locally every
     # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
+    "q182_minhash_incremental",
     "q178_capped_join",
     "q148_pagerank",
     "q181_bpe_apply_pinned",

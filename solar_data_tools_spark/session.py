@@ -115,6 +115,58 @@ def read_table(spark: SparkSession, path: str):
     return df
 
 
+def materialize_df(df, mode: str = "local", eager: bool = False):
+    """Materialize a DataFrame that a plan fans out to several consumers
+    (or that an iterative loop rebuilds every round), truncating its
+    lineage so the upstream chain executes once. The MODE is the
+    fault-tolerance contract — pick it by where the job runs:
+
+    * ``"none"``     — return ``df`` unchanged. Pure lazy plan; the
+      plan-audit hook (audits need the full lineage visible) and the
+      right choice when there is exactly one consumer.
+    * ``"local"``    — ``localCheckpoint`` to executor-LOCAL blocks at
+      ``StorageLevel.DISK_ONLY`` (a cached fleet-scale grid competing
+      for unified memory OOMed a vanilla 1g session at sf0.1 — r11).
+      Fast (no DFS round-trip) and the right default on local[k] or a
+      dedicated cluster — but NOT fault-tolerant: Spark cannot
+      recompute past a localCheckpoint, so losing ONE executor
+      (preemption, OOM kill) makes its blocks unrecoverable and fails
+      the JOB. Failure mode is job-retry, never a wrong answer.
+    * ``"reliable"`` — ``DataFrame.checkpoint()`` into the session's
+      checkpoint directory (``spark.sparkContext.setCheckpointDir`` —
+      an HDFS/S3/DFS path on a real cluster). Blocks are re-read from
+      the DFS after executor loss, so long fleet jobs on preemptible
+      nodes complete without a retry. Costs one DFS write; use for
+      cluster-scale runs where a mid-job executor loss is expected,
+      not exceptional (VERDICT r11 item 3).
+
+    ``eager=False`` keeps the checkpoint itself lazy — it materializes
+    on first action, so consumers that never execute cost nothing.
+    """
+    if mode == "none":
+        return df
+    if mode == "local":
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.DISK_ONLY
+        )
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "materialize_df(mode='reliable') needs a checkpoint "
+                "directory: call spark.sparkContext.setCheckpointDir("
+                "'<DFS path>') first (an HDFS/S3 path on a cluster; any "
+                "local dir under test)"
+            )
+        return df.checkpoint(eager=eager)
+    raise ValueError(
+        f"unknown materialize mode {mode!r} "
+        "(expected 'none' | 'local' | 'reliable')"
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the synthetic parquet tables under ``sf_dir`` as temp views.
 

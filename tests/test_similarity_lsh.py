@@ -982,3 +982,111 @@ def test_semantic_decontaminate_streaming_matches_batch(spark, tmp_path):
         for r in semantic_decontaminate(tr, ev, tau=0.35).collect()
     }
     assert streamed == batch and len(batch) == 55
+
+
+# ---------------------------------------------------------------------------
+# minhash_incremental_dedup — the per-dump signature-store loop (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+_XT = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+_YT = "kilo lima mike november oscar papa quebec romeo sierra tango"
+_ZT = "uniform victor whiskey xray yankee zulu one two three four"
+_WT = "red orange yellow green blue indigo violet cyan magenta black"
+_VT = "north south east west up down left right front back"
+
+
+def test_minhash_incremental_verdicts(spark):
+    """Deterministic verdict semantics on exact-copy relationships
+    (64/64 components match -> no estimator noise): history precedence
+    over snapshot, min-id canonicalization, keep = new."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    hist = _mk_docs(spark, [(1, _XT), (2, _YT)])
+    store = minhash_signatures(hist, 64, 1, token_hash="md5_u31")
+    new = _mk_docs(
+        spark,
+        [
+            (10, _XT),  # copy of history doc 1
+            (11, _XT),  # ALSO a history copy -> history_dup, not
+            #             snapshot_dup (precedence), matched_id=1
+            (12, _ZT),  # unique -> new
+            (13, _WT),  # first of a within-dump pair -> new
+            (14, _WT),  # within-dump copy -> snapshot_dup matched 13
+            (15, _VT),  # unique -> new
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in minhash_incremental_dedup(
+            new, store, num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+            token_hash="md5_u31",
+        ).collect()
+    }
+    assert out == {
+        10: ("history_dup", 1, False),
+        11: ("history_dup", 1, False),
+        12: ("new", None, True),
+        13: ("new", None, True),
+        14: ("snapshot_dup", 13, False),
+        15: ("new", None, True),
+    }
+
+
+def test_minhash_incremental_store_append_is_fresh_signing(spark):
+    """The keep rows' carried signatures ARE the store delta: appending
+    them must equal signing those docs from scratch (no re-sign needed,
+    byte-for-byte)."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    hist = _mk_docs(spark, [(1, _XT)])
+    store = minhash_signatures(hist, 64, 1, token_hash="md5_u31")
+    new = _mk_docs(spark, [(10, _XT), (12, _ZT), (13, _WT)])
+    out = minhash_incremental_dedup(
+        new, store, num_hashes=64, bands=8, n=1, token_hash="md5_u31"
+    )
+    delta = {
+        r["doc_id"]: list(r["signature"])
+        for r in out.where("keep").select("doc_id", "signature").collect()
+    }
+    fresh = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(
+            new.where(F.col("doc_id").isin(12, 13)), 64, 1,
+            token_hash="md5_u31",
+        ).collect()
+    }
+    assert delta == fresh and set(delta) == {12, 13}
+
+
+def test_minhash_incremental_store_geometry_guard(spark):
+    """A store signed with a different num_hashes must fail loudly —
+    silently short-sliced bands would mark the whole dump history_dup."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    hist = _mk_docs(spark, [(1, _XT)])
+    store32 = minhash_signatures(hist, 32, 1, token_hash="md5_u31")
+    new = _mk_docs(spark, [(10, _ZT)])
+    with pytest.raises(Exception, match="signature length|num_hashes"):
+        minhash_incremental_dedup(
+            new, store32, num_hashes=64, bands=8, token_hash="md5_u31"
+        ).collect()
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_incremental_dedup(new, store32, num_hashes=64, bands=7)
