@@ -46,7 +46,7 @@ def pagerank(
     ordered_sum: bool = False,
     fixed_point: bool = False,
     scale: int = 10**9,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list; returns
     ``(node, rank)`` with ranks scaled so they average 1.0 (rank =
@@ -84,10 +84,37 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    # checkpoint=False keeps the full per-iteration lineage visible —
-    # the plan-audit hook (test_plan_audits.py::test_q148_...); real
-    # multi-round runs need the checkpoint or the plan tree grows
-    # exponentially with n_iters
+    # checkpoint modes — False/"none" keeps the full per-iteration
+    # lineage visible (the plan-audit hook,
+    # test_plan_audits.py::test_q148_...; real multi-round runs need a
+    # checkpoint or the plan tree grows exponentially with n_iters);
+    # True/"local" localCheckpoints each iterate (fast, but an executor
+    # loss mid-run is unrecoverable — Spark cannot recompute past a
+    # localCheckpoint, so the JOB fails and must retry); "reliable"
+    # checkpoints each iterate into the session's checkpoint directory
+    # (spark.sparkContext.setCheckpointDir — a DFS path on a cluster),
+    # the mode for billion-edge multi-hour runs on preemptible nodes
+    # (r11 verdict item 3). Failure semantics only — ranks are
+    # identical in all three modes.
+    mode = {False: "none", True: "local"}.get(checkpoint, checkpoint)
+    if mode not in ("none", "local", "reliable"):
+        raise ValueError(
+            f"unknown checkpoint mode {checkpoint!r} "
+            "(expected bool | 'none' | 'local' | 'reliable')"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # per-iterate materialization: the rank table is small (one row
+        # per node), so local mode keeps the default storage level
+        # rather than materialize_df's DISK_ONLY grid policy
+        if mode == "local":
+            return df.localCheckpoint(eager=False)
+        if mode == "reliable":
+            from solar_data_tools_spark.session import materialize_df
+
+            return materialize_df(df, "reliable")
+        return df
+
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
@@ -95,7 +122,15 @@ def pagerank(
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+    )
+    # the node table is consumed every iteration: even in "none" mode it
+    # is locally checkpointed (the audit hook inspects the ITERATION
+    # lineage, not this static input) — in reliable mode it goes to the
+    # DFS with everything else
+    nodes = (
+        nodes.localCheckpoint(eager=False)
+        if mode != "reliable"
+        else _ckpt(nodes)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -104,7 +139,7 @@ def pagerank(
     if fixed_point:
         return _pagerank_fp(
             e, nodes, deg, n_nodes, n_iters, damping, int(scale),
-            checkpoint=checkpoint,
+            ckpt=_ckpt,
         )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
@@ -159,8 +194,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+        ranks = _ckpt(ranks)
     return ranks
 
 
@@ -172,12 +206,16 @@ def _pagerank_fp(
     n_iters: int,
     damping: float,
     scale: int,
-    checkpoint: bool = True,
+    ckpt=None,
 ) -> DataFrame:
     """All-LONG PageRank power iteration (see ``pagerank`` docstring
     for the contract). Same plan shape as the float path: one
     (dst, contribution) shuffle with map-side partial INTEGER sums per
-    round, broadcast degree table, per-round localCheckpoint."""
+    round, broadcast degree table, per-round materialization via the
+    caller-supplied ``ckpt`` (none/local/reliable)."""
+    if ckpt is None:
+        def ckpt(df):
+            return df.localCheckpoint(eager=False)
     DEN = 10_000
     d_fp = int(round(damping * DEN))
     # worst case: one node holds the whole graph's mass, then the
@@ -229,8 +267,7 @@ def _pagerank_fp(
                 ).alias("rank_fp"),
             )
         )
-        if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+        ranks = ckpt(ranks)
     return ranks.select(
         "node",
         "rank_fp",

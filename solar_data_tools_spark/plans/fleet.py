@@ -79,6 +79,7 @@ def run_fleet_pipeline(
     run_loss_analysis: bool = False,
     site_col: str = "site",
     min_positive_values: int = 24,
+    materialize: str = "local",
 ) -> FleetResult:
     """Run the full reference pipeline for every site and assemble the
     11-field report with per-stage error capture. See module docstring
@@ -91,6 +92,17 @@ def run_fleet_pipeline(
     (reference ``run_pipeline(fix_shifts=True)``); ``correct_tz=True``
     shifts a site's grid by the detected whole-hour offset when
     ``|offset| > 1`` (reference :629-640).
+
+    ``materialize`` picks the fault-tolerance mode of the two shared
+    mid-pipeline tables (``session.materialize_df``): ``"local"``
+    (default — executor-local DISK_ONLY blocks, fastest, but an
+    executor loss fails the job, so use on local[k] or dedicated
+    non-preemptible clusters), ``"reliable"`` (checkpoint into
+    ``spark.sparkContext.setCheckpointDir`` — one DFS write per table,
+    survives executor loss; the right mode for long fleet jobs on
+    preemptible/spot executors — r11 verdict item 3), or ``"none"``
+    (fully lazy; the grid chain re-executes per consumer — only for
+    plan audits).
 
     ``run_loss_analysis=True`` chains the loss-factor leg of the fleet
     runner (``run_loss_factor_analysis`` + ``loss_analysis.report()``,
@@ -166,19 +178,16 @@ def run_fleet_pipeline(
     # like the q169 spine.
     import dataclasses
 
-    from pyspark.storagelevel import StorageLevel
+    from solar_data_tools_spark.session import materialize_df
 
-    # DISK_ONLY: the grid at fleet scale must not compete with
-    # execution memory in small-heap sessions (the sf0.1 sweep's
-    # vanilla 1g driver OOMed with the default level — r11)
+    # local mode is DISK_ONLY: the grid at fleet scale must not compete
+    # with execution memory in small-heap sessions (the sf0.1 sweep's
+    # vanilla 1g driver OOMed with the default level — r11); reliable
+    # mode trades one DFS write per table for executor-loss survival
     core = dataclasses.replace(
         core,
-        standardized=core.standardized.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
-        ),
-        daily=core.daily.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
-        ),
+        standardized=materialize_df(core.standardized, materialize),
+        daily=materialize_df(core.daily, materialize),
     )
 
     # ---- scoring stage (per-site grouped map, error-isolated)

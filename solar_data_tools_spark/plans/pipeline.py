@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from solar_data_tools_spark.operators.canonical import with_time_columns
 from solar_data_tools_spark.operators.daily import (
@@ -50,7 +49,7 @@ def run_pipeline(
     min_val: float | None = None,
     slots_per_day: int | None = None,
     per_site: bool = False,
-    materialize: bool = False,
+    materialize: bool | str = False,
 ) -> PipelineResult:
     """Run the relational pipeline for every site in ``measurements``.
 
@@ -70,6 +69,14 @@ def run_pipeline(
     competing for unified memory OOMed a vanilla 1g session at sf0.1
     (r11) — the narrow table re-reads cheaply from local disk. Off by
     default: a single-consumer pipeline should stay fully lazy.
+    ``materialize`` also accepts the ``session.materialize_df`` mode
+    strings — ``"local"`` (== True), ``"none"`` (== False), and
+    ``"reliable"``, which checkpoints the grid into the session's
+    checkpoint directory (set ``spark.sparkContext.setCheckpointDir``
+    to a DFS path) so a LONG fleet job on preemptible executors
+    survives executor loss: a localCheckpoint's executor-local blocks
+    cannot be recomputed, so losing one executor fails the whole job
+    (r11 verdict item 3 — job-retry semantics, never wrong answers).
 
     ``per_site=True`` grids each site at its OWN inferred cadence (the
     reference runs one site at a time, so its grid is always native; a
@@ -79,6 +86,14 @@ def run_pipeline(
     ignored and the daily energy integral scales by each site's own
     sampling.
     """
+    from solar_data_tools_spark.session import materialize_df
+
+    # bool back-compat: True == "local", False == "none"
+    mat_mode = (
+        materialize
+        if isinstance(materialize, str)
+        else ("local" if materialize else "none")
+    )
     sampling = infer_sampling_seconds(measurements)
     clamped = clamp_to_null(measurements, "value", min_val, max_val)
 
@@ -94,10 +109,7 @@ def run_pipeline(
             "site", F.col("grid_seconds").alias("sampling_seconds")
         )
         standardized = standardize_time_axis(clamped, grid)
-        if materialize:
-            standardized = standardized.localCheckpoint(
-                eager=False, storageLevel=StorageLevel.DISK_ONLY
-            )
+        standardized = materialize_df(standardized, mat_mode)
         samp = sampling.select(
             "site",
             F.col("grid_seconds").cast("long").alias("_samp_s"),
@@ -145,10 +157,7 @@ def run_pipeline(
 
     clamped = clamp_to_null(measurements, "value", min_val, max_val)
     standardized = standardize_time_axis(clamped, sampling_seconds)
-    if materialize:
-        standardized = standardized.localCheckpoint(
-                eager=False, storageLevel=StorageLevel.DISK_ONLY
-            )
+    standardized = materialize_df(standardized, mat_mode)
 
     # deterministic seq: the absolute grid slot index. Unlike
     # monotonically_increasing_id() it survives task retries / plan
