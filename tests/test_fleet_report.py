@@ -324,3 +324,89 @@ def test_planted_time_shift_detected_and_fixed(spark):
     )
     first, second = com.iloc[:30].mean(), com.iloc[30:].mean()
     assert abs(first - second) < 0.15, (first, second)
+
+
+def test_adversarial_degenerate_fleet_full_facade(spark):
+    """Standing gate (r11 verdict item 5): every degenerate-input class
+    that has EVER produced an oracle divergence or a crash — dead site
+    (all zeros; the r11 /0 family), constant site (zero variance),
+    single-day site (no diffs), NaN-heavy site, sub-day site (min-data
+    guard) — frozen into ONE fleet and run through the FULL facade
+    (fix_shifts + correct_tz + run_loss_analysis, the maximal path).
+    Contract: exactly one report row per site, every error column a
+    STRING (the runner's error contract — "No error" or a captured
+    message, never null/exception), and the healthy control unharmed.
+    Future degenerate classes get appended here and fail loudly at
+    build time instead of at the external oracle."""
+    from solar_data_tools_spark.plans.fleet import fleet_report
+
+    slots, days = 96, 12  # 15-min cadence keeps the suite fast
+    hod = np.arange(slots) * 24.0 / slots
+    bell = np.clip(np.sin((hod - 6.0) / 12.0 * np.pi), 0.0, None) * 5.0
+    rows = []
+
+    def add(site, n_days, value_fn):
+        for d in range(n_days):
+            base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+            for i in range(slots):
+                rows.append(
+                    (site, base + pd.Timedelta(minutes=15 * i),
+                     value_fn(d, i))
+                )
+
+    add("healthy", days, lambda d, i: float(bell[i]))
+    add("dead", days, lambda d, i: 0.0)                   # all zeros
+    add("constant", days, lambda d, i: 3.0)               # zero variance
+    add("single_day", 1, lambda d, i: float(bell[i]))     # no day diffs
+    add("nan_heavy", days,
+        lambda d, i: float(bell[i]) if (i % 4 == 0) else float("nan"))
+    # sub-day: fewer than 24 non-negative readings -> min-data guard
+    for i in range(10):
+        rows.append(("sub_day",
+                     pd.Timestamp("2024-03-01")
+                     + pd.Timedelta(minutes=15 * i), 1.0))
+
+    pdf = pd.DataFrame(rows, columns=["site", "ts", "value"])
+    fleet = spark.createDataFrame(pdf).select(
+        "site", "ts",
+        F.monotonically_increasing_id().alias("seq"), "value",
+    )
+
+    rep = fleet_report(
+        fleet,
+        sampling_seconds=900,
+        fix_shifts=True,
+        correct_tz=True,
+        run_loss_analysis=True,
+    ).collect()
+
+    by_site = {r["site"]: r for r in rep}
+    # one row per site, nobody silently dropped
+    assert sorted(by_site) == [
+        "constant", "dead", "healthy", "nan_heavy", "single_day",
+        "sub_day",
+    ]
+    assert len(rep) == 6
+
+    err_cols = [
+        "get_data_error", "scoring_error", "capacity_change_error",
+        "time_shift_error", "run_loss_analysis_error",
+        "run_pipeline_error",
+    ]
+    for site, r in by_site.items():
+        for c in err_cols:
+            assert isinstance(r[c], str) and r[c] != "", (
+                f"{site}.{c} broke the error contract: {r[c]!r}"
+            )
+
+    ok = by_site["healthy"]
+    assert ok["run_pipeline_error"] == "No error"
+    assert ok["num_days"] == days
+    assert ok["capacity"] == pytest.approx(5.0, rel=0.05)
+
+    assert "Insufficient data" in by_site["sub_day"]["get_data_error"]
+    # degenerate-but-sufficient sites must flow THROUGH the guard and
+    # come out with rows (errors allowed, crashes not)
+    for site in ("dead", "constant", "single_day", "nan_heavy"):
+        assert by_site[site]["get_data_error"] == "No error", site
+        assert by_site[site]["num_days"] is not None, site
