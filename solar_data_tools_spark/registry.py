@@ -9345,40 +9345,188 @@ QUERIES: dict[str, QuerySpec] = {
 # session (tests/test_oracle_parity.py, no window). The per-round
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # ---- round-11 window (first 50) ----
-    # 1. q178 first: the ONE externally red row in r10 (hash-only;
-    #    root-caused to the oracle's un-cast HUGEINT id_checksum,
-    #    fixed this round with CAST(... AS BIGINT) per the Q175
-    #    pattern) — must re-certify green.
-    # 2. q148 second: its all-LONG PageRank rewrite landed in r8 and
-    #    has NEVER been through the external driver (last checked r6,
-    #    pre-rewrite) — VERDICT r10 item 6.
-    # 3. the entire r6-stale class (29 more queries, last externally
-    #    checked in CORRECTNESS_r06): q48-q50, the q60-q68 solver
-    #    class, q75/q79/q85-q87/q90, q111, q132/q139, and the
-    #    q141-q154 retrieval/sampling span — VERDICT r10 item 3
-    #    verbatim. q152 also changed this round (oracle VALUES cast
-    #    DECIMAL->DOUBLE for the new type lint).
-    # 4. new/changed this round: q181 (pinned-merges BPE apply, the
-    #    merge loop replayed as a recursive CTE — ORACLE), q179
-    #    (decimal-first term amplification + HUGEINT-first oracle
-    #    multiply), q169 (spine extended with tz offset + clipped
-    #    fraction over an oracle-generated grid), plus the in-window
-    #    promotions q88/q111/q137, q152's VALUES cast, and q30
-    #    (clipping_stats cs1 -> try_divide; values unchanged on
-    #    non-degenerate data, in-window per the changed-query rule).
-    # 5. the full r7 class (q35-q39), then the head of the r8 class
-    #    (q157 fleet report + q88 + profiler studies + retrieval).
-    # Tail: the rest of the r8 class, then r9/r10 (checked most
-    # recently). The full registry is additionally swept locally every
-    # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
+    # ---- round-12 window (first 50) ----
+    # 1. q182 first: NEW this round — incremental near-dup against a
+    #    persisted MinHash signature store (VERDICT r11 item 1), full
+    #    DuckDB two-generation replay oracle; must get its first
+    #    external check.
+    # 2. q148 / q157 / q169 next: their code paths changed this round
+    #    (pagerank checkpoint= gained none/local/reliable modes;
+    #    run_pipeline/run_fleet_pipeline materialize= now routes
+    #    through session.materialize_df — behavioral no-ops for these
+    #    queries, but the committed changed-query rule puts them in
+    #    the window regardless).
+    # 3. the ENTIRE r8-stale class (32 queries, last externally
+    #    checked in CORRECTNESS_r08 — VERDICT r11 item 2 verbatim):
+    #    the q09-q34 relational basics span and q159-q173 (novelty,
+    #    source overlap, token-budget cut, HLL, weighted sample,
+    #    Bloom, screened mix).
+    # 4. the head of the r9 class fills the window: the q01-q08
+    #    relational span, q100-q102, q16/q24/q25.
+    # Tail: the rest of the r9 class (stalest first), then r10, then
+    # the r11-checked set. The full registry is additionally swept
+    # locally every session (tests/test_oracle_parity.py,
+    # tools/driver_sim.py --all).
     "q182_minhash_incremental",
-    "q178_capped_join",
     "q148_pagerank",
-    "q181_bpe_apply_pinned",
-    "q179_wide_tick_sum",
+    "q157_fleet_report",
     "q169_fleet_relational_spine",
+    "q09_monthly_rollup",
+    "q10_daily_energy",
+    "q11_daily_stats",
+    "q12_site_capacity",
+    "q13_daily_density",
+    "q14_sampling_inference",
+    "q159_semantic_decontamination",
+    "q15_first_diff",
+    "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
+    "q163_cms_heavy_hitters",
+    "q164_hybrid_rrf",
+    "q165_novelty_scores",
+    "q166_source_overlap",
+    "q167_source_overlap_minhash",
+    "q168_token_budget_cut",
+    "q170_hll_cardinality",
+    "q171_weighted_sample",
+    "q172_bloom_decontaminate",
+    "q173_screened_weighted_mix",
+    "q17_run_length",
+    "q18_dedup_timestamps",
+    "q19_gap_fill",
+    "q20_range_clamp",
+    "q21_iqr_filter",
+    "q22_daytime_detection",
+    "q23_future_filter",
+    "q28_daily_smoothness",
+    "q29_sunrise_sunset",
+    "q33_solar_geometry",
+    "q34_longitude_estimate",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_window_topk",
+    "q06_conditional_pivot",
+    "q07_group_having",
+    "q08_correlated_subquery",
+    "q100_decontaminate",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
+    "q16_rolling_mean",
+    "q24_resample_hourly",
+    "q25_avg_day_profile",
+    "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
+    "q138_classifier_score",
+    "q140_crawl_curation_pipeline",
+    "q143_dsir_selection",
+    "q147_quality_pyramid",
+    "q155_corpus_report",
+    "q156_curation_pipeline_v2",
+    "q174_key_skew_report",
+    "q177_join_skew_report",
+    "q31_binned_mean",
+    "q32_rayleigh",
+    "q41_fingerprint",
+    "q42_token_stats",
+    "q43_quality_scores",
+    "q46_knn_bruteforce",
+    "q47_minhash_near_dups",
+    "q52_make_time_series",
+    "q53_annotation_rejoin",
+    "q56_pivot_wide",
+    "q57_segment_pooled_diffs",
+    "q58_daily_median_delta",
+    "q59_set_ops",
+    "q63_quality_clustering",
+    "q70_cos_theta_geometry",
+    "q71_declination_binned_mean",
+    "q74_w1_grid_search",
+    "q78_rollup",
+    "q80_shade_analysis",
+    "q81_profile_normalization",
+    "q82_quality_counts",
+    "q83_doy_model_join",
+    "q84_string_ops",
+    "q104_minhash_pipeline_md5",
+    "q105_curated_corpus",
+    "q106_budget_mix",
+    "q107_simhash_near_dups",
+    "q108_substring_spans",
+    "q109_span_decontaminate",
+    "q110_centroid_assignment",
+    "q112_stratified_topk",
+    "q113_tfidf_terms",
+    "q114_contamination_attribution",
+    "q116_semdedup",
+    "q117_snapshot_dedup",
+    "q118_media_frames",
+    "q119_media_resize",
+    "q120_embedding_quantize",
+    "q121_doc_chunking",
+    "q122_line_dedup",
+    "q123_url_canonicalize",
+    "q124_url_dedup",
+    "q125_domain_cap",
+    "q126_html_extract",
+    "q127_gopher_rules",
+    "q128_domain_split",
+    "q129_matryoshka_truncate",
+    "q130_json_metadata",
+    "q151_hll_distinct_tokens",
+    "q175_salted_agg",
+    "q176_snapshot_diff",
+    "q180_hll_merge",
+    "q26_asof_join",
+    "q27_standardize_grid",
+    "q40_exact_dup_groups",
+    "q44_language_id",
+    "q45_ngram_jaccard",
+    "q72_pv_quantiles",
+    "q73_performance_index",
+    "q76_sessionization",
+    "q77_scd2_merge",
+    "q89_embedding_dedup",
+    "q91_curation_pipeline",
+    "q92_stratified_sample",
+    "q93_global_shuffle",
+    "q94_sequence_packing",
+    "q95_simhash_md5",
+    "q96_minhash_signatures_md5",
+    "q97_topk_sample",
+    "q98_leakage_safe_split",
+    "q99_duplicate_clusters",
+    "q103_unigram_logprob",
+    "q111_ffd_packing",
+    "q115_bigram_logprob",
+    "q131_longitude_study",
+    "q132_latitude_study",
+    "q133_tilt_azimuth_study",
+    "q134_system_parameters",
+    "q137_ivf_topk_distributed",
+    "q139_dedup_keep_best",
+    "q141_pq_encode",
+    "q142_pq_adc_topk",
+    "q144_url_blocklist",
+    "q145_bpe_tokenize",
+    "q146_ivfpq_topk",
+    "q149_binary_hamming_topk",
+    "q150_temperature_sample",
+    "q152_weighted_shuffle",
+    "q153_binary_rerank",
+    "q154_chunk_dedup",
+    "q158_cluster_balanced_sample",
+    "q178_capped_join",
+    "q179_wide_tick_sum",
+    "q181_bpe_apply_pinned",
     "q30_clipping_stats",
+    "q35_latitude_estimate",
+    "q36_linearity_mode",
+    "q37_cdf_resample",
+    "q38_train_test_split",
+    "q39_doy_median_profile",
     "q48_simhash",
     "q49_lsh_topk",
     "q50_seasonal_fit",
@@ -9395,161 +9543,8 @@ _QUERY_ORDER: list[str] = [
     "q85_quantile_surface",
     "q86_clear_sky_labels",
     "q87_quality_scores",
-    "q90_ivf_topk",
-    "q111_ffd_packing",
-    "q132_latitude_study",
-    "q139_dedup_keep_best",
-    "q141_pq_encode",
-    "q142_pq_adc_topk",
-    "q144_url_blocklist",
-    "q145_bpe_tokenize",
-    "q146_ivfpq_topk",
-    "q149_binary_hamming_topk",
-    "q150_temperature_sample",
-    "q152_weighted_shuffle",
-    "q153_binary_rerank",
-    "q154_chunk_dedup",
-    "q35_latitude_estimate",
-    "q36_linearity_mode",
-    "q37_cdf_resample",
-    "q38_train_test_split",
-    "q39_doy_median_profile",
-    "q157_fleet_report",
     "q88_cdf_resample_approx",
-    "q103_unigram_logprob",
-    "q115_bigram_logprob",
-    "q131_longitude_study",
-    "q133_tilt_azimuth_study",
-    "q134_system_parameters",
-    "q137_ivf_topk_distributed",
-    "q158_cluster_balanced_sample",
-    "q159_semantic_decontamination",
-    "q160_within_doc_dedup",
-    "q161_epoch_mix",
-    "q162_bm25_topk",
-    "q180_hll_merge",
-    "q151_hll_distinct_tokens",
-    "q176_snapshot_diff",
-    "q175_salted_agg",
-    "q77_scd2_merge",
-    "q26_asof_join",
-    "q27_standardize_grid",
-    "q91_curation_pipeline",
-    "q110_centroid_assignment",
-    "q117_snapshot_dedup",
-    "q118_media_frames",
-    "q119_media_resize",
-    "q120_embedding_quantize",
-    "q122_line_dedup",
-    "q123_url_canonicalize",
-    "q126_html_extract",
-    "q127_gopher_rules",
-    "q128_domain_split",
-    "q129_matryoshka_truncate",
-    "q130_json_metadata",
-    "q108_substring_spans",
-    "q109_span_decontaminate",
-    "q112_stratified_topk",
-    "q113_tfidf_terms",
-    "q114_contamination_attribution",
-    "q92_stratified_sample",
-    "q94_sequence_packing",
-    "q95_simhash_md5",
-    "q96_minhash_signatures_md5",
-    "q97_topk_sample",
-    "q98_leakage_safe_split",
-    "q99_duplicate_clusters",
-    "q104_minhash_pipeline_md5",
-    "q105_curated_corpus",
-    "q106_budget_mix",
-    "q107_simhash_near_dups",
-    "q89_embedding_dedup",
-    "q72_pv_quantiles",
-    "q73_performance_index",
-    "q40_exact_dup_groups",
-    "q44_language_id",
-    "q76_sessionization",
-    "q45_ngram_jaccard",
-    "q93_global_shuffle",
-    "q124_url_dedup",
-    "q116_semdedup",
-    "q121_doc_chunking",
-    "q125_domain_cap",
-    "q163_cms_heavy_hitters",
-    "q164_hybrid_rrf",
-    "q165_novelty_scores",
-    "q166_source_overlap",
-    "q167_source_overlap_minhash",
-    "q168_token_budget_cut",
-    "q170_hll_cardinality",
-    "q171_weighted_sample",
-    "q172_bloom_decontaminate",
-    "q173_screened_weighted_mix",
-    "q09_monthly_rollup",
-    "q10_daily_energy",
-    "q11_daily_stats",
-    "q12_site_capacity",
-    "q13_daily_density",
-    "q14_sampling_inference",
-    "q15_first_diff",
-    "q17_run_length",
-    "q18_dedup_timestamps",
-    "q19_gap_fill",
-    "q20_range_clamp",
-    "q21_iqr_filter",
-    "q22_daytime_detection",
-    "q23_future_filter",
-    "q28_daily_smoothness",
-    "q29_sunrise_sunset",
-    "q33_solar_geometry",
-    "q34_longitude_estimate",
-    "q174_key_skew_report",
-    "q177_join_skew_report",
-    "q47_minhash_near_dups",
-    "q16_rolling_mean",
-    "q24_resample_hourly",
-    "q25_avg_day_profile",
-    "q31_binned_mean",
-    "q32_rayleigh",
-    "q138_classifier_score",
-    "q140_crawl_curation_pipeline",
-    "q147_quality_pyramid",
-    "q155_corpus_report",
-    "q156_curation_pipeline_v2",
-    "q63_quality_clustering",
-    "q135_longitude_study_closed",
-    "q136_ground_truth_tilt_azimuth",
-    "q143_dsir_selection",
-    "q74_w1_grid_search",
-    "q80_shade_analysis",
-    "q46_knn_bruteforce",
-    "q70_cos_theta_geometry",
-    "q71_declination_binned_mean",
-    "q78_rollup",
-    "q81_profile_normalization",
-    "q82_quality_counts",
-    "q83_doy_model_join",
-    "q84_string_ops",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_window_topk",
-    "q06_conditional_pivot",
-    "q07_group_having",
-    "q08_correlated_subquery",
-    "q41_fingerprint",
-    "q42_token_stats",
-    "q43_quality_scores",
-    "q52_make_time_series",
-    "q53_annotation_rejoin",
-    "q56_pivot_wide",
-    "q57_segment_pooled_diffs",
-    "q58_daily_median_delta",
-    "q59_set_ops",
-    "q100_decontaminate",
-    "q101_repetition_stats",
-    "q102_pii_redaction",
+    "q90_ivf_topk",
 ]
 
 
