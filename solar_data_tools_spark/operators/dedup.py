@@ -1029,6 +1029,55 @@ def snapshot_incremental_dedup(
     return verdicts
 
 
+def minhash_signature_expr(
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+):
+    """ROW-LOCAL md5_u31 MinHash signature as a single Column — the
+    stream-legal twin of ``minhash_signatures(token_hash="md5_u31")``
+    (bit-identical values, parity-tested): no explode, no groupBy, so
+    it composes into Structured Streaming projections where a streaming
+    aggregation would need unbounded per-doc state.
+
+    Cost profile: the per-permutation ``array_min(transform(...))``
+    folds are higher-order functions and run INTERPRETED
+    (CodegenFallback) — measured ~2x the batch agg shape per row — so
+    BATCH jobs should keep using ``minhash_signatures`` (the
+    whole-stage-codegen min-aggregate formulation); this expression
+    exists for ingest-time signing, where per-row latency is bounded by
+    the doc itself and statelessness is the requirement.
+    """
+    consts = md5_u31_constants(num_hashes)
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size("
+        f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '))"
+        f" - {n - 1}, 0)), i -> concat_ws(' ', slice("
+        f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '),"
+        f" i, {n}))))"
+    )
+    # one md5 per distinct shingle, sliced into the two 28-bit halves
+    # once, shared by all permutations (same economy as the batch path)
+    xs = (
+        f"transform({grams}, s -> named_struct("
+        "'x0', cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint), "
+        "'x1', cast(conv(substring(md5(s), 9, 7), 16, 10) as bigint)))"
+    )
+    mins = ", ".join(
+        f"array_min(transform(_xs, p -> ({a}L * p.x0 + {b}L * p.x1 + {c}L)"
+        f" % {_P31}L))"
+        for a, b, c in consts
+    )
+    # SQL has no WITH-expression, so _xs is bound once per row via a
+    # single-element transform lambda: the md5/slice work evaluates
+    # ONCE, shared by all 64 permutation folds
+    sig = F.expr(f"transform(array({xs}), _xs -> array({mins}))[0]")
+    # docs with fewer than n tokens have no shingles in the batch path
+    # (it drops them); mirror with NULL so callers can filter
+    return F.when(F.size(tokens) >= n, sig)
+
+
 def minhash_incremental_dedup(
     new_docs: DataFrame,
     signature_store: DataFrame,

@@ -153,3 +153,120 @@ def streaming_chunk_dedup(
         with_ts.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["chunk_md5"])
     )
+
+
+def streaming_signature_store_dedup(
+    stream: DataFrame,
+    signature_store: DataFrame,
+    ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 8,
+    n: int = 1,
+    sim_threshold: float = 0.7,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time near-dup against a persisted MinHash signature store
+    — the streaming face of ``dedup.minhash_incremental_dedup``'s
+    HISTORY dimension: each arriving doc is signed row-locally
+    (``minhash_signature_expr`` — stateless, bit-identical to the batch
+    md5_u31 family), banded, joined against the STATIC store on the
+    band-bucket keys, and verdicted ``history_dup`` (>= ceil(t*k)
+    matching signature components with some colliding store row, with
+    the min matching store id) or ``new``.
+
+    One row per (tumbling event-time window, doc). The window in the
+    grouping key is what bounds the state: the per-doc candidate
+    aggregation is evicted as event time passes the watermark — the
+    same bounded-state argument as ``streaming_first_seen``.
+
+    Deliberately NOT covered here (the streaming-approximates /
+    batch-is-truth contract): within-stream ``snapshot_dup``
+    canonicalization — a stream-stream self-join keyed on arbitrary
+    band collisions has no watermark-boundable join condition, so
+    within-dump canonicalization stays the batch epilogue
+    (``minhash_incremental_dedup`` over the microbatch outputs, or the
+    dump-close batch run that also appends the keeps to the store).
+
+    Scale shape: the store side is a static table — Spark plans a
+    stream-static join, re-reading only the store's narrow
+    (id, signature) projection per microbatch (bucket the store by the
+    band keys to make that a co-located lookup). Stream-side state is
+    one aggregation row per in-flight (window, doc).
+    """
+    import math
+
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_signature_expr,
+    )
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands})"
+        )
+    r = num_hashes // bands
+    min_equal = math.ceil(sim_threshold * num_hashes)
+
+    signed = stream.select(
+        F.col(id_col),
+        F.col(ts_col),
+        minhash_signature_expr(text_col, num_hashes, n).alias("signature"),
+    ).where(F.col("signature").isNotNull())
+    banded = signed.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col("signature"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),
+    ).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col("signature"),
+        "band_ix",
+        F.xxhash64(
+            F.expr(f"slice(signature, band_ix * {r} + 1, {r})"),
+            F.col("band_ix"),
+        ).alias("band_hash"),
+    )
+    store_banded = signature_store.select(
+        F.col(id_col).alias("_sid"),
+        F.col("signature").alias("_ssig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),
+    ).select(
+        "_sid",
+        "_ssig",
+        "band_ix",
+        F.xxhash64(
+            F.expr(f"slice(_ssig, band_ix * {r} + 1, {r})"),
+            F.col("band_ix"),
+        ).alias("band_hash"),
+    )
+    n_eq = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.element_at("signature", i + 1) == F.element_at("_ssig", i + 1),
+            1,
+        ).otherwise(0)
+        n_eq = term if n_eq is None else n_eq + term
+    joined = banded.join(
+        store_banded, on=["band_ix", "band_hash"], how="left"
+    ).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.when(n_eq >= min_equal, F.col("_sid")).alias("_match"),
+    )
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(id_col))
+        .agg(F.min("_match").alias("matched_id"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(id_col),
+            F.when(F.col("matched_id").isNotNull(), F.lit("history_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            "matched_id",
+        )
+    )

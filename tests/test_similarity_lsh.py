@@ -1090,3 +1090,169 @@ def test_minhash_incremental_store_geometry_guard(spark):
         ).collect()
     with pytest.raises(ValueError, match="divisible"):
         minhash_incremental_dedup(new, store32, num_hashes=64, bands=7)
+
+
+def test_streaming_signature_store_dedup_matches_batch(spark, tmp_path):
+    """The streaming face's HISTORY dimension must agree with the batch
+    operator: streaming history_dup set == batch history_dup set with
+    equal matched ids; batch snapshot_dups (within-dump, deliberately
+    out of streaming scope) surface as streaming 'new'."""
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+    from solar_data_tools_spark.streaming.dedup_stream import (
+        streaming_signature_store_dedup,
+    )
+
+    hist = _mk_docs(spark, [(1, _XT), (2, _YT)])
+    store = minhash_signatures(hist, 64, 1, token_hash="md5_u31")
+    new_rows = [
+        (10, _XT),   # history_dup matched 1
+        (11, _YT),   # history_dup matched 2
+        (12, _ZT),   # new
+        (13, _WT),   # new (first of within-dump pair)
+        (14, _WT),   # batch: snapshot_dup; streaming: new (documented)
+    ]
+    new = _mk_docs(spark, new_rows)
+
+    batch = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in minhash_incremental_dedup(
+            new, store, num_hashes=64, bands=8, n=1, token_hash="md5_u31"
+        ).collect()
+    }
+
+    src = str(tmp_path / "sigstore_stream_src")
+    ts = pd.Timestamp("2024-06-01 12:00:00")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t, ts) for i, t in new_rows],
+            columns=["doc_id", "text", "ingest_ts"],
+        )
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_signature_store_dedup(stream, store)
+        .writeStream.format("memory")
+        .queryName("sigstore_stream_test")
+        # complete mode: with one microbatch the watermark never passes
+        # the (single) in-flight window, so append would emit nothing
+        # until more data arrives — production uses append + watermark
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in spark.sql("select * from sigstore_stream_test").collect()
+    }
+    assert set(streamed) == set(batch)
+    for doc, (bv, bm) in batch.items():
+        sv, sm = streamed[doc]
+        if bv == "history_dup":
+            assert (sv, sm) == ("history_dup", bm), doc
+        else:  # batch 'snapshot_dup' and 'new' both stream as 'new'
+            assert (sv, sm) == ("new", None), doc
+    assert batch[14][0] == "snapshot_dup"  # the documented boundary
+
+
+_UT = "gold silver bronze copper iron tin lead zinc nickel cobalt"
+_QT = "apple pear plum peach cherry grape mango lemon lime fig"
+
+
+def test_minhash_incremental_multi_dump_loop(spark):
+    """The operator's real usage pattern — the per-dump loop: start
+    from an EMPTY store, process three dumps sequentially, append each
+    dump's keeps (their carried signatures, no re-signing). Planted
+    expectations per dump, plus the structural invariant the loop
+    guarantees: every store row was checked against all rows present at
+    its admission and rows are only ever added, so the FINAL store is
+    pairwise non-similar under the operator's own criterion."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    kw = dict(num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+              token_hash="md5_u31")
+    store = minhash_signatures(
+        spark.createDataFrame([], "doc_id long, text string"), 64, 1,
+        token_hash="md5_u31",
+    )
+    dumps = [
+        [(1, _XT), (2, _YT), (3, _XT)],           # 3 dups 1 in-dump
+        [(11, _XT), (12, _ZT), (13, _ZT)],        # 11 dups history 1
+        [(21, _YT), (22, _WT), (23, _UT), (24, _QT)],
+    ]
+    expected = {
+        1: ("new", None), 2: ("new", None), 3: ("snapshot_dup", 1),
+        11: ("history_dup", 1), 12: ("new", None),
+        13: ("snapshot_dup", 12),
+        21: ("history_dup", 2), 22: ("new", None), 23: ("new", None),
+        24: ("new", None),
+    }
+    got = {}
+    for rows in dumps:
+        out = minhash_incremental_dedup(_mk_docs(spark, rows), store, **kw)
+        got.update(
+            (r["doc_id"], (r["verdict"], r["matched_id"]))
+            for r in out.collect()
+        )
+        # the append IS the keeps' carried signatures — no re-sign
+        store = store.unionByName(
+            out.where("keep").select("doc_id", "signature")
+        ).localCheckpoint(eager=True)
+    assert got == expected
+
+    # structural invariant: the final store is pairwise non-similar
+    # (band collision + >= 45/64 matching components finds no pair)
+    sigs = store.alias("a").crossJoin(store.alias("b")).where(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    n_eq = None
+    for i in range(64):
+        t = F.when(
+            F.element_at("a.signature", i + 1)
+            == F.element_at("b.signature", i + 1),
+            1,
+        ).otherwise(0)
+        n_eq = t if n_eq is None else n_eq + t
+    assert sigs.where(n_eq >= 45).count() == 0
+    assert store.count() == 6  # keeps: 1, 2, 12, 22, 23, 24
+
+
+def test_minhash_signature_expr_bit_identical_to_batch(spark, sf_small):
+    """The row-local (stream-legal) signature expression must be
+    BIT-identical to the batch min-aggregate formulation — same md5_u31
+    family, same shingling, NULL exactly where the batch path drops the
+    doc (fewer than n tokens)."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(60)
+    for num_hashes, n in ((64, 1), (16, 3)):
+        batch = {
+            r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(
+                docs, num_hashes, n, token_hash="md5_u31"
+            ).collect()
+        }
+        rowlocal = {
+            r["doc_id"]: (None if r["sig"] is None else list(r["sig"]))
+            for r in docs.select(
+                "doc_id",
+                minhash_signature_expr("text", num_hashes, n).alias("sig"),
+            ).collect()
+        }
+        for doc, sig in batch.items():
+            assert rowlocal[doc] == sig, (num_hashes, n, doc)
+        for doc, sig in rowlocal.items():
+            assert (sig is None) == (doc not in batch), (num_hashes, n, doc)
