@@ -1078,6 +1078,52 @@ def minhash_signature_expr(
     return F.when(F.size(tokens) >= n, sig)
 
 
+def minhash_band_store(
+    signatures: DataFrame,
+    bands: int = 8,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode a signature store into its persisted BANDED layout —
+    (``id_col``, blocks..., ``band_ix``, ``band_hash``,
+    ``signature``) — so the per-dump incremental join never re-derives
+    history's band buckets: write this ONCE per store generation,
+    bucketed/partitioned by (``band_ix``, ``band_hash``), and pass it
+    to ``minhash_incremental_dedup(..., store_is_banded=True)``.
+
+    Trade-off, stated: carrying ``signature`` on every banded row costs
+    x ``bands`` signature copies at rest (64 longs -> ~0.5 KiB x 8 =
+    ~4 KiB/doc) but removes BOTH per-dump history passes — the band
+    explode AND the candidate-verify signature lookup (collision rows
+    arrive with the store signature attached). At rest is the cheap
+    side of a crawl store; if 4 KiB/doc matters more than a second
+    store scan per dump, persist without the signature column and keep
+    the default two-pass path.
+    """
+    blocks = block_cols or []
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    r = num_hashes // bands
+    return signatures.select(
+        F.col(id_col),
+        *[F.col(c) for c in blocks],
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_ix"),
+        F.col("signature"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in blocks],
+        "band_ix",
+        F.xxhash64(
+            F.expr(f"slice(signature, band_ix * {r} + 1, {r})"),
+            F.col("band_ix"),
+        ).alias("band_hash"),
+        "signature",
+    )
+
+
 def minhash_incremental_dedup(
     new_docs: DataFrame,
     signature_store: DataFrame,
@@ -1090,6 +1136,7 @@ def minhash_incremental_dedup(
     block_cols: list[str] | None = None,
     token_hash: str = "md5_u31",
     materialize: str = "local",
+    store_is_banded: bool = False,
 ) -> DataFrame:
     """Near-dup a NEW crawl dump against a PERSISTED MinHash signature
     store — the per-dump CCNet/RefinedWeb loop: history is represented
@@ -1137,9 +1184,18 @@ def minhash_incremental_dedup(
         repartition-before-alias + merge-pin pattern so the new dump's
         signature pipeline runs once for both self-join sides.
 
+    ``store_is_banded=True`` takes ``signature_store`` in the
+    ``minhash_band_store`` layout instead (persisted bucketed by
+    (band_ix, band_hash) once per store generation): the per-dump run
+    then skips history's band explode entirely and collision rows
+    arrive with the store signature attached, so the candidate-verify
+    lookup needs no second history pass either — history's per-dump
+    cost drops to one co-located scan of the bucketed layout.
+
     With ``token_hash="md5_u31"`` (default) every stage replays
     bit-for-bit in DuckDB — certified end-to-end as q182 (the q47
-    oracle parameterized over two generations).
+    oracle parameterized over two generations; the banded-layout path
+    is value-parity-tested against the default path).
 
     Reference parity: solar-data-tools has no corpus tier; this is the
     north-star extension's incremental form (VERDICT r11 item 1).
@@ -1222,29 +1278,78 @@ def minhash_incremental_dedup(
     sig_cols = [id_col, *blocks, "signature"]
 
     # --- new vs HISTORY ---------------------------------------------
-    cand_h = (
-        _banded(sigs_new, "_nid")
-        .join(_banded(signature_store.select(*sig_cols), "_sid"), on=keys)
-        .select("_nid", "_sid")
-        .distinct()
-    )
-    hist_matches = (
-        cand_h.join(
-            sigs_new.select(
-                F.col(id_col).alias("_nid"), F.col("signature").alias("_gn")
-            ),
-            "_nid",
+    if store_is_banded:
+        # pre-banded persisted layout (minhash_band_store): the band
+        # explode never re-runs and collisions arrive with the store
+        # signature attached — one history pass total. Length guard
+        # still applies (a store banded at a different geometry would
+        # silently degenerate, same failure mode as the raw path).
+        # the guard wraps a JOIN KEY (band_ix), not the signature
+        # payload: a payload-side guard is lazily skipped when no
+        # bucket collides, which is exactly when a wrong-geometry
+        # store would otherwise fail SILENTLY
+        store_b = signature_store.select(
+            F.col(id_col).alias("_sid"),
+            *[F.col(c) for c in blocks],
+            F.when(
+                F.size("signature") == num_hashes, F.col("band_ix")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "minhash signature length %s != num_hashes "
+                        + str(num_hashes),
+                        F.size("signature").cast("string"),
+                    )
+                )
+            )
+            .alias("band_ix"),
+            "band_hash",
+            F.col("signature").alias("_gs"),
         )
-        .join(
-            signature_store.select(
-                F.col(id_col).alias("_sid"), F.col("signature").alias("_gs")
-            ),
-            "_sid",
+        hist_matches = (
+            _banded(sigs_new, "_nid")
+            .join(store_b, on=keys)
+            .join(
+                sigs_new.select(
+                    F.col(id_col).alias("_nid"),
+                    F.col("signature").alias("_gn"),
+                ),
+                "_nid",
+            )
+            .where(_n_equal("_gn", "_gs") >= min_equal)
+            .groupBy("_nid")
+            .agg(F.min("_sid").alias("_hist_match"))
         )
-        .where(_n_equal("_gn", "_gs") >= min_equal)
-        .groupBy("_nid")
-        .agg(F.min("_sid").alias("_hist_match"))
-    )
+    else:
+        cand_h = (
+            _banded(sigs_new, "_nid")
+            .join(
+                _banded(signature_store.select(*sig_cols), "_sid"),
+                on=keys,
+            )
+            .select("_nid", "_sid")
+            .distinct()
+        )
+        hist_matches = (
+            cand_h.join(
+                sigs_new.select(
+                    F.col(id_col).alias("_nid"),
+                    F.col("signature").alias("_gn"),
+                ),
+                "_nid",
+            )
+            .join(
+                signature_store.select(
+                    F.col(id_col).alias("_sid"),
+                    F.col("signature").alias("_gs"),
+                ),
+                "_sid",
+            )
+            .where(_n_equal("_gn", "_gs") >= min_equal)
+            .groupBy("_nid")
+            .agg(F.min("_sid").alias("_hist_match"))
+        )
 
     # --- new vs NEW (within-dump) -----------------------------------
     banded_new = _banded(sigs_new, "_id").repartition(

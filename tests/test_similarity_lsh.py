@@ -1256,3 +1256,56 @@ def test_minhash_signature_expr_bit_identical_to_batch(spark, sf_small):
             assert rowlocal[doc] == sig, (num_hashes, n, doc)
         for doc, sig in rowlocal.items():
             assert (sig is None) == (doc not in batch), (num_hashes, n, doc)
+
+
+def test_minhash_incremental_banded_store_parity(spark, sf_small):
+    """The pre-banded persisted store layout (minhash_band_store +
+    store_is_banded=True) must produce IDENTICAL verdicts to the raw
+    signature-store path, and its geometry guard must still fire."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_band_store,
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    hist = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    kw = dict(num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+              block_cols=["lang", "source"], token_hash="md5_u31")
+    store = minhash_signatures(
+        hist, 64, 1, carry_cols=["lang", "source"], token_hash="md5_u31"
+    ).localCheckpoint(eager=True)
+
+    def snap(out):
+        return sorted(
+            (r["doc_id"], r["verdict"], r["matched_id"], r["keep"])
+            for r in out.select(
+                "doc_id", "verdict", "matched_id", "keep"
+            ).collect()
+        )
+
+    raw = snap(minhash_incremental_dedup(new, store, **kw))
+    banded = minhash_band_store(
+        store, bands=8, num_hashes=64, block_cols=["lang", "source"]
+    )
+    via_banded = snap(
+        minhash_incremental_dedup(
+            new, banded, store_is_banded=True, **kw
+        )
+    )
+    assert via_banded == raw
+    assert any(v == "history_dup" for _, v, _, _ in raw)  # non-trivial
+
+    # geometry guard on the banded layout
+    store32 = minhash_signatures(
+        hist.limit(5), 32, 1, carry_cols=["lang", "source"],
+        token_hash="md5_u31",
+    )
+    banded32 = minhash_band_store(
+        store32, bands=8, num_hashes=32, block_cols=["lang", "source"]
+    )
+    with pytest.raises(Exception, match="signature length|num_hashes"):
+        minhash_incremental_dedup(
+            new.limit(5), banded32, store_is_banded=True, **kw
+        ).collect()
