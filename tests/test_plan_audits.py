@@ -383,3 +383,43 @@ def test_q148_pagerank_iteration_plan_shape(spark, sf_small):
     # hidden extra shuffle per round would break this
     wide = plan.count("Exchange hashpartitioning")
     assert wide <= 8, f"{wide} wide exchanges for 2 iterations"
+
+
+def test_minhash_incremental_store_scan_pruned(spark, sf_small, tmp_path):
+    """The incremental near-dup's 100 TB contract, audited in the plan:
+    the persisted store's parquet scan must read ONLY the columns the
+    join needs (a fat payload column a real store carries — crawl
+    metadata, fetch dates — must be pruned), and no stage may fall back
+    to a cartesian/nested-loop join or a Python eval."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    hist = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    store_dir = str(tmp_path / "sig_store")
+    minhash_signatures(
+        hist, 64, 1, token_hash="md5_u31"
+    ).withColumn(
+        "crawl_meta", F.repeat(F.lit("x"), 500)  # the fat payload
+    ).write.parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+
+    out = minhash_incremental_dedup(
+        new, store, num_hashes=64, bands=8, n=1, token_hash="md5_u31",
+        materialize="none",  # keep the full lineage visible
+    )
+    plan = _formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the store-side parquet scans must prune the payload column
+    for chunk in plan.split("Scan parquet"):
+        if "sig_store" in chunk and "ReadSchema" in chunk:
+            schema_line = [
+                ln for ln in chunk.splitlines() if "ReadSchema" in ln
+            ][0]
+            assert "crawl_meta" not in schema_line, schema_line
