@@ -5246,6 +5246,44 @@ WHERE s.doc_id >= mid.m
 Q182_SQL = _q182_sql()
 
 
+def q183_minhash_incremental_banded(spark, sf_dir):
+    """The incremental near-dup's PRE-BANDED persisted-store path
+    (round 12): the store is written in the ``minhash_band_store``
+    layout (band once per store generation, bucket by the band keys at
+    production scale) and consumed with ``store_is_banded=True`` — one
+    history pass per dump, collision rows carrying the store signature.
+
+    Oracle = Q182_SQL VERBATIM — the promotion-by-contract pattern
+    (q137 precedent): the banded path is verdict-identical to the raw
+    path by construction (unit-parity-tested at sf0.001 with live
+    history_dups), so the two-generation replay that certifies q182
+    certifies this physical plan too; an external hash match here pins
+    the banded layout's geometry (slice boundaries, band hash, guard)
+    against the same ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor((F.max("doc_id") + F.lit(1)) / 2)
+        .cast("bigint")
+        .alias("_mid")
+    )
+    d2 = docs.crossJoin(F.broadcast(mid))
+    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
+    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    store = dd.minhash_signatures(
+        hist, 64, 1, "doc_id", "text",
+        carry_cols=["lang", "source"], token_hash="md5_u31",
+    )
+    banded = dd.minhash_band_store(
+        store, bands=8, num_hashes=64, block_cols=["lang", "source"]
+    )
+    out = dd.minhash_incremental_dedup(
+        new, banded, num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+        block_cols=["lang", "source"], token_hash="md5_u31",
+        store_is_banded=True,
+    )
+    return out.select("doc_id", "verdict", "matched_id", "keep")
+
+
 def q146_ivfpq_topk(spark, sf_dir):
     """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape):
     coarse L2 cells + product-quantized RESIDUALS + per-query
@@ -9247,6 +9285,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q182_minhash_incremental": QuerySpec(
         q182_minhash_incremental, Q182_SQL, "dedup-minhash-incremental"
     ),
+    "q183_minhash_incremental_banded": QuerySpec(
+        q183_minhash_incremental_banded, Q182_SQL,
+        "dedup-minhash-incremental-banded"
+    ),
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
@@ -9368,6 +9410,7 @@ _QUERY_ORDER: list[str] = [
     # locally every session (tests/test_oracle_parity.py,
     # tools/driver_sim.py --all).
     "q182_minhash_incremental",
+    "q183_minhash_incremental_banded",
     "q148_pagerank",
     "q157_fleet_report",
     "q169_fleet_relational_spine",
