@@ -818,6 +818,209 @@ def embedding_cosine_duplicates(
     )
 
 
+def embedding_incremental_dedup(
+    new_embeddings: DataFrame,
+    vector_store: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    planes: list[list[float]] | None = None,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup a NEW batch of embeddings against a PERSISTED vector
+    store — the embedding-family member of the incremental trio (exact
+    hashes: ``snapshot_incremental_dedup`` q117; MinHash signatures:
+    ``minhash_incremental_dedup`` q182/q183; this: q184). A training-
+    data pipeline runs exactly this before adding a new crawl's
+    embeddings to a SemDeDup-style store: drop vectors the store
+    already covers, canonicalize the batch's internal near-dups, append
+    the keeps.
+
+    Verdict per new vector (``minhash_incremental_dedup``'s contract,
+    one-for-one):
+
+      * ``store_dup`` — cosine >= ``threshold`` against some store
+        vector (``matched_id`` = min such store id);
+      * ``batch_dup`` — cosine >= ``threshold`` against a LOWER-id new
+        vector (min-id canonicalization), and no store match;
+      * ``new``       — neither -> ``keep``.
+
+    ``method="exact"`` is the verification baseline (q89's sequential-
+    fold cosine inside a theta join — quadratic BY DESIGN, oracle-
+    replayable bit-for-bit; q184). ``method="lsh"`` is the 100 TB path:
+    banded hyperplane signatures on both sides (ids+signatures only
+    ride the band join, never vectors), pigeonhole Hamming prefilter,
+    exact-cosine verification of candidates only — same recall contract
+    as ``embedding_cosine_duplicates(method="lsh")``. If the store
+    already carries an ``lsh_sig`` column (persist it at append time —
+    the analogue of ``minhash_band_store``), it is used as-is and the
+    store's vectors are only touched for candidate verification.
+    """
+    from solar_data_tools_spark.operators.similarity import (
+        _as_double,
+        _band_layout,
+        _banded_bits,
+        cosine,
+        random_hyperplane_signatures,
+    )
+
+    vecs_new = _as_double(
+        new_embeddings.select(id_col, vec_col), vec_col
+    )
+    vecs_store = _as_double(
+        vector_store.select(id_col, vec_col), vec_col
+    )
+
+    if method == "exact":
+        cos_ns = cosine(F.col("_vn"), F.col("_vs"))
+        store_m = (
+            vecs_new.select(
+                F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vn")
+            )
+            .join(
+                vecs_store.select(
+                    F.col(id_col).alias("_sid"),
+                    F.col(vec_col).alias("_vs"),
+                ),
+                cos_ns >= F.lit(threshold),
+            )
+            .groupBy("_nid")
+            .agg(F.min("_sid").alias("_store_match"))
+        )
+        cos_nn = cosine(F.col("_van"), F.col("_vbn"))
+        batch_m = (
+            vecs_new.select(
+                F.col(id_col).alias("_ida"), F.col(vec_col).alias("_van")
+            )
+            .join(
+                vecs_new.select(
+                    F.col(id_col).alias("_idb"),
+                    F.col(vec_col).alias("_vbn"),
+                ),
+                (F.col("_ida") < F.col("_idb"))
+                & (cos_nn >= F.lit(threshold)),
+            )
+            .groupBy("_idb")
+            .agg(F.min("_ida").alias("_batch_match"))
+        )
+    elif method == "lsh":
+        if planes is None:
+            raise ValueError("method='lsh' requires hyperplane list")
+        n_bits = len(planes)
+        if max_hamming >= n_bits:
+            raise ValueError(
+                "max_hamming must be < number of hyperplanes"
+            )
+        layout = _band_layout(n_bits, max_hamming + 1)
+        sigs_new = random_hyperplane_signatures(
+            new_embeddings, planes, id_col, vec_col
+        )
+        if "lsh_sig" in vector_store.columns:
+            sigs_store = vector_store.select(id_col, "lsh_sig")
+        else:
+            sigs_store = random_hyperplane_signatures(
+                vector_store, planes, id_col, vec_col
+            )
+
+        def _banded(sig_df, alias):
+            return sig_df.select(
+                F.col(id_col).alias(alias),
+                F.col("lsh_sig"),
+                F.explode(
+                    _banded_bits(F.col("lsh_sig"), layout)
+                ).alias("band"),
+            )
+
+        def _verify(cand, right_vecs, lid, rid, left_v, right_v):
+            cos = cosine(F.col(left_v), F.col(right_v))
+            return (
+                cand.join(
+                    vecs_new.select(
+                        F.col(id_col).alias(lid),
+                        F.col(vec_col).alias(left_v),
+                    ),
+                    lid,
+                )
+                .join(
+                    right_vecs.select(
+                        F.col(id_col).alias(rid),
+                        F.col(vec_col).alias(right_v),
+                    ),
+                    rid,
+                )
+                .where(cos >= F.lit(threshold))
+            )
+
+        bn = _banded(sigs_new, "_nid")
+        bs = _banded(sigs_store, "_sid").withColumnRenamed(
+            "lsh_sig", "_ssig"
+        )
+        cand_s = (
+            bn.join(bs, ["band"])
+            .where(
+                F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("_ssig")))
+                <= F.lit(max_hamming)
+            )
+            .select("_nid", "_sid")
+            .dropDuplicates(["_nid", "_sid"])
+        )
+        store_m = (
+            _verify(cand_s, vecs_store, "_nid", "_sid", "_vn", "_vs")
+            .groupBy("_nid")
+            .agg(F.min("_sid").alias("_store_match"))
+        )
+        bb = _banded(sigs_new, "_idb").withColumnRenamed(
+            "lsh_sig", "_sb"
+        )
+        cand_n = (
+            _banded(sigs_new, "_ida")
+            .join(bb, ["band"])
+            .where(
+                (F.col("_ida") < F.col("_idb"))
+                & (
+                    F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("_sb")))
+                    <= F.lit(max_hamming)
+                )
+            )
+            .select("_ida", "_idb")
+            .dropDuplicates(["_ida", "_idb"])
+        )
+        batch_m = (
+            _verify(cand_n, vecs_new, "_ida", "_idb", "_van", "_vbn")
+            .groupBy("_idb")
+            .agg(F.min("_ida").alias("_batch_match"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return (
+        new_embeddings.select(id_col)
+        .join(
+            store_m.withColumnRenamed("_nid", id_col), id_col, "left"
+        )
+        .join(
+            batch_m.withColumnRenamed("_idb", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("_store_match").isNotNull(), F.lit("store_dup"))
+            .when(F.col("_batch_match").isNotNull(), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(
+                F.col("_store_match").isNotNull(), F.col("_store_match")
+            )
+            .otherwise(F.col("_batch_match"))
+            .alias("matched_id"),
+            (
+                F.col("_store_match").isNull()
+                & F.col("_batch_match").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     max_hamming: int = 3,

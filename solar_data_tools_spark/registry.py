@@ -5246,6 +5246,73 @@ WHERE s.doc_id >= mid.m
 Q182_SQL = _q182_sql()
 
 
+def q184_embedding_incremental(spark, sf_dir):
+    """Incremental near-dup against a persisted VECTOR store (round
+    12) — the embedding-family member of the incremental trio (exact
+    md5: q117; MinHash: q182/q183; this). Same two-generation split as
+    q182 (history = vec_id below the midpoint, standing in for the
+    persisted store), exact method: q89's sequential-fold cosine inside
+    the theta join, so DuckDB's list_dot_product replays every pair
+    decision bit-for-bit; verdicts/min-id canonicalization mirror the
+    MinHash operator's contract. The LSH scale path of the same
+    operator is pinned by the recall-contract unit test (subset +
+    store_dup-recall vs exact)."""
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_incremental_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mid = emb.agg(
+        F.floor((F.max("vec_id") + F.lit(1)) / 2)
+        .cast("bigint")
+        .alias("_mid")
+    )
+    e2 = emb.crossJoin(F.broadcast(mid))
+    store = e2.where(F.col("vec_id") < F.col("_mid")).drop("_mid")
+    new = e2.where(F.col("vec_id") >= F.col("_mid")).drop("_mid")
+    return embedding_incremental_dedup(
+        new, store, threshold=0.35, method="exact"
+    )
+
+
+Q184_SQL = """
+WITH mid AS (SELECT (max(vec_id) + 1) // 2 AS m FROM embeddings),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sm AS (
+  SELECT n.vec_id AS vec_id, min(s.vec_id) AS m
+  FROM e n, e s, mid
+  WHERE n.vec_id >= mid.m AND s.vec_id < mid.m
+    AND list_dot_product(n.v, s.v)
+        / sqrt(list_dot_product(n.v, n.v) * list_dot_product(s.v, s.v))
+        >= 0.35
+  GROUP BY n.vec_id
+),
+bm AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS m
+  FROM e a, e b, mid
+  WHERE a.vec_id >= mid.m AND b.vec_id >= mid.m
+    AND a.vec_id < b.vec_id
+    AND list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+        >= 0.35
+  GROUP BY b.vec_id
+)
+SELECT n.vec_id,
+       CASE WHEN sm.m IS NOT NULL THEN 'store_dup'
+            WHEN bm.m IS NOT NULL THEN 'batch_dup'
+            ELSE 'new' END AS verdict,
+       coalesce(sm.m, bm.m) AS matched_id,
+       (sm.m IS NULL AND bm.m IS NULL) AS keep
+FROM e n
+CROSS JOIN mid
+LEFT JOIN sm ON sm.vec_id = n.vec_id
+LEFT JOIN bm ON bm.vec_id = n.vec_id
+WHERE n.vec_id >= mid.m
+"""
+
+
 def q183_minhash_incremental_banded(spark, sf_dir):
     """The incremental near-dup's PRE-BANDED persisted-store path
     (round 12): the store is written in the ``minhash_band_store``
@@ -9289,6 +9356,10 @@ QUERIES: dict[str, QuerySpec] = {
         q183_minhash_incremental_banded, Q182_SQL,
         "dedup-minhash-incremental-banded"
     ),
+    "q184_embedding_incremental": QuerySpec(
+        q184_embedding_incremental, Q184_SQL,
+        "dedup-embedding-incremental"
+    ),
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
@@ -9411,6 +9482,7 @@ _QUERY_ORDER: list[str] = [
     # tools/driver_sim.py --all).
     "q182_minhash_incremental",
     "q183_minhash_incremental_banded",
+    "q184_embedding_incremental",
     "q148_pagerank",
     "q157_fleet_report",
     "q169_fleet_relational_spine",

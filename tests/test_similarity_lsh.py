@@ -1309,3 +1309,90 @@ def test_minhash_incremental_banded_store_parity(spark, sf_small):
         minhash_incremental_dedup(
             new.limit(5), banded32, store_is_banded=True, **kw
         ).collect()
+
+
+def test_embedding_incremental_dedup_exact_and_lsh(spark, sf_small):
+    """The embedding-family incremental operator: exact-path verdict
+    semantics against an independently computed reference, and the LSH
+    scale path's conservative contract — verification means it never
+    INVENTS a dup (keep_exact subset of keep_lsh), and within the
+    hamming bound its store matches are real pairs above threshold."""
+    import random
+
+    import numpy as np
+
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_incremental_dedup,
+    )
+    from solar_data_tools_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_small}/embeddings.parquet")
+    mid = (emb.agg(F.max("vec_id")).collect()[0][0] + 1) // 2
+    store = emb.where(F.col("vec_id") < mid)
+    new = emb.where(F.col("vec_id") >= mid)
+
+    exact = {
+        r["vec_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in embedding_incremental_dedup(
+            new, store, threshold=0.35, method="exact"
+        ).collect()
+    }
+    assert len(exact) == new.count()
+
+    # independent numpy reference for the exact path
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    for i, vid in enumerate(ids):
+        if vid < mid:
+            continue
+        s_match = [j for j in ids[ids < mid] if cos[i, j] >= 0.35]
+        b_match = [
+            j for j in ids[(ids >= mid) & (ids < vid)]
+            if cos[i, j] >= 0.35
+        ]
+        if s_match:
+            want = ("store_dup", min(s_match), False)
+        elif b_match:
+            want = ("batch_dup", min(b_match), False)
+        else:
+            want = ("new", None, True)
+        assert exact[vid] == want, (vid, exact[vid], want)
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(16)]
+    lsh = {
+        r["vec_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in embedding_incremental_dedup(
+            new, store, threshold=0.35, method="lsh", planes=planes,
+            max_hamming=6,
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    # conservative: LSH never invents a dup
+    for vid, (v, m, k) in lsh.items():
+        if not k:
+            assert not exact[vid][2], vid  # exact also saw a dup
+            # and the match it reports is a REAL pair above threshold
+            assert cos[vid, m] >= 0.35
+    # a persisted lsh_sig column on the store is honored
+    from solar_data_tools_spark.operators.similarity import (
+        random_hyperplane_signatures,
+    )
+
+    store_sig = store.join(
+        random_hyperplane_signatures(store, planes).select(
+            "vec_id", "lsh_sig"
+        ),
+        "vec_id",
+    )
+    lsh2 = {
+        r["vec_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in embedding_incremental_dedup(
+            new, store_sig, threshold=0.35, method="lsh", planes=planes,
+            max_hamming=6,
+        ).collect()
+    }
+    assert lsh2 == lsh
