@@ -9459,10 +9459,13 @@ QUERIES: dict[str, QuerySpec] = {
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
     # ---- round-12 window (first 50) ----
-    # 1. q182 first: NEW this round — incremental near-dup against a
-    #    persisted MinHash signature store (VERDICT r11 item 1), full
-    #    DuckDB two-generation replay oracle; must get its first
-    #    external check.
+    # 1. q182/q183/q184 first: NEW this round — the incremental-
+    #    dedup trio (VERDICT r11 item 1): near-dup vs a persisted
+    #    MinHash signature store (q182, full DuckDB two-generation
+    #    replay oracle), its pre-banded persisted-store path (q183,
+    #    oracle = Q182_SQL by parity contract), and the embedding-
+    #    family member vs a persisted vector store (q184,
+    #    list_dot_product replay); all need their first external check.
     # 2. q148 / q157 / q169 next: their code paths changed this round
     #    (pagerank checkpoint= gained none/local/reliable modes;
     #    run_pipeline/run_fleet_pipeline materialize= now routes
@@ -9475,7 +9478,9 @@ _QUERY_ORDER: list[str] = [
     #    source overlap, token-budget cut, HLL, weighted sample,
     #    Bloom, screened mix).
     # 4. the head of the r9 class fills the window: the q01-q08
-    #    relational span, q100-q102, q16/q24/q25.
+    #    relational span, q100-q102, q16 (q24/q25 were pushed
+    #    just past the 50-slot boundary by the three new queries; they
+    #    sit at positions 51-52 for r13).
     # Tail: the rest of the r9 class (stalest first), then r10, then
     # the r11-checked set. The full registry is additionally swept
     # locally every session (tests/test_oracle_parity.py,
