@@ -856,6 +856,16 @@ def embedding_incremental_dedup(
     already carries an ``lsh_sig`` column (persist it at append time —
     the analogue of ``minhash_band_store``), it is used as-is and the
     store's vectors are only touched for candidate verification.
+
+    Degenerate vectors — NULL or all-zero — have no cosine direction,
+    so new rows carrying one are DROPPED from the output (they cannot
+    be verdicted and must not be appended to the store), mirroring the
+    MinHash operator's documented drop of docs with no shingles;
+    degenerate STORE rows are filtered out of the join (they can match
+    nothing — a null-norm cosine satisfies no threshold — so filtering
+    is semantics-neutral and keeps null cosines out of the verify).
+    Embed-then-dedup pipelines that want those rows surfaced should
+    gate on ``exists(vec, x -> x != 0)`` upstream.
     """
     from solar_data_tools_spark.operators.similarity import (
         _as_double,
@@ -865,11 +875,19 @@ def embedding_incremental_dedup(
         random_hyperplane_signatures,
     )
 
+    # the degenerate-vector gate (see docstring): evaluated once per
+    # row at the scan, stays codegen (exists() here is a filter-time
+    # predicate, not a hot-loop fold)
+    _nondegenerate = F.col(vec_col).isNotNull() & F.exists(
+        F.col(vec_col), lambda x: x != F.lit(0.0)
+    )
     vecs_new = _as_double(
-        new_embeddings.select(id_col, vec_col), vec_col
+        new_embeddings.select(id_col, vec_col).where(_nondegenerate),
+        vec_col,
     )
     vecs_store = _as_double(
-        vector_store.select(id_col, vec_col), vec_col
+        vector_store.select(id_col, vec_col).where(_nondegenerate),
+        vec_col,
     )
 
     if method == "exact":
@@ -914,13 +932,15 @@ def embedding_incremental_dedup(
             )
         layout = _band_layout(n_bits, max_hamming + 1)
         sigs_new = random_hyperplane_signatures(
-            new_embeddings, planes, id_col, vec_col
+            new_embeddings.where(_nondegenerate), planes, id_col, vec_col
         )
         if "lsh_sig" in vector_store.columns:
-            sigs_store = vector_store.select(id_col, "lsh_sig")
+            sigs_store = vector_store.where(_nondegenerate).select(
+                id_col, "lsh_sig"
+            )
         else:
             sigs_store = random_hyperplane_signatures(
-                vector_store, planes, id_col, vec_col
+                vector_store.where(_nondegenerate), planes, id_col, vec_col
             )
 
         def _banded(sig_df, alias):
@@ -995,7 +1015,9 @@ def embedding_incremental_dedup(
         raise ValueError(f"unknown method {method!r}")
 
     return (
-        new_embeddings.select(id_col)
+        # the verdict skeleton starts from the FILTERED new set: a
+        # degenerate row is dropped, not verdicted 'new' (docstring)
+        vecs_new.select(id_col)
         .join(
             store_m.withColumnRenamed("_nid", id_col), id_col, "left"
         )
@@ -1253,11 +1275,15 @@ def minhash_signature_expr(
     """
     consts = md5_u31_constants(num_hashes)
     tokens = F.split(normalize_text(F.col(text_col)), " ")
+    # backtick-quote the column for the raw-SQL fragments so any valid
+    # column name (dotted, spaced) resolves as ONE identifier, matching
+    # the batch path's F.col() semantics
+    qcol = "`" + text_col.replace("`", "``") + "`"
     grams = (
         f"array_distinct(transform(sequence(1, greatest(size("
-        f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '))"
+        f"split(trim(regexp_replace(lower({qcol}), '\\\\s+', ' ')), ' '))"
         f" - {n - 1}, 0)), i -> concat_ws(' ', slice("
-        f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' '),"
+        f"split(trim(regexp_replace(lower({qcol}), '\\\\s+', ' ')), ' '),"
         f" i, {n}))))"
     )
     # one md5 per distinct shingle, sliced into the two 28-bit halves
@@ -1312,6 +1338,15 @@ def minhash_band_store(
     (band_ix, band_hash), the candidate join is co-located (no
     history-side shuffle at all), where the default path shuffles the
     derived band rows of the whole store every dump.
+
+    The layout RECORDS its geometry: a constant ``band_r`` column (the
+    slice width ``num_hashes // bands``) rides every row, and
+    ``minhash_incremental_dedup(store_is_banded=True)`` validates it
+    against the consumer's geometry. Signature length alone cannot
+    distinguish a store banded at bands=16 from one banded at bands=8
+    for the same num_hashes — the band hashes differ silently and no
+    bucket ever collides — so (length, band_r) together pin
+    (num_hashes, bands) exactly.
     """
     blocks = block_cols or []
     if num_hashes % bands != 0:
@@ -1332,6 +1367,7 @@ def minhash_band_store(
             F.expr(f"slice(signature, band_ix * {r} + 1, {r})"),
             F.col("band_ix"),
         ).alias("band_hash"),
+        F.lit(r).alias("band_r"),
         "signature",
     )
 
@@ -1402,7 +1438,11 @@ def minhash_incremental_dedup(
     then skips history's band explode entirely and collision rows
     arrive with the store signature attached, so the candidate-verify
     lookup needs no second history pass either — history's per-dump
-    cost drops to one co-located scan of the bucketed layout.
+    cost drops to one co-located scan of the bucketed layout. The
+    layout's recorded ``band_r`` column is validated against this
+    call's ``num_hashes // bands`` (on a join key, so it fires even
+    when nothing collides): a store banded at a different geometry
+    raises instead of silently verdicting every history dup 'new'.
 
     With ``token_hash="md5_u31"`` (default) every stage replays
     bit-for-bit in DuckDB — certified end-to-end as q182 (the q47
@@ -1493,25 +1533,41 @@ def minhash_incremental_dedup(
     if store_is_banded:
         # pre-banded persisted layout (minhash_band_store): the band
         # explode never re-runs and collisions arrive with the store
-        # signature attached — one history pass total. Length guard
-        # still applies (a store banded at a different geometry would
-        # silently degenerate, same failure mode as the raw path).
+        # signature attached — one history pass total. The guard checks
+        # BOTH signature length AND the layout's recorded band_r (the
+        # slice width the store was banded with): length alone cannot
+        # catch a store banded at different `bands` for the SAME
+        # num_hashes (band hashes differ silently and no bucket ever
+        # collides — every history dup would be verdicted 'new').
         # the guard wraps a JOIN KEY (band_ix), not the signature
         # payload: a payload-side guard is lazily skipped when no
         # bucket collides, which is exactly when a wrong-geometry
         # store would otherwise fail SILENTLY
+        if "band_r" not in signature_store.columns:
+            raise ValueError(
+                "store_is_banded=True requires the minhash_band_store "
+                "layout, which records its geometry in a 'band_r' "
+                "column; this store lacks it (written by a pre-r13 "
+                "minhash_band_store?) — rewrite the banded layout, or "
+                "pass the raw (id, signature) store with "
+                "store_is_banded=False"
+            )
         store_b = signature_store.select(
             F.col(id_col).alias("_sid"),
             *[F.col(c) for c in blocks],
             F.when(
-                F.size("signature") == num_hashes, F.col("band_ix")
+                (F.size("signature") == num_hashes)
+                & (F.col("band_r") == r),
+                F.col("band_ix"),
             )
             .otherwise(
                 F.raise_error(
                     F.format_string(
-                        "minhash signature length %s != num_hashes "
-                        + str(num_hashes),
+                        "banded minhash store geometry (signature "
+                        "length %s, band_r %s) != consumer geometry "
+                        f"(num_hashes {num_hashes}, band_r {r})",
                         F.size("signature").cast("string"),
+                        F.col("band_r").cast("string"),
                     )
                 )
             )

@@ -230,6 +230,11 @@ def streaming_signature_store_dedup(
             F.col("band_ix"),
         ).alias("band_hash"),
     )
+    # same geometry guard the batch operator's _banded treats as
+    # essential, wrapped around a JOIN KEY (band_ix) so it fires even
+    # when no bucket collides: a store signed with a different
+    # num_hashes would otherwise band over empty/short slices and
+    # silently stream every doc as 'new'
     store_banded = signature_store.select(
         F.col(id_col).alias("_sid"),
         F.col("signature").alias("_ssig"),
@@ -237,7 +242,17 @@ def streaming_signature_store_dedup(
     ).select(
         "_sid",
         "_ssig",
-        "band_ix",
+        F.when(F.size("_ssig") == num_hashes, F.col("band_ix"))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "minhash signature length %s != num_hashes "
+                    + str(num_hashes),
+                    F.size("_ssig").cast("string"),
+                )
+            )
+        )
+        .alias("band_ix"),
         F.xxhash64(
             F.expr(f"slice(_ssig, band_ix * {r} + 1, {r})"),
             F.col("band_ix"),

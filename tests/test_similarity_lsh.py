@@ -1396,3 +1396,148 @@ def test_embedding_incremental_dedup_exact_and_lsh(spark, sf_small):
         ).collect()
     }
     assert lsh2 == lsh
+
+def test_banded_store_geometry_recorded_and_validated(spark):
+    """r13 (ADVICE): signature LENGTH alone cannot distinguish a store
+    banded at bands=16 from bands=8 for the same num_hashes — the band
+    hashes differ silently and NO bucket ever collides, so every
+    history dup would be verdicted 'new'. The layout now records its
+    slice width (band_r) and the consumer validates it on a join key,
+    so the wrong-bands store RAISES even with zero collisions; a store
+    lacking the geometry column (pre-r13 layout) is rejected eagerly."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_band_store,
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    hist = _mk_docs(spark, [(1, _XT), (2, _YT)])
+    store = minhash_signatures(hist, 64, 1, token_hash="md5_u31")
+    new = _mk_docs(spark, [(10, _XT), (11, _ZT)])
+    kw = dict(num_hashes=64, bands=8, n=1, token_hash="md5_u31")
+
+    # sanity: right geometry passes and finds the history dup
+    ok = minhash_band_store(store, bands=8, num_hashes=64)
+    assert "band_r" in ok.columns
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in minhash_incremental_dedup(
+            new, ok, store_is_banded=True, **kw
+        ).collect()
+    }
+    assert got == {10: "history_dup", 11: "new"}
+
+    # same num_hashes, different bands: length guard is blind, band_r
+    # guard must fire (this was the silent-degeneration hole)
+    wrong_bands = minhash_band_store(store, bands=16, num_hashes=64)
+    with pytest.raises(Exception, match="band_r|geometry"):
+        minhash_incremental_dedup(
+            new, wrong_bands, store_is_banded=True, **kw
+        ).collect()
+
+    # pre-r13 layout (no band_r column): eager, named rejection
+    legacy = ok.drop("band_r")
+    with pytest.raises(ValueError, match="band_r"):
+        minhash_incremental_dedup(new, legacy, store_is_banded=True, **kw)
+
+
+def test_streaming_signature_store_geometry_guard(spark, tmp_path):
+    """r13 (ADVICE): the streaming face must refuse a store signed with
+    a different num_hashes instead of silently streaming every doc as
+    'new' (short slices -> mismatched band hashes -> no collision)."""
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.dedup import minhash_signatures
+    from solar_data_tools_spark.streaming.dedup_stream import (
+        streaming_signature_store_dedup,
+    )
+
+    store32 = minhash_signatures(
+        _mk_docs(spark, [(1, _XT)]), 32, 1, token_hash="md5_u31"
+    )
+    src = str(tmp_path / "sigstore_guard_src")
+    ts = pd.Timestamp("2024-06-01 12:00:00")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(10, _XT, ts)], columns=["doc_id", "text", "ingest_ts"]
+        )
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_signature_store_dedup(stream, store32, num_hashes=64)
+        .writeStream.format("memory")
+        .queryName("sigstore_guard_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="signature length|num_hashes"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_embedding_incremental_drops_degenerate_vectors(spark):
+    """r13 (ADVICE): NULL and all-zero embeddings have no cosine
+    direction — they are DROPPED from the verdict output (not silently
+    kept as 'new'), and degenerate STORE rows match nothing."""
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_incremental_dedup,
+    )
+
+    store = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0]),   # store_dup of 1
+            (11, [0.0, 0.0]),   # degenerate: dropped
+            (12, None),         # degenerate: dropped
+            (13, [0.0, 0.0]),   # exact copy of 11 — still dropped
+            (14, [0.0, 1.0]),   # new
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in embedding_incremental_dedup(
+            new, store, threshold=0.9, method="exact"
+        ).collect()
+    }
+    assert got == {10: ("store_dup", 1, False), 14: ("new", None, True)}
+
+    # LSH path: same drop contract (degenerates never reach signing)
+    planes = [[1.0, 0.5], [-0.3, 1.0], [0.7, -0.2]]
+    got_lsh = {
+        r["vec_id"]: r["verdict"]
+        for r in embedding_incremental_dedup(
+            new, store, threshold=0.9, method="lsh", planes=planes,
+            max_hamming=2,
+        ).collect()
+    }
+    assert set(got_lsh) == {10, 14}
+
+
+def test_minhash_signature_expr_quoted_column(spark):
+    """r13 (ADVICE): a non-bare column name (spaces) must resolve as
+    one identifier in the generated SQL fragments — signature values
+    identical to the same text under a bare name."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_signature_expr,
+    )
+
+    plain = spark.createDataFrame(
+        [(1, _XT)], "doc_id long, text string"
+    ).select(
+        "doc_id", minhash_signature_expr("text", 16, 1).alias("sig")
+    )
+    weird = spark.createDataFrame(
+        [(1, _XT)], "doc_id long, `my text col` string"
+    ).select(
+        "doc_id",
+        minhash_signature_expr("my text col", 16, 1).alias("sig"),
+    )
+    assert weird.collect()[0]["sig"] == plain.collect()[0]["sig"]

@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true",
                     help="run every query, not just the 50-query window")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query-name prefixes to run "
+                         "(targeted pre-commit check; overrides --all)")
     args = ap.parse_args()
 
     import duckdb
@@ -64,7 +67,11 @@ def main() -> int:
     from tests.oracle_utils import compare
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    names = list(qs) if args.all else list(qs)[:50]
+    if args.only:
+        pfx = [p.strip() for p in args.only.split(",") if p.strip()]
+        names = [n for n in qs if any(n.startswith(p) for p in pfx)]
+    else:
+        names = list(qs) if args.all else list(qs)[:50]
     fails = []
     for name in names:
         t0 = time.perf_counter()
