@@ -5351,6 +5351,301 @@ def q183_minhash_incremental_banded(spark, sf_dir):
     return out.select("doc_id", "verdict", "matched_id", "keep")
 
 
+def q185_ingest_dump(spark, sf_dir):
+    """The COMPOSED per-dump production job (round 13, VERDICT r12 item
+    1): quality gate -> exact incremental -> MinHash incremental ->
+    embedding incremental, each against its own persisted store, one
+    unified verdict table (``plans.ingest.ingest_dump``). The three
+    family operators are certified standalone (q117 shape / q182 /
+    q184); THIS query certifies the stage interactions — exact dups
+    never reach the signature join (the MinHash stage's within-dump
+    min-id canonicalization is defined over exact survivors, so a leak
+    shifts matched ids and fails the hash), quality-rejected rows reach
+    no store, un-checkable rows (no embedding) pass vacuously.
+
+    Dump construction follows the q117 oracle's own precedent so every
+    verdict class is LIVE at sf0.01 (zero natural exact dups there):
+    the new half, plus id+1000000 copies of history docs (%10==0 ->
+    exact_history_dup) and id+2000000 copies of new docs (%10==1 ->
+    exact_snapshot_dup). sim_threshold=0.85 / emb 0.3 keep
+    minhash_snapshot_dup, embedding_store_dup, embedding_batch_dup and
+    'new' all non-empty (probed: 8/8 classes live at sf0.01).
+
+    Reference parity: no corpus tier in solar-data-tools; the per-dump
+    composed form of the q105 batch curation chain."""
+    from solar_data_tools_spark.plans.ingest import ingest_dump
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    mid = docs.agg(
+        F.floor((F.max("doc_id") + F.lit(1)) / 2)
+        .cast("bigint")
+        .alias("_mid")
+    )
+    d2 = docs.crossJoin(F.broadcast(mid))
+    hist = d2.where(F.col("doc_id") < F.col("_mid"))
+    new_base = d2.where(F.col("doc_id") >= F.col("_mid"))
+    dump = (
+        new_base.select("doc_id", "text")
+        .unionByName(
+            hist.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            new_base.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    exact_store = hist.select(
+        F.md5(dd.normalize_text(F.col("text"))).alias("content_md5")
+    )
+    minhash_store = dd.minhash_signatures(
+        hist.select("doc_id", "text"), 64, 1, token_hash="md5_u31"
+    )
+    e2 = emb.crossJoin(F.broadcast(mid))
+    vec_store = e2.where(F.col("vec_id") < F.col("_mid")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    new_emb = e2.where(F.col("vec_id") >= F.col("_mid")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    quality = (
+        F.size(F.split(dd.normalize_text(F.col("text")), " ")) >= 20
+    )
+    out = ingest_dump(
+        dump,
+        exact_store=exact_store,
+        minhash_store=minhash_store,
+        vector_store=vec_store,
+        new_embeddings=new_emb,
+        quality_filter=quality,
+        num_hashes=64,
+        bands=8,
+        n=1,
+        sim_threshold=0.85,
+        token_hash="md5_u31",
+        embedding_threshold=0.3,
+        embedding_method="exact",
+    )
+    return out["verdicts"].select(
+        "doc_id", "verdict", "matched_id", "keep", "content_md5"
+    )
+
+
+def _q185_sql(num_hashes: int = 64, bands: int = 8,
+              sim_threshold: float = 0.85, min_words: int = 20,
+              emb_threshold: float = 0.3) -> str:
+    """Chained DuckDB replay of the composed per-dump job — the q105
+    chained-oracle pattern over the q117 + q182 + q184 SQL shapes: the
+    MinHash ``sig`` CTE's new side is built from EXACT SURVIVORS only
+    and the embedding CTEs from MINHASH SURVIVORS only, so the oracle
+    pins exactly the stage-interaction invariants the composition
+    claims."""
+    import math
+
+    from solar_data_tools_spark.operators.dedup import (
+        _P31,
+        md5_u31_constants,
+    )
+
+    consts = md5_u31_constants(num_hashes)
+    r = num_hashes // bands
+    min_equal = math.ceil(sim_threshold * num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * x0 + {b} * x1 + {c}) % {_P31}) AS s{i}"
+        for i, (a, b, c) in enumerate(consts)
+    )
+
+    def band_eq(x: str, y: str) -> str:
+        return " OR ".join(
+            "("
+            + " AND ".join(
+                f"{x}.s{b * r + j} = {y}.s{b * r + j}" for j in range(r)
+            )
+            + ")"
+            for b in range(bands)
+        )
+
+    def n_equal(x: str, y: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {x}.s{i} = {y}.s{i} THEN 1 ELSE 0 END)"
+            for i in range(num_hashes)
+        )
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    cos = (
+        "list_dot_product({a}.v, {b}.v) / sqrt(list_dot_product({a}.v, "
+        "{a}.v) * list_dot_product({b}.v, {b}.v))"
+    )
+    return f"""
+WITH mid AS (SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+dump AS (
+  SELECT d.doc_id, d.text FROM documents d, mid WHERE d.doc_id >= mid.m
+  UNION ALL
+  SELECT d.doc_id + 1000000, d.text FROM documents d, mid
+  WHERE d.doc_id < mid.m AND d.doc_id % 10 = 0
+  UNION ALL
+  SELECT d.doc_id + 2000000, d.text FROM documents d, mid
+  WHERE d.doc_id >= mid.m AND d.doc_id % 10 = 1
+),
+qual AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array({norm}, ' ')) >= {min_words} AS ok
+  FROM dump
+),
+ex AS (SELECT doc_id, text, md5({norm}) AS h FROM qual WHERE ok),
+sth AS (
+  SELECT DISTINCT md5({norm}) AS h
+  FROM documents, mid WHERE doc_id < mid.m
+),
+firsts AS (SELECT h, min(doc_id) AS first_id FROM ex GROUP BY h),
+exv AS (
+  SELECT e.doc_id, e.text, e.h,
+         CASE WHEN s.h IS NOT NULL THEN 'exact_history_dup'
+              WHEN e.doc_id > f.first_id THEN 'exact_snapshot_dup'
+         END AS ev,
+         CASE WHEN s.h IS NULL AND e.doc_id > f.first_id
+              THEN f.first_id END AS em
+  FROM ex e LEFT JOIN sth s ON e.h = s.h
+  JOIN firsts f ON e.h = f.h
+),
+base AS (
+  SELECT d.doc_id, d.text FROM documents d, mid WHERE d.doc_id < mid.m
+  UNION ALL
+  SELECT doc_id, text FROM exv WHERE ev IS NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array({norm}, ' ')) AS shingle
+  FROM base
+),
+shx AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS x0,
+         ('0x' || substring(md5(shingle), 9, 7))::BIGINT AS x1
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shx GROUP BY doc_id
+),
+histm AS (
+  SELECT n.doc_id AS doc_id, min(h.doc_id) AS m
+  FROM sig n, sig h, mid
+  WHERE n.doc_id >= mid.m AND h.doc_id < mid.m
+    AND ({band_eq('n', 'h')})
+    AND ({n_equal('n', 'h')}) >= {min_equal}
+  GROUP BY n.doc_id
+),
+snapm AS (
+  SELECT b.doc_id AS doc_id, min(a.doc_id) AS m
+  FROM sig a, sig b, mid
+  WHERE a.doc_id >= mid.m AND b.doc_id >= mid.m
+    AND a.doc_id < b.doc_id
+    AND ({band_eq('a', 'b')})
+    AND ({n_equal('a', 'b')}) >= {min_equal}
+  GROUP BY b.doc_id
+),
+mhv AS (
+  SELECT e.doc_id,
+         CASE WHEN hm.m IS NOT NULL THEN 'minhash_history_dup'
+              WHEN sm.m IS NOT NULL THEN 'minhash_snapshot_dup'
+         END AS mv,
+         coalesce(hm.m, sm.m) AS mm
+  FROM exv e
+  LEFT JOIN histm hm ON hm.doc_id = e.doc_id
+  LEFT JOIN snapm sm ON sm.doc_id = e.doc_id
+  WHERE e.ev IS NULL
+),
+mk AS (SELECT doc_id FROM mhv WHERE mv IS NULL),
+ev_ AS (
+  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+enew AS (SELECT e.doc_id, e.v FROM ev_ e JOIN mk ON mk.doc_id = e.doc_id),
+estore AS (SELECT e.doc_id, e.v FROM ev_ e, mid WHERE e.doc_id < mid.m),
+smch AS (
+  SELECT n.doc_id AS doc_id, min(s.doc_id) AS m
+  FROM enew n, estore s
+  WHERE {cos.format(a='n', b='s')} >= {emb_threshold}
+  GROUP BY n.doc_id
+),
+bmch AS (
+  SELECT b.doc_id AS doc_id, min(a.doc_id) AS m
+  FROM enew a, enew b
+  WHERE a.doc_id < b.doc_id
+    AND {cos.format(a='a', b='b')} >= {emb_threshold}
+  GROUP BY b.doc_id
+),
+emv AS (
+  SELECT mk.doc_id,
+         CASE WHEN sc.m IS NOT NULL THEN 'embedding_store_dup'
+              WHEN bc.m IS NOT NULL THEN 'embedding_batch_dup'
+         END AS evd,
+         coalesce(sc.m, bc.m) AS emm
+  FROM mk
+  LEFT JOIN smch sc ON sc.doc_id = mk.doc_id
+  LEFT JOIN bmch bc ON bc.doc_id = mk.doc_id
+)
+SELECT q.doc_id,
+       CASE WHEN NOT q.ok THEN 'quality_rejected'
+            WHEN x.ev IS NOT NULL THEN x.ev
+            WHEN m.mv IS NOT NULL THEN m.mv
+            WHEN e2.evd IS NOT NULL THEN e2.evd
+            ELSE 'new' END AS verdict,
+       CASE WHEN NOT q.ok THEN NULL
+            WHEN x.ev IS NOT NULL THEN x.em
+            WHEN m.mv IS NOT NULL THEN m.mm
+            ELSE e2.emm END AS matched_id,
+       (q.ok AND x.ev IS NULL AND m.mv IS NULL AND e2.evd IS NULL)
+         AS keep,
+       CASE WHEN q.ok THEN x.h END AS content_md5
+FROM qual q
+LEFT JOIN exv x ON x.doc_id = q.doc_id
+LEFT JOIN mhv m ON m.doc_id = q.doc_id
+LEFT JOIN emv e2 ON e2.doc_id = q.doc_id
+"""
+
+
+Q185_SQL = _q185_sql()
+
+
+def q186_minhash_incremental_g2(spark, sf_dir):
+    """SECOND externally-certified MinHash geometry (round 13, VERDICT
+    r12 item 3): the same two-generation incremental pipeline as q182
+    but at num_hashes=32 / bands=4 (min_equal = ceil(0.7*32) = 23).
+    q182/q183 pin the 64/8 instantiation; this pins the PARAMETERIZED
+    band_eq / n_equal oracle generators (registry `_q182_sql`) and the
+    operator's geometry arithmetic against ground truth at a second
+    point (live at sf0.01: 116 history_dups / 13 snapshot_dups,
+    probed). The 256-hash codegen behavior of `_n_equal` is separately
+    probed in tools/probe_n_equal_wide.py."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor((F.max("doc_id") + F.lit(1)) / 2)
+        .cast("bigint")
+        .alias("_mid")
+    )
+    d2 = docs.crossJoin(F.broadcast(mid))
+    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
+    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    store = dd.minhash_signatures(
+        hist, 32, 1, "doc_id", "text",
+        carry_cols=["lang", "source"], token_hash="md5_u31",
+    )
+    out = dd.minhash_incremental_dedup(
+        new, store, num_hashes=32, bands=4, n=1, sim_threshold=0.7,
+        block_cols=["lang", "source"], token_hash="md5_u31",
+    )
+    return out.select("doc_id", "verdict", "matched_id", "keep")
+
+
+Q186_SQL = _q182_sql(num_hashes=32, bands=4)
+
+
 def q146_ivfpq_topk(spark, sf_dir):
     """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape):
     coarse L2 cells + product-quantized RESIDUALS + per-query
@@ -9360,6 +9655,13 @@ QUERIES: dict[str, QuerySpec] = {
         q184_embedding_incremental, Q184_SQL,
         "dedup-embedding-incremental"
     ),
+    "q185_ingest_dump": QuerySpec(
+        q185_ingest_dump, Q185_SQL, "pipeline-ingest-dump"
+    ),
+    "q186_minhash_incremental_g2": QuerySpec(
+        q186_minhash_incremental_g2, Q186_SQL,
+        "dedup-minhash-incremental-g2"
+    ),
     "q146_ivfpq_topk": QuerySpec(
         q146_ivfpq_topk, None, "embedding-ivfpq"
     ),
@@ -9458,95 +9760,33 @@ QUERIES: dict[str, QuerySpec] = {
 # session (tests/test_oracle_parity.py, no window). The per-round
 # priority rationale lives in the list's leading comment block below.
 _QUERY_ORDER: list[str] = [
-    # ---- round-12 window (first 50) ----
-    # 1. q182/q183/q184 first: NEW this round — the incremental-
-    #    dedup trio (VERDICT r11 item 1): near-dup vs a persisted
-    #    MinHash signature store (q182, full DuckDB two-generation
-    #    replay oracle), its pre-banded persisted-store path (q183,
-    #    oracle = Q182_SQL by parity contract), and the embedding-
-    #    family member vs a persisted vector store (q184,
-    #    list_dot_product replay); all need their first external check.
-    # 2. q148 / q157 / q169 next: their code paths changed this round
-    #    (pagerank checkpoint= gained none/local/reliable modes;
-    #    run_pipeline/run_fleet_pipeline materialize= now routes
-    #    through session.materialize_df — behavioral no-ops for these
-    #    queries, but the committed changed-query rule puts them in
-    #    the window regardless).
-    # 3. the ENTIRE r8-stale class (32 queries, last externally
-    #    checked in CORRECTNESS_r08 — VERDICT r11 item 2 verbatim):
-    #    the q09-q34 relational basics span and q159-q173 (novelty,
-    #    source overlap, token-budget cut, HLL, weighted sample,
-    #    Bloom, screened mix).
-    # 4. the head of the r9 class fills the window: the q01-q08
-    #    relational span, q100-q102, q16 (q24/q25 were pushed
-    #    just past the 50-slot boundary by the three new queries; they
-    #    sit at positions 51-52 for r13).
-    # Tail: the rest of the r9 class (stalest first), then r10, then
-    # the r11-checked set. The full registry is additionally swept
-    # locally every session (tests/test_oracle_parity.py,
-    # tools/driver_sim.py --all).
+    # ---- round-13 window (first 50) ----
+    # 1. q185/q186 first: NEW this round — the COMPOSED per-dump
+    #    ingest job (q185, chained DuckDB oracle over the
+    #    q117+q182+q184 shapes — certifies the stage interactions:
+    #    exact dups never reach the signature join, quality-rejected
+    #    rows reach no store) and the second externally-certified
+    #    MinHash geometry (q186, 32 hashes / 4 bands — pins the
+    #    parameterized _q182_sql band_eq/n_equal generators at a
+    #    second point).
+    # 2. q182/q183/q184 next: their operator code CHANGED this round
+    #    (minhash_band_store now records band_r and the banded
+    #    consumer validates it; embedding_incremental_dedup drops
+    #    degenerate vectors) — the committed changed-query rule.
+    # 3. the ENTIRE r9-stale class (35 queries, last externally
+    #    checked in CORRECTNESS_r09 — VERDICT r12 item 2 verbatim).
+    # 4. the 10 stalest of the r10 class fill the window
+    #    (q104-q114 head).
+    # Tail: the rest of the r10 class, then r11, then the r12-checked
+    # set. The full registry is additionally swept locally every
+    # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
+    "q185_ingest_dump",
+    "q186_minhash_incremental_g2",
     "q182_minhash_incremental",
     "q183_minhash_incremental_banded",
     "q184_embedding_incremental",
-    "q148_pagerank",
-    "q157_fleet_report",
-    "q169_fleet_relational_spine",
-    "q09_monthly_rollup",
-    "q10_daily_energy",
-    "q11_daily_stats",
-    "q12_site_capacity",
-    "q13_daily_density",
-    "q14_sampling_inference",
-    "q159_semantic_decontamination",
-    "q15_first_diff",
-    "q160_within_doc_dedup",
-    "q161_epoch_mix",
-    "q162_bm25_topk",
-    "q163_cms_heavy_hitters",
-    "q164_hybrid_rrf",
-    "q165_novelty_scores",
-    "q166_source_overlap",
-    "q167_source_overlap_minhash",
-    "q168_token_budget_cut",
-    "q170_hll_cardinality",
-    "q171_weighted_sample",
-    "q172_bloom_decontaminate",
-    "q173_screened_weighted_mix",
-    "q17_run_length",
-    "q18_dedup_timestamps",
-    "q19_gap_fill",
-    "q20_range_clamp",
-    "q21_iqr_filter",
-    "q22_daytime_detection",
-    "q23_future_filter",
-    "q28_daily_smoothness",
-    "q29_sunrise_sunset",
-    "q33_solar_geometry",
-    "q34_longitude_estimate",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q04_anti_join",
-    "q05_window_topk",
-    "q06_conditional_pivot",
-    "q07_group_having",
-    "q08_correlated_subquery",
-    "q100_decontaminate",
-    "q101_repetition_stats",
-    "q102_pii_redaction",
-    "q16_rolling_mean",
     "q24_resample_hourly",
     "q25_avg_day_profile",
-    "q135_longitude_study_closed",
-    "q136_ground_truth_tilt_azimuth",
-    "q138_classifier_score",
-    "q140_crawl_curation_pipeline",
-    "q143_dsir_selection",
-    "q147_quality_pyramid",
-    "q155_corpus_report",
-    "q156_curation_pipeline_v2",
-    "q174_key_skew_report",
-    "q177_join_skew_report",
     "q31_binned_mean",
     "q32_rayleigh",
     "q41_fingerprint",
@@ -9570,6 +9810,16 @@ _QUERY_ORDER: list[str] = [
     "q82_quality_counts",
     "q83_doy_model_join",
     "q84_string_ops",
+    "q135_longitude_study_closed",
+    "q136_ground_truth_tilt_azimuth",
+    "q138_classifier_score",
+    "q140_crawl_curation_pipeline",
+    "q143_dsir_selection",
+    "q147_quality_pyramid",
+    "q155_corpus_report",
+    "q156_curation_pipeline_v2",
+    "q174_key_skew_report",
+    "q177_join_skew_report",
     "q104_minhash_pipeline_md5",
     "q105_curated_corpus",
     "q106_budget_mix",
@@ -9665,6 +9915,53 @@ _QUERY_ORDER: list[str] = [
     "q87_quality_scores",
     "q88_cdf_resample_approx",
     "q90_ivf_topk",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_window_topk",
+    "q06_conditional_pivot",
+    "q07_group_having",
+    "q08_correlated_subquery",
+    "q09_monthly_rollup",
+    "q100_decontaminate",
+    "q101_repetition_stats",
+    "q102_pii_redaction",
+    "q10_daily_energy",
+    "q11_daily_stats",
+    "q12_site_capacity",
+    "q13_daily_density",
+    "q148_pagerank",
+    "q14_sampling_inference",
+    "q157_fleet_report",
+    "q159_semantic_decontamination",
+    "q15_first_diff",
+    "q160_within_doc_dedup",
+    "q161_epoch_mix",
+    "q162_bm25_topk",
+    "q163_cms_heavy_hitters",
+    "q164_hybrid_rrf",
+    "q165_novelty_scores",
+    "q166_source_overlap",
+    "q167_source_overlap_minhash",
+    "q168_token_budget_cut",
+    "q169_fleet_relational_spine",
+    "q16_rolling_mean",
+    "q170_hll_cardinality",
+    "q171_weighted_sample",
+    "q172_bloom_decontaminate",
+    "q173_screened_weighted_mix",
+    "q17_run_length",
+    "q18_dedup_timestamps",
+    "q19_gap_fill",
+    "q20_range_clamp",
+    "q21_iqr_filter",
+    "q22_daytime_detection",
+    "q23_future_filter",
+    "q28_daily_smoothness",
+    "q29_sunrise_sunset",
+    "q33_solar_geometry",
+    "q34_longitude_estimate",
 ]
 
 

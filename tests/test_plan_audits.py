@@ -423,3 +423,50 @@ def test_minhash_incremental_store_scan_pruned(spark, sf_small, tmp_path):
                 ln for ln in chunk.splitlines() if "ReadSchema" in ln
             ][0]
             assert "crawl_meta" not in schema_line, schema_line
+
+def test_ingest_dump_text_stages_plan(spark, sf_small, tmp_path):
+    """The composed per-dump job's 100 TB contract (quality + exact +
+    MinHash stages): no cartesian/nested-loop fallback, no Python eval
+    anywhere (every stage is codegen built-ins), and the persisted
+    signature store's scan prunes a fat payload column — the composition
+    must not defeat the standalone operator's pruning. (The embedding
+    stage is audited separately: method='exact' is a theta join BY
+    DESIGN — the oracle vehicle — and the LSH path's plan is covered by
+    the standalone lsh audits.)"""
+    from pyspark.sql import functions as F
+
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_signatures,
+        normalize_text,
+    )
+    from solar_data_tools_spark.plans.ingest import ingest_dump
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    hist = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    store_dir = str(tmp_path / "ingest_sig_store")
+    minhash_signatures(
+        hist, 64, 1, token_hash="md5_u31"
+    ).withColumn(
+        "crawl_meta", F.repeat(F.lit("x"), 500)
+    ).write.parquet(store_dir)
+
+    out = ingest_dump(
+        new.select("doc_id", "text"),
+        exact_store=hist.select(
+            F.md5(normalize_text(F.col("text"))).alias("content_md5")
+        ),
+        minhash_store=spark.read.parquet(store_dir),
+        quality_filter=F.length("text") >= 10,
+        num_hashes=64, bands=8, n=1, token_hash="md5_u31",
+        materialize="none",  # keep the full lineage visible
+    )
+    plan = _formatted_plan(out["verdicts"])
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for chunk in plan.split("Scan parquet"):
+        if "ingest_sig_store" in chunk and "ReadSchema" in chunk:
+            schema_line = [
+                ln for ln in chunk.splitlines() if "ReadSchema" in ln
+            ][0]
+            assert "crawl_meta" not in schema_line, schema_line
