@@ -50,6 +50,13 @@ HEADLINE = [
     "q148_pagerank",
     # solver layer
     "q50_seasonal_fit",
+    # incremental-curation flagship (round 13, r12 verdict item 5):
+    # the per-dump MinHash loop against a persisted signature store —
+    # the job a production crawl pipeline runs monthly — so its wall
+    # is recorded per round like q47/q148. NOTE: the headline total
+    # grew by this query's wall at its introduction (BENCH_r13);
+    # compare totals across rounds on the shared 15-query prefix.
+    "q182_minhash_incremental",
 ]
 
 

@@ -210,6 +210,7 @@ def random_hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     engine: str = "pandas",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Cosine-LSH bit signature: bit_i = sign(v . plane_i).
 
@@ -229,6 +230,7 @@ def random_hyperplane_signatures(
       the per-plane form. Use where a Python-free plan matters more
       than throughput.
     """
+    carry = carry_cols or []
     if engine == "pandas":
         import numpy as np
         import pandas as pd
@@ -246,21 +248,31 @@ def random_hyperplane_signatures(
                     {
                         "_id": pdf["_id"].to_numpy(),
                         "_v": pdf["_v"],
+                        **{c: pdf[c].to_numpy() for c in carry},
                         "lsh_sig": sigs.astype(np.int64),
                     }
                 )
 
-        prepared = _as_double(embeddings, vec_col).select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        prepared = _as_double(
+            embeddings.select(id_col, vec_col, *carry), vec_col
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            *[F.col(c) for c in carry],
         )
-        id_type = dict(embeddings.select(id_col).dtypes)[id_col]
+        dtypes = dict(embeddings.select(id_col, *carry).dtypes)
+        carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry)
         out = prepared.mapInPandas(
             _sign,
-            schema=f"_id {id_type}, _v array<double>, lsh_sig long",
+            schema=(
+                f"_id {dtypes[id_col]}, _v array<double>"
+                f"{carry_schema}, lsh_sig long"
+            ),
         )
         return out.select(
             F.col("_id").alias(id_col),
             F.col("_v").alias(vec_col),
+            *[F.col(c) for c in carry],
             "lsh_sig",
         )
     if engine != "expr":
@@ -275,7 +287,37 @@ def random_hyperplane_signatures(
         "(x, y) -> x * y), cast(0.0 as double), (s, t) -> s + t) >= 0, "
         "1L, 0L), i))"
     )
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(c) for c in carry],
+        sig.alias("lsh_sig"),
+    )
+
+
+def seeded_hyperplanes(
+    n_planes: int, dim: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for the cosine-LSH family —
+    the seeded constructor so ``method="lsh"`` callers
+    (``embedding_cosine_duplicates``, ``embedding_incremental_dedup``,
+    ``lsh_topk``) never hand-build plane lists. numpy
+    ``Generator(PCG64(seed))`` is specified to be stable across
+    platforms and processes, so every executor, every dump, and every
+    replay derives the SAME family from the seed — which is the
+    incremental-store contract: a persisted ``lsh_sig`` column is only
+    reusable if later dumps sign with identical planes. Persist the
+    seed (and n_planes/dim) alongside the store the way
+    ``minhash_band_store`` persists ``band_r``.
+
+    The signature geometry is the recall knob: P(bit differs) =
+    theta/pi per plane, so for a target cosine threshold t, pairs at
+    exactly t differ in ``n_planes * arccos(t) / pi`` expected bits —
+    size ``max_hamming`` above that with margin."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(int(seed)))
+    return rng.standard_normal((int(n_planes), int(dim))).tolist()
 
 
 def _band_layout(n_bits: int, bands: int) -> list[tuple[int, int]]:

@@ -285,3 +285,132 @@ def streaming_signature_store_dedup(
             "matched_id",
         )
     )
+
+def streaming_vector_store_dedup(
+    stream: DataFrame,
+    vector_store: DataFrame,
+    ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+    max_hamming: int = 6,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time near-dup against a persisted VECTOR store — the
+    embedding-family sibling of ``streaming_signature_store_dedup``
+    (the streaming face of ``dedup.embedding_incremental_dedup``'s
+    STORE dimension): each arriving vector is signed ROW-LOCALLY with
+    the hyperplane family (``random_hyperplane_signatures`` engine
+    "expr" — a stateless projection, same bits as the batch pandas
+    engine), banded, joined against the STATIC store on the band
+    buckets with the pigeonhole Hamming prefilter, and candidates are
+    verified with the EXACT cosine — verdict ``store_dup`` (min
+    matching store id) or ``new`` per (tumbling event-time window,
+    id). Use ``similarity.seeded_hyperplanes`` and persist the seed so
+    every dump and the store sign with the SAME family.
+
+    Same documented boundaries as the MinHash face: within-stream
+    ``batch_dup`` canonicalization is the batch epilogue
+    (``embedding_incremental_dedup`` over the microbatch outputs), and
+    rows with NULL/all-zero vectors are DROPPED (no cosine direction —
+    the batch operator's r13 contract). If the store carries a
+    persisted ``lsh_sig`` column it is used as-is; store vectors are
+    only read to verify band-colliding candidates.
+
+    Scale shape: stream-static joins only (no stream-stream state);
+    the stream side carries its vector through the small band explode
+    (x ``max_hamming + 1`` rows per doc — bounded, ingest-time), the
+    store side contributes (id, sig) plus vectors for collision rows;
+    state is one aggregation row per in-flight (window, doc)."""
+    from solar_data_tools_spark.operators.similarity import (
+        _band_layout,
+        _banded_bits,
+        cosine,
+        random_hyperplane_signatures,
+    )
+
+    if planes is None:
+        raise ValueError(
+            "streaming_vector_store_dedup requires the hyperplane "
+            "family (see similarity.seeded_hyperplanes)"
+        )
+    n_bits = len(planes)
+    if max_hamming >= n_bits:
+        raise ValueError("max_hamming must be < number of hyperplanes")
+    layout = _band_layout(n_bits, max_hamming + 1)
+    nondeg = F.col(vec_col).isNotNull() & F.exists(
+        F.col(vec_col), lambda x: x != F.lit(0.0)
+    )
+
+    signed = random_hyperplane_signatures(
+        stream.where(nondeg).select(id_col, ts_col, vec_col),
+        planes,
+        id_col,
+        vec_col,
+        engine="expr",  # stateless projection: stream-legal signing
+        carry_cols=[ts_col],
+    )
+    banded = signed.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(vec_col).alias("_vn"),
+        F.col("lsh_sig"),
+        F.explode(_banded_bits(F.col("lsh_sig"), layout)).alias("band"),
+    )
+    store_nd = vector_store.where(nondeg)
+    if "lsh_sig" in vector_store.columns:
+        store_sig = store_nd.select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("_vs"),
+            F.col("lsh_sig").alias("_ssig"),
+        )
+    else:
+        store_sig = random_hyperplane_signatures(
+            store_nd.select(id_col, vec_col), planes, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("_vs"),
+            F.col("lsh_sig").alias("_ssig"),
+        )
+    store_banded = store_sig.select(
+        "_sid",
+        "_vs",
+        "_ssig",
+        F.explode(_banded_bits(F.col("_ssig"), layout)).alias("band"),
+    )
+    cos = cosine(
+        F.col("_vn").cast("array<double>"),
+        F.col("_vs").cast("array<double>"),
+    )
+    joined = (
+        banded.join(store_banded, on=["band"], how="left")
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.when(
+                (
+                    F.bit_count(
+                        F.col("lsh_sig").bitwiseXOR(F.col("_ssig"))
+                    )
+                    <= F.lit(max_hamming)
+                )
+                & (cos >= F.lit(threshold)),
+                F.col("_sid"),
+            ).alias("_match"),
+        )
+    )
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(id_col))
+        .agg(F.min("_match").alias("matched_id"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(id_col),
+            F.when(F.col("matched_id").isNotNull(), F.lit("store_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            "matched_id",
+        )
+    )

@@ -1541,3 +1541,177 @@ def test_minhash_signature_expr_quoted_column(spark):
         minhash_signature_expr("my text col", 16, 1).alias("sig"),
     )
     assert weird.collect()[0]["sig"] == plain.collect()[0]["sig"]
+
+def test_seeded_hyperplanes_and_carry_cols(spark):
+    """r13: the seeded plane constructor is deterministic (same seed ->
+    identical family; different seed -> different) with the right
+    geometry, and random_hyperplane_signatures carries extra columns
+    through BOTH engines without changing the signature bits."""
+    from solar_data_tools_spark.operators.similarity import (
+        random_hyperplane_signatures,
+        seeded_hyperplanes,
+    )
+
+    p1 = seeded_hyperplanes(16, 8, seed=7)
+    assert p1 == seeded_hyperplanes(16, 8, seed=7)
+    assert p1 != seeded_hyperplanes(16, 8, seed=8)
+    assert len(p1) == 16 and all(len(p) == 8 for p in p1)
+
+    emb = spark.createDataFrame(
+        [(1, [float(i) - 3.5 for i in range(8)], "a"),
+         (2, [1.0] * 8, "b")],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    base = {
+        r["vec_id"]: r["lsh_sig"]
+        for r in random_hyperplane_signatures(emb, p1).collect()
+    }
+    for engine in ("pandas", "expr"):
+        rows = random_hyperplane_signatures(
+            emb, p1, engine=engine, carry_cols=["tag"]
+        ).collect()
+        assert {r["vec_id"]: r["lsh_sig"] for r in rows} == base
+        assert {r["vec_id"]: r["tag"] for r in rows} == {1: "a", 2: "b"}
+
+
+def test_embedding_incremental_multi_dump_loop(spark):
+    """r13 (VERDICT item 4): the embedding operator's per-dump loop —
+    the MinHash precedent (test_minhash_incremental_multi_dump_loop)
+    applied to the vector family: start from an EMPTY store, three
+    dumps, append each dump's keeps WITH their persisted lsh_sig (no
+    re-signing); planted per-dump expectations plus the structural
+    invariant that the final store is pairwise non-similar."""
+    import numpy as np
+
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_incremental_dedup,
+    )
+    from solar_data_tools_spark.operators.similarity import (
+        random_hyperplane_signatures,
+        seeded_hyperplanes,
+    )
+
+    planes = seeded_hyperplanes(16, 4, seed=42)
+    kw = dict(threshold=0.9, method="lsh", planes=planes, max_hamming=8)
+    store = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, lsh_sig long"
+    )
+    dumps = [
+        # dump 1: 3 batch_dup of 1 (same direction), 2 independent
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [2.0, 0.0, 0.0, 0.0])],
+        # dump 2: 11 store_dup of 1; 12 new; 13 batch_dup of 12
+        [(11, [3.0, 0.1, 0.0, 0.0]), (12, [0.0, 0.0, 1.0, 0.0]),
+         (13, [0.0, 0.0, 5.0, 0.1])],
+        # dump 3: 21 store_dup of 2; 22 new
+        [(21, [0.0, 9.0, 0.2, 0.0]), (22, [1.0, 1.0, 1.0, 1.0])],
+    ]
+    expected = {
+        1: ("new", None), 2: ("new", None), 3: ("batch_dup", 1),
+        11: ("store_dup", 1), 12: ("new", None), 13: ("batch_dup", 12),
+        21: ("store_dup", 2), 22: ("new", None),
+    }
+    got = {}
+    for rows in dumps:
+        dump = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = embedding_incremental_dedup(dump, store, **kw)
+        got.update(
+            (r["vec_id"], (r["verdict"], r["matched_id"]))
+            for r in out.collect()
+        )
+        # append = the keeps' vectors + their signatures, signed ONCE
+        # here at admission (the analogue of the MinHash loop's
+        # carried-signature append)
+        keeps = dump.join(
+            out.where("keep").select("vec_id"), "vec_id", "left_semi"
+        )
+        store = store.unionByName(
+            random_hyperplane_signatures(keeps, planes)
+        ).localCheckpoint(eager=True)
+    assert got == expected
+
+    # final store pairwise non-similar under the operator's criterion
+    pdf = store.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy())
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    np.fill_diagonal(cos, 0.0)
+    assert cos.max() < 0.9
+    assert sorted(pdf.vec_id) == [1, 2, 12, 22]
+
+
+def test_streaming_vector_store_dedup_matches_batch(spark, tmp_path):
+    """r13: the streaming vector face's STORE dimension must agree
+    with the batch operator (same planes, same threshold): streaming
+    store_dup set == batch store_dup set with equal matched ids; batch
+    batch_dups surface as streaming 'new' (the documented batch-
+    epilogue boundary), and degenerate vectors are dropped."""
+    import pandas as pd
+
+    from solar_data_tools_spark.operators.dedup import (
+        embedding_incremental_dedup,
+    )
+    from solar_data_tools_spark.operators.similarity import (
+        seeded_hyperplanes,
+    )
+    from solar_data_tools_spark.streaming.dedup_stream import (
+        streaming_vector_store_dedup,
+    )
+
+    planes = seeded_hyperplanes(16, 4, seed=1)
+    store = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    new_rows = [
+        (10, [2.0, 0.0, 0.0, 0.0]),   # store_dup -> 1
+        (11, [0.0, 5.0, 0.1, 0.0]),   # store_dup -> 2
+        (12, [0.0, 0.0, 1.0, 0.0]),   # new
+        (13, [0.0, 0.0, 2.0, 0.0]),   # batch: batch_dup; stream: new
+        (14, [0.0, 0.0, 0.0, 0.0]),   # degenerate: dropped
+    ]
+    kw = dict(threshold=0.9, planes=planes, max_hamming=8)
+    batch = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in embedding_incremental_dedup(
+            spark.createDataFrame(
+                new_rows, "doc_id long, embedding array<double>"
+            ),
+            store, id_col="doc_id", method="lsh", **kw,
+        ).collect()
+    }
+
+    src = str(tmp_path / "vecstore_stream_src")
+    ts = pd.Timestamp("2024-06-01 12:00:00")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(i, v, ts) for i, v in new_rows],
+            columns=["doc_id", "embedding", "ingest_ts"],
+        )
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, embedding array<double>, ingest_ts timestamp"
+    ).parquet(src)
+    q = (
+        streaming_vector_store_dedup(stream, store, **kw)
+        .writeStream.format("memory")
+        .queryName("vecstore_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in spark.sql("select * from vecstore_stream_test").collect()
+    }
+    assert set(streamed) == set(batch)  # 14 dropped by BOTH
+    for doc, (bv, bm) in batch.items():
+        sv, sm = streamed[doc]
+        if bv == "store_dup":
+            assert (sv, sm) == ("store_dup", bm), doc
+        else:  # batch 'batch_dup' and 'new' both stream as 'new'
+            assert (sv, sm) == ("new", None), doc
+    assert batch[13][0] == "batch_dup"  # the documented boundary
