@@ -9775,8 +9775,8 @@ _QUERY_ORDER: list[str] = [
     #    degenerate vectors) — the committed changed-query rule.
     # 3. the ENTIRE r9-stale class (35 queries, last externally
     #    checked in CORRECTNESS_r09 — VERDICT r12 item 2 verbatim).
-    # 4. the 10 stalest of the r10 class fill the window
-    #    (q104-q114 head).
+    # 4. the stalest of the r10 class fill the window
+    #    (q104-q113 head; 7 fit after the 2b insertion).
     # Tail: the rest of the r10 class, then r11, then the r12-checked
     # set. The full registry is additionally swept locally every
     # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
@@ -9785,6 +9785,13 @@ _QUERY_ORDER: list[str] = [
     "q182_minhash_incremental",
     "q183_minhash_incremental_banded",
     "q184_embedding_incremental",
+    # 2b. q49/q90/q146 route through random_hyperplane_signatures,
+    #     which grew carry_cols this round (default [] — behaviorally
+    #     a no-op, but the changed-query rule is mechanical, not
+    #     judgment-based). Rows-only (RNG planes/centroids).
+    "q49_lsh_topk",
+    "q90_ivf_topk",
+    "q146_ivfpq_topk",
     "q24_resample_hourly",
     "q25_avg_day_profile",
     "q31_binned_mean",
@@ -9881,7 +9888,6 @@ _QUERY_ORDER: list[str] = [
     "q142_pq_adc_topk",
     "q144_url_blocklist",
     "q145_bpe_tokenize",
-    "q146_ivfpq_topk",
     "q149_binary_hamming_topk",
     "q150_temperature_sample",
     "q152_weighted_shuffle",
@@ -9898,7 +9904,6 @@ _QUERY_ORDER: list[str] = [
     "q38_train_test_split",
     "q39_doy_median_profile",
     "q48_simhash",
-    "q49_lsh_topk",
     "q50_seasonal_fit",
     "q60_time_shift_detection",
     "q61_capacity_change_labels",
@@ -9914,7 +9919,6 @@ _QUERY_ORDER: list[str] = [
     "q86_clear_sky_labels",
     "q87_quality_scores",
     "q88_cdf_resample_approx",
-    "q90_ivf_topk",
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_semi_join",
