@@ -317,7 +317,11 @@ def streaming_vector_store_dedup(
     rows with NULL/all-zero vectors are DROPPED (no cosine direction —
     the batch operator's r13 contract). If the store carries a
     persisted ``lsh_sig`` column it is used as-is; store vectors are
-    only read to verify band-colliding candidates.
+    only read to verify band-colliding candidates. PERSIST that column
+    in production: a stream-static join re-evaluates the static side
+    every micro-batch, so a store WITHOUT ``lsh_sig`` pays the
+    mapInPandas signing pass per batch, not once (the MinHash face has
+    the same property — see its bucketing note).
 
     Scale shape: stream-static joins only (no stream-stream state);
     the stream side carries its vector through the small band explode
