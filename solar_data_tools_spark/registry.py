@@ -5373,6 +5373,29 @@ def q185_ingest_dump(spark, sf_dir):
 
     Reference parity: no corpus tier in solar-data-tools; the per-dump
     composed form of the q105 batch curation chain."""
+    return _ingest_dump_query(spark, sf_dir, banded=False)
+
+
+def q187_ingest_dump_banded(spark, sf_dir):
+    """The composed ingest job's PRE-BANDED persisted-store mode
+    (round 13): same scenario as q185 but the MinHash store is written
+    in the ``minhash_band_store`` layout and consumed with
+    ``store_is_banded=True`` — the composition the deployment notes
+    recommend at production scale (store bucketed by the band keys,
+    one history pass per dump).
+
+    Oracle = Q185_SQL VERBATIM — the promotion-by-contract pattern
+    (q183/q137 precedent): the banded composed path is
+    verdict-identical to the raw path by construction
+    (tests/test_ingest_dump.py::test_ingest_dump_banded_store_mode
+    asserts it with live dup classes), so the chained replay that
+    certifies q185 certifies this physical plan too; an external hash
+    match here pins the banded layout + recorded-geometry guard INSIDE
+    the composition against the same ground truth."""
+    return _ingest_dump_query(spark, sf_dir, banded=True)
+
+
+def _ingest_dump_query(spark, sf_dir, banded):
     from solar_data_tools_spark.plans.ingest import ingest_dump
 
     docs = _t(spark, sf_dir, "documents")
@@ -5404,6 +5427,10 @@ def q185_ingest_dump(spark, sf_dir):
     minhash_store = dd.minhash_signatures(
         hist.select("doc_id", "text"), 64, 1, token_hash="md5_u31"
     )
+    if banded:
+        minhash_store = dd.minhash_band_store(
+            minhash_store, bands=8, num_hashes=64
+        )
     e2 = emb.crossJoin(F.broadcast(mid))
     vec_store = e2.where(F.col("vec_id") < F.col("_mid")).select(
         F.col("vec_id").alias("doc_id"), "embedding"
@@ -5428,6 +5455,7 @@ def q185_ingest_dump(spark, sf_dir):
         token_hash="md5_u31",
         embedding_threshold=0.3,
         embedding_method="exact",
+        store_is_banded=banded,
     )
     return out["verdicts"].select(
         "doc_id", "verdict", "matched_id", "keep", "content_md5"
@@ -5622,7 +5650,7 @@ def q186_minhash_incremental_g2(spark, sf_dir):
     operator's geometry arithmetic against ground truth at a second
     point (live at sf0.01: 116 history_dups / 13 snapshot_dups,
     probed). The 256-hash codegen behavior of `_n_equal` is separately
-    probed in tools/probe_n_equal_wide.py."""
+    probed in tools/probe_n_equal_width.py."""
     docs = _t(spark, sf_dir, "documents")
     mid = docs.agg(
         F.floor((F.max("doc_id") + F.lit(1)) / 2)
@@ -9658,6 +9686,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q185_ingest_dump": QuerySpec(
         q185_ingest_dump, Q185_SQL, "pipeline-ingest-dump"
     ),
+    "q187_ingest_dump_banded": QuerySpec(
+        q187_ingest_dump_banded, Q185_SQL, "pipeline-ingest-dump-banded"
+    ),
     "q186_minhash_incremental_g2": QuerySpec(
         q186_minhash_incremental_g2, Q186_SQL,
         "dedup-minhash-incremental-g2"
@@ -9781,6 +9812,7 @@ _QUERY_ORDER: list[str] = [
     # set. The full registry is additionally swept locally every
     # session (tests/test_oracle_parity.py, tools/driver_sim.py --all).
     "q185_ingest_dump",
+    "q187_ingest_dump_banded",
     "q186_minhash_incremental_g2",
     "q182_minhash_incremental",
     "q183_minhash_incremental_banded",
