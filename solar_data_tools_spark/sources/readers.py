@@ -156,3 +156,80 @@ def write_training_shards(
         .save(path)
     )
     return n_shards
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    line_col: str = "raw_line",
+    streaming: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus ingest with a quarantine split — the front door of
+    an LLM-data pipeline (crawl dumps, exported datasets, and eval sets
+    ship as JSON Lines, not parquet).
+
+    Returns ``(docs, quarantine)``: ``docs`` has exactly the columns of
+    ``schema`` for every line that parsed; ``quarantine`` carries the
+    raw text of every line that did not (truncated records, invalid
+    JSON, wrong top-level type) so bad input is INSPECTABLE, never
+    silently dropped — at crawl scale a corrupt shard upstream shows up
+    as a quarantine spike, not as a mystery row-count drift.
+
+    Plan shape (the 100 TB contract):
+
+    * ``spark.read.text`` + ``from_json`` — ONE pass, pure JVM codegen
+      (``JsonToStructs``), schema mandatory. Deliberately NOT
+      ``spark.read.json``: schema inference is a full extra scan of
+      the input, and filtering on only the PERMISSIVE-mode corrupt
+      column is disallowed by Spark without caching the parse
+      (SPARK-21610) — caching a 100 TB parse is not a plan. The
+      text+from_json split has neither problem and the two outputs
+      share one scan subtree.
+    * Corrupt detection uses ``from_json``'s own
+      ``columnNameOfCorruptRecord`` option, NOT struct-nullness:
+      measured on this Spark (see the roundtrip test), a malformed
+      line parses to an all-NULL-FIELDS struct — never a NULL struct —
+      so a nullness test quarantines nothing. With the corrupt column,
+      invalid JSON, non-object top-levels, AND per-field type
+      mismatches all land in quarantine with the raw line, while valid
+      objects with MISSING fields are accepted with NULLs (JSONL
+      corpora are sparse by convention) and unknown extra fields are
+      ignored.
+    * Blank lines (a trailing-newline artifact of many writers) are
+      neither docs nor errors and are dropped explicitly.
+    * The same function builds the STREAMING face (``streaming=True``
+      uses ``readStream``): from_json is row-local, so continuous
+      ingest parses with the identical expression — parity is by
+      construction, and the quarantine stream can feed an alerting
+      sink.
+    * Compression caveat (docstring is the right place — this is a
+      data-layout choice, not code): ``.gz`` JSONL is NOT splittable —
+      one task per file regardless of size. At scale, shard files to
+      ~128-512 MB, or use zstd/bzip2, or decompress-and-repartition
+      once on landing.
+
+    Reference parity: solar-data-tools has no JSON source (its
+    dataio.py API loaders are deprecated and raise); this is
+    north-star-extension surface, S-row "JSONL scan" in COVERAGE.md.
+    """
+    corrupt = "_corrupt_record"
+    if corrupt in schema:
+        raise ValueError(
+            f"schema must not name the reserved column {corrupt!r}"
+        )
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path).withColumnRenamed("value", line_col)
+    nonblank = raw.where(F.length(F.trim(F.col(line_col))) > 0)
+    parsed = nonblank.select(
+        F.col(line_col),
+        F.from_json(
+            F.col(line_col),
+            f"{schema}, {corrupt} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("_doc"),
+    )
+    ok = F.col(f"_doc.{corrupt}").isNull()
+    docs = parsed.where(ok).select("_doc.*").drop(corrupt)
+    quarantine = parsed.where(~ok).select(line_col)
+    return docs, quarantine
