@@ -100,3 +100,45 @@ def test_jsonl_single_scan_plan(spark, tmp_path):
         assert "from_json" in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_jsonl_gzip_path(spark, tmp_path):
+    """.gz JSONL reads transparently through the same text scan (the
+    docstring's caveat is about SPLITTABILITY — one task per .gz file —
+    not readability)."""
+    import gzip
+
+    src = tmp_path / "jsonl_gz"
+    src.mkdir()
+    lines = [json.dumps(g) for g in GOOD[:2]] + [BAD[0]]
+    with gzip.open(src / "part-0.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    docs, quarantine = read_documents_jsonl(spark, str(src), SCHEMA)
+    assert {r["doc_id"] for r in docs.collect()} == {1, 2}
+    assert [r["raw_line"] for r in quarantine.collect()] == [BAD[0]]
+
+
+def test_jsonl_training_shard_roundtrip(spark, tmp_path):
+    """Sink->source composition: write_training_shards(fmt='json')
+    emits sharded JSONL a trainer consumes; read_documents_jsonl must
+    read the whole shard tree back losslessly (zero quarantine)."""
+    from solar_data_tools_spark.sources.readers import (
+        write_training_shards,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id as doc_id", "concat('text-', id) as text", "'en' as lang"
+    )
+    out = str(tmp_path / "jsonl_shards")
+    n_shards = write_training_shards(
+        df, out, rows_per_shard=32, fmt="json"
+    )
+    assert n_shards == 4
+    docs, quarantine = read_documents_jsonl(
+        spark, out + "/shard=*/", SCHEMA
+    )
+    assert quarantine.count() == 0
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in docs.collect()
+    )
+    assert got == [(i, f"text-{i}", "en") for i in range(100)]
