@@ -62,6 +62,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--new", type=int, default=500_000)
     ap.add_argument("--hist", type=int, default=4_000_000)
+    ap.add_argument(
+        "--loop", type=int, default=0,
+        help="instead of the single-shot legs, run N successive "
+             "generations appending the three store deltas between "
+             "dumps — the monthly production loop; per-dump wall must "
+             "stay ~flat while the stores accrete keeps",
+    )
     args = ap.parse_args()
 
     from solar_data_tools_spark.operators import dedup as dd
@@ -154,6 +161,98 @@ def main() -> None:
             f"{timings['store_build']} s",
             file=sys.stderr, flush=True,
         )
+
+        if args.loop:
+            # the monthly loop: N successive dumps, each verdicted
+            # against the stores AS LEFT by the previous generation,
+            # each appending its three deltas (minhash keeps carry
+            # their signatures — no re-signing; embedding keeps are
+            # signed ONCE at admission, the loop-test pattern). Every
+            # dump has the same planted class mix (copies reference
+            # gen-0 history, which keeps survive in the store), so
+            # per-dump wall must stay ~flat while the stores grow.
+            gens = []
+            for g in range(args.loop):
+                gbase = n_hist + g * n_new
+                gcanon = (
+                    F.when(roll < 20, F.col("id") - gbase)
+                    .when(
+                        roll < 30,
+                        F.greatest(
+                            F.lit(gbase), F.col("id") - (F.col("id") % 50)
+                        ),
+                    )
+                    .otherwise(F.col("id"))
+                )
+                gvcanon = (
+                    F.when(
+                        (roll >= 30) & (roll < 33), F.col("id") - gbase
+                    )
+                    .when(
+                        (roll >= 33) & (roll < 35),
+                        F.greatest(
+                            F.lit(gbase), F.col("id") - (F.col("id") % 50)
+                        ),
+                    )
+                    .otherwise(F.col("id"))
+                )
+                dump = (
+                    spark.range(gbase, gbase + n_new)
+                    .withColumn("_canon", gcanon)
+                    .withColumn("_words", words)
+                    .withColumn("_vcanon", gvcanon)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        text.alias("text"),
+                        vec.alias("embedding"),
+                    )
+                )
+                t0 = time.perf_counter()
+                out = ingest_dump(
+                    dump.select("doc_id", "text"),
+                    exact_store=spark.read.parquet(exact_dir),
+                    minhash_store=spark.read.parquet(sig_dir),
+                    vector_store=spark.read.parquet(vec_dir),
+                    new_embeddings=dump.select("doc_id", "embedding"),
+                    quality_filter=F.size(
+                        F.split(dd.normalize_text(F.col("text")), " ")
+                    ) >= 5,
+                    num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+                    token_hash="md5_u31",
+                    embedding_threshold=0.9, embedding_method="lsh",
+                    planes=planes, max_hamming=2,
+                )
+                counts = {
+                    r["verdict"]: r["n"]
+                    for r in out["verdicts"].groupBy("verdict")
+                    .agg(F.count("*").alias("n")).collect()
+                }
+                out["exact_delta"].write.mode("append").parquet(exact_dir)
+                out["minhash_delta"].write.mode("append").parquet(sig_dir)
+                random_hyperplane_signatures(
+                    out["embedding_delta"], planes,
+                    id_col="doc_id", vec_col="embedding",
+                ).write.mode("append").parquet(vec_dir)
+                wall = round(time.perf_counter() - t0, 2)
+                store_rows = spark.read.parquet(sig_dir).count()
+                gens.append({
+                    "gen": g, "wall_sec": wall, "verdicts": counts,
+                    "sig_store_rows_after": store_rows,
+                })
+                print(
+                    f"  gen {g}: {wall} s verdicts={counts} "
+                    f"sig_store={store_rows}",
+                    file=sys.stderr, flush=True,
+                )
+            print(json.dumps({
+                "probe": "ingest_dump_loop",
+                "docs_new": n_new,
+                "docs_history_initial": n_hist,
+                "store_build_sec": timings["store_build"],
+                "generations": gens,
+            }))
+            spark.stop()
+            return
 
         t0 = time.perf_counter()
         out = ingest_dump(
