@@ -118,6 +118,15 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
+    # static tables are materialized ONCE (round 13, guide §2.4): the
+    # edge distinct() — a full shuffle of the edge list — used to hide
+    # behind each round's checkpoint boundary and re-execute per
+    # iteration (and once more for the node/degree derivation). Like
+    # the node table below, this is static input, not iteration
+    # lineage, so the plan-audit hook still sees the per-round shape.
+    e = (
+        e.localCheckpoint(eager=False) if mode != "reliable" else _ckpt(e)
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
@@ -141,18 +150,24 @@ def pagerank(
             e, nodes, deg, n_nodes, n_iters, damping, int(scale),
             ckpt=_ckpt,
         )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    # carry the static out-degree ON the rank frame (round 13): the
+    # previous loop re-joined ranks with the degree table every
+    # iteration twice (dangling detection + per-edge contribution),
+    # re-running the degree aggregate each round. One left join here
+    # replaces all of them; the carried LONG column rides each round's
+    # checkpoint. NULL _deg = dangling node, exactly the old join-miss.
+    ranks = nodes.join(
+        deg, nodes["node"] == deg["_s"], "left"
+    ).select("node", "_deg", F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
     for _ in range(n_iters):
-        out = ranks.join(deg, ranks["node"] == deg["_s"], "left")
         # dangling nodes hold their whole rank as redistributed mass
         dangling = (
-            out.where(F.col("_deg").isNull())
+            ranks.where(F.col("_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         per_edge = (
             e.join(ranks, e["_s"] == ranks["node"])
-            .join(deg, "_s")
             .select(
                 F.col("_s"),
                 F.col("_d").alias("node"),
@@ -180,10 +195,12 @@ def pagerank(
                 F.sum("_c").alias("_contrib")
             )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", "_deg")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_deg",
                 (
                     base
                     + F.lit(damping)
@@ -195,7 +212,7 @@ def pagerank(
             )
         )
         ranks = _ckpt(ranks)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def _pagerank_fp(
@@ -228,15 +245,18 @@ def _pagerank_fp(
         )
     S = F.lit(int(scale)).cast("long")
     base_fp = F.lit(int(scale - (d_fp * scale) // DEN)).cast("long")
-    ranks = nodes.withColumn("rank_fp", S)
+    # degree carried on the rank frame, same rationale as the float
+    # path (round 13): one static left join replaces the two
+    # per-iteration degree joins and the per-round degree re-aggregate
+    ranks = nodes.join(
+        deg, nodes["node"] == deg["_s"], "left"
+    ).select("node", "_deg", S.alias("rank_fp"))
     for _ in range(n_iters):
-        out = ranks.join(deg, ranks["node"] == deg["_s"], "left")
-        dangling = out.where(F.col("_deg").isNull()).agg(
+        dangling = ranks.where(F.col("_deg").isNull()).agg(
             F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_dm")
         )
         per_edge = (
             e.join(ranks, e["_s"] == ranks["node"])
-            .join(deg, "_s")
             .select(
                 F.col("_d").alias("node"),
                 F.call_function("div", F.col("rank_fp"), F.col("_deg"))
@@ -247,10 +267,12 @@ def _pagerank_fp(
             F.sum("_c").cast("long").alias("_contrib")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", "_deg")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_deg",
                 (
                     base_fp
                     + F.call_function(

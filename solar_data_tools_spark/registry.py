@@ -62,6 +62,21 @@ def _meas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_measurements(_t(spark, sf_dir, "events"))
 
 
+def _id_midpoint(df: DataFrame, id_col: str) -> int | None:
+    """``floor((max(id) + 1) / 2)`` as a driver scalar — the two-
+    generation queries' corpus split point. r13 optimization (guide
+    §6): collecting the 1-row aggregate (bounded by construction) and
+    filtering both halves with the LITERAL lets the predicate PUSH
+    DOWN to the parquet scan (``PushedFilters: [LessThan(doc_id, m)]``),
+    where the previous broadcast-crossJoin shape planned a runtime
+    join filter and re-scanned the full table per half. Same single
+    action either way; values identical (verified against the
+    unchanged DuckDB oracles)."""
+    return df.agg(
+        F.floor((F.max(id_col) + F.lit(1)) / 2).cast("bigint")
+    ).collect()[0][0]
+
+
 R = 6  # float rounding digits for hash-stable comparison
 
 
@@ -5134,14 +5149,9 @@ def q182_minhash_incremental(spark, sf_dir):
     Reference parity: no corpus tier in solar-data-tools; north-star
     extension (incremental form of q47/q117)."""
     docs = _t(spark, sf_dir, "documents")
-    mid = docs.agg(
-        F.floor((F.max("doc_id") + F.lit(1)) / 2)
-        .cast("bigint")
-        .alias("_mid")
-    )
-    d2 = docs.crossJoin(F.broadcast(mid))
-    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
-    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    mid = _id_midpoint(docs, "doc_id")
+    hist = docs.where(F.col("doc_id") < F.lit(mid))
+    new = docs.where(F.col("doc_id") >= F.lit(mid))
     store = dd.minhash_signatures(
         hist, 64, 1, "doc_id", "text",
         carry_cols=["lang", "source"], token_hash="md5_u31",
@@ -5273,14 +5283,9 @@ def q184_embedding_incremental(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    mid = emb.agg(
-        F.floor((F.max("vec_id") + F.lit(1)) / 2)
-        .cast("bigint")
-        .alias("_mid")
-    )
-    e2 = emb.crossJoin(F.broadcast(mid))
-    store = e2.where(F.col("vec_id") < F.col("_mid")).drop("_mid")
-    new = e2.where(F.col("vec_id") >= F.col("_mid")).drop("_mid")
+    mid = _id_midpoint(emb, "vec_id")
+    store = emb.where(F.col("vec_id") < F.lit(mid))
+    new = emb.where(F.col("vec_id") >= F.lit(mid))
     return embedding_incremental_dedup(
         new, store, threshold=0.35, method="exact"
     )
@@ -5339,14 +5344,9 @@ def q183_minhash_incremental_banded(spark, sf_dir):
     the banded layout's geometry (slice boundaries, band hash, guard)
     against the same ground truth."""
     docs = _t(spark, sf_dir, "documents")
-    mid = docs.agg(
-        F.floor((F.max("doc_id") + F.lit(1)) / 2)
-        .cast("bigint")
-        .alias("_mid")
-    )
-    d2 = docs.crossJoin(F.broadcast(mid))
-    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
-    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    mid = _id_midpoint(docs, "doc_id")
+    hist = docs.where(F.col("doc_id") < F.lit(mid))
+    new = docs.where(F.col("doc_id") >= F.lit(mid))
     store = dd.minhash_signatures(
         hist, 64, 1, "doc_id", "text",
         carry_cols=["lang", "source"], token_hash="md5_u31",
@@ -5411,14 +5411,9 @@ def _ingest_dump_query(spark, sf_dir, banded):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    mid = docs.agg(
-        F.floor((F.max("doc_id") + F.lit(1)) / 2)
-        .cast("bigint")
-        .alias("_mid")
-    )
-    d2 = docs.crossJoin(F.broadcast(mid))
-    hist = d2.where(F.col("doc_id") < F.col("_mid"))
-    new_base = d2.where(F.col("doc_id") >= F.col("_mid"))
+    mid = _id_midpoint(docs, "doc_id")
+    hist = docs.where(F.col("doc_id") < F.lit(mid))
+    new_base = docs.where(F.col("doc_id") >= F.lit(mid))
     dump = (
         new_base.select("doc_id", "text")
         .unionByName(
@@ -5442,11 +5437,10 @@ def _ingest_dump_query(spark, sf_dir, banded):
         minhash_store = dd.minhash_band_store(
             minhash_store, bands=8, num_hashes=64
         )
-    e2 = emb.crossJoin(F.broadcast(mid))
-    vec_store = e2.where(F.col("vec_id") < F.col("_mid")).select(
+    vec_store = emb.where(F.col("vec_id") < F.lit(mid)).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    new_emb = e2.where(F.col("vec_id") >= F.col("_mid")).select(
+    new_emb = emb.where(F.col("vec_id") >= F.lit(mid)).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     quality = (
@@ -5663,14 +5657,9 @@ def q186_minhash_incremental_g2(spark, sf_dir):
     probed). The 256-hash codegen behavior of `_n_equal` is separately
     probed in tools/probe_n_equal_width.py."""
     docs = _t(spark, sf_dir, "documents")
-    mid = docs.agg(
-        F.floor((F.max("doc_id") + F.lit(1)) / 2)
-        .cast("bigint")
-        .alias("_mid")
-    )
-    d2 = docs.crossJoin(F.broadcast(mid))
-    hist = d2.where(F.col("doc_id") < F.col("_mid")).drop("_mid")
-    new = d2.where(F.col("doc_id") >= F.col("_mid")).drop("_mid")
+    mid = _id_midpoint(docs, "doc_id")
+    hist = docs.where(F.col("doc_id") < F.lit(mid))
+    new = docs.where(F.col("doc_id") >= F.lit(mid))
     store = dd.minhash_signatures(
         hist, 32, 1, "doc_id", "text",
         carry_cols=["lang", "source"], token_hash="md5_u31",
