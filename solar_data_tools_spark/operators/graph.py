@@ -159,13 +159,23 @@ def pagerank(
     ranks = nodes.join(
         deg, nodes["node"] == deg["_s"], "left"
     ).select("node", "_deg", F.lit(1.0).alias("rank"))
+    # dangling-ness is STATIC (degree never changes): one limit-1 probe
+    # here decides whether the per-iteration dangling-mass scalar (an
+    # aggregate job + broadcast per round) exists at all. For a graph
+    # with no dangling nodes the mass is identically 0.0 every round,
+    # so skipping the term is algebraically exact; graphs WITH dangling
+    # nodes keep the old per-round scalar unchanged. (round 13 — q148's
+    # ring construction guarantees out-degree >= 1, and crawl graphs
+    # are commonly pre-cleaned the same way.)
+    has_dangling = not ranks.where(F.col("_deg").isNull()).isEmpty()
     base = F.lit(1.0 - damping)
     for _ in range(n_iters):
-        # dangling nodes hold their whole rank as redistributed mass
-        dangling = (
-            ranks.where(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        )
+        if has_dangling:
+            # dangling nodes hold their whole rank as redistributed mass
+            dangling = (
+                ranks.where(F.col("_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
         per_edge = (
             e.join(ranks, e["_s"] == ranks["node"])
             .select(
@@ -194,22 +204,18 @@ def pagerank(
             contrib = per_edge.groupBy("node").agg(
                 F.sum("_c").alias("_contrib")
             )
-        ranks = (
-            ranks.select("node", "_deg")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "_deg",
-                (
-                    base
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_contrib"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
+        rebuilt = ranks.select("node", "_deg").join(contrib, "node", "left")
+        if has_dangling:
+            rebuilt = rebuilt.crossJoin(F.broadcast(dangling))
+            inbound = F.coalesce(F.col("_contrib"), F.lit(0.0)) + F.col(
+                "_dm"
+            ) / F.lit(float(n_nodes))
+        else:
+            inbound = F.coalesce(F.col("_contrib"), F.lit(0.0))
+        ranks = rebuilt.select(
+            "node",
+            "_deg",
+            (base + F.lit(damping) * inbound).alias("rank"),
         )
         ranks = _ckpt(ranks)
     return ranks.select("node", "rank")
@@ -251,10 +257,17 @@ def _pagerank_fp(
     ranks = nodes.join(
         deg, nodes["node"] == deg["_s"], "left"
     ).select("node", "_deg", S.alias("rank_fp"))
+    # same static dangling-skip as the float path: with no dangling
+    # nodes, _dm == 0 every round and div(0, n) == 0, so dropping the
+    # term (and its per-round aggregate + broadcast) is bit-exact
+    has_dangling = not ranks.where(F.col("_deg").isNull()).isEmpty()
     for _ in range(n_iters):
-        dangling = ranks.where(F.col("_deg").isNull()).agg(
-            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("_dm")
-        )
+        if has_dangling:
+            dangling = ranks.where(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0))
+                .cast("long")
+                .alias("_dm")
+            )
         per_edge = (
             e.join(ranks, e["_s"] == ranks["node"])
             .select(
@@ -266,28 +279,25 @@ def _pagerank_fp(
         contrib = per_edge.groupBy("node").agg(
             F.sum("_c").cast("long").alias("_contrib")
         )
-        ranks = (
-            ranks.select("node", "_deg")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "_deg",
-                (
-                    base_fp
-                    + F.call_function(
-                        "div",
-                        F.lit(d_fp).cast("long")
-                        * (
-                            F.coalesce(F.col("_contrib"), F.lit(0))
-                            + F.call_function(
-                                "div", F.col("_dm"), F.lit(int(n_nodes))
-                            )
-                        ),
-                        F.lit(DEN),
-                    )
-                ).alias("rank_fp"),
+        rebuilt = ranks.select("node", "_deg").join(contrib, "node", "left")
+        if has_dangling:
+            rebuilt = rebuilt.crossJoin(F.broadcast(dangling))
+            inbound = F.coalesce(F.col("_contrib"), F.lit(0)) + (
+                F.call_function("div", F.col("_dm"), F.lit(int(n_nodes)))
             )
+        else:
+            inbound = F.coalesce(F.col("_contrib"), F.lit(0))
+        ranks = rebuilt.select(
+            "node",
+            "_deg",
+            (
+                base_fp
+                + F.call_function(
+                    "div",
+                    F.lit(d_fp).cast("long") * inbound,
+                    F.lit(DEN),
+                )
+            ).alias("rank_fp"),
         )
         ranks = ckpt(ranks)
     return ranks.select(

@@ -375,14 +375,27 @@ def test_q148_pagerank_iteration_plan_shape(spark, sf_small):
     # map-side combine on the contribution sum (partial before the
     # shuffle) — the single wide op per iteration
     assert "partial_sum" in plan
-    # the dangling-mass scalar rides a broadcast nested-loop (1-row
-    # crossJoin), the degree/rank joins hash-join
-    assert "BroadcastNestedLoopJoin" in plan
+    # r13: the ring graph has no dangling nodes, so the static
+    # dangling probe removes the per-iteration mass scalar (and its
+    # broadcast nested-loop crossJoin) from the plan entirely
+    assert "BroadcastNestedLoopJoin" not in plan
     # bounded shuffle budget: the wide exchanges must not exceed
     # ~3 per iteration (contribution agg + rank rebuild joins); a
     # hidden extra shuffle per round would break this
     wide = plan.count("Exchange hashpartitioning")
     assert wide <= 8, f"{wide} wide exchanges for 2 iterations"
+
+    # a graph WITH a dangling node keeps the per-iteration scalar: the
+    # 1-row dangling crossJoin rides a broadcast nested-loop as before
+    dangling_edges = docs.limit(10).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1).alias("dst"),  # last dst has no out-edge
+    )
+    df2 = pagerank(
+        dangling_edges, n_iters=1, fixed_point=True, checkpoint=False
+    )
+    plan2 = _formatted_plan(df2)
+    assert "BroadcastNestedLoopJoin" in plan2
 
 
 def test_minhash_incremental_store_scan_pruned(spark, sf_small, tmp_path):
