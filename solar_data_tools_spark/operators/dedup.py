@@ -204,7 +204,16 @@ def ngram_jaccard_pairs(
     a = posting.select(F.col(id_col).alias("id_a"), *join_keys)
     b = posting.select(F.col(id_col).alias("id_b"), *join_keys)
     common = (
-        a.join(b, on=join_keys)
+        # MERGE pin (r13): same rationale as minhash_lsh_candidates —
+        # without it AQE broadcast-converts this self-join at small
+        # scale, which re-runs the posting explode to BUILD the
+        # broadcast instead of reading the shared repartition exchange
+        # (plan-verified: the Generate subtree appeared under a
+        # BroadcastExchange), and a giant posting bucket would build an
+        # in-memory hash relation instead of spilling a sort. Measured
+        # sf0.1 interleaved: 2.28 -> 2.01 s median.
+        a.hint("merge")
+        .join(b, on=join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
