@@ -1044,6 +1044,47 @@ def test_minhash_incremental_verdicts(spark):
     }
 
 
+def test_minhash_incremental_store_id_collides_with_dump_id(spark):
+    """A store id EQUAL to a dump id must not cross-match (round-13
+    regression guard: the fused verdict pipeline unions store and dump
+    signatures into one reference table and keys the verify join on
+    (id, provenance) — an id-only key would wrongly join doc 5's dump
+    signature against doc 5's UNRELATED store signature). Store doc 5
+    and dump doc 5 share nothing textually; dump doc 5 matches store
+    doc 7 instead, and history precedence still beats the within-dump
+    copy at id 6."""
+    from solar_data_tools_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_signatures,
+    )
+
+    hist = _mk_docs(spark, [(5, _YT), (7, _XT)])
+    store = minhash_signatures(hist, 64, 1, token_hash="md5_u31")
+    new = _mk_docs(
+        spark,
+        [
+            (5, _XT),   # same id as a store row, DIFFERENT text ->
+            #             must match store doc 7 (the _XT row), never
+            #             alias against store doc 5's signature
+            (6, _XT),   # also a history copy -> history_dup(7), not
+            #             snapshot_dup(5)
+            (8, _ZT),   # unique -> new
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["matched_id"], r["keep"])
+        for r in minhash_incremental_dedup(
+            new, store, num_hashes=64, bands=8, n=1, sim_threshold=0.7,
+            token_hash="md5_u31",
+        ).collect()
+    }
+    assert out == {
+        5: ("history_dup", 7, False),
+        6: ("history_dup", 7, False),
+        8: ("new", None, True),
+    }
+
+
 def test_minhash_incremental_store_append_is_fresh_signing(spark):
     """The keep rows' carried signatures ARE the store delta: appending
     them must equal signing those docs from scratch (no re-sign needed,
