@@ -1475,10 +1475,11 @@ def minhash_incremental_dedup(
         new_docs, num_hashes, n, id_col, text_col,
         carry_cols=blocks, token_hash=token_hash,
     )
-    # the new dump's signature table fans out to SIX consumers (history
-    # banding + back-join, self-join banding, two self back-joins, the
-    # final verdict join) — materialize it once or the signing pipeline
-    # (the md5-per-shingle stage, the expensive part) re-executes per
+    # the new dump's signature table fans out to FOUR consumers on the
+    # fused path (left banding, the reference union's banding, the
+    # verify lookup, the final verdict join; six on the banded-store
+    # path) — materialize it once or the signing pipeline (the
+    # md5-per-shingle stage, the expensive part) re-executes per
     # consumer. The STORE side is deliberately NOT checkpointed: it is
     # already a persisted table, and re-scanning a narrow parquet
     # projection twice beats writing a second copy of TB-scale history.
