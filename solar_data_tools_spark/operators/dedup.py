@@ -431,9 +431,17 @@ def minhash_signatures(
                 F.expr("transform(_grams, s -> xxhash64(s))")
             ).alias("_s"),
         )
-        aggs = [
-            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_m{i}")
-            for i in range(num_hashes)
+        # r13: the min-agg expressions are assembled as ONE SQL string
+        # (parsed JVM-side in a single py4j round trip) instead of
+        # num_hashes Column chains — each F.min(F.xxhash64(...)) built
+        # ~8 py4j driver round trips, and at 64 hashes the chatter
+        # dominated the PLAN BUILD wall (profiled: ~2.2 s of q182's
+        # warm 4.9 s was this list comprehension alone). The parsed
+        # tree is identical (same functions, same int literals), so
+        # codegen, partial aggregation, and values are unchanged
+        # (parity-tested; q47/q96/q182-family oracles green).
+        agg_sqls = [
+            f"min(xxhash64(_s, {i}))" for i in range(num_hashes)
         ]
     elif token_hash == "md5_60":
         exploded = per_doc.select(
@@ -441,13 +449,9 @@ def minhash_signatures(
             *[F.col(c) for c in carry],
             F.explode(F.col("_grams")).alias("_s"),
         )
-        aggs = [
-            F.min(
-                F.expr(
-                    f"cast(conv(substring(md5(concat('{i}:', _s)), 1, 15), "
-                    "16, 10) as bigint)"
-                )
-            ).alias(f"_m{i}")
+        agg_sqls = [
+            f"min(cast(conv(substring(md5(concat('{i}:', _s)), 1, 15), "
+            "16, 10) as bigint))"
             for i in range(num_hashes)
         ]
     elif token_hash == "md5_u31":
@@ -490,28 +494,26 @@ def minhash_signatures(
                 "cast(conv(substring(_h, 9, 7), 16, 10) as bigint)"
             ).alias("_x1"),
         )
-        aggs = [
-            F.min(
-                (
-                    F.lit(a) * F.col("_x0")
-                    + F.lit(b) * F.col("_x1")
-                    + F.lit(c)
-                )
-                % F.lit(_P31)
-            ).alias(f"_m{i}")
-            for i, (a, b, c) in enumerate(consts)
+        # int literals (a, b, c, _P31 all fit int32), left-associated
+        # arithmetic: the parsed tree matches the previous Column chain
+        # exactly, so the analyzer inserts the same bigint casts and
+        # values are bit-identical
+        agg_sqls = [
+            f"min(({a} * _x0 + {b} * _x1 + {c}) % {_P31})"
+            for (a, b, c) in consts
         ]
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    sig_df = exploded.groupBy(F.col(id_col), *[F.col(c) for c in carry]).agg(
-        *aggs
-    )
-    return sig_df.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(
-            "signature"
-        ),
+    # r13: aggregate straight into the signature array — one
+    # array-of-mins aggregate expression parsed in a single py4j call,
+    # replacing num_hashes separate agg columns plus a second
+    # num_hashes-wide F.array(...) select. The physical aggregation is
+    # unchanged (the 64 mins are still the agg functions, map-side
+    # partials included; the array is the aggregate's result
+    # expression), and the output columns/order are identical.
+    sig_expr = F.expr("array(" + ", ".join(agg_sqls) + ") AS signature")
+    return exploded.groupBy(F.col(id_col), *[F.col(c) for c in carry]).agg(
+        sig_expr
     )
 
 
@@ -1529,16 +1531,18 @@ def minhash_incremental_dedup(
     # the "agg of k static expressions beats one interpreted HOF fold"
     # lesson from minhash_signatures applied to verification
     def _n_equal(a: str, b: str):
-        terms = [
-            F.when(
-                F.element_at(a, i + 1) == F.element_at(b, i + 1), 1
-            ).otherwise(0)
-            for i in range(num_hashes)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        # r13: one SQL string, one py4j round trip. The previous
+        # num_hashes-long chain of F.when(...)==... Column objects cost
+        # ~0.6 s of driver time per plan BUILD at 64 hashes (py4j
+        # chatter, profiled); CASE WHEN parses to the identical
+        # CaseWhen/Add left-chain, so codegen and values are unchanged.
+        return F.expr(
+            " + ".join(
+                f"(CASE WHEN element_at({a}, {i + 1}) = "
+                f"element_at({b}, {i + 1}) THEN 1 ELSE 0 END)"
+                for i in range(num_hashes)
+            )
+        )
 
     # --- new vs HISTORY ---------------------------------------------
     if store_is_banded:

@@ -169,7 +169,7 @@ def pagerank(
     # are commonly pre-cleaned the same way.)
     has_dangling = not ranks.where(F.col("_deg").isNull()).isEmpty()
     base = F.lit(1.0 - damping)
-    for _ in range(n_iters):
+    for _it in range(n_iters):
         if has_dangling:
             # dangling nodes hold their whole rank as redistributed mass
             dangling = (
@@ -217,7 +217,16 @@ def pagerank(
             "_deg",
             (base + F.lit(damping) * inbound).alias("rank"),
         )
-        ranks = _ckpt(ranks)
+        # r13: checkpoint every SECOND iterate (and the last — callers
+        # receive a lineage-truncated frame as before). Lineage
+        # truncation never changes values; each localCheckpoint call
+        # costs a synchronous driver plan-compile (~0.2 s measured at
+        # sf0.1), and a 2-iteration plan stays small (10 Exchange
+        # mentions — plans/r13/q148_pagerank_lineage_after.txt), so
+        # halving the checkpoint count halves that fixed cost while
+        # bounding the recompute-on-loss span to 2 iterations.
+        if (_it + 1) % 2 == 0 or (_it + 1) == n_iters:
+            ranks = _ckpt(ranks)
     return ranks.select("node", "rank")
 
 
@@ -261,7 +270,7 @@ def _pagerank_fp(
     # nodes, _dm == 0 every round and div(0, n) == 0, so dropping the
     # term (and its per-round aggregate + broadcast) is bit-exact
     has_dangling = not ranks.where(F.col("_deg").isNull()).isEmpty()
-    for _ in range(n_iters):
+    for _it in range(n_iters):
         if has_dangling:
             dangling = ranks.where(F.col("_deg").isNull()).agg(
                 F.coalesce(F.sum("rank_fp"), F.lit(0))
@@ -299,7 +308,10 @@ def _pagerank_fp(
                 )
             ).alias("rank_fp"),
         )
-        ranks = ckpt(ranks)
+        # same 2-iteration checkpoint cadence as the float path (r13):
+        # truncation is value-free, the per-call driver compile is not
+        if (_it + 1) % 2 == 0 or (_it + 1) == n_iters:
+            ranks = ckpt(ranks)
     return ranks.select(
         "node",
         "rank_fp",

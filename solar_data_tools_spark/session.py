@@ -65,6 +65,15 @@ def get_spark(
         # casts defensively in case this conf is missing on a shared session.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r13 (guide §7.3 driver overhead): PySpark 4 wraps every
+        # DataFrame/Column API call with error-context capture — a
+        # Python stack walk plus one extra py4j round trip
+        # (PySparkCurrentOrigin) PER CALL. On plan-build-heavy queries
+        # that is pure driver latency at any scale (measured: ~0.2 s
+        # of q182's warm build); the only cost of disabling it is less
+        # precise user-code line numbers in error messages, which this
+        # engine's raise_error guards don't rely on.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
