@@ -72,7 +72,12 @@ def get_spark(
         # that is pure driver latency at any scale (measured: ~0.2 s
         # of q182's warm build); the only cost of disabling it is less
         # precise user-code line numbers in error messages, which this
-        # engine's raise_error guards don't rely on.
+        # engine's raise_error guards don't rely on. NOTE (ADVICE r13):
+        # PySpark caches is_debugging_enabled PROCESS-globally on the
+        # first DataFrame API call (pyspark/errors/utils.py), so this
+        # builder conf only takes effect when get_spark creates the
+        # process's FIRST session — on a pre-existing shared session it
+        # is a silent no-op, like the other builder confs here.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
