@@ -342,6 +342,12 @@ def minhash_signatures(
       k md5+conv) — the round-9 family of the certified near-dup
       pipeline (q47).
     """
+    if num_hashes < 1:
+        # ADVICE r13: the SQL-string aggregate assembled below would
+        # silently produce empty array<void> signatures at num_hashes=0
+        # (where the old *[] agg list raised), and every downstream
+        # size(signature)==num_hashes guard would then pass vacuously.
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     carry = carry_cols or []
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     grams = F.expr(
@@ -1439,9 +1445,12 @@ def minhash_incremental_dedup(
       * candidate verification is q47's back-join shape: band collision
         proposes, a static codegen sum of per-component equalities over
         the two 64-long arrays disposes — no HOF lambdas, no re-explode.
-      * within-dump banding reuses ``minhash_lsh_candidates``'s
-        repartition-before-alias + merge-pin pattern so the new dump's
-        signature pipeline runs once for both self-join sides.
+      * both verdict branches (new-vs-store and new-vs-new) are FUSED
+        into one candidate pipeline over a provenance-flagged unioned
+        reference (r13 for the default path, r14 for the banded path):
+        one band join, one verify pass, one groupBy with a
+        min(when(provenance)) per branch — identical verdicts by
+        construction, half the candidate-side stages.
 
     ``store_is_banded=True`` takes ``signature_store`` in the
     ``minhash_band_store`` layout instead (persisted bucketed by
@@ -1477,10 +1486,10 @@ def minhash_incremental_dedup(
         new_docs, num_hashes, n, id_col, text_col,
         carry_cols=blocks, token_hash=token_hash,
     )
-    # the new dump's signature table fans out to FOUR consumers on the
-    # fused path (left banding, the reference union's banding, the
-    # verify lookup, the final verdict join; six on the banded-store
-    # path) — materialize it once or the signing pipeline (the
+    # the new dump's signature table fans out to FOUR consumers on
+    # either fused path (left banding, the reference union's banding,
+    # the verify lookup, the final verdict join) — materialize it once
+    # or the signing pipeline (the
     # md5-per-shingle stage, the expensive part) re-executes per
     # consumer. The STORE side is deliberately NOT checkpointed: it is
     # already a persisted table, and re-scanning a narrow parquet
@@ -1568,7 +1577,7 @@ def minhash_incremental_dedup(
                 "store_is_banded=False"
             )
         store_b = signature_store.select(
-            F.col(id_col).alias("_sid"),
+            F.col(id_col).alias("_oid"),
             *[F.col(c) for c in blocks],
             F.when(
                 (F.size("signature") == num_hashes)
@@ -1589,11 +1598,43 @@ def minhash_incremental_dedup(
             .alias("band_ix"),
             "band_hash",
             F.col("signature").alias("_gs"),
+            F.lit(True).alias("_is_hist"),
         )
-        hist_matches = (
+        # r14 (VERDICT r13 item 3, guide §2.4): the banded path's verdict
+        # is FUSED like the non-banded one below — the banded store rows
+        # already carry their signature (the layout's design trade), so
+        # the within-dump reference rows just carry theirs too and both
+        # branches ride ONE candidate join over a provenance-flagged
+        # union: one band join (was 2), one signature back-join for the
+        # new side only (was 3 back-joins), one groupBy with
+        # min(when(provenance)) per branch (was 2 groupBys + 2 final
+        # left joins). Identical verdicts by construction: same
+        # candidate multisets per branch (history at any id, within-dump
+        # keeps the `other < new` orientation), the verify predicate is
+        # a symmetric equality count, and min-over-multiset = min per
+        # branch. The old within-dump exchange-reuse self-join is traded
+        # for one union-side re-band of the localCheckpointed dump
+        # signatures — a narrow scan, same trade the fused path below
+        # made (and parity/oracle-verified the same way: q183/q187).
+        banded_new_ref = _banded(
+            sigs_new, "_oid", carry=("signature",)
+        ).select(
+            "_oid",
+            *blocks,
+            "band_ix",
+            "band_hash",
+            F.col("signature").alias("_gs"),
+            F.lit(False).alias("_is_hist"),
+        )
+        ref_b = store_b.unionByName(banded_new_ref)
+        cand_b = (
             _banded(sigs_new, "_nid")
-            .join(store_b, on=keys)
-            .join(
+            .join(ref_b, on=keys)
+            .where(F.col("_is_hist") | (F.col("_oid") < F.col("_nid")))
+            .select("_nid", "_oid", "_is_hist", "_gs")
+        )
+        matches_b = (
+            cand_b.join(
                 sigs_new.select(
                     F.col(id_col).alias("_nid"),
                     F.col("signature").alias("_gn"),
@@ -1602,50 +1643,18 @@ def minhash_incremental_dedup(
             )
             .where(_n_equal("_gn", "_gs") >= min_equal)
             .groupBy("_nid")
-            .agg(F.min("_sid").alias("_hist_match"))
-        )
-        # within-dump candidates for the banded path: the classic
-        # repartition-before-alias self-join (exchange reuse keeps the
-        # banding projection single-pass across both sides)
-        banded_new = _banded(sigs_new, "_id").repartition(
-            *[F.col(c) for c in keys]
-        )
-        a = banded_new.select(F.col("_id").alias("_ida"), *keys)
-        b = banded_new.select(F.col("_id").alias("_idb"), *keys)
-        # no .distinct(): the min aggregate below dedups band-collision
-        # multiplicity (<= bands), same rationale as the fused path
-        cand_n = (
-            a.hint("merge")
-            .join(b, on=keys)
-            .where(F.col("_ida") < F.col("_idb"))
-            .select("_ida", "_idb")
-        )
-        snap_matches = (
-            cand_n.join(
-                sigs_new.select(
-                    F.col(id_col).alias("_ida"),
-                    F.col("signature").alias("_ga"),
+            .agg(
+                F.min(F.when(F.col("_is_hist"), F.col("_oid"))).alias(
+                    "_hist_match"
                 ),
-                "_ida",
-            )
-            .join(
-                sigs_new.select(
-                    F.col(id_col).alias("_idb"),
-                    F.col("signature").alias("_gb"),
+                F.min(F.when(~F.col("_is_hist"), F.col("_oid"))).alias(
+                    "_snap_match"
                 ),
-                "_idb",
             )
-            .where(_n_equal("_ga", "_gb") >= min_equal)
-            .groupBy("_idb")
-            .agg(F.min("_ida").alias("_snap_match"))
         )
         return _incremental_verdict(
             sigs_new.join(
-                hist_matches.withColumnRenamed("_nid", id_col),
-                id_col,
-                "left",
-            ).join(
-                snap_matches.withColumnRenamed("_idb", id_col),
+                matches_b.withColumnRenamed("_nid", id_col),
                 id_col,
                 "left",
             ),
