@@ -79,12 +79,60 @@ def get_spark(
         # process's FIRST session — on a pre-existing shared session it
         # is a silent no-op, like the other builder confs here.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # r14 (guide §1.2 step 2 — per-task work): HotSpot EXCLUDES
+        # methods over 8000 bytecodes from JIT compilation by default
+        # (-XX:DontCompileHugeMethods), and Catalyst cannot split a
+        # single wide expression tree across generated methods — the
+        # 64-term MinHash verify predicate compiles into one ~25 KB
+        # method (measured via CodegenMetrics; join conditions and
+        # consume chains inline it), which therefore runs INTERPRETED
+        # forever on every candidate row. Allowing the JIT to compile
+        # huge methods is a per-ROW executor win at scale: a 5M-row
+        # volume probe of the verify join shape measured 3.58 us/row
+        # (default) vs 0.27 us/row warm — 13x — BUT C2's compile cost
+        # is superlinear in method size, and on a short-lived toy-scale
+        # session the compiler threads chewing several 25 KB methods
+        # contend with the 32 task threads for the whole run (measured:
+        # interleaved full-bench pairs read ~2x slower with the flag
+        # always-on). Production guidance (OPTIMIZATION_r14.md): set
+        # SPARK_GRAFT_JIT_HUGE=1 on long-lived clusters, where billions
+        # of candidate rows amortize the one-time compile 13x over;
+        # local/bench default stays off so short sessions and the
+        # driver's bench remain comparable.
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_JIT_HUGE", "") == "1":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        ).config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        )
     return builder.getOrCreate()
 
 
-def read_table(spark: SparkSession, path: str):
+# Per-session DataFrame (plan) cache for read_table — r14 (guide §7.3,
+# "driver-side work"): building a table's DataFrame costs a pyarrow
+# footer sniff + a JVM parquet schema read + the NTZ normalization walk
+# PER CALL, and every registry query calls read_table per plan build —
+# measured 100-200 ms per table per build, ~3 s/rep across the headline
+# bench (q02 alone reads 5 tables = ~0.6 s of its 0.9 s driver gap).
+# This caches the lazy PLAN object only: every action still scans the
+# parquet files — no data, no results, nothing persisted across
+# executions. Keyed weakly by the live SparkSession, so a stopped or
+# recreated session can never serve a stale plan; callers reading a
+# path whose FILE SET mutates within one session (appended partitions)
+# should pass cache=False, since a DataFrame pins its file listing at
+# creation (the standard Spark path-read behavior this helper wraps).
+from weakref import WeakKeyDictionary
+
+_READ_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = (
+    WeakKeyDictionary()
+)
+
+
+def read_table(spark: SparkSession, path: str, cache: bool = True):
     """Read a parquet table, tolerating nanosecond timestamp columns.
 
     Spark has no TIMESTAMP(NANOS) type; with the ``nanosAsLong`` legacy
@@ -95,6 +143,12 @@ def read_table(spark: SparkSession, path: str):
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if cache:
+        per_session = _READ_TABLE_CACHE.setdefault(spark, {})
+        hit = per_session.get(path)
+        if hit is not None:
+            return hit
 
     ns_cols: list[str] = []
     try:
@@ -126,6 +180,8 @@ def read_table(spark: SparkSession, path: str):
     ]
     for name in ntz_cols:
         df = df.withColumn(name, F.col(name).cast(TimestampType()))
+    if cache:
+        per_session[path] = df
     return df
 
 

@@ -28,6 +28,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--set", action="append", default=[],
+                    help="runtime SQLConf overrides, key=value")
     args = ap.parse_args()
 
     from solar_data_tools_spark.registry import QUERIES
@@ -36,6 +38,10 @@ def main() -> int:
 
     spark = get_spark(app_name="sdt-codegen-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        spark.conf.set(k, v)
+        print(f"conf {k}={v}", flush=True)
     jvm = spark._jvm
     cg = jvm.org.apache.spark.metrics.source.CodegenMetrics
 
@@ -49,6 +55,19 @@ def main() -> int:
         it = mgmt.getGarbageCollectorMXBeans().iterator()
         while it.hasNext():
             total += it.next().getCollectionTime()
+        return total
+
+    def task_ms():
+        gw = spark.sparkContext._gateway
+        ss = spark.sparkContext._jsc.sc().statusStore()
+        lst = ss.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        total = 0
+        it = lst.iterator()
+        while it.hasNext():
+            total += it.next().executorRunTime()
         return total
 
     def cg_stats():
@@ -76,15 +95,17 @@ def main() -> int:
     warm.mapInPandas(lambda it: it, schema="id long").count()
 
     fn = QUERIES[args.query].fn
-    prev_jit, prev_gc = jit_ms(), gc_ms()
+    prev_jit, prev_gc, prev_task = jit_ms(), gc_ms(), task_ms()
     prev_cg = cg_stats()
     for i in range(args.reps):
         t0 = time.perf_counter()
         fn(spark, args.sf).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         now_jit, now_gc, now_cg = jit_ms(), gc_ms(), cg_stats()
+        now_task = task_ms()
         print(
             f"rep{i} wall={wall:7.2f}s  "
+            f"task+={(now_task - prev_task) / 1000:7.2f}s  "
             f"jit+={(now_jit - prev_jit) / 1000:6.2f}s  "
             f"gc+={(now_gc - prev_gc) / 1000:5.2f}s  "
             f"codegen+={now_cg['compiles'] - prev_cg['compiles']:3d} units  "
@@ -96,6 +117,7 @@ def main() -> int:
             flush=True,
         )
         prev_jit, prev_gc, prev_cg = now_jit, now_gc, now_cg
+        prev_task = now_task
     return 0
 
 
