@@ -3225,7 +3225,13 @@ def q156_curation_pipeline_v2(spark, sf_dir):
     probs = linear_classifier_score(
         s1, weights, bias=-0.1, n_features=d, seed=0, exact_digits=R
     ).select("doc_id", _pround(F.col("prob")).alias("prob"))
-    scored = s1.join(probs, "doc_id")
+    # r14 stage-seam materialization (same rationale and evidence as
+    # q140 above): scored feeds both the percentile aggregate and the
+    # bucket join; s2 feeds the temperature sample and the rebalance
+    # join; s3 feeds the chunker and the final manifest join; ch feeds
+    # the first-owner aggregate and the profile join. Each seam
+    # otherwise duplicates the whole upstream subtree per consumer.
+    scored = materialize_df(s1.join(probs, "doc_id"), "local")
     th = scored.agg(
         _pround(F.expr("percentile(prob, 0.25)")).alias("t1"),
         _pround(F.expr("percentile(prob, 0.5)")).alias("t2"),
@@ -3238,18 +3244,27 @@ def q156_curation_pipeline_v2(spark, sf_dir):
         + (F.col("prob") > F.col("t3")).cast("int"),
     )
     u2 = hash_uniform(F.col("doc_id"), "qp17")
-    s2 = b.where(
-        u2 * F.lit(4.0) < (F.col("bucket") + F.lit(1)).cast("double")
+    s2 = materialize_df(
+        b.where(
+            u2 * F.lit(4.0) < (F.col("bucket") + F.lit(1)).cast("double")
+        ),
+        "local",
     )
     # stage 3: temperature rebalance by language over stage-2 survivors
     ts = temperature_sample(s2, alpha=0.3, seed="temp9")
-    s3 = s2.join(
-        ts.where(F.col("kept")).select("doc_id", "rate"), "doc_id"
+    s3 = materialize_df(
+        s2.join(
+            ts.where(F.col("kept")).select("doc_id", "rate"), "doc_id"
+        ),
+        "local",
     )
     # stage 4: chunk survivors; unique-vs-total chunk profile per doc
-    ch = cu.chunk_documents(
-        s3.select("doc_id", "text"), window=32, stride=24
-    ).select("doc_id", "chunk_md5")
+    ch = materialize_df(
+        cu.chunk_documents(
+            s3.select("doc_id", "text"), window=32, stride=24
+        ).select("doc_id", "chunk_md5"),
+        "local",
+    )
     first = ch.groupBy("chunk_md5").agg(F.min("doc_id").alias("_own"))
     prof = (
         ch.join(first, "chunk_md5")
@@ -4550,11 +4565,21 @@ def q140_crawl_curation_pipeline(spark, sf_dir):
             ),
         ).alias("url"),
     )
+    # r14 (guide §3 "very wide plans" / §2.4, VERDICT r13 item 4): each
+    # stage's survivors join back to the previous stage's frame, so
+    # WITHOUT stage-seam materialization the upstream subtree is
+    # duplicated under BOTH join sides and compounds per stage (raw
+    # appears under kept AND s1; s2 under g AND s3; s4 under THREE
+    # consumers by stage 5) — 84 Exchange mentions of re-derived work.
+    # materialize_df("local") at the multi-consumer seams executes each
+    # stage once per run (lazy localCheckpoint inside the timed query —
+    # the established per-execution pattern, nothing persists across
+    # runs). Values identical: oracle hash-green at sf0.001/0.01/0.1.
     # 1. canonical-URL keep-best
     kept = ur.url_dedup(raw, quality_col="n_chars").select("doc_id")
     s1 = raw.join(kept, "doc_id")
     # 2. domain cap
-    s2 = ur.domain_cap(s1, cap=20, seed=7)
+    s2 = materialize_df(ur.domain_cap(s1, cap=20, seed=7), "local")
     # 3. Gopher rules (relaxed word floor + 1-stopword rule for the
     # synthetic 10-99-word vocabulary corpus)
     g = txo.gopher_rules(
@@ -4569,7 +4594,9 @@ def q140_crawl_curation_pipeline(spark, sf_dir):
     sc = linear_classifier_score(
         s3, w, bias=-0.1, n_features=4096, exact_digits=R
     ).where(F.col("score") >= -0.1)
-    s4 = s3.join(sc.select("doc_id", "prob"), "doc_id")
+    s4 = materialize_df(
+        s3.join(sc.select("doc_id", "prob"), "doc_id"), "local"
+    )
     # 5. near-dup keep-best inside the surviving set
     pairs = dd.ngram_jaccard_pairs(
         s4, n=1, threshold=0.62, block_cols=["lang", "source"]
