@@ -212,6 +212,55 @@ def _guarded_tick_sum(t: Column, digits: int) -> Column:
     return guarded_long_sum(t, what=f"tick_sum(digits={digits})")
 
 
+# --- r14: SQL-string fast path for the guarded tick aggregates --------
+#
+# Building the guarded tick sum from Column objects costs ~74 py4j
+# round trips per aggregate (profiled: 515 round trips per q01 plan
+# build, ~250 ms at idle and the dominant share of the events tier's
+# per-rep driver gap). For inputs expressible as a SQL fragment the
+# same tree is assembled as ONE string and parsed JVM-side in a single
+# round trip — the r13 minhash-aggregate precedent applied to the
+# shared tick primitives. The parsed expressions use the same
+# functions, literals (scientific notation = DOUBLE, 'D' suffix where
+# needed) and cast placements as the Column path, so aggregation
+# semantics, guard behavior and VALUES are identical (parity-tested in
+# tests/test_components.py; every consuming certified query re-verified
+# against its unchanged DuckDB oracle).
+
+import re as _re
+
+_SQL_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_fragment(col: str) -> str:
+    """A string input is a column NAME (backtick-quoted, the historical
+    meaning) when it is a bare identifier, else a SQL fragment."""
+    if _SQL_IDENT_RE.match(col):
+        return f"`{col}`"
+    return f"({col})"
+
+
+def _ticks_sql(expr: str, digits: int) -> str:
+    p = f"{float(10 ** digits):.1E}"
+    return f"CAST(FLOOR({expr} * {p} + 0.5D) AS BIGINT)"
+
+
+def _guarded_tick_sum_sql(t: str, digits: int) -> str:
+    bound = f"(CAST(max(abs({t})) AS DOUBLE) * count({t}))"
+    head = f"tick_sum(digits={digits}) overflow guard: max|term| * count = "
+    tail = (
+        f" >= {_TICK_SUM_GUARD:.1e}; the LONG sum could "
+        "wrap past 2^63. Drop digits, or escalate with "
+        "wide=True (tick_sum/tick_avg/salted_agg) / "
+        "guarded_wide_sum to aggregate in DECIMAL(38,0)."
+    )
+    return (
+        f"CASE WHEN {bound} >= {_TICK_SUM_GUARD:.1E} THEN "
+        f"CAST(raise_error(CONCAT('{head}', CAST({bound} AS STRING), "
+        f"'{tail}')) AS BIGINT) ELSE sum({t}) END"
+    )
+
+
 def tick_sum(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
     """Layout-AND-engine-exact SUM of a double column: every term
     quantizes to 10^-d ticks (LONG) and the sum is INTEGER — order-free
@@ -237,6 +286,15 @@ def tick_sum(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
         return tick_sum_wide_ticks(col, digits).cast("double") / F.lit(
             float(10**digits)
         )
+    if isinstance(col, str):
+        # SQL fast path (r14, see _guarded_tick_sum_sql): one F.expr
+        # parse instead of ~74 py4j Column round trips. A bare
+        # identifier keeps its historical column-name meaning
+        # (backtick-quoted); any other string is a SQL fragment.
+        frag = _sql_fragment(col)
+        t = _ticks_sql(frag, digits)
+        p = f"{float(10 ** digits):.1E}"
+        return F.expr(f"({_guarded_tick_sum_sql(t, digits)}) / {p}")
     t = ticks(col, digits)
     return _guarded_tick_sum(t, digits) / F.lit(float(10**digits))
 
@@ -249,6 +307,14 @@ def tick_avg(col: Column | str, digits: int = 6, wide: bool = False) -> Column:
     / count(x) / 1eD``. ``wide=True`` escalates the tick sum to
     DECIMAL(38,0) (see ``tick_sum``; same STRING-hash caveat past 2^53
     ticks)."""
+    if isinstance(col, str) and not wide:
+        # SQL fast path (r14) — see tick_sum
+        frag = _sql_fragment(col)
+        t = _ticks_sql(frag, digits)
+        p = f"{float(10 ** digits):.1E}"
+        return F.expr(
+            f"({_guarded_tick_sum_sql(t, digits)}) / count({frag}) / {p}"
+        )
     if isinstance(col, str):
         col = F.col(col)
     t = ticks(col, digits)

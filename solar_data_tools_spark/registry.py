@@ -263,15 +263,17 @@ def q01_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # r14: the derived-term sums ride tick_sum's SQL fast path
+            # (string input = SQL fragment) — same functions, literals
+            # and guard, one F.expr parse instead of ~74 py4j round
+            # trips each; values oracle-verified unchanged
             _psum("l_quantity", 4).alias("sum_qty"),
             _psum("l_extendedprice", 4).alias("sum_base_price"),
             _psum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("sum_disc_price"),
             _psum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
                 4,
             ).alias("sum_charge"),
             _pavg("l_quantity", R).alias("avg_qty"),
@@ -313,7 +315,7 @@ def q02_revenue_by_nation(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             _psum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -547,7 +549,7 @@ def q11_daily_stats(spark, sf_dir):
         _pround(F.log(F.max("value")), R).alias("log_day_max"),
         F.count("value").alias("n_obs"),
         _pround(
-            _psum(F.col("hod") * F.col("value"), R) / _psum("value", R), R
+            _psum("hod * value", R) / _psum("value", R), R
         ).alias("solar_noon_com"),
     )
 
@@ -936,7 +938,7 @@ def q28_daily_smoothness(spark, sf_dir):
     m = _meas(spark, sf_dir)
     d2 = wd.second_diff(m)
     return d2.groupBy("site", "date").agg(
-        _psum(F.abs(F.col("diff2")), 4).alias("smoothness_l1")
+        _psum("abs(diff2)", 4).alias("smoothness_l1")
     )
 
 
@@ -1168,7 +1170,7 @@ def q34_longitude_estimate(spark, sf_dir):
     m = _meas(spark, sf_dir)
     noon = m.groupBy("site", "date").agg(
         (
-            _psum(F.col("hod") * F.col("value"), R) / _psum("value", R)
+            _psum("hod * value", R) / _psum("value", R)
             * 60.0
         ).alias("noon_min")
     )
@@ -1908,7 +1910,7 @@ def q81_profile_normalization(spark, sf_dir):
         .groupBy("site", "date")
         .agg(
             _pround(F.max(F.col("value") / F.col("q95")), R).alias("norm_max"),
-            _pavg(F.col("value") / F.col("q95"), R).alias("norm_avg"),
+            _pavg("value / q95", R).alias("norm_avg"),
         )
     )
 
@@ -8462,7 +8464,7 @@ def q169_fleet_relational_spine(spark, sf_dir):
         # try_divide: a dead site (no reading ever above the sun
         # threshold) has zero non-null noons — count 0 must yield a
         # NULL mean (-> correction 0 below), not an ANSI divide-by-zero
-        F.try_divide(_psum(F.col("noon"), R), F.count("noon")).alias(
+        F.try_divide(_psum("noon", R), F.count("noon")).alias(
             "avg_noon"
         )
     )
